@@ -1,0 +1,81 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count of the result — forces the
+full plan without collecting data to the driver) and wall-clock timed.
+A warmup pass on sf0.001 triggers JVM/codegen warm paths first so the
+numbers measure the plans, not JIT compilation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline queries: one per operator family (agg, join, window, setop,
+# topk, cleaning, text, dedup, similarity). Kept to the queries whose
+# runtime is dominated by engine work, not driver-side plan building.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "window_top3_orders_per_customer",
+    "set_union_active_buyers",
+    "topk_orders_by_totalprice",
+    "agg_stats_extendedprice",
+    "iqr_outlier_flag",
+    "classify_trend_lineitem",
+    "clean_unit_suffix_supply",
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_brute_force_topk",
+    "events_hourly_rollup",
+]
+
+
+def main() -> None:
+    from crypto_etl_pipeline_spark.queries import REGISTRY
+    from crypto_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    names = [n for n in HEADLINE if n in REGISTRY]
+
+    # Warmup at the smallest SF: JIT, codegen caches, parquet footer reads.
+    for name in names[:4]:
+        REGISTRY[name].fn(spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

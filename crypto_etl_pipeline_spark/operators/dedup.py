@@ -1,0 +1,187 @@
+"""Deduplication operators (north-star extension, SURVEY.md §2.13).
+
+Four tiers, all deterministic (no RNG at execution time):
+
+- **Exact**: hash-groupBy on normalized text — one shuffle on the
+  fingerprint; at 100 TB this is the classic dedup-by-key map-reduce.
+- **MinHash + LSH banding**: k min-hashes from ``xxhash64(shingle, seed)``,
+  banded into buckets; candidate pairs only form within a bucket
+  (the shuffle is on (band, band_hash), so cost scales with duplicate
+  density, not n^2), then verified with exact shingle Jaccard.
+- **SimHash**: 64-bit sign-aggregated token hash; near-dups share most
+  bits (hamming distance via popcount of xor).
+- **Embedding cosine**: see operators/similarity.py.
+
+Spark-side hashing (xxhash64) is not reproducible in DuckDB, so these
+register as rows-only checks in the driver contract — the exact-dedup
+and n-gram-Jaccard variants carry full SQL oracles instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crypto_etl_pipeline_spark.operators.textops import fingerprint_md5, jaccard, shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one canonical row (min id) per normalized-text fingerprint."""
+    fp = fingerprint_md5(F.col(text_col))
+    return (
+        df.withColumn("_fp", fp)
+        .groupBy("_fp")
+        .agg(F.min(F.col(id_col)).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("_fp")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature as ``num_hashes`` plain long columns.
+
+    Shuffle-based formulation: explode shingles, compute every hash as a
+    flat ``xxhash64(shingle, i)`` column, then ``groupBy(id).agg(min...)``
+    — map-side partial aggregation means the shuffle carries one
+    num_hashes-wide row per (doc x partition), and every expression is a
+    flat codegen-able function of an attribute.
+
+    Deliberately NOT the nested higher-order-function formulation
+    (``transform(sequence(..), i -> array_min(transform(sh, s -> hash))``):
+    HOF lambdas are interpreted (no whole-stage codegen, no common-
+    subexpression elimination), and any upstream expression referenced
+    inside a lambda gets re-evaluated per lambda iteration after
+    CollapseProject inlines it — measured ~40,000x re-evaluation of the
+    tokenizer per row at 500 docs (minutes vs. milliseconds).
+
+    Documents with fewer than ``shingle_n`` tokens produce no shingles
+    and therefore no signature row — they cannot near-duplicate anything
+    at this shingle size.
+    """
+    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("_shingle"))
+    hashed = sh.select(
+        id_col, *[F.xxhash64(F.col("_shingle"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return hashed.groupBy(id_col).agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
+
+
+def lsh_buckets(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+) -> DataFrame:
+    """Band the signature columns into (id, band, bucket) rows.
+
+    bucket = xxhash64 over the band's slice of signature columns — flat
+    column references, fully codegen'd; the downstream self-join
+    shuffles on (band, bucket) so cost scales with collision density,
+    never n^2.
+    """
+    rows_per_band = num_hashes // num_bands
+    banded = signatures.select(
+        id_col,
+        *[
+            F.xxhash64(*[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]).alias(f"b{b}")
+            for b in range(num_bands)
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bucket"))
+            for b in range(num_bands)
+        ]
+    )
+    return banded.select(id_col, F.explode(pairs).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def near_dup_pairs_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact Jaccard verification.
+
+    Returns (id_a, id_b, jaccard) pairs with id_a < id_b and
+    jaccard >= threshold. Shuffles: the signature groupBy, the
+    (band, bucket) self-join, and two small joins rehydrating shingle
+    sets for the (sparse) candidate set — never an n^2 comparison.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    buckets = lsh_buckets(sigs, id_col, num_hashes, num_bands)
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_tbl = df.select(F.col(id_col), F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"))
+    a = sh_tbl.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh_tbl.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 1,
+) -> DataFrame:
+    """64-bit SimHash per document as (id, simhash).
+
+    Classic sign-aggregation: for each bit b, sum +/-1 over the token
+    hashes; bit set iff the sum is positive. Shuffle-based formulation
+    (explode tokens -> 64 flat +/-1 columns -> groupBy-sum -> recombine)
+    for the same reason as :func:`minhash_signatures` — flat codegen'd
+    expressions with map-side partial aggregation, instead of nested
+    higher-order lambdas (interpreted, quadratic re-evaluation).
+
+    Bit shifts unroll at plan-build time (``b`` is a Python int —
+    ``shiftright`` does not accept a column shift count).
+    """
+    sh = shingles(F.col(text_col), shingle_n) if shingle_n > 1 else F.split(F.col(text_col), r"\s+")
+    tok = df.select(F.col(id_col), F.explode(sh).alias("_t"))
+    hashed = tok.select(id_col, F.xxhash64(F.col("_t")).alias("_h"))
+    bits = hashed.select(
+        id_col,
+        *[
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1).alias(f"s{b}")
+            for b in range(64)
+        ],
+    )
+    sums = bits.groupBy(id_col).agg(*[F.sum(f"s{b}").alias(f"s{b}") for b in range(64)])
+    sig = None
+    for b in range(64):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return sums.select(id_col, sig.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes (popcount of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

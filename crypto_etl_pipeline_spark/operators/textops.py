@@ -1,0 +1,127 @@
+"""Text-analysis operators (north-star extension, SURVEY.md §2.13).
+
+Pure Column-expression builders over a text column — language ID
+(stopword heuristic), quality scoring, token counting (whitespace and
+regex/BPE-ish), and document fingerprinting. Everything stays in
+whole-stage codegen (split/filter/transform higher-order functions);
+no Python UDFs, so the same pass scales to 100 TB of documents with
+zero serialization overhead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny embedded stopword lists (public common words). Used for the
+# stopword-ratio quality feature and the language-ID heuristic.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "es"),
+    "fr": ("le", "la", "et", "de", "un", "une", "est", "que"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+}
+
+# A BPE-ish pre-tokenizer: words, numbers, or single non-space symbols.
+# (Same regex class semantics in Java regex and RE2/DuckDB.)
+REGEX_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _as_col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization."""
+    return F.split(_as_col(text), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def unique_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def regex_token_count(text: Column | str, pattern: str = REGEX_TOKEN_PATTERN) -> Column:
+    """Token count under a regex pre-tokenizer (BPE-ish word/number/symbol)."""
+    return F.size(F.regexp_extract_all(_as_col(text), F.lit(pattern), F.lit(0)))
+
+
+def stopword_hits(text: Column | str, words: tuple[str, ...]) -> Column:
+    """Number of tokens that are in the given stopword list."""
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*words)))
+
+
+def stopword_ratio(text: Column | str, words: tuple[str, ...]) -> Column:
+    return stopword_hits(text, words) / token_count(text)
+
+
+def type_token_ratio(text: Column | str) -> Column:
+    """Lexical diversity: unique tokens / tokens."""
+    return unique_token_count(text) / token_count(text)
+
+
+def quality_label(text: Column | str, min_tokens: int = 10, min_ttr: float = 0.3) -> Column:
+    """Heuristic quality bucket: too_short / repetitive / no_stopwords / ok.
+
+    Mirrors the length/stopword/diversity ratio features used by public
+    LLM-corpus quality filters; thresholds are tunable parameters.
+    """
+    t = _as_col(text)
+    return (
+        F.when(token_count(t) < min_tokens, "too_short")
+        .when(type_token_ratio(t) < min_ttr, "repetitive")
+        .when(stopword_hits(t, STOPWORDS["en"]) == 0, "no_stopwords")
+        .otherwise("ok")
+    )
+
+
+def lang_id(text: Column | str) -> Column:
+    """N-gram/stopword language-ID heuristic over STOPWORDS languages.
+
+    Scores each language by stopword hit count; returns the argmax
+    (ties broken by language code order), 'und' when nothing hits.
+    Deterministic, expression-only — at scale this is one codegen'd
+    pass, no shuffle.
+    """
+    t = _as_col(text)
+    scored = sorted(STOPWORDS.items())  # deterministic tie order
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for code, words in scored:
+        s = stopword_hits(t, words)
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(code)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Lowercase + collapse whitespace — canonical form for fingerprints."""
+    return F.lower(F.regexp_replace(_as_col(text), r"\s+", " "))
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Deterministic document fingerprint of the normalized text."""
+    return F.md5(normalized_text(text))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles ('w1_w2_w3'); empty array when < n tokens."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws("_", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Set Jaccard over two string arrays (distinct semantics)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)

@@ -1,0 +1,303 @@
+"""Cleaning + classification operator queries (SURVEY.md §2.8 F1-F12, §2.4 A1-A3).
+
+The reference cleans a messy Kaggle CSV (comma-grouped numbers, $-money
+tokens, '%' percents, 'Million'/'Billion' unit suffixes, '-' missing
+markers — reference crypto_etl_pipeline.py:130-210). The driver's
+testdata has no such strings, so each query *synthesizes* the messy
+format deterministically from typed columns (integer-derived, so the
+string rendering is engine-independent), then applies the cleaning
+expression library — proving the parse semantics against DuckDB.
+
+DuckDB parity traps handled here:
+- DuckDB ``cast(double AS bigint)`` ROUNDS; Python ``int()`` and Spark
+  double->long casts TRUNCATE. Oracles use ``trunc()`` explicitly.
+- DuckDB ``regexp_replace`` is first-match unless the 'g' flag is given.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_etl_pipeline_spark.functions.classify import classify_trend, classify_trend_sql
+from crypto_etl_pipeline_spark.functions.cleaning import (
+    parse_grouped_number,
+    parse_money,
+    parse_percent,
+    parse_unit_suffix,
+)
+from crypto_etl_pipeline_spark.queries.base import register
+from crypto_etl_pipeline_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# F2+F4: money-token parse ("$1,234" / " $-  " -> double / null).
+# --------------------------------------------------------------------------
+@register(
+    "clean_money_tokens",
+    oracle="""
+    WITH messy AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN ' $-   '
+                  ELSE '$' || format('{:,}', o_orderkey * 100 + 45) || ' '
+             END AS raw_money
+      FROM orders
+    )
+    SELECT o_orderkey, raw_money,
+           try_cast(regexp_replace(raw_money, '[$, ]', '', 'g') AS DOUBLE) AS parsed
+    FROM messy
+    """,
+    description="F2 money cleaning: strip [$, ], coerce, '-' -> null",
+    tags=("cleaning",),
+)
+def clean_money_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    raw = F.when(F.col("o_orderkey") % 7 == 0, F.lit(" $-   ")).otherwise(
+        F.concat(F.lit("$"), F.format_number(F.col("o_orderkey") * 100 + 45, 0), F.lit(" "))
+    )
+    return orders.select(
+        "o_orderkey",
+        raw.alias("raw_money"),
+        parse_money(raw).alias("parsed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F1+F4: comma-grouped number parse ("19,549,806" -> double).
+# --------------------------------------------------------------------------
+@register(
+    "clean_grouped_numbers",
+    oracle="""
+    WITH messy AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 11 = 0 THEN '-'
+                  ELSE format('{:,}', c_custkey * 1000 + 7)
+             END AS raw_supply
+      FROM customer
+    )
+    SELECT c_custkey, raw_supply,
+           try_cast(replace(raw_supply, ',', '') AS DOUBLE) AS parsed
+    FROM messy
+    """,
+    description="F1 de-comma + F4 coercing parse",
+    tags=("cleaning",),
+)
+def clean_grouped_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    raw = F.when(F.col("c_custkey") % 11 == 0, F.lit("-")).otherwise(
+        F.format_number(F.col("c_custkey") * 1000 + 7, 0)
+    )
+    return cust.select(
+        "c_custkey",
+        raw.alias("raw_supply"),
+        parse_grouped_number(raw).alias("parsed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F6: percent normalization ("12.5%" -> 0.125; "-" -> null).
+# --------------------------------------------------------------------------
+@register(
+    "clean_percent_tokens",
+    oracle="""
+    WITH messy AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN (l_orderkey + l_linenumber) % 9 = 0 THEN '-'
+                  ELSE cast(cast(l_quantity AS BIGINT) - 25 AS VARCHAR) || '.' ||
+                       cast(l_linenumber AS VARCHAR) || '%'
+             END AS raw_pct
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, raw_pct,
+           round(try_cast(regexp_replace(raw_pct, '%', '', 'g') AS DOUBLE) / 100, 6) AS parsed
+    FROM messy
+    """,
+    description="F6 %-strip, coerce, divide by 100",
+    tags=("cleaning",),
+)
+def clean_percent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = F.when((F.col("l_orderkey") + F.col("l_linenumber")) % 9 == 0, F.lit("-")).otherwise(
+        F.concat(
+            (F.col("l_quantity").cast("long") - 25).cast("string"),
+            F.lit("."),
+            F.col("l_linenumber").cast("string"),
+            F.lit("%"),
+        )
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        raw.alias("raw_pct"),
+        F.round(parse_percent(raw), 6).alias("parsed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F5: unit-suffix parse ("21 Million" / "88.3 Billion" / "52,600,000" / "-")
+# with int() truncation-toward-zero parity.
+# --------------------------------------------------------------------------
+@register(
+    "clean_unit_suffix_supply",
+    oracle="""
+    WITH messy AS (
+      SELECT p_partkey,
+             CASE p_partkey % 5
+               WHEN 0 THEN cast(p_size AS VARCHAR) || ' Million'
+               WHEN 1 THEN cast(p_size AS VARCHAR) || '.' || cast(p_partkey % 10 AS VARCHAR) || ' Billion'
+               WHEN 2 THEN format('{:,}', p_partkey * 1000)
+               WHEN 3 THEN '-'
+               ELSE cast(p_size AS VARCHAR) || '.' || cast(p_partkey % 10 AS VARCHAR) || ' Million'
+             END AS raw_total_supply
+      FROM part
+    )
+    SELECT p_partkey, raw_total_supply,
+           cast(trunc(
+             CASE
+               WHEN raw_total_supply IS NULL
+                 OR regexp_replace(raw_total_supply, '[,$ ]', '', 'g') IN ('', '-') THEN NULL
+               WHEN contains(regexp_replace(raw_total_supply, '[,$ ]', '', 'g'), 'Billion')
+                 THEN try_cast(regexp_replace(regexp_replace(raw_total_supply, '[,$ ]', '', 'g'), 'Billion|Million', '', 'g') AS DOUBLE) * 1e9
+               WHEN contains(regexp_replace(raw_total_supply, '[,$ ]', '', 'g'), 'Million')
+                 THEN try_cast(regexp_replace(regexp_replace(raw_total_supply, '[,$ ]', '', 'g'), 'Billion|Million', '', 'g') AS DOUBLE) * 1e6
+               ELSE try_cast(regexp_replace(raw_total_supply, '[,$ ]', '', 'g') AS DOUBLE)
+             END) AS BIGINT) AS parsed
+    FROM messy
+    """,
+    description="F5 Million/Billion suffix parse with int() truncation",
+    tags=("cleaning",),
+)
+def clean_unit_suffix_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    frac = (F.col("p_partkey") % 10).cast("string")
+    size_s = F.col("p_size").cast("string")
+    raw = (
+        F.when(F.col("p_partkey") % 5 == 0, F.concat(size_s, F.lit(" Million")))
+        .when(F.col("p_partkey") % 5 == 1, F.concat(size_s, F.lit("."), frac, F.lit(" Billion")))
+        .when(F.col("p_partkey") % 5 == 2, F.format_number(F.col("p_partkey") * 1000, 0))
+        .when(F.col("p_partkey") % 5 == 3, F.lit("-"))
+        .otherwise(F.concat(size_s, F.lit("."), frac, F.lit(" Million")))
+    )
+    return part.select(
+        "p_partkey",
+        raw.alias("raw_total_supply"),
+        parse_unit_suffix(raw).alias("parsed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F8: the 5-way trend classifier + A6 distribution — the reference's
+# flagship dataflow shape (EP2: project -> CASE classify -> group-count).
+# --------------------------------------------------------------------------
+@register(
+    "classify_trend_lineitem",
+    oracle=f"""
+    SELECT {classify_trend_sql("(l_tax - l_discount) * 100")} AS tendencia,
+           count(*) AS count
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY count DESC, tendencia
+    """,
+    description="F8 trend CASE classifier + A6 value_counts (flagship shape)",
+    tags=("cleaning", "classify", "flagship"),
+)
+def classify_trend_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = (F.col("l_tax") - F.col("l_discount")) * 100
+    return (
+        li.select(classify_trend(pct).alias("tendencia"))
+        .groupBy("tendencia")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc("tendencia"))
+    )
+
+
+@register(
+    "classify_trend_rowlevel",
+    oracle=f"""
+    SELECT event_id,
+           {classify_trend_sql("CASE WHEN event_type = 'error' THEN NULL ELSE value - 245 END")} AS tendencia
+    FROM events
+    """,
+    description="F8 row-level classification incl. null->estable fall-through",
+    tags=("cleaning", "classify"),
+)
+def classify_trend_rowlevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(
+        F.col("value") - 245
+    )
+    return ev.select("event_id", classify_trend(pct).alias("tendencia"))
+
+
+# --------------------------------------------------------------------------
+# A2+F10: median imputation (impute-then-use, C-order — SURVEY §2.9 #1).
+# Median computed in one agg, broadcast back as a scalar (no window).
+# --------------------------------------------------------------------------
+@register(
+    "impute_median_event_value",
+    oracle="""
+    WITH holey AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    med AS (SELECT quantile_cont(v, 0.5) AS m FROM holey)
+    SELECT event_id, round(coalesce(v, m), 6) AS value_filled
+    FROM holey, med
+    """,
+    description="Exact-median imputation via agg + broadcast scalar (A2/F10)",
+    tags=("cleaning", "stats"),
+)
+def impute_median_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    holey = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "click", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    med = holey.agg(F.percentile(F.col("v"), F.lit(0.5)).alias("m"))
+    return (
+        holey.crossJoin(F.broadcast(med))
+        .select("event_id", F.round(F.coalesce(F.col("v"), F.col("m")), 6).alias("value_filled"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A1+P6: IQR outlier flagging (impute-order irrelevant here: no nulls in
+# l_extendedprice). Two-pass agg+broadcast — never an unpartitioned window.
+# --------------------------------------------------------------------------
+@register(
+    "iqr_outlier_flag",
+    oracle="""
+    WITH bounds AS (
+      SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 2) AS extendedprice,
+           NOT (l_extendedprice BETWEEN q1 - 1.5 * (q3 - q1) AND q3 + 1.5 * (q3 - q1)) AS is_outlier
+    FROM lineitem, bounds
+    """,
+    description="IQR*1.5 outlier flag via agg + broadcast bounds (A1/P6/F11)",
+    tags=("cleaning", "stats"),
+)
+def iqr_outlier_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    c = F.col("l_extendedprice")
+    bounds = li.agg(
+        F.percentile(c, F.lit(0.25)).alias("q1"),
+        F.percentile(c, F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(c, 2).alias("extendedprice"),
+            (~c.between(F.col("q1") - 1.5 * iqr, F.col("q3") + 1.5 * iqr)).alias("is_outlier"),
+        )
+    )

@@ -1,0 +1,561 @@
+"""Generic relational operator surface over the TPC-H-ish testdata.
+
+Covers SURVEY.md §2 build-plan step 7: scans/projections/filters (P1-P8),
+joins of every flavor (§2.3 — absent from the reference, mandated by the
+extension surface), aggregations (A1-A9), windows (§2.5), sorts/top-k
+(T1-T3), set ops (§2.7), rollup. All built-ins — Catalyst handles
+pushdown/pruning/join-strategy; dimension joins broadcast under the
+64 MB threshold set in session.py.
+
+Float discipline: every float aggregate output is rounded the same way
+in the Spark builder and the oracle SQL, so the driver's value hash is
+stable despite engine-dependent summation order (error ~1e-12 relative;
+rounding to 2-6 decimals absorbs it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_etl_pipeline_spark.queries.base import register
+from crypto_etl_pipeline_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Aggregation over a filtered scan (TPC-H Q1 flavor): exercises predicate
+# pushdown into the parquet scan, partial (map-side) aggregation, and
+# whole-stage codegen over the arithmetic. Reference ops: A2-A4 shapes.
+# --------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 6)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="Filtered groupBy-agg pricing summary (TPC-H Q1 shape)",
+    tags=("agg", "core"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 3-way join + group + top-k (TPC-H Q3 flavor). The customer filter makes
+# the build side small; top-k plans as TakeOrderedAndProject (T1).
+# --------------------------------------------------------------------------
+@register(
+    "q3_top_revenue_orders",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1996-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    description="3-way join, grouped revenue, deterministic top-10",
+    tags=("join", "topk", "core"),
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# 6-way star join (TPC-H Q5 flavor): fact table shuffles once; all
+# dimension sides broadcast. Exercises join reordering + broadcast hints.
+# --------------------------------------------------------------------------
+@register(
+    "q5_nation_revenue",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND s_nationkey = c_nationkey
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    description="6-way star join with broadcast dimensions (TPC-H Q5 shape)",
+    tags=("join", "core"),
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Join-flavor coverage: semi / anti / outer.
+# --------------------------------------------------------------------------
+@register(
+    "join_semi_urgent_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    description="Left-semi join: customers having >=1 urgent order",
+    tags=("join",),
+)
+def join_semi_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_no_urgent_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    description="Left-anti join: customers with no urgent order",
+    tags=("join",),
+)
+def join_anti_no_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_outer_open_order_counts",
+    oracle="""
+    SELECT c_custkey,
+           count(o_orderkey)                 AS n_open_orders,
+           round(coalesce(sum(o_totalprice), 0.0), 2) AS open_total
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderstatus = 'P'
+    GROUP BY c_custkey
+    """,
+    description="Left-outer join preserving customers with zero 'P' orders",
+    tags=("join",),
+)
+def join_outer_open_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (cust.c_custkey == orders.o_custkey) & (orders.o_orderstatus == "P")
+    return (
+        cust.join(orders, cond, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_open_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("open_total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions (§2.5 — extension surface; partitioned windows only,
+# never an unpartitioned global window).
+# --------------------------------------------------------------------------
+@register(
+    "window_top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    description="Partitioned row_number top-3 per key",
+    tags=("window",),
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rn")
+    )
+
+
+@register(
+    "window_event_value_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta
+    FROM events
+    """,
+    description="lag() delta per user over event time",
+    tags=("window", "events"),
+)
+def window_event_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
+@register(
+    "window_running_user_spend",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    description="Running sum per user with explicit ROWS frame",
+    tags=("window", "events"),
+)
+def window_running_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select("event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("running_value"))
+
+
+# --------------------------------------------------------------------------
+# Set operations (§2.7).
+# --------------------------------------------------------------------------
+@register(
+    "set_union_active_buyers",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    description="UNION (distinct) of two key sets",
+    tags=("setop",),
+)
+def set_union_active_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = orders.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("c_custkey"))
+    return a.union(b).distinct()
+
+
+@register(
+    "set_intersect_building_open",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    description="INTERSECT of two key sets",
+    tags=("setop",),
+)
+def set_intersect_building_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = orders.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("c_custkey"))
+    return a.intersect(b)
+
+
+@register(
+    "set_except_building_never_open",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    description="EXCEPT of two key sets",
+    tags=("setop",),
+)
+def set_except_building_never_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = orders.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("c_custkey"))
+    return a.exceptAll(b).distinct()
+
+
+# --------------------------------------------------------------------------
+# Statistics layer (A1-A5): exact interpolated percentiles in ONE agg pass
+# (partial+final tree aggregation — no unpartitioned window, SURVEY §2.5).
+# Spark `percentile` and DuckDB `quantile_cont` share linear interpolation.
+# --------------------------------------------------------------------------
+@register(
+    "agg_stats_extendedprice",
+    oracle="""
+    SELECT count(*)                                    AS n,
+           round(avg(l_extendedprice), 4)              AS mean_price,
+           round(stddev(l_extendedprice), 4)           AS std_price,
+           round(min(l_extendedprice), 2)              AS min_price,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS median,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS q3,
+           round(max(l_extendedprice), 2)              AS max_price
+    FROM lineitem
+    """,
+    description="describe()-style stats: exact interpolated quantiles, one pass",
+    tags=("agg", "stats"),
+)
+def agg_stats_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    c = F.col("l_extendedprice")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(c), 4).alias("mean_price"),
+        F.round(F.stddev(c), 4).alias("std_price"),
+        F.round(F.min(c), 2).alias("min_price"),
+        F.round(F.percentile(c, F.lit(0.25)), 4).alias("q1"),
+        F.round(F.percentile(c, F.lit(0.50)), 4).alias("median"),
+        F.round(F.percentile(c, F.lit(0.75)), 4).alias("q3"),
+        F.round(F.max(c), 2).alias("max_price"),
+    )
+
+
+@register(
+    "agg_grouped_describe_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                                  AS n,
+           round(avg(o_totalprice), 4)               AS mean_total,
+           round(stddev(o_totalprice), 4)            AS std_total,
+           round(min(o_totalprice), 2)               AS min_total,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS median,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS q3,
+           round(max(o_totalprice), 2)               AS max_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    description="Grouped describe() (reference's only group-by, A5/C:132)",
+    tags=("agg", "stats"),
+)
+def agg_grouped_describe_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c = F.col("o_totalprice")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(c), 4).alias("mean_total"),
+        F.round(F.stddev(c), 4).alias("std_total"),
+        F.round(F.min(c), 2).alias("min_total"),
+        F.round(F.percentile(c, F.lit(0.25)), 4).alias("q1"),
+        F.round(F.percentile(c, F.lit(0.50)), 4).alias("median"),
+        F.round(F.percentile(c, F.lit(0.75)), 4).alias("q3"),
+        F.round(F.max(c), 2).alias("max_total"),
+    )
+
+
+@register(
+    "agg_value_counts_event_type",
+    oracle="""
+    SELECT event_type, count(*) AS count
+    FROM events
+    GROUP BY event_type
+    ORDER BY count DESC, event_type
+    """,
+    description="value_counts: group-count ordered desc (A6/C:115)",
+    tags=("agg", "events"),
+)
+def agg_value_counts_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc("event_type"))
+    )
+
+
+@register(
+    "agg_null_counts_events",
+    oracle="""
+    SELECT count(*) - count(value) AS value_nulls,
+           count(*) - count(props) AS props_nulls,
+           count(*)                AS n
+    FROM events
+    """,
+    description="Per-column null counts (A3/C:72)",
+    tags=("agg",),
+)
+def agg_null_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.sum(F.col("value").isNull().cast("long")).alias("value_nulls"),
+        F.sum(F.col("props").isNull().cast("long")).alias("props_nulls"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_dup_row_count_documents",
+    oracle="""
+    SELECT count(*) - count(DISTINCT (lang, source)) AS n_duplicate_rows
+    FROM documents
+    """,
+    description="Duplicate-row count over a projection (A7/C:259)",
+    tags=("agg", "dedup"),
+)
+def agg_dup_row_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        (F.count(F.lit(1)) - F.countDistinct("lang", "source")).alias("n_duplicate_rows")
+    )
+
+
+@register(
+    "agg_rollup_revenue",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    description="ROLLUP hierarchy totals (grouping sets)",
+    tags=("agg",),
+)
+def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Top-k (T1): plans as TakeOrderedAndProject — no full sort at scale.
+# --------------------------------------------------------------------------
+@register(
+    "topk_orders_by_totalprice",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    description="Global top-100 with deterministic tiebreak (T1)",
+    tags=("topk",),
+)
+def topk_orders_by_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Batch tumbling-window rollup over the events table (§2.10 batch shape;
+# the true incremental variant lives in streaming/incremental.py).
+# --------------------------------------------------------------------------
+@register(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           count(*)              AS n_events,
+           round(sum(value), 4)  AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="Tumbling 1-hour rollup by event type (batch form of the stream agg)",
+    tags=("events", "agg"),
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,60 @@
+"""Parquet table loaders for the driver testdata star schema.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet per table under a
+scale-factor directory.
+
+Scale notes:
+- Parquet scans get Catalyst predicate pushdown + column pruning for
+  free; loaders do NOT cache or collect.
+- ``events.ts`` is parquet TIMESTAMP(NANOS); Spark 4 can only read it
+  with ``spark.sql.legacy.parquet.nanosAsLong=true`` (set here at
+  runtime — it is a runtime SQLConf), which yields a LongType of
+  ns-since-epoch. The loader converts to TimestampType by integer
+  division to microseconds (floor), matching DuckDB's ns→us cast.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table; normalizes the events timestamp."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns-since-epoch long -> TimestampType (microsecond precision,
+        # floor division — same truncation DuckDB applies reading ns).
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so ``spark.sql`` can be used."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)

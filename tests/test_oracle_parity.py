@@ -1,0 +1,71 @@
+"""Differential harness mirroring the driver's DuckDB-oracle gate.
+
+For every registry entry with an oracle, run the Spark builder and the
+DuckDB SQL on the same parquet and compare row count, column names, and
+(order-insensitively) values — floats exactly where both sides round,
+else to 1e-9 relative. Strict: a mismatch here predicts a driver
+CORRECTNESS failure.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from crypto_etl_pipeline_spark.queries import REGISTRY
+from tests.conftest import SF_ORACLE
+
+ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+
+
+def _normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 9)
+            elif hasattr(v, "__float__") and not isinstance(v, (int, bool)):
+                v = round(float(v), 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=repr)
+    return out
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(name, spark, duck):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, SF_ORACLE)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(spec.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    ns = _normalize(spark_rows, spark_cols)
+    nd = _normalize(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
+    assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first 3: {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_queries_run(name, spark):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, SF_ORACLE)
+    assert sdf.count() >= 0
+    assert len(sdf.schema.fields) > 0
