@@ -1,0 +1,134 @@
+"""EP3 — the historical cleaning dataflow (SURVEY.md §3 EP3).
+
+The reference executes eleven separate whole-table pandas passes
+(crypto_etl_pipeline.py:137-208). Here the same semantics compile to
+TWO scan passes: one fused ``select`` of all cleaning expressions
+(whole-stage codegen), one global ``agg`` for the medians/quantiles
+that the imputation and outlier flag depend on — no shuffle at all
+(global aggregates are partial+final tree reductions).
+
+Operation order follows the colab flow (impute -> outlier flag),
+because that is what produced the shipped golden artifact
+``cleaned_cryptocurrency_data_final.csv`` (SURVEY.md §2.9 divergence
+#1). The production-DAG order (flag-then-impute,
+crypto_etl_pipeline.py:193-205) is available as ``order="P"``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crypto_etl_pipeline_spark.functions.cleaning import (
+    normalize_headers,
+    parse_grouped_number,
+    parse_money,
+    parse_percent,
+    parse_unit_suffix,
+)
+
+# crypto_etl_pipeline.py:145-155 (identical in colab C:167-175)
+RENAMES = {
+    "Coin Name": "coin",
+    "Symbol": "symbol",
+    "Price": "current_price",
+    "24h Volume": "24h_volume",
+    "Circulating Supply": "circulating_supply",
+    "Total Supply": "total_supply",
+    "Market Cap": "market_cap",
+}
+
+PERCENT_COLS = ("1h", "24h", "7d", "30d")
+MONEY_COLS = ("24h_volume", "market_cap")
+NUMERIC_COLS = (
+    "current_price",
+    *PERCENT_COLS,
+    *MONEY_COLS,
+    "circulating_supply",
+    "total_supply",
+)
+OUTPUT_COLS = (
+    "coin",
+    "symbol",
+    "current_price",
+    "1h",
+    "24h",
+    "7d",
+    "30d",
+    "24h_volume",
+    "circulating_supply",
+    "total_supply",
+    "market_cap",
+    "is_outlier",
+)
+
+
+def parse_historical(raw: DataFrame) -> DataFrame:
+    """Header-strip + rename + drop + the full parse cascade (F1-F6, F5).
+
+    One fused projection; input is the all-string dirty table
+    (sources/csv.py). Null discipline: every unparseable token
+    (``" $-   "``, ``"-"``, ``""``) becomes SQL null via try_cast.
+    """
+    df = normalize_headers(raw)
+    df = df.withColumnsRenamed(RENAMES).drop("Rank")
+    return df.select(
+        F.col("coin"),
+        F.col("symbol"),
+        parse_grouped_number("current_price").alias("current_price"),
+        *[parse_percent(c).alias(c) for c in PERCENT_COLS],
+        parse_money("24h_volume").alias("24h_volume"),
+        parse_grouped_number("circulating_supply").alias("circulating_supply"),
+        parse_unit_suffix("total_supply").alias("total_supply"),
+        parse_money("market_cap").alias("market_cap"),
+    )
+
+
+def _flag_outliers(df: DataFrame, price: Column) -> DataFrame:
+    """IQR*1.5 Tukey fence on current_price via one agg + broadcast
+    scalars (never an unpartitioned window — SURVEY.md §2.5)."""
+    bounds = df.agg(
+        F.percentile(price, F.lit(0.25)).alias("_q1"),
+        F.percentile(price, F.lit(0.75)).alias("_q3"),
+    )
+    iqr = F.col("_q3") - F.col("_q1")
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "is_outlier",
+            ~price.between(F.col("_q1") - 1.5 * iqr, F.col("_q3") + 1.5 * iqr),
+        )
+        .drop("_q1", "_q3")
+    )
+
+
+def clean_historical(raw: DataFrame, order: str = "C") -> DataFrame:
+    """Full EP3: parse -> impute medians -> IQR outlier flag.
+
+    order="C" (default): impute all numeric columns with their exact
+    medians FIRST, then compute the IQR fence over the imputed prices —
+    golden-artifact semantics (colab C:244-277; 861 outliers on the
+    reference data). order="P": flag first over non-null prices (every
+    null price then flags True), impute after — the production DAG's
+    order (crypto_etl_pipeline.py:193-205).
+    """
+    parsed = parse_historical(raw)
+    price = F.col("current_price")
+
+    if order == "C":
+        med_row = parsed.agg(
+            *[F.percentile(F.col(c), F.lit(0.5)).alias(c) for c in NUMERIC_COLS]
+        ).first()
+        imputed = parsed.na.fill({c: med_row[c] for c in NUMERIC_COLS if med_row[c] is not None})
+        return _flag_outliers(imputed, price).select(*OUTPUT_COLS)
+
+    if order == "P":
+        flagged = _flag_outliers(parsed, price)
+        med_row = flagged.agg(
+            *[F.percentile(F.col(c), F.lit(0.5)).alias(c) for c in NUMERIC_COLS]
+        ).first()
+        return flagged.na.fill(
+            {c: med_row[c] for c in NUMERIC_COLS if med_row[c] is not None}
+        ).select(*OUTPUT_COLS)
+
+    raise ValueError(f"order must be 'C' or 'P', got {order!r}")

@@ -1,0 +1,51 @@
+"""Sinks (SURVEY.md §2.1 S3/S4).
+
+CSV/Parquet writers plus the reference's timestamped-copy "download"
+step (crypto_etl_pipeline.py:295-359) re-expressed as a write with a
+timestamped directory name. Intermediates prefer Parquet (schema
+carried, splittable, column-pruned on re-read) — the reference's
+CSV-everywhere handoffs re-infer schemas lossily (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """S3 — headered CSV, full overwrite.
+
+    ``single_file=True`` coalesces to one partition for parity with
+    single-file consumers (reference df.to_csv). Leave False at scale —
+    a 100 TB result must not funnel through one task.
+    """
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Parquet sink; optional partition columns for downstream pruning."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def timestamp_suffix(now: datetime | None = None) -> str:
+    """File-name timestamp, format per crypto_etl_pipeline.py:322."""
+    return (now or datetime.now()).strftime("%Y%m%d_%H%M%S")
+
+
+def write_timestamped_csv(
+    df: DataFrame, base_dir: str, stem: str, now: datetime | None = None
+) -> str:
+    """S4 — versioned copy: ``{base_dir}/{stem}_{ts}`` (one dir per run).
+
+    Returns the written path. Read-back stats (rows/cols) are the
+    caller's concern: ``df.count()``, ``len(df.columns)``.
+    """
+    path = f"{base_dir}/{stem}_{timestamp_suffix(now)}"
+    write_csv(df, path, single_file=True)
+    return path
