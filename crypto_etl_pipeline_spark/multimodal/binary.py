@@ -1,0 +1,177 @@
+"""Multimodal columns: opaque binary payloads + typed metadata (§2.13).
+
+Design: media travels as a ``BinaryType`` payload column next to a
+``StructType`` metadata column (mime, width, height, duration_ms, uri)
+— the layout ``spark.read.format("binaryFile")`` produces, and the one
+a 100 TB corpus would use (payloads in parquet binary columns or
+object-store URIs, metadata queryable without touching bytes).
+
+Decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` operators: the Spark-side plumbing (schemas, batch
+iteration, column pass-through, partition preservation) is real and
+tested; the codec call inside is a STUB — image/audio libraries are
+not available in this environment, so decode is a deterministic fake
+parser over the payload bytes, and the library call site is marked.
+Swapping the stub for PIL/libav changes no Spark code.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META = StructType(
+    [
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("uri", StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("meta", MEDIA_META),
+    ]
+)
+
+
+def attach_fake_payloads(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic binary payloads for testing the multimodal plumbing.
+
+    payload = UTF-8 bytes of the text; metadata dimensions derive from
+    the byte length so every downstream assertion is reproducible and
+    SQL-expressible (the DuckDB oracle mirrors the arithmetic).
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    n = F.octet_length(payload)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            (n % 640 + 1).cast("int").alias("width"),
+            (n % 480 + 1).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.concat(F.lit("mem://doc/"), F.col(id_col).cast("string")).alias("uri"),
+        ).alias("meta"),
+    )
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """STUB codec: replace with e.g. PIL.Image.open(io.BytesIO(payload)).
+
+    Deterministic fake: dimensions from byte length, checksum = sum of
+    bytes mod 2^31 (cheap, reproducible, oracle-expressible).
+    """
+    n = len(payload)
+    return n % 640 + 1, n % 480 + 1, sum(payload) % 2_147_483_648
+
+
+def decode_image_stub(media: DataFrame) -> DataFrame:
+    """'Decode' payloads via Arrow-batched mapInPandas.
+
+    Batch shape: the function receives an iterator of pandas DataFrames
+    (one per Arrow batch, whole partition streamed), returns the decoded
+    rows — constant memory per batch, no driver involvement, partition
+    count preserved.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "checksum": [d[2] for d in dims],
+                }
+            )
+
+    return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("feature", StructType([
+            StructField("brightness", LongType()),
+            StructField("n_bytes", LongType()),
+        ])),
+    ]
+)
+
+
+def extract_features_stub(media: DataFrame) -> DataFrame:
+    """STUB feature extractor over payload bytes (mapInPandas).
+
+    Real implementation would run a vision model over decoded pixels;
+    the fake computes mean byte value ('brightness') — deterministic
+    and oracle-expressible.
+    """
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                rows.append((doc_id, {"brightness": sum(b) // max(len(b), 1), "n_bytes": len(b)}))
+            yield pd.DataFrame({"doc_id": [r[0] for r in rows], "feature": [r[1] for r in rows]})
+
+    return media.mapInPandas(feats, schema=FEATURE_SCHEMA)
+
+
+def sample_frames_stub(media: DataFrame, every_n_bytes: int = 256) -> DataFrame:
+    """STUB frame sampler: one 'frame' row per every_n_bytes of payload.
+
+    Demonstrates the 1->N row fan-out shape (video -> frames) through
+    mapInPandas; a real sampler would emit decoded frame payloads.
+    """
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_no", IntegerType()),
+            StructField("offset", LongType()),
+        ]
+    )
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, offs = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(len(bytes(p)) // every_n_bytes, 1)
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    nos.append(i)
+                    offs.append(i * every_n_bytes)
+            yield pd.DataFrame({"doc_id": ids, "frame_no": nos, "offset": offs})
+
+    return media.mapInPandas(frames, schema=schema)

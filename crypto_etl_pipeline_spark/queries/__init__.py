@@ -17,6 +17,8 @@ from crypto_etl_pipeline_spark.queries import relational  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import cleaning  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import text  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import vector  # noqa: F401, E402
+from crypto_etl_pipeline_spark.queries import streaming  # noqa: F401, E402
+from crypto_etl_pipeline_spark.queries import analytics  # noqa: F401, E402
 
 
 def queries():

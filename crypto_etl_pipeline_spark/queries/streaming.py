@@ -1,0 +1,206 @@
+"""Streaming + multimodal queries for the driver registry (§2.10/§2.13).
+
+Streaming queries run a REAL Structured Streaming job (file source ->
+watermark/state -> memory sink, Trigger.AvailableNow) and return the
+drained sink as a batch DataFrame, so the driver's oracle comparison
+exercises the streaming engine end-to-end:
+
+- 'complete'-mode windowed aggregation == the batch GROUP BY (oracle).
+- Watermarked dedup over a doubled source == DISTINCT (oracle).
+- applyInPandasWithState sessionization == a SQL gaps-and-islands
+  query EXCLUDING each user's last session (append mode only emits
+  sessions closed by a later event; the final open session stays in
+  state when the AvailableNow drain stops).
+
+Multimodal queries push payloads through the Arrow mapInPandas stubs;
+the fake codec's arithmetic is mirrored in SQL so the plumbing (batch
+iteration, schemas, 1->N fan-out) is value-checked, not just run.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from crypto_etl_pipeline_spark.queries.base import register
+from crypto_etl_pipeline_spark.sources.tables import load_table
+
+SESSION_GAP_SECONDS = 6 * 3600  # ~median per-user gap is 7h at sf0.01
+
+
+def _stage_dir(sf_dir: str, copies: int) -> str:
+    """Stage the events parquet into a fresh stream-input dir via
+    symlinks (read-only source is never touched)."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    src = os.path.join(sf_dir, "events.parquet")
+    for i in range(copies):
+        os.symlink(src, os.path.join(d, f"events_{i}.parquet"))
+    return d
+
+
+def _checkpoint() -> str:
+    return tempfile.mkdtemp(prefix="ckpt_")
+
+
+@register(
+    "stream_hourly_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="Structured Streaming watermarked 1h tumbling rollup, availableNow drain",
+    tags=("streaming",),
+)
+def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_etl_pipeline_spark.streaming.incremental import (
+        hourly_rollup_stream,
+        read_event_stream,
+        run_available_now,
+    )
+
+    events = read_event_stream(spark, _stage_dir(sf_dir, copies=1))
+    rolled = hourly_rollup_stream(events, watermark="2 hours")
+    return run_available_now(
+        rolled, f"rollup_{uuid.uuid4().hex[:8]}", _checkpoint(), output_mode="complete"
+    )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, user_id,
+           event_type, round(value, 6) AS value
+    FROM events
+    """,
+    description="dropDuplicatesWithinWatermark over a doubled stream == DISTINCT",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from crypto_etl_pipeline_spark.streaming.incremental import (
+        dedup_stream_within_watermark,
+        read_event_stream,
+        run_available_now,
+    )
+
+    # Two symlinked copies -> every event arrives twice; the watermark
+    # horizon (45 days > the 30-day span) keeps all key-state alive.
+    events = read_event_stream(spark, _stage_dir(sf_dir, copies=2))
+    deduped = dedup_stream_within_watermark(events, watermark="45 days")
+    out = run_available_now(
+        deduped, f"dedup_{uuid.uuid4().hex[:8]}", _checkpoint(), output_mode="append"
+    )
+    return out.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "user_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
+@register(
+    "stream_sessionize_stateful",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, coalesce(value, 0.0) AS v,
+             CASE WHEN epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                       > {SESSION_GAP_SECONDS} OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    numbered AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    ),
+    sessions AS (
+      SELECT user_id, session_no,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+             count(*) AS n_events,
+             round(sum(v), 4) AS sum_value,
+             max(session_no) OVER (PARTITION BY user_id) AS last_no
+      FROM numbered
+      GROUP BY user_id, session_no
+    )
+    SELECT user_id, session_start, session_end, n_events, sum_value
+    FROM sessions WHERE session_no < last_no
+    """,
+    description="applyInPandasWithState gap sessionization == SQL gaps-and-islands (minus each user's open last session)",
+    tags=("streaming", "stateful"),
+)
+def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from crypto_etl_pipeline_spark.streaming.incremental import (
+        read_event_stream,
+        run_available_now,
+        sessionize_stream,
+    )
+
+    events = read_event_stream(spark, _stage_dir(sf_dir, copies=1))
+    sessions = sessionize_stream(events, gap_seconds=SESSION_GAP_SECONDS)
+    out = run_available_now(
+        sessions, f"sess_{uuid.uuid4().hex[:8]}", _checkpoint(), output_mode="append"
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+@register(
+    "multimodal_decode_mapinpandas",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) % 640 + 1 AS width,
+           octet_length(encode(text)) % 480 + 1 AS height,
+           octet_length(encode(text))           AS n_bytes
+    FROM documents
+    """,
+    description="Arrow mapInPandas decode stub over binary payloads (value-checked plumbing)",
+    tags=("multimodal",),
+)
+def multimodal_decode_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_etl_pipeline_spark.multimodal.binary import (
+        attach_fake_payloads,
+        decode_image_stub,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_payloads(docs)
+    return decode_image_stub(media).drop("checksum")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, f.i - 1 AS frame_no, (f.i - 1) * 256 AS "offset"
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(
+           1, greatest(octet_length(encode(text)) // 256, 1))) AS i) f
+    """,
+    description="mapInPandas 1->N frame-sampling fan-out (video->frames shape)",
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_etl_pipeline_spark.multimodal.binary import (
+        attach_fake_payloads,
+        sample_frames_stub,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames_stub(attach_fake_payloads(docs), every_n_bytes=256)
