@@ -62,8 +62,19 @@ def minhash_signatures(
     Documents with fewer than ``shingle_n`` tokens produce no shingles
     and therefore no signature row — they cannot near-duplicate anything
     at this shingle size.
+
+    The input is repartitioned by id before the explode: compact text
+    tables arrive in few (often one) parquet splits, which would pin
+    the hash computation — num_hashes x shingles per doc — to one core.
+    Hash-partitioning on the id costs one tiny shuffle of the raw text
+    and doubles as the groupBy(id) partitioning, so the aggregation
+    that follows adds NO second exchange.
     """
-    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("_shingle"))
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("_shingle"))
+    )
     hashed = sh.select(
         id_col, *[F.xxhash64(F.col("_shingle"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
     )
@@ -132,7 +143,13 @@ def near_dup_pairs_minhash(
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_tbl = df.select(F.col(id_col), F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"))
+    # Same repartition rationale as minhash_signatures; the identical
+    # exchange subtree under both join sides is deduplicated by
+    # ReuseExchange, so shingles are computed once.
+    sh_tbl = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        .select(F.col(id_col), F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"))
+    )
     a = sh_tbl.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh_tbl.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))
     return (
@@ -163,7 +180,8 @@ def simhash_signatures(
     ``shiftright`` does not accept a column shift count).
     """
     sh = shingles(F.col(text_col), shingle_n) if shingle_n > 1 else F.split(F.col(text_col), r"\s+")
-    tok = df.select(F.col(id_col), F.explode(sh).alias("_t"))
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    tok = df.repartition(n_parts, F.col(id_col)).select(F.col(id_col), F.explode(sh).alias("_t"))
     hashed = tok.select(id_col, F.xxhash64(F.col("_t")).alias("_h"))
     bits = hashed.select(
         id_col,
