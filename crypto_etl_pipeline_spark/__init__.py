@@ -9,11 +9,15 @@ idiomatic Spark DataFrame engine:
 - ``functions``   — the cleaning/classification expression library
                     (pure Column builders; SURVEY.md §2.8 F1-F13).
 - ``operators``   — stats/aggregation layer (§2.4), dedup, similarity
-                    search, text analysis (§2.13 extensions), profiling (S5).
+                    search, text analysis (§2.13 extensions), skew
+                    mitigation, profiling (S5).
 - ``plans``       — end-to-end pipeline compositions (EP2 api flow,
                     EP3 historical cleaning flow).
-- ``streaming``   — incremental / availableNow runs over event streams (§2.10).
+- ``streaming``   — incremental / availableNow runs, watermarked aggs,
+                    stateful sessionization over event streams (§2.10).
 - ``multimodal``  — binary-column plumbing for image/audio payloads (§2.13).
+- ``queries``     — the driver-facing registry: every operator as a
+                    named (PySpark builder, DuckDB oracle SQL) pair.
 
 Everything is built on public PySpark APIs only.
 """

@@ -19,6 +19,7 @@ from crypto_etl_pipeline_spark.queries import text  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import vector  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import streaming  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import analytics  # noqa: F401, E402
+from crypto_etl_pipeline_spark.queries import pipelines  # noqa: F401, E402
 
 
 def queries():

@@ -349,7 +349,11 @@ def set_except_building_never_open(spark: SparkSession, sf_dir: str) -> DataFram
     orders = load_table(spark, sf_dir, "orders")
     a = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     b = orders.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("c_custkey"))
-    return a.exceptAll(b).distinct()
+    # subtract == SQL EXCEPT (set): distinct(a) minus all rows present in
+    # b. (exceptAll().distinct() would differ when a holds more copies of
+    # a row than b: bag-subtraction leaves survivors that then pass
+    # distinct.)
+    return a.subtract(b)
 
 
 # --------------------------------------------------------------------------
