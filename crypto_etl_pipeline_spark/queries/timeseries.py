@@ -1,0 +1,203 @@
+"""Time-series, TF-IDF, rollup-reuse, and subquery-shape queries.
+
+The as-of join oracle uses DuckDB's native ASOF JOIN — the Spark
+operator (operators/timeseries.py) must reproduce its backward-
+inclusive semantics exactly with one shuffle. The range join oracle is
+the plain inequality join the binned rewrite must equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crypto_etl_pipeline_spark.queries.base import register
+from crypto_etl_pipeline_spark.sources.tables import load_table
+
+
+@register(
+    "asof_join_purchase_click",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           round(c.value, 6)                   AS click_value_asof
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    description="As-of join (latest prior click per purchase) == DuckDB ASOF JOIN",
+    tags=("timeseries", "join"),
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_etl_pipeline_spark.operators.timeseries import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(purchases, clicks, on="ts", by="user_id", right_cols=["value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round("value_asof", 6).alias("click_value_asof"),
+    )
+
+
+@register(
+    "range_join_click_before_purchase",
+    oracle="""
+    WITH p AS (SELECT event_id AS p_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS c_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.p_id, c.c_id,
+           round(epoch(p.ts) - epoch(c.ts), 4) AS gap_s
+    FROM p JOIN c ON p.user_id = c.user_id
+                 AND epoch(p.ts) - epoch(c.ts) >= 0
+                 AND epoch(p.ts) - epoch(c.ts) < 86400
+    """,
+    description="Binned range join (clicks within 24h before purchase) == inequality join",
+    tags=("timeseries", "join"),
+)
+def range_join_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_etl_pipeline_spark.operators.timeseries import range_join_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    joined = range_join_binned(p, c, by="user_id", left_ts="p_ts", right_ts="c_ts",
+                               max_gap_seconds=86400)
+    return joined.select(
+        "p_id",
+        "c_id",
+        F.round(F.col("p_ts").cast("double") - F.col("c_ts").cast("double"), 4).alias("gap_s"),
+    )
+
+
+@register(
+    "rollup_reuse_daily_from_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="Hypertable-style rollup reuse: daily aggregate composed FROM the hourly rollup",
+    tags=("timeseries", "agg"),
+)
+def rollup_reuse_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Continuous-aggregate pattern: the daily rollup consumes the hourly
+    # rollup (25x fewer rows), not the raw events — at scale the hourly
+    # table is materialized incrementally (streaming/incremental.py) and
+    # every coarser resolution derives from it. count/sum re-aggregate
+    # losslessly (avg would carry sum+count).
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("hour")).alias("day"), F.col("event_type")
+    ).agg(F.sum("n_events").alias("n_events"), F.round(F.sum("sum_value"), 4).alias("sum_value"))
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "event_type", "n_events", "sum_value"
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lower(t.tok) AS token
+      FROM documents, LATERAL unnest(regexp_split_to_array(text, '\\s+')) AS t(tok)
+      WHERE length(t.tok) >= 4
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rk
+      FROM scored
+    )
+    SELECT doc_id, token, tfidf, rk FROM ranked WHERE rk <= 3
+    """,
+    description="TF-IDF top-3 terms per document (tf x smoothed idf, WindowGroupLimit rank)",
+    tags=("text", "analytics"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("token"))
+        .where(F.length("token") >= 4)
+        .select("doc_id", F.lower("token").alias("token"))
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+
+
+@register(
+    "scalar_subquery_rich_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+    FROM supplier
+    WHERE s_acctbal > (SELECT avg(s_acctbal) FROM supplier)
+    """,
+    description="Scalar-subquery filter (balance above global mean) via broadcast agg",
+    tags=("analytics",),
+)
+def scalar_subquery_rich_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    mean = sup.agg(F.avg("s_acctbal").alias("_m"))
+    return (
+        sup.crossJoin(F.broadcast(mean))
+        .where(F.col("s_acctbal") > F.col("_m"))
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+@register(
+    "having_big_customers",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 15 AND sum(o_totalprice) > 1000000
+    """,
+    description="GROUP BY + HAVING (post-aggregation predicate)",
+    tags=("analytics", "agg"),
+)
+def having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("_sum"))
+        .where((F.col("n_orders") >= 15) & (F.col("_sum") > 1_000_000))
+        .select("o_custkey", "n_orders", F.round("_sum", 2).alias("total"))
+    )

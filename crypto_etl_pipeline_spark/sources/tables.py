@@ -46,7 +46,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns-since-epoch long -> TimestampType (microsecond precision,
         # floor division — same truncation DuckDB applies reading ns).
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+        # MUST be integer `div`: `/` promotes to double, and ns epochs
+        # (~1.7e18) exceed 2^53, so float division jitters the low bits
+        # by up to ~512 ns — enough to flip rounding boundaries.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

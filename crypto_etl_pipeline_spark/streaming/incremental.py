@@ -74,9 +74,9 @@ def read_event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 8)
         .parquet(input_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # Integer `div`, not `/`: float division of ns epochs (> 2^53)
+    # jitters low bits (see sources/tables.py).
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
