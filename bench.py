@@ -37,8 +37,14 @@ HEADLINE = [
     "text_stats",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters_minhash",
     "ann_brute_force_topk",
+    "ann_ivf_topk",
     "events_hourly_rollup",
+    "asof_join_purchase_click",
+    "tfidf_top_terms",
+    "pipeline_historical_clean",
+    "skew_salted_join",
 ]
 
 

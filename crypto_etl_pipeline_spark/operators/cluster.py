@@ -1,0 +1,96 @@
+"""Connected components for duplicate-cluster resolution (§2.13).
+
+Near-dup detection yields PAIRS; deduplication needs CLUSTERS (keep
+one canonical doc per component of the similarity graph). This is the
+standard iterative min-label propagation:
+
+    label(v) <- min(label(v), min over neighbors(label(u)))
+
+repeated until fixpoint. Each iteration is one join + one groupBy —
+fully distributed; the driver only checks a scalar convergence
+indicator. Iteration count is bounded by the graph diameter, and
+near-dup graphs are overwhelmingly tiny star/clique components, so
+2-4 iterations settle real corpora. (GraphFrames implements the same
+algorithm with large-graph optimizations; this dependency-free version
+keeps the engine self-contained.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 10,
+) -> DataFrame:
+    """(id, component) — component = min node id reachable from id.
+
+    ``nodes``: one row per vertex; singletons keep their own id.
+    ``edges``: undirected pairs (each edge propagates both ways).
+    """
+    # Iterative jobs MUST materialize between rounds: a lazy loop would
+    # re-derive the whole upstream plan (here: the similarity self-join
+    # producing the edges) once per iteration, and the lineage would
+    # deepen every round. localCheckpoint truncates lineage and caches
+    # partitions executor-side; at cluster scale swap for reliable
+    # checkpoint(dir) — same structure.
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("component")
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(labels, sym.a == labels.id)
+            .select(F.col("b").alias("id"), F.col("component"))
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        # Converged when no label decreased: labels only ever decrease,
+        # so an unchanged sum == identical assignment. One agg job per
+        # iteration (the previous round's sum is remembered).
+        new_sum = new_labels.agg(F.sum("component")).first()[0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """(doc_id, cluster_id, is_canonical) from near-dup pairs.
+
+    cluster_id = min doc id in the component; the canonical row is the
+    one to KEEP when deduplicating a corpus.
+    """
+    comp = connected_components(
+        docs.select(id_col), pairs, id_col=id_col, src_col=pair_a, dst_col=pair_b,
+        max_iter=max_iter,
+    )
+    return comp.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

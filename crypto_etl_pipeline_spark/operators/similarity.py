@@ -126,3 +126,112 @@ def lsh_bucketed_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index — the k-means-cell scale path for ANN.
+# ---------------------------------------------------------------------------
+def _centroid_rows(df, k: int, id_col: str, vec_col: str) -> list[list[float]]:
+    """Deterministic seeds: the k lowest-id vectors (no RNG)."""
+    rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid (squared L2), ties -> lowest index.
+
+    Flat plan-time unrolling: one dot-product chain per centroid over
+    the vector ATTRIBUTE (cheap to reference), min via lexicographic
+    array_min over (distance, index) structs — no HOF-over-expression
+    nesting (see operators/dedup.py docstring for why that matters).
+    """
+    dists = []
+    for i, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        # |v|^2 is constant per row — omitted; argmin over
+        # -2<v,c> + |c|^2 is identical and saves k extra dot passes.
+        d = -2 * dot(vec, lit) + sum(x * x for x in c)
+        dists.append(F.struct(d.alias("dist"), F.lit(i).alias("idx")))
+    return F.array_min(F.array(*dists)).getField("idx")
+
+
+def ivf_build_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic mini k-means: seed with the k lowest-id vectors,
+    then `iters` Lloyd steps. Each step is one distributed assignment
+    pass + a per-dimension mean (posexplode -> groupBy(cell, pos) avg);
+    only the k centroid vectors ever reach the driver.
+    """
+    cents = _centroid_rows(corpus, k, id_col, vec_col)
+    for _ in range(iters):
+        assigned = corpus.select(
+            F.col(vec_col).alias("_v"), _nearest_centroid(F.col(vec_col), cents).alias("_cell")
+        )
+        means = (
+            assigned.select("_cell", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("_cell", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("_cell")
+            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_pm"))
+            .select("_cell", F.transform("_pm", lambda s: s.getField("_m")).alias("_centroid"))
+            .collect()
+        )
+        by_cell = {r["_cell"]: [float(x) for x in r["_centroid"]] for r in means}
+        # empty cells keep their previous centroid
+        cents = [by_cell.get(i, cents[i]) for i in range(k)]
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: each query scans only its `nprobe` nearest cells.
+
+    The corpus is assigned to cells once (at 100 TB the cell id is the
+    table's partition column, so a probe prunes partitions); queries
+    fan out to nprobe cells; exact cosine ranks within the candidate
+    set. Recall/cost tunes via k (cells) and nprobe.
+    """
+    from pyspark.sql.window import Window
+
+    cells = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        _nearest_centroid(F.col(vec_col), centroids).alias("_cell"),
+    )
+    # nprobe nearest cells per query: lexicographic array_sort of
+    # (distance, idx) structs, then slice.
+    probe_structs = []
+    for i, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        qv = F.col(vec_col)
+        d = -2 * dot(qv, lit) + sum(x * x for x in c)
+        probe_structs.append(F.struct(d.alias("dist"), F.lit(i).alias("idx")))
+    probes = F.slice(F.array_sort(F.array(*probe_structs)), 1, nprobe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(F.transform(probes, lambda s: s.getField("idx"))).alias("_cell"),
+    )
+    sims = (
+        cells.join(F.broadcast(q), "_cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

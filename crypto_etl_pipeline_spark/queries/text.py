@@ -191,8 +191,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Blocking on lang leaves ~5 distinct join keys: a hash/sort-merge
+    # join would funnel each language's full n^2 pair set through ONE
+    # task. Repartition the streamed side by doc_id (parallel shingle
+    # computation + parallel pair evaluation) and broadcast the build
+    # side — every task then handles its slice of `a` against the
+    # broadcast `b`. (This n^2-within-block variant exists as the
+    # oracle-checkable small-scale twin of MinHash-LSH, which is the
+    # actual 100 TB path.)
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    n_parts = spark.sparkContext.defaultParallelism
+    sh = docs.repartition(n_parts, F.col("doc_id")).select(
         "doc_id",
         "lang",
         F.array_distinct(textops.shingles(F.col("text"), 3)).alias("shingle_set"),
@@ -200,7 +209,10 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = sh.alias("a"), sh.alias("b")
     jac = textops.jaccard(F.col("a.shingle_set"), F.col("b.shingle_set"))
     return (
-        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            F.broadcast(b),
+            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .withColumn("jaccard_raw", jac)
         .where(F.col("jaccard_raw") >= 0.05)
         .select(
@@ -254,3 +266,72 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("payload_sha256"),
         F.lit("text/plain").alias("mime"),
     )
+
+
+_PAIR_SQL = """
+    WITH sh AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(regexp_split_to_array(text, '\\s+')) >= 3 THEN
+               list_distinct(list_transform(
+                 generate_series(1, len(regexp_split_to_array(text, '\\s+')) - 2),
+                 i -> regexp_split_to_array(text, '\\s+')[i] || '_' ||
+                      regexp_split_to_array(text, '\\s+')[i+1] || '_' ||
+                      regexp_split_to_array(text, '\\s+')[i+2]))
+             ELSE [] END AS shingle_set
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingle_set, b.shingle_set)) * 1.0
+          / len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) >= 0.05
+"""
+
+
+@register(
+    "dedup_clusters_connected_components",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_PAIR_SQL}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.id
+    )
+    SELECT id AS doc_id,
+           min(label)        AS cluster_id,
+           min(label) = id   AS is_canonical
+    FROM reach GROUP BY id
+    """,
+    description="Near-dup clusters: iterative min-label propagation == recursive-CTE reachability",
+    tags=("dedup", "iterative"),
+)
+def dedup_clusters_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative connected components over the (oracle-able) n-gram
+    Jaccard pair graph; the DuckDB twin is transitive closure via a
+    recursive CTE. Exercises a driver-looped iterative algorithm whose
+    per-iteration work is fully distributed."""
+    from crypto_etl_pipeline_spark.operators.cluster import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    return dedup_clusters(docs, pairs)
+
+
+@register(
+    "dedup_clusters_minhash",
+    oracle=None,  # consumes xxhash64-based LSH candidates — rows-only
+    description="Scale-path dedup clustering: MinHash-LSH pairs -> connected components",
+    tags=("dedup", "iterative", "rows-only"),
+)
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-shape dedup pipeline: LSH candidate pairs (cost
+    scales with collision density) feed the same connected-components
+    operator as the oracle-checked exact variant."""
+    from crypto_etl_pipeline_spark.operators.cluster import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_minhash(docs, threshold=0.05).select("id_a", "id_b")
+    return dedup_clusters(docs, pairs)

@@ -87,3 +87,18 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     return lsh_bucketed_topk(emb, queries, k=TOP_K, n_planes=6)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # centroid geometry is data-derived; recall checked in tests
+    description="IVF-cell approximate top-k (deterministic mini k-means, nprobe probing)",
+    tags=("similarity", "rows-only"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_etl_pipeline_spark.operators.similarity import ivf_build_centroids, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_build_centroids(emb, k=16, iters=1)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return ivf_topk(emb, queries, cents, k=TOP_K, nprobe=4)

@@ -69,3 +69,26 @@ def test_rows_only_queries_run(name, spark):
     sdf = spec.fn(spark, SF_ORACLE)
     assert sdf.count() >= 0
     assert len(sdf.schema.fields) > 0
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with k=16 cells / nprobe=4 must recover most of the exact
+    top-10 (quality gate for the approximate path)."""
+    from pyspark.sql import functions as F
+
+    from crypto_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_build_centroids,
+        ivf_topk,
+    )
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb, queries, k=10).collect()}
+    cents = ivf_build_centroids(emb, k=16, iters=2)
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ivf_topk(emb, queries, cents, k=10, nprobe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below threshold"
