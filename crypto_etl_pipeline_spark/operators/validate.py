@@ -1,0 +1,64 @@
+"""Data-quality validation (SURVEY.md §5.1 guards + R:74-78 SLOs).
+
+The reference *states* quality targets in prose (completeness > 95 %,
+accuracy > 85 %) with no measurement code, and enforces only two
+runtime guards (empty API table, missing file). This module makes the
+targets measurable engine-side:
+
+- ``completeness``: per-column non-null ratio in ONE agg pass.
+- ``assert_schema``: structural guard (names + types) for pipeline
+  boundaries — the explicit version of what the reference loses by
+  re-inferring CSV schemas between tasks.
+- ``violations``: rows failing declarative predicates, for
+  quarantine-style flows (flag, never drop — data_dictionary.txt:20's
+  philosophy applied to validity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def completeness(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """(column, n, n_nonnull, ratio) — one row per column, one scan."""
+    cols = cols or df.columns
+    row = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.count(F.col(c)).alias(c) for c in cols],  # count(col) skips nulls
+    ).first()
+    spark = df.sparkSession
+    data = [
+        (c, row["_n"], row[c], round(row[c] / row["_n"], 6) if row["_n"] else None)
+        for c in cols
+    ]
+    return spark.createDataFrame(data, "column string, n long, n_nonnull long, ratio double")
+
+
+def assert_schema(df: DataFrame, expected: StructType) -> DataFrame:
+    """Raise ValueError on any name/type mismatch; returns df unchanged.
+
+    Nullability is intentionally ignored (Spark's nullability flags are
+    advisory after most transformations).
+    """
+    got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    want = [(f.name, f.dataType.simpleString()) for f in expected.fields]
+    if got != want:
+        raise ValueError(f"schema mismatch: got {got}, expected {want}")
+    return df
+
+
+def violations(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """Rows failing any named predicate, with the list of failed checks.
+
+    Each predicate states what VALID rows satisfy; output rows carry
+    ``failed_checks`` (array of names). Null predicate results count as
+    failures (unknown validity is not validity).
+    """
+    flags = [
+        F.when(~F.coalesce(pred, F.lit(False)), F.lit(name)).alias(f"_chk_{name}")
+        for name, pred in checks.items()
+    ]
+    out = df.select("*", F.array_compact(F.array(*flags)).alias("failed_checks"))
+    return out.where(F.size("failed_checks") > 0)

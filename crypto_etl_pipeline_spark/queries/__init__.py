@@ -21,6 +21,7 @@ from crypto_etl_pipeline_spark.queries import streaming  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import analytics  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import pipelines  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import timeseries  # noqa: F401, E402
+from crypto_etl_pipeline_spark.queries import quality  # noqa: F401, E402
 
 
 def queries():

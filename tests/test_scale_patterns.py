@@ -1,0 +1,93 @@
+"""Physical-layout patterns for the 100 TB posture: partition pruning
+and bucketed (shuffle-free) joins. These assert on the PLAN — the
+point is what the engine does NOT do (read everything, shuffle the
+fact table), which row-level tests cannot see.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """A filter on the partition column must prune directories at plan
+    time — the scan's partition count drops, no data files from other
+    partitions are listed."""
+    from crypto_etl_pipeline_spark.sources.sinks import write_parquet
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "events_by_day")
+    write_parquet(ev.withColumn("day", F.to_date("ts")), out, partition_by=["day"])
+
+    read = spark.read.parquet(out).where(F.col("day") == "2024-01-05")
+    plan = read.queryExecution if False else read._jdf.queryExecution().toString()
+    # Catalyst turns the day filter into a partition filter, not a data filter
+    assert "PartitionFilters" in plan
+    assert read.count() > 0
+    total = spark.read.parquet(out).count()
+    assert read.count() < total
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Pre-bucketing both sides on the join key removes the Exchange:
+    the sort-merge join reads co-located buckets directly. This is the
+    at-rest co-location strategy for repeated 100 TB fact-fact joins."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        from crypto_etl_pipeline_spark.sources.tables import load_table
+
+        orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+         .sortBy("o_orderkey").saveAsTable("b_orders"))
+        (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+         .sortBy("l_orderkey").saveAsTable("b_lineitem"))
+
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey).groupBy("o_orderpriority").count()
+        plan = _plan(joined)
+        # the join itself must not introduce a shuffle of either side
+        join_section = plan.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in join_section, join_section[:2000]
+
+        # and the result matches the unbucketed join
+        plain = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_broadcast_join_no_fact_shuffle(spark):
+    """Dimension joins must broadcast: the fact side stays un-shuffled
+    until aggregation."""
+    from crypto_etl_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["q5_nation_revenue"].fn(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from crypto_etl_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan reads only the needed columns
+    assert "l_comment" not in plan
