@@ -50,9 +50,9 @@ def pivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT t.tok AS token, count(*) AS n
     FROM documents, LATERAL unnest(regexp_split_to_array(text, '\\s+')) AS t(tok)
-    WHERE length(t.tok) >= 8
+    WHERE length(t.tok) >= 4
     GROUP BY t.tok
-    HAVING count(*) >= 5
+    HAVING count(*) >= 3
     """,
     description="explode(split(text)) token frequency (flatten + filter + agg)",
     tags=("analytics", "text"),
@@ -61,10 +61,10 @@ def explode_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("token"))
-        .where(F.length("token") >= 8)
+        .where(F.length("token") >= 4)
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= 5)
+        .where(F.col("n") >= 3)
     )
 
 

@@ -56,19 +56,23 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(cast(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos_sim
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40
     """,
-    description="Embedding-cosine near-duplicate pairs (label-blocked)",
+    description="Embedding-cosine high-similarity pairs (label-blocked; near-dup shape)",
     tags=("similarity", "dedup"),
 )
 def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Threshold 0.40: the synthetic embeddings top out at cosine ~0.47
+    # within a label, so a conventional near-dup cutoff (0.9+) would
+    # match zero pairs — a vacuous oracle. The operator shape (blocked
+    # self-join + cosine filter) is what's under test.
     emb = load_table(spark, sf_dir, "embeddings")
     a, b = emb.alias("a"), emb.alias("b")
     sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .withColumn("_sim", sim)
-        .where(F.col("_sim") >= 0.99)
+        .where(F.col("_sim") >= 0.40)
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
