@@ -563,3 +563,72 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13 shape: left outer join + per-key count + distribution of
+# counts (two-level aggregation).
+# --------------------------------------------------------------------------
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    description="Customer-by-order-count histogram (TPC-H Q13 shape)",
+    tags=("join", "agg"),
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (cust.c_custkey == orders.o_custkey) & (orders.o_orderpriority != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q17 shape: correlated aggregate subquery (per-part average),
+# decorrelated into an aggregate + join — the rewrite Catalyst applies
+# to the SQL form, expressed directly.
+# --------------------------------------------------------------------------
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#4'
+      AND l_quantity < (
+        SELECT 0.5 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey
+      )
+    """,
+    description="Correlated aggregate subquery, decorrelated (TPC-H Q17 shape)",
+    tags=("join", "agg"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#4")
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("_thresh")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part_avg, li.l_partkey == F.col("_pk"))
+        .where(F.col("l_quantity") < F.col("_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )

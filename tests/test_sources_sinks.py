@@ -117,3 +117,52 @@ def test_available_now_processes_only_new_files(spark, tmp_path):
     # one new file -> only its rows are appended (not a full re-read)
     shutil.copy(src, os.path.join(input_dir, "batch2.parquet"))
     assert drain("third") == 2000
+
+
+def test_market_rest_datasource_paginated(spark):
+    """Spark 4 Python DataSource: one InputPartition per page, mock
+    transport, fixed 7-column schema, classifier composes on top."""
+    from crypto_etl_pipeline_spark.sources.rest import API_SCHEMA
+    from crypto_etl_pipeline_spark.sources.rest_datasource import MarketRestDataSource
+
+    spark.dataSource.register(MarketRestDataSource)
+    df = (
+        spark.read.format("market_rest")
+        .option("pages", 3)
+        .option("per_page", 50)
+        .option("transport", "mock")
+        .load()
+    )
+    assert df.schema == API_SCHEMA
+    assert df.rdd.getNumPartitions() == 3          # one partition per page
+    assert df.count() == 150
+    syms = {r["symbol"] for r in df.select("symbol").collect()}
+    assert "coin1" in syms and "coin150" in syms and len(syms) == 150
+
+    # EP2 composes directly on the source
+    from crypto_etl_pipeline_spark.plans.api import classify_api_table
+
+    labeled = classify_api_table(df)
+    assert labeled.where(F.col("tendencia").isNull()).count() == 0
+
+
+def test_binaryfile_source_reads_payloads(spark, tmp_path):
+    """spark.read.format('binaryFile'): the documented ingest path for
+    multimodal payloads (§2.13) — path/length/content columns."""
+    blobs = {"a.bin": b"\x00\x01payload-a", "b.bin": b"payload-b" * 100}
+    for name, data in blobs.items():
+        (tmp_path / name).write_bytes(data)
+    df = spark.read.format("binaryFile").load(str(tmp_path))
+    got = {r["path"].split("/")[-1]: (r["length"], bytes(r["content"])) for r in df.collect()}
+    assert got["a.bin"] == (11, blobs["a.bin"])
+    assert got["b.bin"] == (900, blobs["b.bin"])
+
+    from crypto_etl_pipeline_spark.multimodal.binary import decode_image_stub
+
+    media = df.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    decoded = decode_image_stub(media)
+    assert decoded.count() == 2
+    assert {r["n_bytes"] for r in decoded.collect()} == {11, 900}
