@@ -71,11 +71,13 @@ def parse_unit_suffix(c: Column | str) -> Column:
     - contains "Billion"         -> number * 1e9
     - contains "Million"         -> number * 1e6
     - else                       -> try_cast(base)
-    - final ``cast(long)`` truncates toward zero, matching Python
+    - final ``try_cast(long)`` truncates toward zero, matching Python
       ``int()`` (so "88.3 Billion" -> 88_300_000_000, "1.5" -> 1).
 
     Any unparseable remainder -> null (``try_cast``), matching the
-    UDF's ``except ValueError -> pd.NA``.
+    UDF's ``except ValueError -> pd.NA``. Deviation: values beyond
+    int64 range -> null (Python ints are unbounded; a columnar engine
+    stores int64, and ANSI mode would otherwise raise on overflow).
     """
     col = _as_col(c)
     base = F.regexp_replace(col, r"[,$ ]", "")
@@ -85,7 +87,7 @@ def parse_unit_suffix(c: Column | str) -> Column:
         .when(base.contains("Billion"), num * F.lit(1e9))
         .when(base.contains("Million"), num * F.lit(1e6))
         .otherwise(base.try_cast("double"))
-        .cast("long")
+        .try_cast("long")
     )
 
 

@@ -132,3 +132,50 @@ def clean_historical(raw: DataFrame, order: str = "C") -> DataFrame:
         ).select(*OUTPUT_COLS)
 
     raise ValueError(f"order must be 'C' or 'P', got {order!r}")
+
+
+def run_historical_pipeline(
+    spark,
+    raw_csv_path: str,
+    out_dir: str,
+    order: str = "C",
+) -> dict:
+    """EP3 end-to-end with sinks: dirty CSV -> clean -> parquet + CSV +
+    profile (the reference's t2 + t4 + t5 collapsed into one lazy plan
+    with durable outputs; SURVEY.md §3).
+
+    Returns output paths + row/column counts (the reference's read-back
+    stats, computed without re-reading: crypto_etl_pipeline.py:340-354).
+    """
+    from crypto_etl_pipeline_spark.operators.profiling import profile
+    from crypto_etl_pipeline_spark.sources.csv import read_dirty_csv
+    from crypto_etl_pipeline_spark.sources.sinks import (
+        write_csv,
+        write_parquet,
+        write_timestamped_csv,
+    )
+
+    raw = read_dirty_csv(spark, raw_csv_path)
+    cleaned = clean_historical(raw, order=order)
+
+    pq_path = f"{out_dir}/historical_clean.parquet"
+    write_parquet(cleaned, pq_path)
+    # Durable handoff is parquet; the CSV copies exist for reference
+    # parity (S3) and versioned export (S4).
+    csv_path = f"{out_dir}/historical_clean_csv"
+    write_csv(cleaned, csv_path, single_file=True)
+    ts_path = write_timestamped_csv(cleaned, out_dir, "crypto_historical_cleaned")
+
+    prof = profile(spark.read.parquet(pq_path))
+    prof_path = f"{out_dir}/historical_profile.parquet"
+    write_parquet(prof, prof_path)
+
+    n_rows = spark.read.parquet(pq_path).count()
+    return {
+        "parquet": pq_path,
+        "csv": csv_path,
+        "timestamped_csv": ts_path,
+        "profile": prof_path,
+        "rows": n_rows,
+        "columns": len(cleaned.columns),
+    }

@@ -100,3 +100,22 @@ def sql_interface_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+@register(
+    "grouped_map_zscore",
+    oracle="""
+    SELECT event_id, user_id,
+           round((value - avg(value) OVER w) / stddev(value) OVER w, 6) AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+    description="Grouped-map applyInPandas z-score == SQL window normalization",
+    tags=("pandas-udf", "quality"),
+)
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_etl_pipeline_spark.operators.grouped import zscore_by_group
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = zscore_by_group(ev, "user_id", "value")
+    return out.select("event_id", "user_id", F.round("zscore", 6).alias("zscore"))

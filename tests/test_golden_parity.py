@@ -143,3 +143,18 @@ def test_api_empty_fetch_guard(spark):
 
     with pytest.raises(ValueError):
         run_api_pipeline(spark, fetch=lambda: [])
+
+
+@needs_reference
+def test_run_historical_pipeline_end_to_end(spark, tmp_path):
+    """EP3 + sinks on the real reference CSV: parquet/CSV/profile all
+    written; stats match the golden artifact's shape."""
+    from crypto_etl_pipeline_spark.plans.historical import run_historical_pipeline
+
+    res = run_historical_pipeline(spark, RAW_CSV, str(tmp_path))
+    assert res["rows"] == 4150 and res["columns"] == 12
+    back = spark.read.parquet(res["parquet"])
+    assert back.where("is_outlier").count() == 861
+    prof = spark.read.parquet(res["profile"])
+    assert prof.count() == 12  # one row per column
+    assert prof.where("nulls > 0").count() == 0  # post-impute: no nulls
