@@ -15,6 +15,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -36,6 +38,22 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-repartition a compact table across all cores.
+
+    The per-pair cosine passes below are CPU-bound interpreted folds; if
+    the corpus parquet arrives as one split (typical for a small table,
+    and exactly what the driver's testdata does), a broadcast join pins
+    the whole pass to ONE task. At 100 TB the table has thousands of
+    splits and this is a no-op-cost guard (only fires when partitions <
+    cores); at test scale it is the difference between 1 and 32 cores.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(id_col))
+    return df
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -52,15 +70,29 @@ def brute_force_topk(
     """
     from pyspark.sql.window import Window
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    # Norms are hoisted to one pass per ROW (below the join, so Catalyst
+    # cannot inline them into the per-pair projection); the per-pair work
+    # is a single dot fold. dot/(qnorm*cnorm) is the exact same float
+    # expression cosine() evaluates, so oracle parity is unchanged.
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        norm(F.col(vec_col)).alias("_qnorm"),
+    )
+    c = _spread(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        norm(F.col(vec_col)).alias("_cnorm"),
+    )
     sims = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 4).alias("cos_sim"),
+            F.round(
+                dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnorm") * F.col("_cnorm")), 4
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -105,14 +137,16 @@ def lsh_bucketed_topk(
     from pyspark.sql.window import Window
 
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
+    c = _spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
+        norm(F.col(vec_col)).alias("_cnorm"),
         lsh_signature(F.col(vec_col), planes).alias("_bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
+        norm(F.col(vec_col)).alias("_qnorm"),
         lsh_signature(F.col(vec_col), planes).alias("_bucket"),
     )
     sims = (
@@ -121,7 +155,9 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 4).alias("cos_sim"),
+            F.round(
+                dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnorm") * F.col("_cnorm")), 4
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -144,15 +180,43 @@ def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     the vector ATTRIBUTE (cheap to reference), min via lexicographic
     array_min over (distance, index) structs — no HOF-over-expression
     nesting (see operators/dedup.py docstring for why that matters).
+    NOTE: do NOT unroll the dot into a flat getItem multiply-add chain:
+    a 16x64-term expression tree blows past codegen limits and falls
+    back to per-node interpreted eval (measured 7x SLOWER than the HOF
+    fold).
     """
     dists = []
     for i, c in enumerate(centroids):
-        lit = F.array(*[F.lit(float(x)) for x in c])
         # |v|^2 is constant per row — omitted; argmin over
         # -2<v,c> + |c|^2 is identical and saves k extra dot passes.
+        lit = F.array(*[F.lit(float(x)) for x in c])
         d = -2 * dot(vec, lit) + sum(x * x for x in c)
         dists.append(F.struct(d.alias("dist"), F.lit(i).alias("idx")))
     return F.array_min(F.array(*dists)).getField("idx")
+
+
+def _nearest_centroid_pd(centroids: list[list[float]]):
+    """Arrow-batched nearest-centroid assignment (the hot IVF path).
+
+    One numpy matmul per Arrow batch against the (dim x k) centroid
+    matrix replaces k interpreted HOF dot-folds per row — the canonical
+    "vectorized Pandas UDF when built-ins can't express it efficiently"
+    pattern. Ties break to the lowest centroid index (np.argmin), same
+    as the expression variant ``_nearest_centroid``. Used for the
+    rows-only IVF surface; oracle-checked queries stay JVM-side.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    M = np.asarray(centroids, dtype=np.float64).T  # (dim, k)
+    c2 = (M * M).sum(axis=0)  # |c|^2 per centroid
+
+    @pandas_udf("int")
+    def nearest(v: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v], dtype=np.float64)
+        d = -2.0 * (X @ M) + c2  # |v|^2 constant per row — omitted
+        return pd.Series(d.argmin(axis=1), dtype="int32")
+
+    return nearest
 
 
 def ivf_build_centroids(
@@ -168,9 +232,10 @@ def ivf_build_centroids(
     only the k centroid vectors ever reach the driver.
     """
     cents = _centroid_rows(corpus, k, id_col, vec_col)
+    corpus = _spread(corpus, id_col)
     for _ in range(iters):
         assigned = corpus.select(
-            F.col(vec_col).alias("_v"), _nearest_centroid(F.col(vec_col), cents).alias("_cell")
+            F.col(vec_col).alias("_v"), _nearest_centroid_pd(cents)(F.col(vec_col)).alias("_cell")
         )
         means = (
             assigned.select("_cell", F.posexplode("_v").alias("_pos", "_x"))
@@ -205,23 +270,24 @@ def ivf_topk(
     """
     from pyspark.sql.window import Window
 
-    cells = corpus.select(
+    cells = _spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
-        _nearest_centroid(F.col(vec_col), centroids).alias("_cell"),
+        norm(F.col(vec_col)).alias("_cnorm"),
+        _nearest_centroid_pd(centroids)(F.col(vec_col)).alias("_cell"),
     )
     # nprobe nearest cells per query: lexicographic array_sort of
     # (distance, idx) structs, then slice.
     probe_structs = []
     for i, c in enumerate(centroids):
         lit = F.array(*[F.lit(float(x)) for x in c])
-        qv = F.col(vec_col)
-        d = -2 * dot(qv, lit) + sum(x * x for x in c)
+        d = -2 * dot(F.col(vec_col), lit) + sum(x * x for x in c)
         probe_structs.append(F.struct(d.alias("dist"), F.lit(i).alias("idx")))
     probes = F.slice(F.array_sort(F.array(*probe_structs)), 1, nprobe)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
+        norm(F.col(vec_col)).alias("_qnorm"),
         F.explode(F.transform(probes, lambda s: s.getField("idx"))).alias("_cell"),
     )
     sims = (
@@ -230,7 +296,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 4).alias("cos_sim"),
+            F.round(
+                dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnorm") * F.col("_cnorm")), 4
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

@@ -12,9 +12,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crypto_etl_pipeline_spark.operators.similarity import (
+    _spread,
     brute_force_topk,
-    cosine,
+    dot,
     lsh_bucketed_topk,
+    norm,
 )
 from crypto_etl_pipeline_spark.queries.base import register
 from crypto_etl_pipeline_spark.sources.tables import load_table
@@ -67,8 +69,14 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # match zero pairs — a vacuous oracle. The operator shape (blocked
     # self-join + cosine filter) is what's under test.
     emb = load_table(spark, sf_dir, "embeddings")
-    a, b = emb.alias("a"), emb.alias("b")
-    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    # Norm hoisted to one pass per row (below the self-join); the
+    # per-pair cost is a single dot fold, and dot/(norm_a*norm_b) is the
+    # identical float expression cosine() builds — parity-safe.
+    withn = _spread(emb, "vec_id").select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("_n")
+    )
+    a, b = withn.alias("a"), withn.alias("b")
+    sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a._n") * F.col("b._n"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .withColumn("_sim", sim)
