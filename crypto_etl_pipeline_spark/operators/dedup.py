@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from crypto_etl_pipeline_spark.operators.textops import fingerprint_md5, jaccard, shingles
+from crypto_etl_pipeline_spark.operators.textops import (
+    fingerprint_md5,
+    jaccard,
+    shingles,
+    shingles_of,
+    tokens,
+)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -73,7 +79,11 @@ def minhash_signatures(
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     sh = (
         df.repartition(n_parts, F.col(id_col))
-        .select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("_shingle"))
+        # Tokenize behind its own projection so the shingle lambda
+        # references an attribute, not the split() expression (which
+        # would re-run the tokenizer per shingle position).
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), F.explode(shingles_of(F.col("_toks"), shingle_n)).alias("_shingle"))
     )
     hashed = sh.select(
         id_col, *[F.xxhash64(F.col("_shingle"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
@@ -148,7 +158,8 @@ def near_dup_pairs_minhash(
     # ReuseExchange, so shingles are computed once.
     sh_tbl = (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
-        .select(F.col(id_col), F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"))
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), F.array_distinct(shingles_of(F.col("_toks"), shingle_n)).alias("_sh"))
     )
     a = sh_tbl.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh_tbl.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))
@@ -158,6 +169,54 @@ def near_dup_pairs_minhash(
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash selection).
+
+    The classic local-fingerprinting scheme (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 "Winnowing: Local Algorithms for Document Fingerprinting"):
+    hash every word ``k``-gram, slide a window of ``w`` consecutive
+    hashes over the sequence, keep the minimum hash of each window, and
+    emit the distinct minima as the document's fingerprint set. Any
+    shared substring longer than ``w + k - 1`` words between two
+    documents is guaranteed to share a fingerprint.
+
+    Spark shape: repartition by id (parallel gram computation AND the
+    very partitioning the window needs — no second exchange), posexplode
+    grams, md5 per gram (portable to the DuckDB oracle), partitioned
+    ``min().over(rowsBetween(0, w-1))``, full windows only (a doc with
+    fewer than ``w`` grams contributes its single whole-doc minimum).
+    Per-document window partitions are bounded by document length, so
+    this scales horizontally at 100 TB — no global window anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        df.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), shingles_of(F.col("_toks"), k).alias("_grams"))
+        .select(
+            F.col(id_col),
+            F.size("_grams").alias("_m"),
+            F.posexplode("_grams").alias("_pos", "_g"),
+        )
+    )
+    hashed = grams.select(id_col, "_m", "_pos", F.md5(F.col("_g")).alias("_h"))
+    win = Window.partitionBy(id_col).orderBy("_pos").rowsBetween(Window.currentRow, w - 1)
+    return (
+        hashed.withColumn("fingerprint", F.min("_h").over(win))
+        .where(F.col("_pos") <= F.greatest(F.col("_m") - w, F.lit(0)))
+        .select(id_col, "fingerprint")
+        .distinct()
     )
 
 

@@ -108,9 +108,19 @@ def fingerprint_md5(text: Column | str) -> Column:
     return F.md5(normalized_text(text))
 
 
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles ('w1_w2_w3'); empty array when < n tokens."""
-    toks = tokens(text)
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a token-array column.
+
+    Prefer this over :func:`shingles` when the caller can put the
+    tokenization behind its own projection (``.select(tokens(text)
+    .alias("_toks"))`` then ``shingles_of(F.col("_toks"))``): the
+    lambda below references the token array n+2 times, and if that
+    reference is the raw ``split()`` expression rather than an
+    attribute, each shingle position re-runs the tokenizer (HOF lambdas
+    get no common-subexpression elimination — see operators/dedup.py).
+    A multi-referenced non-cheap alias survives CollapseProject, so the
+    split runs once per row.
+    """
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -118,6 +128,11 @@ def shingles(text: Column | str, n: int = 3) -> Column:
             lambda i: F.concat_ws("_", *[F.element_at(toks, i + j + 1) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles ('w1_w2_w3'); empty array when < n tokens."""
+    return shingles_of(tokens(text), n)
 
 
 def jaccard(a: Column, b: Column) -> Column:

@@ -21,6 +21,7 @@ from crypto_etl_pipeline_spark.operators.dedup import (
     hamming64,
     near_dup_pairs_minhash,
     simhash_signatures,
+    winnow_fingerprints,
 )
 from crypto_etl_pipeline_spark.queries.base import register
 from crypto_etl_pipeline_spark.sources.tables import load_table
@@ -335,3 +336,45 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = near_dup_pairs_minhash(docs, threshold=0.05).select("id_a", "id_b")
     return dedup_clusters(docs, pairs)
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_transform(generate_series(1, len(t) - 2),
+                              i -> t[i] || '_' || t[i+1] || '_' || t[i+2])
+             ELSE [] END AS g
+      FROM toks
+    ),
+    pos AS (
+      SELECT doc_id, len(g) AS m,
+             unnest(g) AS gram, generate_subscripts(g, 1) AS pos
+      FROM grams
+    ),
+    wm AS (
+      SELECT doc_id, pos, m,
+             min(md5(gram)) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+               AS fingerprint
+      FROM pos
+    )
+    SELECT DISTINCT doc_id, fingerprint
+    FROM wm WHERE pos <= greatest(m - 4 + 1, 1)
+    """,
+    description="Winnowing rolling-hash document fingerprints (k=3 grams, w=4 windows)",
+    tags=("text", "dedup", "window"),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sets per document (SIGMOD'03 scheme): min
+    md5 over each sliding window of 4 consecutive 3-gram hashes. The
+    per-document partitioned window and the id-repartitioned gram pass
+    share one exchange; fingerprint cardinality ~ docs x (len/w), a
+    fixed fraction of the corpus at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "text", "doc_id", k=3, w=4)

@@ -97,3 +97,27 @@ def test_classify_trend_property(spark, values):
     want = [model_classify(v) for v in values]
     mism = [(v, g, w) for v, g, w in zip(values, got, want) if g != w]
     assert not mism, f"first mismatches: {mism[:5]}"
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing's core property: two documents sharing a word run of
+    at least w + k - 1 words (here 4 + 3 - 1 = 6) share at least one
+    fingerprint; disjoint-vocabulary documents share none."""
+    from crypto_etl_pipeline_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"seven eight {shared} nine ten eleven twelve"),
+            (3, "completely different words with nothing in common here at all"),
+        ],
+        "doc_id int, text string",
+    )
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=3, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2], "docs sharing a 6-word run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
