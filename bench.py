@@ -58,8 +58,9 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     names = [n for n in HEADLINE if n in REGISTRY]
 
-    # Warmup at the smallest SF: JIT, codegen caches, parquet footer reads.
-    for name in names[:4]:
+    # Warmup at the smallest SF: JIT, codegen caches, parquet footer
+    # reads, and Python worker spawn for the pandas_udf-backed queries.
+    for name in names:
         REGISTRY[name].fn(spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}

@@ -565,6 +565,42 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_sliding_rollup",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM (
+      SELECT unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+             event_type, value
+      FROM events
+    )
+    GROUP BY 1, 2
+    """,
+    description="Sliding 2h/1h windowed rollup (overlapping windows, batch form of the stream agg)",
+    tags=("events", "agg", "window"),
+)
+def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window aggregation: F.window(ts, 2h, 1h) expands each
+    event into its two containing windows (epoch-aligned, same as the
+    oracle's two shifted hour-truncs) before a plain hash agg — the
+    same partial+final shape as the tumbling rollup, 2x the rows in."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # TPC-H Q13 shape: left outer join + per-key count + distribution of
 # counts (two-level aggregation).
