@@ -668,3 +668,82 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("l_quantity") < F.col("_thresh"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q4 shape: correlated EXISTS with a non-equi predicate -> left-semi
+# join on (key, inequality), then a small group-count. (The testdata
+# lineitem has no commitdate/receiptdate, so "late" = shipped after the
+# order date.)
+# --------------------------------------------------------------------------
+@register(
+    "q4_late_ship_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    description="TPC-H Q4 shape: EXISTS (non-equi correlated) as a left-semi join + group count",
+    tags=("join", "agg"),
+)
+def q4_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXISTS decorrelates to a left-semi join whose condition
+    carries both the key equality and the correlated inequality; the
+    quarter filter prunes the probe side before the join, and only
+    (orderkey, orderdate, priority) survive column pruning."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    quarter = orders.where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    semi = quarter.join(
+        li,
+        (quarter.o_orderkey == li.l_orderkey) & (li.l_shipdate > quarter.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape: scalar subquery threshold + NOT EXISTS + group agg.
+# (No c_phone in the testdata; the country-code bucket becomes
+# c_mktsegment.)
+# --------------------------------------------------------------------------
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)               AS numcust,
+           round(sum(c_acctbal), 4) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+    description="TPC-H Q22 shape: scalar-subquery threshold + anti join + segment rollup",
+    tags=("join", "agg", "subquery"),
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no urgent order, per
+    segment (every testdata customer has >=1 order, so plain
+    no-orders would be vacuous). The scalar average is a 1-row agg
+    broadcast-cross-joined (never an unpartitioned window); the NOT
+    EXISTS is a left-anti join on custkey with the priority filter
+    pushed below it. At scale the anti join shuffles on custkey and
+    the broadcast threshold costs nothing."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("_avg"))
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("_avg"))
+    idle = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+    )
