@@ -171,3 +171,45 @@ def profile_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_etl_pipeline_spark.operators.profiling import profile
 
     return profile(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "grouping_sets_status_priority",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    description="Explicit GROUPING SETS with grouping_id (two single-dim sets + grand total)",
+    tags=("analytics", "agg"),
+)
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed grouping sets — the shape rollup/cube can't express (each
+    dim alone plus the grand total, no (status, priority) pairs).
+    grouping_id disambiguates a real NULL key from a superaggregate
+    row; one Expand + one hash agg, same partial/final split as any
+    groupBy at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "gid",
+            "n",
+            "total",
+        )
+    )
