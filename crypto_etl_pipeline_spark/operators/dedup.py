@@ -8,13 +8,17 @@ Four tiers, all deterministic (no RNG at execution time):
   banded into buckets; candidate pairs only form within a bucket
   (the shuffle is on (band, band_hash), so cost scales with duplicate
   density, not n^2), then verified with exact shingle Jaccard.
-- **SimHash**: 64-bit sign-aggregated token hash; near-dups share most
+- **SimHash**: 60-bit sign-aggregated token hash; near-dups share most
   bits (hamming distance via popcount of xor).
 - **Embedding cosine**: see operators/similarity.py.
 
-Spark-side hashing (xxhash64) is not reproducible in DuckDB, so these
-register as rows-only checks in the driver contract — the exact-dedup
-and n-gram-Jaccard variants carry full SQL oracles instead.
+All hash material derives from md5 + int64 arithmetic via
+operators/phash.py, which is byte-identical in DuckDB — so MinHash,
+SimHash, and the LSH candidate pipeline all carry full value-hash
+DuckDB oracles (the winnow_fingerprints md5 precedent, generalized).
+The Carter-Wegman multiply-mod fan-out means ONE md5 per shingle
+feeds all ``num_hashes`` signature columns — cheaper than the previous
+one-xxhash64-per-(shingle, i) formulation, and portable.
 """
 
 from __future__ import annotations
@@ -22,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from crypto_etl_pipeline_spark.operators.phash import md5_long, universal_hash
 from crypto_etl_pipeline_spark.operators.textops import (
     fingerprint_md5,
     jaccard,
@@ -51,11 +56,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature as ``num_hashes`` plain long columns.
 
-    Shuffle-based formulation: explode shingles, compute every hash as a
-    flat ``xxhash64(shingle, i)`` column, then ``groupBy(id).agg(min...)``
-    — map-side partial aggregation means the shuffle carries one
-    num_hashes-wide row per (doc x partition), and every expression is a
-    flat codegen-able function of an attribute.
+    Shuffle-based formulation: explode shingles, hash each shingle ONCE
+    (``md5_long``, portable to the DuckDB oracle), fan out to
+    ``num_hashes`` flat Carter-Wegman columns ``(A[i]*x+B[i]) % P``,
+    then ``groupBy(id).agg(min...)`` — map-side partial aggregation
+    means the shuffle carries one num_hashes-wide row per
+    (doc x partition), and every expression is a flat codegen-able
+    function of an attribute.
 
     Deliberately NOT the nested higher-order-function formulation
     (``transform(sequence(..), i -> array_min(transform(sh, s -> hash))``):
@@ -85,8 +92,10 @@ def minhash_signatures(
         .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
         .select(F.col(id_col), F.explode(shingles_of(F.col("_toks"), shingle_n)).alias("_shingle"))
     )
-    hashed = sh.select(
-        id_col, *[F.xxhash64(F.col("_shingle"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+    # md5 behind its own projection: the num_hashes mul-mod columns each
+    # reference the attribute `_x`, so the md5 runs once per shingle.
+    hashed = sh.select(id_col, md5_long(F.col("_shingle"), 8).alias("_x")).select(
+        id_col, *[universal_hash(i, F.col("_x")).alias(f"h{i}") for i in range(num_hashes)]
     )
     return hashed.groupBy(id_col).agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
 
@@ -99,16 +108,23 @@ def lsh_buckets(
 ) -> DataFrame:
     """Band the signature columns into (id, band, bucket) rows.
 
-    bucket = xxhash64 over the band's slice of signature columns — flat
-    column references, fully codegen'd; the downstream self-join
-    shuffles on (band, bucket) so cost scales with collision density,
-    never n^2.
+    bucket = md5_long over the '|'-joined band slice of signature
+    columns (portable: DuckDB rebuilds the identical string with
+    ``string_agg(h::VARCHAR, '|' ORDER BY i)``) — flat column
+    references, fully codegen'd; the downstream self-join shuffles on
+    (band, bucket) so cost scales with collision density, never n^2.
     """
     rows_per_band = num_hashes // num_bands
     banded = signatures.select(
         id_col,
         *[
-            F.xxhash64(*[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]).alias(f"b{b}")
+            md5_long(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"h{b * rows_per_band + j}").cast("string") for j in range(rows_per_band)],
+                ),
+                15,
+            ).alias(f"b{b}")
             for b in range(num_bands)
         ],
     )
@@ -226,39 +242,42 @@ def simhash_signatures(
     id_col: str = "doc_id",
     shingle_n: int = 1,
 ) -> DataFrame:
-    """64-bit SimHash per document as (id, simhash).
+    """60-bit SimHash per document as (id, simhash).
 
     Classic sign-aggregation: for each bit b, sum +/-1 over the token
     hashes; bit set iff the sum is positive. Shuffle-based formulation
-    (explode tokens -> 64 flat +/-1 columns -> groupBy-sum -> recombine)
+    (explode tokens -> 60 flat +/-1 columns -> groupBy-sum -> recombine)
     for the same reason as :func:`minhash_signatures` — flat codegen'd
     expressions with map-side partial aggregation, instead of nested
     higher-order lambdas (interpreted, quadratic re-evaluation).
 
-    Bit shifts unroll at plan-build time (``b`` is a Python int —
-    ``shiftright`` does not accept a column shift count).
+    60 bits (not 64): the token hash is ``md5_long(token, 15)`` — the
+    top 60 bits of md5, portable to the DuckDB oracle — and staying
+    below bit 63 keeps every ``1 << b`` positive in signed int64, so
+    the recombined signature needs no sign-bit special case in either
+    engine. Bit shifts unroll at plan-build time (``b`` is a Python
+    int — ``shiftright`` does not accept a column shift count).
     """
+    n_bits = 60
     sh = shingles(F.col(text_col), shingle_n) if shingle_n > 1 else F.split(F.col(text_col), r"\s+")
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     tok = df.repartition(n_parts, F.col(id_col)).select(F.col(id_col), F.explode(sh).alias("_t"))
-    hashed = tok.select(id_col, F.xxhash64(F.col("_t")).alias("_h"))
+    hashed = tok.select(id_col, md5_long(F.col("_t"), 15).alias("_h"))
     bits = hashed.select(
         id_col,
         *[
             F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1).alias(f"s{b}")
-            for b in range(64)
+            for b in range(n_bits)
         ],
     )
-    sums = bits.groupBy(id_col).agg(*[F.sum(f"s{b}").alias(f"s{b}") for b in range(64)])
+    sums = bits.groupBy(id_col).agg(*[F.sum(f"s{b}").alias(f"s{b}") for b in range(n_bits)])
     sig = None
-    for b in range(64):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+    for b in range(n_bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig.bitwiseOR(term)
     return sums.select(id_col, sig.alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
-    """Hamming distance between two 64-bit simhashes (popcount of xor)."""
+    """Hamming distance between two simhash signatures (popcount of xor)."""
     return F.bit_count(a.bitwiseXOR(b))

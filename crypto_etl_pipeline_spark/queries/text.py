@@ -1,9 +1,10 @@
 """Text-analysis / dedup queries over the documents table (§2.13).
 
-Each SQL-expressible operator carries a DuckDB oracle; hash-based ops
-(MinHash, SimHash) register as rows-only checks because xxhash64 is not
-reproducible in DuckDB — the judge sees which via the driver's
-CORRECTNESS report.
+Every operator here carries a full DuckDB oracle — including the
+hash-based ones (MinHash, SimHash, LSH clustering): their hash material
+derives from md5 + int64 arithmetic (operators/phash.py), which both
+engines compute identically, and the oracle SQL below inlines the same
+Carter-Wegman coefficients the Spark plan uses.
 
 Oracle dialect notes: DuckDB regexp_replace needs the 'g' flag;
 list_distinct(list_concat(..)) is array_union; both engines' regex
@@ -15,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crypto_etl_pipeline_spark.operators import textops
+from crypto_etl_pipeline_spark.operators import phash, textops
 from crypto_etl_pipeline_spark.operators.dedup import (
     exact_dedup,
     hamming64,
@@ -224,11 +225,59 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_ctes(num_hashes: int = 32, num_bands: int = 8, threshold: float = 0.05) -> str:
+    """DuckDB CTE chain reproducing near_dup_pairs_minhash exactly:
+    md5_long(shingle, 8) -> Carter-Wegman fan-out (same inlined A/B/P
+    constants as the Spark plan) -> per-doc min -> '|'-joined band
+    buckets -> (band, bucket) self-join -> exact-Jaccard verification.
+    Terminal CTE is ``mh_pairs(id_a, id_b, jaccard)``."""
+    rpb = num_hashes // num_bands
+    jac = """len(list_intersect(a.s, b.s)) * 1.0
+                   / len(list_distinct(list_concat(a.s, b.s)))"""
+    return f"""
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+    ),
+    shl AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || '_' || t[i+1] || '_' || t[i+2])
+             ELSE [] END AS g
+      FROM toks
+    ),
+    xs AS (
+      SELECT doc_id, {phash.duck_md5_long("gram", 8)} AS x
+      FROM (SELECT doc_id, unnest(g) AS gram FROM shl)
+    ),
+    hs AS (
+      SELECT doc_id, coef.i, min((coef.a * xs.x + coef.b) % {phash.P}) AS h
+      FROM xs CROSS JOIN {phash.duck_coef_values(num_hashes)}
+      GROUP BY doc_id, coef.i
+    ),
+    bands AS (
+      SELECT doc_id, i // {rpb} AS band,
+             {phash.duck_md5_long("string_agg(h::VARCHAR, '|' ORDER BY i)", 15)} AS bucket
+      FROM hs GROUP BY doc_id, i // {rpb}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    ss AS (SELECT doc_id, list_distinct(g) AS s FROM shl),
+    mh_pairs AS (
+      SELECT c.id_a, c.id_b, round({jac}, 6) AS jaccard
+      FROM cand c JOIN ss a ON a.doc_id = c.id_a JOIN ss b ON b.doc_id = c.id_b
+      WHERE {jac} >= {threshold}
+    )"""
+
+
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # xxhash64-based — not reproducible in DuckDB (rows-only check)
-    description="MinHash+LSH banded near-dup candidates, Jaccard-verified",
-    tags=("dedup", "rows-only"),
+    oracle=f"WITH {_minhash_ctes()}\n    SELECT id_a, id_b, jaccard FROM mh_pairs",
+    description="MinHash+LSH banded near-dup candidates, Jaccard-verified (portable md5 hashes)",
+    tags=("dedup",),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -237,9 +286,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based — rows-only check
-    description="64-bit SimHash signatures + self-join hamming near-dups",
-    tags=("dedup", "rows-only"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t FROM documents
+    ),
+    hs AS (SELECT doc_id, {phash.duck_md5_long("t", 15)} AS x FROM tok),
+    bits AS (
+      SELECT doc_id, r.b,
+             sum(CASE WHEN (x >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hs CROSS JOIN range(60) r(b)
+      GROUP BY doc_id, r.b
+    )
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    description="60-bit SimHash signatures (portable md5-derived bits)",
+    tags=("dedup",),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -323,9 +386,22 @@ def dedup_clusters_connected_components(spark: SparkSession, sf_dir: str) -> Dat
 
 @register(
     "dedup_clusters_minhash",
-    oracle=None,  # consumes xxhash64-based LSH candidates — rows-only
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    edges AS (SELECT id_a AS a, id_b AS b FROM mh_pairs
+              UNION SELECT id_b, id_a FROM mh_pairs),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.id
+    )
+    SELECT id AS doc_id,
+           min(label)        AS cluster_id,
+           min(label) = id   AS is_canonical
+    FROM reach GROUP BY id
+    """,
     description="Scale-path dedup clustering: MinHash-LSH pairs -> connected components",
-    tags=("dedup", "iterative", "rows-only"),
+    tags=("dedup", "iterative"),
 )
 def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production-shape dedup pipeline: LSH candidate pairs (cost
