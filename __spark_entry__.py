@@ -38,8 +38,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each SQL-expressible query.
 
-    Hash-based operators (MinHash/SimHash/LSH buckets) are omitted on
-    purpose — xxhash64 is not reproducible in DuckDB; the driver
-    records the weaker rows-only check for those.
+    Hash-based operators (MinHash/SimHash/LSH/IVF) derive their hashes
+    from md5 / exact-integer projections, reproducible in DuckDB, so
+    they carry full oracles too. The few omissions are deliberate:
+    ops whose semantics SQL can't replay (Lloyd-refined centroids with
+    engine-specific FP association, mapInPandas codec stubs) — the
+    driver records the weaker rows-only check for those.
     """
     return _q.oracle_sql()

@@ -40,14 +40,19 @@ def connected_components(
     # deepen every round. localCheckpoint truncates lineage and caches
     # partitions executor-side; at cluster scale swap for reliable
     # checkpoint(dir) — same structure.
+    #
+    # Checkpoints are LAZY (eager=False): the per-round convergence agg
+    # is the action that materializes them, so each round costs ONE job
+    # (join + groupBy + sum over the freshly-cached partitions) instead
+    # of a materialization job followed by a separate agg job.
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("component")).first()[0]
 
     for _ in range(max_iter):
@@ -59,11 +64,12 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # Converged when no label decreased: labels only ever decrease,
-        # so an unchanged sum == identical assignment. One agg job per
-        # iteration (the previous round's sum is remembered).
+        # so an unchanged sum == identical assignment. This agg is the
+        # single action of the round — it both materializes new_labels'
+        # checkpoint and returns the indicator.
         new_sum = new_labels.agg(F.sum("component")).first()[0]
         labels = new_labels
         if new_sum == prev_sum:

@@ -5,8 +5,10 @@ The reference renders ydata-profiling HTML reports
 undefined BASE_PATH — SURVEY.md S5 note). The engine equivalent is a
 *DataFrame of per-column statistics* computed in one distributed agg
 pass: type, null count, distinct estimate, min/max/mean/std/quantiles,
-skewness/kurtosis. Rendering (HTML/JSON) is a driver-side concern and
-deliberately out of the data path.
+skewness/kurtosis. :func:`render_profile_html` then renders that
+column-sized stats table to a standalone HTML artifact on the driver
+(parity with ``ProfileReport(...).to_file(...)``) — the distributed
+pass and the rendering stay strictly separated.
 """
 
 from __future__ import annotations
@@ -92,6 +94,49 @@ def profile(df: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         [tuple(r[f.name] for f in schema.fields) for r in records], schema
     )
+
+
+def render_profile_html(profile_df: DataFrame, title: str, path: str) -> str:
+    """Render a :func:`profile` DataFrame to a standalone HTML report.
+
+    Driver-side by design (S5 parity with the reference's
+    ``ProfileReport(df).to_file(...)``, crypto_etl_pipeline.py:270-273):
+    the input is one row per COLUMN of the profiled table, so the
+    collect here is schema-sized, never data-sized. Returns ``path``.
+    """
+    import html as _html
+
+    rows = profile_df.collect()
+    cols = profile_df.columns
+
+    def cell(v):
+        if v is None:
+            return ""
+        if isinstance(v, float):
+            return f"{v:.6g}"
+        return _html.escape(str(v))
+
+    n = rows[0]["n"] if rows else 0
+    head = "".join(f"<th>{_html.escape(c)}</th>" for c in cols)
+    body = "".join(
+        "<tr>" + "".join(f"<td>{cell(r[c])}</td>" for c in cols) + "</tr>" for r in rows
+    )
+    doc = f"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>{_html.escape(title)}</title>
+<style>
+body {{ font-family: sans-serif; margin: 2em; }}
+table {{ border-collapse: collapse; }}
+th, td {{ border: 1px solid #999; padding: 4px 8px; text-align: right; }}
+th {{ background: #eee; }} td:first-child, th:first-child {{ text-align: left; }}
+</style></head>
+<body><h1>{_html.escape(title)}</h1>
+<p>{len(rows)} columns &middot; {n} rows profiled</p>
+<table><thead><tr>{head}</tr></thead><tbody>{body}</tbody></table>
+</body></html>
+"""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(doc)
+    return path
 
 
 def correlation_matrix(df: DataFrame, cols: list[str] | None = None) -> DataFrame:

@@ -38,6 +38,28 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def pair_cosine_pd():
+    """Arrow-batched per-pair cosine (the probe hot path).
+
+    One numpy einsum per Arrow batch replaces an interpreted HOF fold
+    per pair — the same vectorization pattern as the IVF centroid
+    assignment. Numeric note: numpy's pairwise-blocked summation can
+    differ from the sequential JVM/DuckDB fold by ~1e-16 relative;
+    every caller rounds to 4 decimals, which absorbs it (verified in
+    tests against the expression variant)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        Q = np.asarray([np.asarray(x, dtype=np.float64) for x in qv], dtype=np.float64)
+        C = np.asarray([np.asarray(x, dtype=np.float64) for x in cv], dtype=np.float64)
+        num = np.einsum("ij,ij->i", Q, C)
+        den = np.sqrt(np.einsum("ij,ij->i", Q, Q) * np.einsum("ij,ij->i", C, C))
+        return pd.Series(num / den)
+
+    return pair_cos
+
+
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
     """Hash-repartition a compact table across all cores.
 
@@ -70,50 +92,98 @@ def brute_force_topk(
     """
     from pyspark.sql.window import Window
 
-    # Norms are hoisted to one pass per ROW (below the join, so Catalyst
-    # cannot inline them into the per-pair projection); the per-pair work
-    # is a single dot fold. dot/(qnorm*cnorm) is the exact same float
-    # expression cosine() evaluates, so oracle parity is unchanged.
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        norm(F.col(vec_col)).alias("_qnorm"),
-    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
     c = _spread(corpus, id_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        norm(F.col(vec_col)).alias("_cnorm"),
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
     )
+    # Per-pair cosine via the Arrow-batched matmul UDF: the broadcast
+    # join only routes rows; all arithmetic is one numpy pass per batch.
     sims = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnorm") * F.col("_cnorm")), 4
-            ).alias("cos_sim"),
+            F.round(pair_cosine_pd()(F.col("_qvec"), F.col("_cvec")), 4).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic pseudo-random unit-free hyperplanes (fixed seed)."""
-    import numpy as np
+#: fixed-point scale for sign-LSH projections. Inputs are float32
+#: embeddings with |x| ~ 1; floor(x * 2^20) < 2^26 per term, and a
+#: 64-dim sum of +/- such terms stays < 2^32 — exactly representable
+#: in float64 AND int64, so the projection (and therefore the bucket)
+#: is bit-identical regardless of summation order or engine.
+LSH_SCALE = 1 << 20
 
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Rademacher (+/-1) hyperplanes from a fixed seed.
+
+    Sign-random-projection LSH does not need Gaussian planes —
+    Achlioptas-style +/-1 entries give the same locality guarantees and
+    make the projection EXACT arithmetic: each term is +/-floor(x*2^20),
+    an integer, so the sign is reproducible bit-for-bit in DuckDB (the
+    oracle inlines the same plane literals)."""
     rng = np.random.RandomState(seed)
-    return rng.standard_normal((n_planes, dim)).tolist()
+    return rng.choice([-1.0, 1.0], size=(n_planes, dim)).tolist()
 
 
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-LSH bucket id: one bit per hyperplane (dot >= 0)."""
+    """Sign-LSH bucket id: one bit per hyperplane (quantized dot >= 0).
+
+    The projection is a sum of ``+/- floor(x_i * LSH_SCALE)`` integer
+    terms (planes are +/-1), exact in both engines — no FP-order
+    ambiguity can flip a bucket bit. The quantization lives INSIDE each
+    plane's zip_with lambda (referencing the vector attribute directly)
+    rather than behind a shared transform() alias, which CollapseProject
+    would inline and re-evaluate per plane (see operators/dedup.py)."""
     sig = F.lit(0).cast("long")
+    scale = F.lit(float(LSH_SCALE))
     for i, plane in enumerate(planes):
-        proj = dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in plane]),
+                lambda x, y: F.floor(x.cast("double") * scale) * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
         sig = sig + F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
     return sig
+
+
+def _lsh_signature_pd(planes: list[list[float]]):
+    """Arrow-batched twin of :func:`lsh_signature` (one matmul per
+    batch). Exact-integer arithmetic (floor-quantized terms < 2^26,
+    sums < 2^32 — exact in float64), so numpy, the JVM expression, and
+    the DuckDB oracle all agree bit-for-bit on every bucket."""
+    from pyspark.sql.functions import pandas_udf
+
+    M = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+    weights = np.asarray([1 << i for i in range(M.shape[1])], dtype=np.int64)
+
+    @pandas_udf("long")
+    def bucket(v: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v], dtype=np.float64)
+        proj = np.floor(X * LSH_SCALE) @ M
+        return pd.Series(((proj >= 0).astype(np.int64) * weights).sum(axis=1))
+
+    return bucket
+
+
+def _probe_masks(n_planes: int, radius: int) -> list[int]:
+    """XOR masks for multi-probe LSH: all bit patterns of hamming
+    weight <= radius over n_planes bits, ascending weight."""
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if radius >= 2:
+        masks += [(1 << i) | (1 << j) for i in range(n_planes) for j in range(i + 1, n_planes)]
+    return masks
 
 
 def lsh_bucketed_topk(
@@ -125,29 +195,46 @@ def lsh_bucketed_topk(
     dim: int = 64,
     n_planes: int = 8,
     seed: int = 42,
+    probe_radius: int = 2,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    """Approximate top-k via MULTI-PROBE sign-LSH.
 
-    With 8 planes the corpus splits into ~256 buckets; each query scans
-    ~corpus/256 candidates. Recall is tunable via n_planes (fewer planes
-    = bigger buckets = higher recall, more work). At 100 TB the bucket
-    id would also be the table's partition key so a probe prunes
-    partitions.
+    The corpus is hashed once into 2^n_planes buckets; each query
+    probes its own bucket plus every bucket within hamming distance
+    ``probe_radius`` of its signature (sum of C(n_planes, r) probes —
+    the classic multi-probe construction, which buys the recall of many
+    hash tables for one table's storage). Single-bucket sign-LSH recall
+    is ~p^n_planes with p = 1 - angle/pi per plane, which collapses for
+    moderate-similarity neighbors (measured 0.03 at n_planes=6);
+    radius-2 multi-probe lifts the same setup past 0.5. Recall/cost
+    tunes via n_planes and probe_radius. At 100 TB the bucket id is
+    also the table's partition key, so each probe prunes partitions.
     """
     from pyspark.sql.window import Window
 
     planes = _hyperplanes(dim, n_planes, seed)
+    masks = _probe_masks(n_planes, probe_radius)
+    # Corpus-side bucketing: Arrow matmul UDF (one pass, vectorized).
+    # Query-side (small, broadcast): JVM expression. Both are the same
+    # exact-integer arithmetic, so buckets agree bit-for-bit (tested).
     c = _spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
-        norm(F.col(vec_col)).alias("_cnorm"),
-        lsh_signature(F.col(vec_col), planes).alias("_bucket"),
+        _lsh_signature_pd(planes)(F.col(vec_col)).alias("_bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
-        norm(F.col(vec_col)).alias("_qnorm"),
-        lsh_signature(F.col(vec_col), planes).alias("_bucket"),
+        lsh_signature(F.col(vec_col), planes).alias("_sig"),
+    ).select(
+        "query_id",
+        "_qvec",
+        # multi-probe fan-out: one row per probed bucket. Masks are
+        # distinct, so a (query, neighbor) candidate appears at most
+        # once — no dedup needed before ranking.
+        F.explode(
+            F.array(*[F.col("_sig").bitwiseXOR(F.lit(m)).cast("long") for m in masks])
+        ).alias("_bucket"),
     )
     sims = (
         c.join(F.broadcast(q), "_bucket")
@@ -155,9 +242,7 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnorm") * F.col("_cnorm")), 4
-            ).alias("cos_sim"),
+            F.round(pair_cosine_pd()(F.col("_qvec"), F.col("_cvec")), 4).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -173,8 +258,20 @@ def _centroid_rows(df, k: int, id_col: str, vec_col: str) -> list[list[float]]:
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 
+def _quantize(cent: list[float]) -> list[float]:
+    """floor(x * LSH_SCALE) per component, as exact float64 integers."""
+    import math
+
+    return [float(math.floor(x * LSH_SCALE)) for x in cent]
+
+
 def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid (squared L2), ties -> lowest index.
+
+    Distances use floor-quantized coordinates (see ``LSH_SCALE``):
+    every term is an exact integer < 2^48 in float64, so the argmin is
+    bit-identical across this expression, the numpy twin, and the
+    DuckDB oracle — no FP-order ambiguity near cell boundaries.
 
     Flat plan-time unrolling: one dot-product chain per centroid over
     the vector ATTRIBUTE (cheap to reference), min via lexicographic
@@ -185,12 +282,19 @@ def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     back to per-node interpreted eval (measured 7x SLOWER than the HOF
     fold).
     """
+    scale = F.lit(float(LSH_SCALE))
     dists = []
     for i, c in enumerate(centroids):
         # |v|^2 is constant per row — omitted; argmin over
-        # -2<v,c> + |c|^2 is identical and saves k extra dot passes.
-        lit = F.array(*[F.lit(float(x)) for x in c])
-        d = -2 * dot(vec, lit) + sum(x * x for x in c)
+        # -2<qv,qc> + |qc|^2 is identical and saves k extra dot passes.
+        qc = _quantize(c)
+        lit = F.array(*[F.lit(v) for v in qc])
+        qdot = F.aggregate(
+            F.zip_with(vec, lit, lambda x, y: F.floor(x.cast("double") * scale) * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        d = -2 * qdot + sum(v * v for v in qc)
         dists.append(F.struct(d.alias("dist"), F.lit(i).alias("idx")))
     return F.array_min(F.array(*dists)).getField("idx")
 
@@ -201,19 +305,21 @@ def _nearest_centroid_pd(centroids: list[list[float]]):
     One numpy matmul per Arrow batch against the (dim x k) centroid
     matrix replaces k interpreted HOF dot-folds per row — the canonical
     "vectorized Pandas UDF when built-ins can't express it efficiently"
-    pattern. Ties break to the lowest centroid index (np.argmin), same
-    as the expression variant ``_nearest_centroid``. Used for the
-    rows-only IVF surface; oracle-checked queries stay JVM-side.
+    pattern. Same floor-quantized exact-integer distances as
+    :func:`_nearest_centroid` (products < 2^42, sums < 2^49 — exact in
+    float64 matmul), so assignments match the expression variant and
+    the DuckDB oracle bit-for-bit; ties break to the lowest centroid
+    index in all three (np.argmin = first occurrence).
     """
     from pyspark.sql.functions import pandas_udf
 
-    M = np.asarray(centroids, dtype=np.float64).T  # (dim, k)
-    c2 = (M * M).sum(axis=0)  # |c|^2 per centroid
+    M = np.asarray([_quantize(c) for c in centroids], dtype=np.float64).T  # (dim, k)
+    c2 = (M * M).sum(axis=0)  # |qc|^2 per centroid
 
     @pandas_udf("int")
     def nearest(v: pd.Series) -> pd.Series:
         X = np.asarray([np.asarray(x, dtype=np.float64) for x in v], dtype=np.float64)
-        d = -2.0 * (X @ M) + c2  # |v|^2 constant per row — omitted
+        d = -2.0 * (np.floor(X * LSH_SCALE) @ M) + c2  # |qv|^2 constant per row — omitted
         return pd.Series(d.argmin(axis=1), dtype="int32")
 
     return nearest
@@ -252,6 +358,26 @@ def ivf_build_centroids(
     return cents
 
 
+def ivf_assign_cells(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(neighbor_id, _cvec, _cell): the corpus with its IVF cell id.
+
+    At 100 TB this table is what you PERSIST (written out partitioned
+    by ``_cell`` so a probe prunes partitions); callers that probe
+    repeatedly pass it to :func:`ivf_topk` via ``cells=`` instead of
+    re-assigning the corpus per query batch.
+    """
+    return _spread(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        _nearest_centroid_pd(centroids)(F.col(vec_col)).alias("_cell"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -260,34 +386,41 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF probe: each query scans only its `nprobe` nearest cells.
 
-    The corpus is assigned to cells once (at 100 TB the cell id is the
-    table's partition column, so a probe prunes partitions); queries
-    fan out to nprobe cells; exact cosine ranks within the candidate
-    set. Recall/cost tunes via k (cells) and nprobe.
+    The corpus is assigned to cells once (``cells=`` accepts a
+    pre-assigned/persisted table — at 100 TB the cell id is the table's
+    partition column, so a probe prunes partitions); queries fan out to
+    nprobe cells; exact cosine ranks within the candidate set.
+    Recall/cost tunes via k (cells) and nprobe. Cell assignment uses
+    the same floor-quantized exact-integer distances everywhere
+    (expression, numpy, DuckDB oracle) — see ``_nearest_centroid``.
     """
     from pyspark.sql.window import Window
 
-    cells = _spread(corpus, id_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        norm(F.col(vec_col)).alias("_cnorm"),
-        _nearest_centroid_pd(centroids)(F.col(vec_col)).alias("_cell"),
-    )
+    if cells is None:
+        cells = ivf_assign_cells(corpus, centroids, id_col, vec_col)
     # nprobe nearest cells per query: lexicographic array_sort of
-    # (distance, idx) structs, then slice.
+    # (distance, idx) structs, then slice. Same quantized distance as
+    # the corpus assignment.
+    scale = F.lit(float(LSH_SCALE))
     probe_structs = []
     for i, c in enumerate(centroids):
-        lit = F.array(*[F.lit(float(x)) for x in c])
-        d = -2 * dot(F.col(vec_col), lit) + sum(x * x for x in c)
+        qc = _quantize(c)
+        lit = F.array(*[F.lit(v) for v in qc])
+        qdot = F.aggregate(
+            F.zip_with(F.col(vec_col), lit, lambda x, y: F.floor(x.cast("double") * scale) * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        d = -2 * qdot + sum(v * v for v in qc)
         probe_structs.append(F.struct(d.alias("dist"), F.lit(i).alias("idx")))
     probes = F.slice(F.array_sort(F.array(*probe_structs)), 1, nprobe)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
-        norm(F.col(vec_col)).alias("_qnorm"),
         F.explode(F.transform(probes, lambda s: s.getField("idx"))).alias("_cell"),
     )
     sims = (
@@ -296,9 +429,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnorm") * F.col("_cnorm")), 4
-            ).alias("cos_sim"),
+            F.round(pair_cosine_pd()(F.col("_qvec"), F.col("_cvec")), 4).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

@@ -45,7 +45,16 @@ def salted_join(
     n_salts, which is the explicit version of what AQE's skew split
     does adaptively. ``salt_from`` must be a column of ``skewed`` that
     varies within a key group (e.g. the fact table's line number).
+
+    Only ``inner`` and ``left`` (of the skewed side) are salt-safe:
+    under right/full outer joins every UNMATCHED small-side row would
+    surface once per salt replica, and the null-extension semantics
+    shift under the (key, salt) condition — so those are rejected.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (salt-safe); got {how!r}"
+        )
     s = with_salt(skewed, salt_from, n_salts)
     replicated = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

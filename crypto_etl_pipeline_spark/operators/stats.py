@@ -69,9 +69,14 @@ def flag_outliers_iqr(df: DataFrame, col: str, flag_col: str = "is_outlier", k: 
 
     Reference: crypto_etl_pipeline.py:193-199 / colab C:267-277 —
     outliers are *flagged*, not removed (data_dictionary.txt:20).
+    Null values flag True, matching pandas ``~s.between(...)``
+    (NaN -> False -> ~False -> True) rather than SQL three-valued null.
     """
     lower, upper = iqr_bounds(df, col, k)
-    return df.withColumn(flag_col, ~F.col(col).between(F.lit(lower), F.lit(upper)))
+    return df.withColumn(
+        flag_col,
+        F.coalesce(~F.col(col).between(F.lit(lower), F.lit(upper)), F.lit(True)),
+    )
 
 
 def describe_exact(df: DataFrame, cols: list[str] | None = None, group_by: list[str] | None = None) -> DataFrame:

@@ -37,15 +37,26 @@ def asof_join(
     Matches DuckDB ``ASOF JOIN`` / pandas ``merge_asof`` semantics
     (backward search, inclusive). Right rows sort before left rows at
     equal timestamps so an exactly-simultaneous right row IS matched.
+
+    The carried values ride in ONE struct per right row (null struct on
+    left rows): ``last(ignorenulls)`` then skips left rows but never a
+    matched right ROW — so a null inside a carried column is attached
+    as that row's null, exactly like DuckDB/merge_asof, instead of
+    falling back to an older non-null value.
     """
+    rvals_type = (
+        "struct<"
+        + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_cols)
+        + ">"
+    )
     l_tag = left.select(
         F.col(by), F.col(on), F.lit(1).alias("_is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_cols],
+        F.lit(None).cast(rvals_type).alias("_rvals"),
         F.struct(*left.columns).alias("_row"),
     )
     r_tag = right.select(
         F.col(by), F.col(on), F.lit(0).alias("_is_left"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_rvals"),
         F.lit(None).cast(
             "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields) + ">"
         ).alias("_row"),
@@ -57,15 +68,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tag.unionByName(r_tag).select(
-        "*",
-        *[
-            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}_f")
-            for c in right_cols
-        ],
+        "*", F.last(F.col("_rvals"), ignorenulls=True).over(w).alias("_rvals_f")
     )
     out = carried.where(F.col("_is_left") == 1).select(
         F.col("_row.*"),
-        *[F.col(f"{c}{suffix}_f").alias(f"{c}{suffix}") for c in right_cols],
+        *[F.col(f"_rvals_f.{c}").alias(f"{c}{suffix}") for c in right_cols],
     )
     return out
 

@@ -36,13 +36,29 @@ def classify_api_table(api_df: DataFrame, label_col: str = "tendencia") -> DataF
 def run_api_pipeline(
     spark: SparkSession,
     fetch: Callable[[], Sequence[dict]] | None = None,
+    out_dir: str | None = None,
 ) -> DataFrame:
     """EP2 end-to-end with the reference's empty-fetch guard.
 
     Raises ValueError when the fetch produced no rows
-    (crypto_etl_pipeline.py:89-92).
+    (crypto_etl_pipeline.py:89-92). With ``out_dir``, also persists the
+    classified table and renders the S5 profiling HTML report (the
+    reference's t4, crypto_etl_pipeline.py:261-287 — which its DAG
+    silently fails to write; here it is a real artifact).
     """
     df = rest_source(spark, fetch) if fetch is not None else rest_source(spark)
     if df.isEmpty():
         raise ValueError("No se obtuvieron datos de la API")
-    return classify_api_table(df)
+    classified = classify_api_table(df)
+    if out_dir is not None:
+        from crypto_etl_pipeline_spark.operators.profiling import (
+            profile,
+            render_profile_html,
+        )
+        from crypto_etl_pipeline_spark.sources.sinks import write_csv
+
+        write_csv(classified, f"{out_dir}/api_classified_csv", single_file=True)
+        render_profile_html(
+            profile(classified), "API data quality report", f"{out_dir}/api_profile.html"
+        )
+    return classified

@@ -86,7 +86,12 @@ def parse_historical(raw: DataFrame) -> DataFrame:
 
 def _flag_outliers(df: DataFrame, price: Column) -> DataFrame:
     """IQR*1.5 Tukey fence on current_price via one agg + broadcast
-    scalars (never an unpartitioned window — SURVEY.md §2.5)."""
+    scalars (never an unpartitioned window — SURVEY.md §2.5).
+
+    Null prices flag True: pandas ``~s.between(...)`` turns NaN ->
+    False -> ~False -> True (crypto_etl_pipeline.py:199), whereas SQL
+    ``NOT (null BETWEEN ..)`` is null — the coalesce restores reference
+    parity on the order="P" path (imputation hasn't run yet there)."""
     bounds = df.agg(
         F.percentile(price, F.lit(0.25)).alias("_q1"),
         F.percentile(price, F.lit(0.75)).alias("_q3"),
@@ -96,9 +101,32 @@ def _flag_outliers(df: DataFrame, price: Column) -> DataFrame:
         df.crossJoin(F.broadcast(bounds))
         .withColumn(
             "is_outlier",
-            ~price.between(F.col("_q1") - 1.5 * iqr, F.col("_q3") + 1.5 * iqr),
+            F.coalesce(
+                ~price.between(F.col("_q1") - 1.5 * iqr, F.col("_q3") + 1.5 * iqr),
+                F.lit(True),
+            ),
         )
         .drop("_q1", "_q3")
+    )
+
+
+def _impute_medians(df: DataFrame) -> DataFrame:
+    """Exact-median imputation of all numeric columns, fully lazy:
+    one agg row broadcast back via crossJoin + per-column coalesce
+    (same pattern as ``_flag_outliers`` — no eager ``.first()`` job).
+    Medians are cast to each column's type, matching ``na.fill``
+    (long columns truncate); a null median leaves the column as-is."""
+    med = df.agg(
+        *[F.percentile(F.col(c), F.lit(0.5)).alias(f"_med_{c}") for c in NUMERIC_COLS]
+    )
+    types = {f.name: f.dataType for f in df.schema.fields}
+    return df.crossJoin(F.broadcast(med)).select(
+        *[
+            F.coalesce(F.col(c), F.col(f"_med_{c}").cast(types[c])).alias(c)
+            if c in NUMERIC_COLS
+            else F.col(c)
+            for c in df.columns
+        ]
     )
 
 
@@ -116,20 +144,13 @@ def clean_historical(raw: DataFrame, order: str = "C") -> DataFrame:
     price = F.col("current_price")
 
     if order == "C":
-        med_row = parsed.agg(
-            *[F.percentile(F.col(c), F.lit(0.5)).alias(c) for c in NUMERIC_COLS]
-        ).first()
-        imputed = parsed.na.fill({c: med_row[c] for c in NUMERIC_COLS if med_row[c] is not None})
-        return _flag_outliers(imputed, price).select(*OUTPUT_COLS)
+        return _flag_outliers(_impute_medians(parsed), price).select(*OUTPUT_COLS)
 
     if order == "P":
-        flagged = _flag_outliers(parsed, price)
-        med_row = flagged.agg(
-            *[F.percentile(F.col(c), F.lit(0.5)).alias(c) for c in NUMERIC_COLS]
-        ).first()
-        return flagged.na.fill(
-            {c: med_row[c] for c in NUMERIC_COLS if med_row[c] is not None}
-        ).select(*OUTPUT_COLS)
+        # Flag over non-null prices (nulls flag True — see
+        # _flag_outliers), THEN impute: the production DAG's order.
+        # is_outlier itself is boolean, untouched by _impute_medians.
+        return _impute_medians(_flag_outliers(parsed, price)).select(*OUTPUT_COLS)
 
     raise ValueError(f"order must be 'C' or 'P', got {order!r}")
 
@@ -147,7 +168,10 @@ def run_historical_pipeline(
     Returns output paths + row/column counts (the reference's read-back
     stats, computed without re-reading: crypto_etl_pipeline.py:340-354).
     """
-    from crypto_etl_pipeline_spark.operators.profiling import profile
+    from crypto_etl_pipeline_spark.operators.profiling import (
+        profile,
+        render_profile_html,
+    )
     from crypto_etl_pipeline_spark.sources.csv import read_dirty_csv
     from crypto_etl_pipeline_spark.sources.sinks import (
         write_csv,
@@ -169,6 +193,12 @@ def run_historical_pipeline(
     prof = profile(spark.read.parquet(pq_path))
     prof_path = f"{out_dir}/historical_profile.parquet"
     write_parquet(prof, prof_path)
+    # S5 parity: the reference renders ProfileReport HTML
+    # (crypto_etl_pipeline.py:270-273); stats above are unchanged —
+    # the renderer only formats the already-computed profile table.
+    html_path = render_profile_html(
+        prof, "Historical data quality report", f"{out_dir}/historical_profile.html"
+    )
 
     n_rows = spark.read.parquet(pq_path).count()
     return {
@@ -176,6 +206,7 @@ def run_historical_pipeline(
         "csv": csv_path,
         "timestamped_csv": ts_path,
         "profile": prof_path,
+        "profile_html": html_path,
         "rows": n_rows,
         "columns": len(cleaned.columns),
     }

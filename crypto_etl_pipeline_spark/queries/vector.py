@@ -12,6 +12,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crypto_etl_pipeline_spark.operators.similarity import (
+    LSH_SCALE,
+    _hyperplanes,
+    _probe_masks,
+    _quantize,
     _spread,
     brute_force_topk,
     dot,
@@ -23,6 +27,30 @@ from crypto_etl_pipeline_spark.sources.tables import load_table
 
 N_QUERIES = 10
 TOP_K = 10
+N_PLANES = 6
+IVF_K = 16
+IVF_NPROBE = 4
+
+#: the exact plane literals the Spark plan uses (fixed seed) — inlined
+#: into the DuckDB oracle below so both engines hash into identical
+#: buckets (the projection is exact integer arithmetic; see LSH_SCALE).
+_PLANES = _hyperplanes(64, N_PLANES, seed=42)
+
+#: floor-quantization of an embedding list, as a DuckDB fragment
+_DUCK_QV = f"list_transform(embedding, x -> floor(x::DOUBLE * {float(LSH_SCALE)}))"
+
+
+def _duck_lsh_bucket(qv: str) -> str:
+    """DuckDB twin of lsh_signature: one bit per plane over the
+    quantized projection."""
+    terms = []
+    for i, plane in enumerate(_PLANES):
+        lits = ", ".join(str(float(x)) for x in plane)
+        terms.append(
+            f"(CASE WHEN list_dot_product({qv}, [{lits}]::DOUBLE[]) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
 
 
 @register(
@@ -91,26 +119,103 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_bucketed_topk",
-    oracle=None,  # bucket membership depends on seeded hyperplanes — rows-only
-    description="Sign-LSH bucketed approximate top-k (the 100 TB scale path)",
-    tags=("similarity", "rows-only"),
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {_duck_lsh_bucket(_DUCK_QV)} AS bucket
+      FROM embeddings
+    ),
+    probe AS (
+      SELECT s.vec_id, s.embedding, xor(s.bucket, m.m) AS bucket
+      FROM sig s CROSS JOIN (VALUES {", ".join(f"({m})" for m in _probe_masks(N_PLANES, 2))}) m(m)
+      WHERE s.vec_id < {N_QUERIES}
+    ),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(cast(list_cosine_similarity(q.embedding, c.embedding) AS DOUBLE), 4) AS cos_sim
+      FROM probe q JOIN sig c USING (bucket)
+      WHERE c.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+    description="Multi-probe sign-LSH bucketed approximate top-k (the 100 TB scale path)",
+    tags=("similarity",),
 )
 def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
-    return lsh_bucketed_topk(emb, queries, k=TOP_K, n_planes=6)
+    return lsh_bucketed_topk(emb, queries, k=TOP_K, n_planes=N_PLANES)
 
 
 @register(
     "ann_ivf_topk",
-    oracle=None,  # centroid geometry is data-derived; recall checked in tests
-    description="IVF-cell approximate top-k (deterministic mini k-means, nprobe probing)",
-    tags=("similarity", "rows-only"),
+    oracle=f"""
+    WITH cent AS (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS idx, {_DUCK_QV} AS qc
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {IVF_K})
+    ),
+    qv AS (SELECT vec_id, embedding, {_DUCK_QV} AS q FROM embeddings),
+    adist AS (
+      SELECT v.vec_id, c.idx,
+             -2 * list_dot_product(v.q, c.qc) + list_dot_product(c.qc, c.qc) AS d
+      FROM qv v CROSS JOIN cent c
+    ),
+    ranked_cells AS (
+      SELECT vec_id, idx,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, idx) AS rn
+      FROM adist
+    ),
+    cells AS (SELECT vec_id AS neighbor_id, idx AS cell FROM ranked_cells WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS query_id, idx AS cell
+               FROM ranked_cells WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}),
+    sims AS (
+      SELECT p.query_id, c.neighbor_id,
+             round(cast(list_cosine_similarity(qe.embedding, ne.embedding) AS DOUBLE), 4) AS cos_sim
+      FROM qprobe p JOIN cells c USING (cell)
+      JOIN embeddings qe ON qe.vec_id = p.query_id
+      JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+      WHERE p.query_id != c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+    description="IVF-cell approximate top-k (seeded cells, nprobe probing)",
+    tags=("similarity",),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked IVF: cells seeded from the IVF_K lowest-id vectors
+    (iters=0 — exactly reproducible in SQL; Lloyd refinement is the
+    rows-only ann_ivf_refined_topk below, because distributed avg() FP
+    association is not reproducible across engines)."""
     from crypto_etl_pipeline_spark.operators.similarity import ivf_build_centroids, ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = ivf_build_centroids(emb, k=16, iters=1)
+    cents = ivf_build_centroids(emb, k=IVF_K, iters=0)
     queries = emb.where(F.col("vec_id") < N_QUERIES)
-    return ivf_topk(emb, queries, cents, k=TOP_K, nprobe=4)
+    return ivf_topk(emb, queries, cents, k=TOP_K, nprobe=IVF_NPROBE)
+
+
+@register(
+    "ann_ivf_refined_topk",
+    oracle=None,  # Lloyd-refined centroids: distributed avg() FP association
+    # is engine-specific, so no SQL oracle; recall vs brute force is pytest-gated
+    description="IVF with Lloyd-refined centroids (recall-tested; rows-only by FP design)",
+    tags=("similarity", "rows-only"),
+)
+def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_etl_pipeline_spark.operators.similarity import ivf_build_centroids, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_build_centroids(emb, k=IVF_K, iters=2)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return ivf_topk(emb, queries, cents, k=TOP_K, nprobe=IVF_NPROBE)

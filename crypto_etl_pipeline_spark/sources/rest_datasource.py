@@ -94,10 +94,13 @@ class _MarketRestReader(DataSourceReader):
 
     def read(self, partition: _PagePartition) -> Iterator[tuple]:
         fetch = _mock_page if partition.transport == "mock" else _http_page
+        # Null discipline mirrors rows_to_dataframe: a missing or null
+        # field — INCLUDING symbol — yields None, never the string
+        # "None" (real API payloads can omit/null any field).
         for row in fetch(partition.page, partition.per_page):
             yield tuple(
-                (str(row[f.name]) if f.name == "symbol" else
-                 (float(row[f.name]) if row.get(f.name) is not None else None))
+                (None if row.get(f.name) is None else
+                 (str(row[f.name]) if f.name == "symbol" else float(row[f.name])))
                 for f in self.schema_.fields
             )
 

@@ -128,7 +128,7 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def _sessionize_fn(gap_seconds: int):
+def _sessionize_fn(gap_seconds: int, timeout: str = "none"):
     gap_us = gap_seconds * 1_000_000
 
     def fn(
@@ -136,6 +136,8 @@ def _sessionize_fn(gap_seconds: int):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.hasTimedOut:
+            # Event-time timeout: the watermark passed session_end + gap
+            # with no newer event — flush the idle session.
             if state.exists:
                 start_us, end_us, n, sv = state.get
                 state.remove()
@@ -171,7 +173,15 @@ def _sessionize_fn(gap_seconds: int):
                     end_us, n, sv = max(end_us, t_us), n + 1, sv + v
 
         state.update((start_us, end_us, n, sv))
-        state.setTimeoutDuration(gap_seconds * 1000)
+        if timeout == "event":
+            # Flush when the WATERMARK (not wall clock) passes the end
+            # of the gap window — replay-deterministic in event time.
+            # Clamp above the current watermark: Spark rejects timeout
+            # timestamps at or below it (a long-idle session replayed
+            # late would otherwise throw).
+            state.setTimeoutTimestamp(
+                max(end_us // 1000 + gap_seconds * 1000, state.getCurrentWatermarkMs() + 1)
+            )
         if closed:
             yield pd.DataFrame(
                 {
@@ -186,21 +196,47 @@ def _sessionize_fn(gap_seconds: int):
     return fn
 
 
-def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    timeout: str = "none",
+    watermark: str = "1 hour",
+) -> DataFrame:
     """Custom stateful operator: gap-based sessionization per user.
 
     ``applyInPandasWithState`` — Arrow batches in, per-key mutable state
-    (session accumulator), processing-time timeout flushes idle
-    sessions. This is the §2.13 'custom stateful streaming operator'
-    pattern the built-in windowing cannot express (session windows keyed
-    on inter-event gaps with custom accumulators).
+    (session accumulator). This is the §2.13 'custom stateful streaming
+    operator' pattern the built-in windowing cannot express (session
+    windows keyed on inter-event gaps with custom accumulators).
+
+    ``timeout`` picks the idle-session flush policy, and both options
+    are deterministic in EVENT time (a processing-time timeout would
+    make output depend on wall clock and executor speed — rejected):
+
+    - ``"none"``: sessions close only when a later event for the same
+      user arrives past the gap; each user's final session stays in
+      state. Output is a pure function of the input — identical across
+      replays and micro-batch layouts (the oracle-checked mode).
+    - ``"event"``: additionally flush a session once the WATERMARK
+      passes session_end + gap (EventTimeTimeout). The production
+      choice for unbounded streams — state is bounded even for users
+      that go quiet — at the cost of output depending on how far the
+      watermark advanced (i.e. on batch boundaries during a replay).
     """
+    if timeout not in ("none", "event"):
+        raise ValueError(f"timeout must be 'none' or 'event', got {timeout!r}")
+    if timeout == "event":
+        events = events.withWatermark("ts", watermark)
     return events.groupBy("user_id").applyInPandasWithState(
-        _sessionize_fn(gap_seconds),
+        _sessionize_fn(gap_seconds, timeout),
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if timeout == "event"
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -216,6 +252,10 @@ def run_available_now(
     Returns the sink table as a batch DataFrame. 'complete' mode emits
     every aggregate group (deterministic for a fully-drained source);
     'append' emits only watermark-finalized rows.
+
+    Raises TimeoutError if the drain does not finish within
+    ``timeout_sec`` — a partially-drained sink is WRONG data, never
+    silently returned (the query is stopped before raising).
     """
     spark = stream_df.sparkSession
     q = (
@@ -226,7 +266,11 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
-    if q.isActive:
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
         q.stop()
+        raise TimeoutError(
+            f"stream {query_name!r} did not drain within {timeout_sec}s; "
+            "sink is partial — refusing to return it"
+        )
     return spark.table(query_name)

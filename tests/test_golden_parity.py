@@ -101,6 +101,32 @@ def test_historical_clean_matches_golden(spark):
 
 
 @needs_reference
+def test_historical_clean_order_p(spark):
+    """Production-DAG order (flag-then-impute, crypto_etl_pipeline.py:193-205):
+    quantiles come from the 2,424 non-null prices and every null price
+    flags True (pandas ~between turns NaN into True) — the flag is never
+    null, and no nulls survive imputation."""
+    from pyspark.sql import functions as F
+
+    from crypto_etl_pipeline_spark.plans.historical import clean_historical, parse_historical
+    from crypto_etl_pipeline_spark.sources.csv import read_dirty_csv
+
+    raw = read_dirty_csv(spark, RAW_CSV)
+    n_null_prices = (
+        parse_historical(raw).where(F.col("current_price").isNull()).count()
+    )
+    assert n_null_prices == 1726  # SURVEY.md §2.9 divergence #1
+
+    out = clean_historical(raw, order="P")
+    assert out.where(F.col("is_outlier").isNull()).count() == 0
+    # every null-price row flagged True => flagged count >= 1726
+    n_flagged = out.where(F.col("is_outlier")).count()
+    assert n_flagged >= 1726, f"null prices must flag True (got {n_flagged})"
+    # imputation still ran after flagging
+    assert out.where(F.col("current_price").isNull()).count() == 0
+
+
+@needs_reference
 def test_api_classification_matches_golden(spark):
     """EP2 classifier on the golden API rows reproduces its tendencia
     column and the shipped 51/34/11/4 distribution."""
@@ -158,3 +184,25 @@ def test_run_historical_pipeline_end_to_end(spark, tmp_path):
     prof = spark.read.parquet(res["profile"])
     assert prof.count() == 12  # one row per column
     assert prof.where("nulls > 0").count() == 0  # post-impute: no nulls
+    # S5 parity: the profiling HTML artifact is actually rendered
+    with open(res["profile_html"], encoding="utf-8") as f:
+        html = f.read()
+    assert html.startswith("<!DOCTYPE html>") and "current_price" in html
+    assert "12 columns" in html and "4150 rows profiled" in html
+
+
+@needs_reference
+def test_run_api_pipeline_writes_profile_html(spark, tmp_path):
+    from crypto_etl_pipeline_spark.plans.api import run_api_pipeline
+
+    rows = [
+        {"symbol": "btc", "current_price": 50000.0, "price_change_percentage_24h": 6.0,
+         "market_cap": 1e12, "total_volume": 3e10, "high_24h": 51000.0, "low_24h": 49000.0},
+        {"symbol": "eth", "current_price": 3000.0, "price_change_percentage_24h": -0.2,
+         "market_cap": 4e11, "total_volume": 2e10, "high_24h": 3100.0, "low_24h": 2900.0},
+    ]
+    out = run_api_pipeline(spark, fetch=lambda: rows, out_dir=str(tmp_path))
+    assert out.count() == 2
+    with open(tmp_path / "api_profile.html", encoding="utf-8") as f:
+        html = f.read()
+    assert "tendencia" in html and "2 rows profiled" in html

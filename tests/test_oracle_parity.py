@@ -92,3 +92,98 @@ def test_ivf_recall_vs_brute_force(spark):
               for r in ivf_topk(emb, queries, cents, k=10, nprobe=4).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall:.2f} below threshold"
+
+
+def test_ivf_seeded_recall_vs_brute_force(spark):
+    """The oracle-checked IVF variant (iters=0 seed cells) must also
+    clear a recall floor — approximation quality is part of the op."""
+    from pyspark.sql import functions as F
+
+    from crypto_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_build_centroids,
+        ivf_topk,
+    )
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb, queries, k=10).collect()}
+    cents = ivf_build_centroids(emb, k=16, iters=0)
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ivf_topk(emb, queries, cents, k=10, nprobe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"seeded-IVF recall {recall:.2f} below threshold"
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    """Sign-LSH bucketed top-k must recover a meaningful share of the
+    exact top-10 at the registered plane count — a plane-sign bug that
+    returned plausible-count garbage would fail this."""
+    from pyspark.sql import functions as F
+
+    from crypto_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb, queries, k=10).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in lsh_bucketed_topk(emb, queries, k=10, n_planes=6).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall {recall:.2f} below threshold"
+
+
+def test_lsh_bucket_expression_matches_numpy(spark):
+    """The JVM expression and the Arrow-batched numpy LSH signature
+    claim bit-identical buckets (exact-integer projections) — prove it
+    on the real corpus."""
+    from pyspark.sql import functions as F
+
+    from crypto_etl_pipeline_spark.operators.similarity import (
+        _hyperplanes,
+        _lsh_signature_pd,
+        lsh_signature,
+    )
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    planes = _hyperplanes(64, 6, seed=42)
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    diff = (
+        emb.select(
+            lsh_signature(F.col("embedding"), planes).alias("expr_b"),
+            _lsh_signature_pd(planes)(F.col("embedding")).alias("np_b"),
+        )
+        .where(F.col("expr_b") != F.col("np_b"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_nearest_centroid_expression_matches_numpy(spark):
+    """Same exactness claim for the quantized IVF cell assignment."""
+    from pyspark.sql import functions as F
+
+    from crypto_etl_pipeline_spark.operators.similarity import (
+        _nearest_centroid,
+        _nearest_centroid_pd,
+        ivf_build_centroids,
+    )
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    cents = ivf_build_centroids(emb, k=16, iters=0)
+    diff = (
+        emb.select(
+            _nearest_centroid(F.col("embedding"), cents).alias("expr_c"),
+            _nearest_centroid_pd(cents)(F.col("embedding")).alias("np_c"),
+        )
+        .where(F.col("expr_c") != F.col("np_c"))
+        .count()
+    )
+    assert diff == 0

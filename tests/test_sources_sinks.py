@@ -166,3 +166,105 @@ def test_binaryfile_source_reads_payloads(spark, tmp_path):
     decoded = decode_image_stub(media)
     assert decoded.count() == 2
     assert {r["n_bytes"] for r in decoded.collect()} == {11, 900}
+
+
+def _write_event_file(spark, path, rows):
+    """rows: (event_id, ts_epoch_sec, user_id, value). Written with ts as
+    ns-long, matching the testdata's file layout. The file stream source
+    lists plain FILES, so the single part-file is moved to ``path``
+    (a directory-shaped parquet write would be invisible to it)."""
+    import glob
+
+    df = spark.createDataFrame(
+        [(eid, int(sec * 1_000_000_000), uid, "click", v, "{}") for eid, sec, uid, v in rows],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    tmp = path + "_dir"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, path)
+    shutil.rmtree(tmp)
+
+
+def test_sessionize_two_drains_identical(spark, tmp_path):
+    """timeout='none' output is a pure function of the input: two
+    independent drains of the same files emit identical session rows
+    (no wall-clock dependence — the ProcessingTimeTimeout hazard)."""
+    from crypto_etl_pipeline_spark.streaming.incremental import (
+        read_event_stream,
+        run_available_now,
+        sessionize_stream,
+    )
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    os.symlink(
+        "/root/testdata/sf0.001/events.parquet", os.path.join(input_dir, "e.parquet")
+    )
+
+    def drain(tag):
+        ev = read_event_stream(spark, input_dir)
+        out = run_available_now(
+            sessionize_stream(ev, gap_seconds=6 * 3600, timeout="none"),
+            f"sess_det_{tag}",
+            str(tmp_path / f"ckpt_{tag}"),
+            output_mode="append",
+        )
+        return sorted(map(repr, (tuple(r) for r in out.collect())))
+
+    assert drain("a") == drain("b")
+
+
+def test_sessionize_event_timeout_flushes_idle(spark, tmp_path):
+    """timeout='event': once the watermark passes session_end + gap, an
+    idle user's session flushes WITHOUT a closing event — the bounded-
+    state production mode (EventTimeTimeout, not wall clock)."""
+    from crypto_etl_pipeline_spark.streaming.incremental import (
+        read_event_stream,
+        run_available_now,
+        sessionize_stream,
+    )
+
+    from crypto_etl_pipeline_spark.streaming.incremental import sessionize_stream as _sess
+
+    t0 = 1_700_000_000  # fixed epoch base
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def drain():
+        # parquet sink: the only sink kind that recovers stateful
+        # progress from the checkpoint across separate drains
+        ev = read_event_stream(spark, input_dir)
+        q = (
+            sessionize_stream(ev, gap_seconds=600, timeout="event", watermark="10 seconds")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        try:
+            return [tuple(r) for r in spark.read.parquet(sink).collect()]
+        except Exception:  # sink dir still empty
+            return []
+
+    # drain 1: user 1 has a 2-event session; nothing can flush yet
+    _write_event_file(spark, os.path.join(input_dir, "f1.parquet"),
+                      [(1, t0, 1, 1.0), (2, t0 + 30, 1, 2.0)])
+    assert drain() == []
+
+    # drain 2: a much-later event from ANOTHER user advances the
+    # watermark far past user 1's end + gap; drain 3 then fires the
+    # event-time timeout against that watermark and emits user 1's idle
+    # session (never closed by an event of its own)
+    _write_event_file(spark, os.path.join(input_dir, "f2.parquet"),
+                      [(3, t0 + 86_400, 2, 5.0)])
+    drain()
+    _write_event_file(spark, os.path.join(input_dir, "f3.parquet"),
+                      [(4, t0 + 2 * 86_400, 2, 7.0)])
+    rows = drain()
+    assert any(r[0] == 1 and r[3] == 2 and abs(r[4] - 3.0) < 1e-9 for r in rows), rows
