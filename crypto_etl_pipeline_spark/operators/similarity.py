@@ -325,6 +325,31 @@ def _nearest_centroid_pd(centroids: list[list[float]]):
     return nearest
 
 
+def _nearest_cells_pd(centroids: list[list[float]], nprobe: int):
+    """Arrow-batched nprobe-nearest-cells (the query-side probe).
+
+    Same quantized exact-integer distances as :func:`_nearest_centroid`;
+    stable argsort breaks distance ties to the lowest centroid index,
+    matching the oracle's ``ORDER BY d, idx``. Exists because the
+    unrolled k-centroid HOF expression costs ~2 s of Catalyst
+    analysis/codegen per query regardless of row count — a plan-size
+    tax the UDF avoids entirely.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    M = np.asarray([_quantize(c) for c in centroids], dtype=np.float64).T  # (dim, k)
+    c2 = (M * M).sum(axis=0)  # |qc|^2 per centroid
+
+    @pandas_udf("array<int>")
+    def nearest_cells(v: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v], dtype=np.float64)
+        d = -2.0 * (np.floor(X * LSH_SCALE) @ M) + c2  # |qv|^2 constant per row — omitted
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    return nearest_cells
+
+
 def ivf_build_centroids(
     corpus: DataFrame,
     k: int = 16,
@@ -402,26 +427,15 @@ def ivf_topk(
 
     if cells is None:
         cells = ivf_assign_cells(corpus, centroids, id_col, vec_col)
-    # nprobe nearest cells per query: lexicographic array_sort of
-    # (distance, idx) structs, then slice. Same quantized distance as
-    # the corpus assignment.
-    scale = F.lit(float(LSH_SCALE))
-    probe_structs = []
-    for i, c in enumerate(centroids):
-        qc = _quantize(c)
-        lit = F.array(*[F.lit(v) for v in qc])
-        qdot = F.aggregate(
-            F.zip_with(F.col(vec_col), lit, lambda x, y: F.floor(x.cast("double") * scale) * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        d = -2 * qdot + sum(v * v for v in qc)
-        probe_structs.append(F.struct(d.alias("dist"), F.lit(i).alias("idx")))
-    probes = F.slice(F.array_sort(F.array(*probe_structs)), 1, nprobe)
+    # nprobe nearest cells per query: Arrow-batched stable argsort over
+    # the same quantized distances as the corpus assignment (the
+    # unrolled expression alternative costs ~2 s of plan analysis).
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
-        F.explode(F.transform(probes, lambda s: s.getField("idx"))).alias("_cell"),
+        F.explode(
+            _nearest_cells_pd(centroids, nprobe)(F.col(vec_col))
+        ).alias("_cell"),
     )
     sims = (
         cells.join(F.broadcast(q), "_cell")
