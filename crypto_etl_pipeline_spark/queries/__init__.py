@@ -22,6 +22,7 @@ from crypto_etl_pipeline_spark.queries import analytics  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import pipelines  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import timeseries  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import quality  # noqa: F401, E402
+from crypto_etl_pipeline_spark.queries import tpch_extra  # noqa: F401, E402
 
 
 def queries():
