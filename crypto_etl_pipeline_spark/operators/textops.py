@@ -140,3 +140,96 @@ def jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+# --------------------------------------------------------------------------
+# Repetition signals (Gopher-style corpus quality features)
+# --------------------------------------------------------------------------
+
+def duplicate_ngram_fraction(toks: Column, n: int = 3) -> Column:
+    """Fraction of n-gram OCCURRENCES that are repeats of an earlier one
+    (1 - distinct/total) — the classic within-document repetition signal.
+    Pure expression over the token-array attribute; 0.0 for docs shorter
+    than n tokens."""
+    sh = shingles_of(toks, n)
+    return F.when(
+        F.size(sh) > 0,
+        F.round(1 - F.size(F.array_distinct(sh)) / F.size(sh), 6),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_signals(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document repetition features: top-unigram coverage,
+    top-bigram coverage, duplicate-trigram fraction.
+
+    Top-n-gram coverage (share of all n-gram occurrences taken by the
+    single most frequent one) needs per-gram counts, so it is a
+    shuffle-based two-level aggregation (explode -> count -> max/sum),
+    NOT a higher-order expression — per-doc gram histograms inside a
+    lambda would re-evaluate the tokenizer per element (see
+    operators/dedup.py). All three aggs key on the id, so the initial
+    id-repartition is reused by every exchange; map-side partials keep
+    the shuffles gram-count-sized.
+    """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(n_parts, F.col(id_col)).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+
+    def top_cov(gram_col: Column, out: str):
+        return (
+            base.select(F.col(id_col), F.explode(gram_col).alias("_g"))
+            .groupBy(id_col, "_g")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy(id_col)
+            .agg(F.round(F.max("_c") / F.sum("_c"), 6).alias(out))
+        )
+
+    uni = top_cov(F.col("_toks"), "top_unigram_cov")
+    bi = top_cov(shingles_of(F.col("_toks"), 2), "top_bigram_cov")
+    tri = base.select(
+        F.col(id_col), duplicate_ngram_fraction(F.col("_toks"), 3).alias("dup_trigram_frac")
+    )
+    return uni.join(bi, id_col).join(tri, id_col)
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene pass)
+# --------------------------------------------------------------------------
+
+#: patterns restricted to the Java-regex / RE2 common subset so the
+#: DuckDB oracle applies the byte-identical regexes.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\b\d{3}-\d{4}\b",
+}
+
+#: replacement token per pattern
+PII_TOKENS = {"email": "[EMAIL]", "url": "[URL]", "phone": "[PHONE]"}
+
+#: application order matters (an email inside a URL query string should
+#: be consumed by the URL rule only if URLs are replaced first — we
+#: deliberately redact emails first so mailto-style text loses the
+#: address itself); keep it fixed and mirrored in the oracle.
+PII_ORDER = ("email", "url", "phone")
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Match counts per PII class (cheap pre-redaction audit columns)."""
+    t = _as_col(text)
+    return {
+        name: F.size(F.regexp_extract_all(t, F.lit(PII_PATTERNS[name]), F.lit(0)))
+        for name in PII_ORDER
+    }
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every email/URL/phone match with its class token.
+
+    Sequential regexp_replace chain in PII_ORDER — one codegen'd pass
+    per pattern, no Python. At 100 TB this is a map-only stage."""
+    out = _as_col(text)
+    for name in PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[name], PII_TOKENS[name])
+    return out

@@ -213,3 +213,39 @@ def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
             "total",
         )
     )
+
+
+@register(
+    "json_extract_props_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS n_with_k,
+           round(avg(k), 6) AS avg_k,
+           min(k) AS min_k, max(k) AS max_k
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+    description="Semi-structured JSON extraction (from_json) + grouped stats over event props",
+    tags=("json", "agg"),
+)
+def json_extract_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing of the props column via from_json with an
+    explicit schema (never schema inference on the hot path — the
+    parser is a codegen'd expression, one map-only pass at any scale),
+    then grouped stats including a null-audit count."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0)).alias("n_with_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

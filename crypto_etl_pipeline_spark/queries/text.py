@@ -454,3 +454,128 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed fraction of the corpus at any scale."""
     docs = load_table(spark, sf_dir, "documents")
     return winnow_fingerprints(docs, "text", "doc_id", k=3, w=4)
+
+
+@register(
+    "text_repetition_signals",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
+    ),
+    uni AS (
+      SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_unigram_cov
+      FROM (SELECT doc_id, g, count(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS g FROM toks) GROUP BY doc_id, g)
+      GROUP BY doc_id
+    ),
+    bi AS (
+      SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_bigram_cov
+      FROM (SELECT doc_id, g, count(*) AS c
+            FROM (SELECT doc_id,
+                         unnest(CASE WHEN len(t) >= 2 THEN
+                           list_transform(generate_series(1, len(t) - 1),
+                                          i -> t[i] || '_' || t[i+1])
+                         ELSE [] END) AS g
+                  FROM toks) GROUP BY doc_id, g)
+      GROUP BY doc_id
+    ),
+    tri AS (
+      SELECT doc_id,
+             CASE WHEN len(g3) > 0
+                  THEN round(1 - len(list_distinct(g3)) * 1.0 / len(g3), 6)
+                  ELSE 0.0 END AS dup_trigram_frac
+      FROM (SELECT doc_id,
+                   CASE WHEN len(t) >= 3 THEN
+                     list_transform(generate_series(1, len(t) - 2),
+                                    i -> t[i] || '_' || t[i+1] || '_' || t[i+2])
+                   ELSE [] END AS g3
+            FROM toks)
+    )
+    SELECT doc_id, top_unigram_cov, top_bigram_cov, dup_trigram_frac
+    FROM uni JOIN bi USING (doc_id) JOIN tri USING (doc_id)
+    """,
+    description="Gopher-style repetition features: top-n-gram coverage + duplicate-trigram fraction",
+    tags=("text", "quality"),
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.repetition_signals(docs, "text", "doc_id")
+
+
+@register(
+    "text_pii_redact",
+    oracle=r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or '
+                  || 'https://example.com/u/' || doc_id
+                  || ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+               AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(t, 'https?://[^\s]+'))  AS n_urls,
+           len(regexp_extract_all(t, '\b\d{3}-\d{4}\b'))  AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   'https?://[^\s]+', '[URL]', 'g'),
+                 '\b\d{3}-\d{4}\b', '[PHONE]', 'g')) AS redacted_md5
+    FROM seeded
+    """,
+    description="PII scrubbing (email/URL/phone) with audit counts; input seeded deterministically",
+    tags=("text", "quality"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The testdata corpus contains no organic PII, so the query seeds
+    each document with a deterministic email/URL/phone derived from its
+    id (both engines build byte-identical input), then runs the real
+    redaction pass: per-class match counts + md5 of the redacted text.
+    The operator itself (textops.redact_pii) is input-agnostic."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com or "),
+            F.lit("https://example.com/u/"), F.col("doc_id").cast("string"),
+            F.lit(" call 555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("_t"),
+    )
+    counts = textops.pii_counts(F.col("_t"))
+    return seeded.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["url"].alias("n_urls"),
+        counts["phone"].alias("n_phones"),
+        F.md5(textops.redact_pii(F.col("_t"))).alias("redacted_md5"),
+    )
+
+
+@register(
+    "doc_length_histogram",
+    oracle="""
+    SELECT cast(floor(n_chars / 100) AS BIGINT) AS bucket_100ch,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    description="Document length histogram (100-char buckets) for corpus shaping",
+    tags=("text", "agg"),
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.floor(F.col("n_chars") / 100).cast("long").alias("bucket_100ch")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

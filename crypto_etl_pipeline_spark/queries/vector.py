@@ -219,3 +219,80 @@ def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ivf_build_centroids(emb, k=IVF_K, iters=2)
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     return ivf_topk(emb, queries, cents, k=TOP_K, nprobe=IVF_NPROBE)
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS sc
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, embedding, sc,
+             CASE WHEN sc = 0 THEN list_transform(embedding, x -> 0::BIGINT)
+                  ELSE list_transform(embedding, x -> round(x::DOUBLE / sc, 0)::BIGINT)
+             END AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           list_sum(list_transform(qv, x -> abs(x)))::BIGINT AS q_l1,
+           round(list_sum(list_transform(generate_series(1, len(embedding)),
+                                         i -> pow(embedding[i]::DOUBLE - qv[i] * sc, 2))), 8)
+             AS recon_err
+    FROM q
+    """,
+    description="Symmetric int8 scalar quantization of embeddings + reconstruction error",
+    tags=("similarity", "quantize"),
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x|/127,
+    q_i = round(x_i/scale) (so the max maps to +/-127), plus the L2
+    reconstruction error — the storage-shrink pass an embedding corpus
+    runs before ANN indexing (4x smaller vectors, one map-only stage).
+
+    The scale is computed behind its OWN projection and an exchange
+    (_spread) separates it from the lambdas that reference it: an
+    inlined array_max would re-evaluate per element under the HOF
+    re-evaluation hazard (operators/dedup.py). A zero vector (scale 0)
+    quantizes to all zeros rather than dividing by zero.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = _spread(emb, "vec_id").select(
+        "vec_id",
+        F.col("embedding").alias("_v"),
+        (
+            F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+            / 127.0
+        ).alias("_s"),
+    )
+    q = s.select(
+        "vec_id",
+        "_v",
+        "_s",
+        F.when(
+            F.col("_s") == 0,
+            F.transform(F.col("_v"), lambda x: F.lit(0).cast("long")),
+        )
+        .otherwise(
+            F.transform(
+                F.col("_v"), lambda x: F.round(x.cast("double") / F.col("_s"), 0).cast("long")
+            )
+        )
+        .alias("_q"),
+    )
+    err_terms = F.zip_with(
+        F.col("_v"),
+        F.col("_q"),
+        lambda x, qq: F.pow(x.cast("double") - qq * F.col("_s"), 2),
+    )
+    return q.select(
+        "vec_id",
+        F.aggregate(
+            F.transform(F.col("_q"), lambda x: F.abs(x)),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).alias("q_l1"),
+        F.round(F.aggregate(err_terms, F.lit(0.0), lambda a, b: a + b), 8).alias("recon_err"),
+    )
