@@ -204,3 +204,50 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames_stub(attach_fake_payloads(docs), every_n_bytes=256)
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts_s,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS c_ts_s,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS delay_sec,
+           round(p.value, 6) AS purchase_value
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 86400 SECOND AND p.ts
+    """,
+    description="Stream-stream interval join (purchase <- same-user clicks within 24h), availableNow drain",
+    tags=("streaming", "join"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from crypto_etl_pipeline_spark.streaming.incremental import (
+        interval_join_streams,
+        read_event_stream,
+        run_available_now,
+    )
+
+    # Two independent stream readers over the same staged directory —
+    # a genuine two-source stream-stream join, not a self-reference.
+    d = _stage_dir(sf_dir, copies=1)
+    joined = interval_join_streams(
+        read_event_stream(spark, d), read_event_stream(spark, d)
+    )
+    out = run_available_now(
+        joined, f"ij_{uuid.uuid4().hex[:8]}", _checkpoint(), output_mode="append"
+    )
+    return out.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts_s"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("c_ts_s"),
+        F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000").alias("delay_sec"),
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )

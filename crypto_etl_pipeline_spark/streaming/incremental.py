@@ -274,3 +274,50 @@ def run_available_now(
             "sink is partial — refusing to return it"
         )
     return spark.table(query_name)
+
+
+def interval_join_streams(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    interval_seconds: int = 86_400,
+    watermark: str = "35 days",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joins the same user's
+    clicks from the preceding ``interval_seconds``.
+
+    The canonical attribution shape. Both sides carry watermarks and the
+    join condition bounds event-time distance, so the state store can
+    evict rows once the other side's watermark passes their ts +
+    interval — without the time bound a stream-stream join would keep
+    BOTH sides' full history in state forever. Inner-join output is a
+    pure function of the inputs (every in-bound match is emitted
+    regardless of watermark pacing), which is what the batch oracle
+    checks; the watermark only governs state eviction.
+    """
+    p = (
+        purchases.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("user_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    c = (
+        clicks.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("user_id").alias("c_user_id"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {interval_seconds} SECOND"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    return p.join(c, cond, "inner").select(
+        "purchase_id", "click_id", "user_id", "p_ts", "c_ts", "purchase_value"
+    )
