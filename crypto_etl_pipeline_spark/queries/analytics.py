@@ -249,3 +249,157 @@ def json_extract_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@register(
+    "cdc_apply_changeset",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             o_orderpriority, 'D' AS op, 1 AS seq
+      FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2, o_orderdate,
+             o_orderpriority, 'U', 1
+      FROM orders WHERE o_orderkey % 100 = 1
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 4, o_orderdate,
+             o_orderpriority, 'U', 2
+      FROM orders WHERE o_orderkey % 100 = 1
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority, 'I', 1
+      FROM orders WHERE o_orderkey % 100 = 2
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 8, o_orderdate,
+             o_orderpriority, 'U', 1
+      FROM orders WHERE o_orderkey % 100 = 3
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             o_orderpriority, 'D', 1
+      FROM orders WHERE o_orderkey % 100 = 3
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                     ORDER BY seq DESC, (op = 'D') DESC) AS rn
+        FROM changes) WHERE rn = 1
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+    FROM (
+      SELECT o.* FROM orders o LEFT JOIN latest l USING (o_orderkey)
+      WHERE l.o_orderkey IS NULL
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             o_orderpriority
+      FROM latest WHERE op != 'D'
+    )
+    """,
+    description="CDC MERGE: apply an I/U/D changeset to a keyed snapshot (latest-seq wins, delete-final)",
+    tags=("cdc", "join"),
+)
+def cdc_apply_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changeset synthesized deterministically from the orders table on
+    both engines: deletes (key%100=0), two-version updates (key%100=1,
+    latest seq wins -> x4), inserts under shifted keys (key%100=2), and
+    an equal-seq U+D conflict (key%100=3, delete wins). Updated prices
+    use power-of-two multiplies — exact in binary floating point, so no
+    rounding discipline is needed on the money column."""
+    from crypto_etl_pipeline_spark.operators.cdc import apply_changeset
+
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+
+    def chg(pred, price: F.Column, op: str, seq: int, shift: int = 0):
+        return o.where(pred).select(
+            (k + shift).alias("o_orderkey"), "o_custkey", "o_orderstatus",
+            price.alias("o_totalprice"), "o_orderdate", "o_orderpriority",
+            F.lit(op).alias("op"), F.lit(seq).alias("seq"),
+        )
+
+    p = F.col("o_totalprice")
+    changes = (
+        chg(k % 100 == 0, p, "D", 1)
+        .unionByName(chg(k % 100 == 1, p * 2, "U", 1))
+        .unionByName(chg(k % 100 == 1, p * 4, "U", 2))
+        .unionByName(chg(k % 100 == 2, p, "I", 1, shift=10_000_000))
+        .unionByName(chg(k % 100 == 3, p * 8, "U", 1))
+        .unionByName(chg(k % 100 == 3, p, "D", 1))
+    )
+    nxt = apply_changeset(o, changes, key="o_orderkey")
+    return nxt.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        "o_orderpriority",
+    )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_viewed,
+           (SELECT count(*) FROM c) AS n_clicked_after_view,
+           (SELECT count(*) FROM p) AS n_purchased_after_click,
+           round((SELECT count(*) FROM c) * 1.0 / (SELECT count(*) FROM v), 6)
+             AS click_rate,
+           round((SELECT count(*) FROM p) * 1.0 / (SELECT count(*) FROM c), 6)
+             AS purchase_rate
+    """,
+    description="Ordered funnel conversion (view -> click -> purchase) with per-stage rates",
+    tags=("analytics", "join"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage ordered funnel: each stage joins back to the prior
+    stage's first-event time (events strictly after it count). The
+    stage tables are user-keyed aggregates, so every join shuffles on
+    user_id once and the final counts are scalar crossJoins — no
+    driver-side logic."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_viewed"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_clicked_after_view"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchased_after_click"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_viewed",
+            "n_clicked_after_view",
+            "n_purchased_after_click",
+            F.round(F.col("n_clicked_after_view") / F.col("n_viewed"), 6).alias("click_rate"),
+            F.round(F.col("n_purchased_after_click") / F.col("n_clicked_after_view"), 6).alias(
+                "purchase_rate"
+            ),
+        )
+    )

@@ -74,3 +74,27 @@ def test_salted_join_left_keeps_unmatched_skewed_rows(spark):
         for r in salted_join(big, dim, "k", "line", n_salts=4, how="left").collect()
     )
     assert got == [(1, 10, "a"), (9, 11, None)]
+
+
+def test_apply_changeset_semantics(spark):
+    """Latest seq wins; delete beats update at equal seq; inserts land;
+    untouched rows pass through; replay is idempotent."""
+    from crypto_etl_pipeline_spark.operators.cdc import apply_changeset
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", "U", 1), (1, "a3", "U", 2),   # latest wins -> a3
+            (2, "x", "U", 5), (2, "x", "D", 5),      # tie -> delete wins
+            (9, "new", "I", 1),                       # insert
+        ],
+        "k int, v string, op string, seq int",
+    )
+    out = apply_changeset(snap, changes, key="k")
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [(1, "a3"), (3, "c"), (9, "new")]
+    # replaying the same changeset over the result changes nothing
+    again = apply_changeset(out, changes, key="k")
+    assert sorted(tuple(r) for r in again.collect()) == got
