@@ -403,3 +403,75 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_distinct,
+           true AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    description="HLL approx_count_distinct with its 5% accuracy contract oracle-checked",
+    tags=("approx", "agg"),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates have engine-specific sketch values, so the
+    oracle checks the CONTRACT instead: the HLL estimate (rsd=0.02) must
+    land within 5% of the exact distinct count, emitted as a boolean the
+    DuckDB side asserts as literal true. At 100 TB the approx variant is
+    the one you run — the sketch is mergeable map-side, the exact count
+    shuffles every distinct (type, user) pair."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_distinct"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "exact_distinct",
+            (
+                F.abs(F.col("_approx") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("approx_within_5pct"),
+        )
+    )
+
+
+@register(
+    "approx_percentile_value",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS exact_median,
+           true AS approx_within_1pct
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+    description="approx_percentile with its accuracy contract oracle-checked against the exact median",
+    tags=("approx", "agg"),
+)
+def approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract pattern for quantile sketches: the approximate
+    median (accuracy=10000) must land within 1% of the exact
+    interpolated median. The exact percentile is also emitted so the
+    value itself is hash-compared."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.5)).alias("_exact"),
+            F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            F.round("_exact", 4).alias("exact_median"),
+            (
+                F.abs(F.col("_approx") - F.col("_exact"))
+                <= 0.01 * F.abs(F.col("_exact"))
+            ).alias("approx_within_1pct"),
+        )
+    )
