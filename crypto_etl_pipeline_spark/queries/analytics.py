@@ -475,3 +475,85 @@ def approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_within_1pct"),
         )
     )
+
+
+@register(
+    "roundtrip_jsonl_events",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(user_id) AS sum_users,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    description="JSONL sink -> explicit-schema source roundtrip, aggregate vs direct-parquet oracle",
+    tags=("source", "sink", "agg"),
+)
+def roundtrip_jsonl_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writes the events table to JSON-lines and reads it back with an
+    explicit schema before aggregating — the oracle aggregates the
+    original parquet directly, so any loss in the JSONL write/read path
+    (type widening, row drops, encoding) breaks the hash match. The ts
+    column stays out of the projection: JSON timestamp serialization is
+    format-lossy by design (micros -> text), which is a property of the
+    format, not this engine."""
+    import tempfile
+
+    from crypto_etl_pipeline_spark.sources.sinks import read_jsonl, write_jsonl
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="events_jsonl_") + "/events"
+    write_jsonl(ev, path)
+    back = read_jsonl(
+        spark, path, "event_id long, user_id long, event_type string, value double"
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("user_id").alias("sum_users"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "partitioned_write_prune_read",
+    oracle="""
+    SELECT l_linestatus,
+           count(*) AS n,
+           round(sum(l_extendedprice), 4) AS sum_price
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+    description="partitionBy write -> partition-pruned read-back, value-checked against direct scan",
+    tags=("source", "sink", "agg"),
+)
+def partitioned_write_prune_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writes lineitem partitioned by l_returnflag, reads back with a
+    partition filter (pruned at planning — only the 'R' directory is
+    listed), and aggregates; the oracle scans the original parquet
+    directly. Value-checks the partitioned-layout path end to end —
+    the plan-level PartitionFilters assertion lives in
+    tests/test_scale_patterns.py."""
+    import tempfile
+
+    from crypto_etl_pipeline_spark.sources.sinks import write_parquet
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    path = tempfile.mkdtemp(prefix="li_part_") + "/lineitem"
+    write_parquet(li, path, partition_by=["l_returnflag"])
+    back = spark.read.parquet(path).where(F.col("l_returnflag") == "R")
+    return (
+        back.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+    )

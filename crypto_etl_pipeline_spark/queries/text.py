@@ -579,3 +579,54 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+@register(
+    "pipeline_dedup_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    edges AS (SELECT id_a AS a, id_b AS b FROM mh_pairs
+              UNION SELECT id_b, id_a FROM mh_pairs),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    clusters AS (
+      SELECT id AS doc_id, min(label) = id AS is_canonical
+      FROM reach GROUP BY id
+    )
+    SELECT d.lang,
+           count(*) AS n_total,
+           sum(CASE WHEN c.is_canonical THEN 1 ELSE 0 END) AS n_kept,
+           sum(CASE WHEN c.is_canonical THEN 0 ELSE 1 END) AS n_removed,
+           sum(CASE WHEN c.is_canonical THEN d.n_chars ELSE 0 END) AS kept_chars
+    FROM documents d JOIN clusters c USING (doc_id)
+    GROUP BY d.lang
+    """,
+    description="End-to-end corpus dedup: MinHash-LSH pairs -> clusters -> canonical-keep -> per-lang yield",
+    tags=("dedup", "pipeline", "iterative"),
+)
+def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production dedup flow a 100 TB corpus runs nightly:
+    LSH candidate pairs (collision-density cost) -> distributed
+    connected components -> keep the min-id canonical per cluster ->
+    per-language retention report. Every stage is the already
+    oracle-checked operator; the composition is value-checked end to
+    end here."""
+    from crypto_etl_pipeline_spark.operators.cluster import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_minhash(docs, threshold=0.05).select("id_a", "id_b")
+    clusters = dedup_clusters(docs, pairs).select("doc_id", "is_canonical")
+    keep_flag = F.col("is_canonical")
+    return (
+        docs.join(clusters, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(keep_flag, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(keep_flag, 0).otherwise(1)).alias("n_removed"),
+            F.sum(F.when(keep_flag, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+        )
+    )

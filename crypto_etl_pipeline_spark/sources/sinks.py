@@ -49,3 +49,22 @@ def write_timestamped_csv(
     path = f"{base_dir}/{stem}_{timestamp_suffix(now)}"
     write_csv(df, path, single_file=True)
     return path
+
+
+def write_jsonl(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """JSON-lines sink — the de-facto interchange format for
+    training-data corpora. One JSON object per line, splittable,
+    readable by any downstream tokenizer pipeline. ``single_file``
+    as in :func:`write_csv` (never at scale)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark, path: str, schema):
+    """JSON-lines source with an EXPLICIT schema.
+
+    Schema inference on JSON costs a full extra pass over the data and
+    silently widens types; at 100 TB it is never acceptable — callers
+    pass the DDL string or StructType they expect, and corrupt rows
+    surface as nulls in the columns they fail to parse."""
+    return spark.read.schema(schema).json(path)
