@@ -630,3 +630,69 @@ def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(keep_flag, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
         )
     )
+
+
+@register(
+    "corpus_mix_sample",
+    oracle="""
+    WITH rates(lang, rate) AS (VALUES
+      ('en', 1.0), ('zh', 0.5), ('de', 0.25), ('es', 0.25), ('fr', 0.25)),
+    g AS (
+      SELECT d.lang, r.rate,
+             ('0x' || substr(md5(d.doc_id::VARCHAR || 'mix-v1'), 1, 15))::BIGINT
+               % 1000000 AS gate
+      FROM documents d JOIN rates r USING (lang)
+    )
+    SELECT lang,
+           count(*) AS n_total,
+           sum(CASE WHEN gate < floor(rate * 1000000)::BIGINT THEN 1 ELSE 0 END)
+             AS n_sampled
+    FROM g GROUP BY lang
+    """,
+    description="Corpus mixing: per-language hash-Bernoulli sampling rates (deterministic, layout-independent)",
+    tags=("sampling", "text"),
+)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mixing weights applied as a broadcast-joined rate
+    column + md5 hash gate (operators/sampling.py): reproducible across
+    runs/engines/partition layouts, unlike df.sample(). Reports
+    retained-vs-total per language."""
+    from crypto_etl_pipeline_spark.operators.sampling import GATE, hash_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = docs.sparkSession.createDataFrame(
+        [("en", 1.0), ("zh", 0.5), ("de", 0.25), ("es", 0.25), ("fr", 0.25)],
+        "lang string, rate double",
+    )
+    g = docs.join(F.broadcast(rates), "lang").select(
+        "lang",
+        hash_gate(F.col("doc_id"), "mix-v1").alias("_gate"),
+        (F.floor(F.col("rate") * GATE)).cast("long").alias("_cut"),
+    )
+    return g.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("_gate") < F.col("_cut"), 1).otherwise(0)).alias("n_sampled"),
+    )
+
+
+@register(
+    "corpus_hash_split",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || 'split-v1'), 1, 15))::BIGINT
+                     % 1000000 < 900000 THEN 'train'
+                WHEN ('0x' || substr(md5(doc_id::VARCHAR || 'split-v1'), 1, 15))::BIGINT
+                     % 1000000 < 950000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    description="Deterministic train/val/test assignment by salted hash ranges (90/5/5)",
+    tags=("sampling", "text"),
+)
+def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_etl_pipeline_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="split-v1"
+    ).select("doc_id", "lang", "split")
