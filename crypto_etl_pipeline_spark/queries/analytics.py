@@ -557,3 +557,108 @@ def partitioned_write_prune_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
         )
     )
+
+
+@register(
+    "window_rank_suite",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4)       OVER w AS acctbal_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume,
+           first_value(c_custkey) OVER w AS richest_in_segment,
+           round(c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_mktsegment), 4)
+             AS bal_vs_segment_avg
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    description="Window-function breadth: ntile, percent_rank, cume_dist, first_value, windowed avg delta",
+    tags=("window",),
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One partitioned-ordered window feeds four ranking functions plus
+    an unordered windowed aggregate — all inside a single Window
+    physical operator per spec (partitioned by segment, so no global
+    window at any scale). The order key is (acctbal DESC, custkey) to
+    make every rank deterministic under ties."""
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    wa = Window.partitionBy("c_mktsegment")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("acctbal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("c_custkey").over(w).alias("richest_in_segment"),
+        F.round(F.col("c_acctbal") - F.avg("c_acctbal").over(wa), 4).alias("bal_vs_segment_avg"),
+    )
+
+
+@register(
+    "fuzzy_match_suppliers",
+    oracle="""
+    WITH dirty AS (
+      SELECT s_suppkey AS dirty_id,
+             CASE WHEN s_suppkey % 2 = 1
+                  THEN substr(s_name, 1, 17) || 'X' ELSE s_name END AS dirty_name
+      FROM supplier
+    ),
+    cand AS (
+      SELECT d.dirty_id, d.dirty_name, s.s_suppkey, s.s_name,
+             levenshtein(d.dirty_name, s.s_name) AS dist
+      FROM dirty d JOIN supplier s
+        ON substr(d.dirty_name, 1, 14) = substr(s.s_name, 1, 14)
+      WHERE levenshtein(d.dirty_name, s.s_name) <= 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY dirty_id
+                                   ORDER BY dist, s_name) AS rk
+      FROM cand
+    )
+    SELECT dirty_id, dirty_name, s_suppkey AS matched_id, dist,
+           dirty_id = s_suppkey AS exact_entity
+    FROM ranked WHERE rk = 1
+    """,
+    description="Record linkage: blocked fuzzy join (prefix block + levenshtein rank)",
+    tags=("linkage", "join", "window"),
+)
+def fuzzy_match_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution demo over deterministically-corrupted supplier
+    names (odd keys get their last char replaced): prefix-14 blocking +
+    levenshtein <= 2 + best-candidate rank. Corrupted names sit at
+    distance 1 from SEVERAL same-prefix suppliers, so the deterministic
+    (dist, name) tie-break can pick a neighbor — `exact_entity` reports
+    linkage accuracy honestly rather than pretending blocking+edit
+    distance is exact."""
+    from crypto_etl_pipeline_spark.operators.linkage import blocked_fuzzy_join
+
+    supp = load_table(spark, sf_dir, "supplier")
+    dirty = supp.select(
+        F.col("s_suppkey").alias("dirty_id"),
+        F.when(
+            F.col("s_suppkey") % 2 == 1,
+            F.concat(F.substring("s_name", 1, 17), F.lit("X")),
+        )
+        .otherwise(F.col("s_name"))
+        .alias("dirty_name"),
+    )
+    best = blocked_fuzzy_join(
+        dirty,
+        supp.select("s_suppkey", "s_name"),
+        left_id="dirty_id",
+        left_text="dirty_name",
+        right_text="s_name",
+        block=lambda c: F.substring(c, 1, 14),
+        max_dist=2,
+        top_k=1,
+    )
+    return best.select(
+        "dirty_id",
+        "dirty_name",
+        F.col("s_suppkey").alias("matched_id"),
+        "dist",
+        (F.col("dirty_id") == F.col("s_suppkey")).alias("exact_entity"),
+    )
