@@ -662,3 +662,41 @@ def fuzzy_match_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist",
         (F.col("dirty_id") == F.col("s_suppkey")).alias("exact_entity"),
     )
+
+
+@register(
+    "stratified_fixed_k_sample",
+    oracle="""
+    SELECT lang, doc_id
+    FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || 'strat-v1'), 1, 15))::BIGINT
+                          % 1000000,
+                        doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 5
+    """,
+    description="Exactly-k-per-stratum deterministic sample (hash-ordered WindowGroupLimit)",
+    tags=("sampling",),
+)
+def stratified_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 documents per language, chosen by salted-hash order —
+    deterministic across runs/engines/layouts (df.sampleBy gives only
+    EXPECTED fractions and is layout-dependent). Plans as
+    WindowGroupLimit: the top-k prunes map-side before the shuffle, so
+    at 100 TB each partition forwards at most k rows per stratum."""
+    from pyspark.sql.window import Window
+
+    from crypto_etl_pipeline_spark.operators.sampling import hash_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        hash_gate(F.col("doc_id"), "strat-v1"), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= 5)
+        .select("lang", "doc_id")
+    )

@@ -201,3 +201,72 @@ def having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("n_orders") >= 15) & (F.col("_sum") > 1_000_000))
         .select("o_custkey", "n_orders", F.round("_sum", 2).alias("total"))
     )
+
+
+@register(
+    "timeseries_gapfill_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+             round(sum(coalesce(value, 0.0)), 4) AS hour_value
+      FROM events WHERE user_id < 20
+      GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    span AS (
+      SELECT user_id, min(hour_ts) AS t0, max(hour_ts) AS t1 FROM hourly
+      GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour_ts
+      FROM span
+    ),
+    joined AS (
+      SELECT g.user_id, g.hour_ts, h.hour_value
+      FROM grid g LEFT JOIN hourly h USING (user_id, hour_ts)
+    )
+    SELECT user_id,
+           strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_s,
+           hour_value IS NOT NULL AS observed,
+           round(last_value(hour_value IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY hour_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS filled_value
+    FROM joined
+    """,
+    description="Hypertable-style hourly gap-fill with forward-fill (dense grid + last ignorenulls)",
+    tags=("timeseries", "window"),
+)
+def timeseries_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly grid per user (sequence over the user's own span,
+    exploded) left-joined to the observed hourly rollup, then
+    forward-filled with last(ignorenulls) over a per-user window. Every
+    stage partitions by user_id — the grid explode, the join, and the
+    fill window share the key, so no global window and one effective
+    shuffle at scale. The grid is generated, never collected."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 4).alias("hour_value"))
+    span = hourly.groupBy("user_id").agg(
+        F.min("hour_ts").alias("_t0"), F.max("hour_ts").alias("_t1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("_t0"), F.col("_t1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts"),
+    )
+    joined = grid.join(hourly, ["user_id", "hour_ts"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+        F.col("hour_value").isNotNull().alias("observed"),
+        F.round(F.last("hour_value", ignorenulls=True).over(w), 4).alias("filled_value"),
+    )
