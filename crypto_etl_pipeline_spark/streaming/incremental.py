@@ -321,3 +321,50 @@ def interval_join_streams(
     return p.join(c, cond, "inner").select(
         "purchase_id", "click_id", "user_id", "p_ts", "c_ts", "purchase_value"
     )
+
+
+def run_cdc_stream(
+    changes_stream: DataFrame,
+    snapshot_seed: DataFrame,
+    snapshot_dir: str,
+    key: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Maintain a parquet snapshot from a stream of CDC changesets.
+
+    ``foreachBatch`` + :func:`operators.cdc.apply_changeset`: each
+    micro-batch applies its changes to the latest snapshot version and
+    writes ``{snapshot_dir}/v{batch_id}``. Versioned directories make
+    the sink idempotent — a replayed batch_id overwrites its own
+    version, which together with the checkpoint gives exactly-once
+    snapshot maintenance (the lakehouse MERGE loop, minus a table
+    format). Returns the final snapshot as a batch DataFrame.
+    """
+    import glob as _glob
+
+    from crypto_etl_pipeline_spark.operators.cdc import apply_changeset
+
+    spark = changes_stream.sparkSession
+
+    def _latest() -> DataFrame:
+        versions = sorted(
+            _glob.glob(f"{snapshot_dir}/v*"),
+            key=lambda p: int(p.rsplit("v", 1)[1]),
+        )
+        return spark.read.parquet(versions[-1]) if versions else snapshot_seed
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        nxt = apply_changeset(_latest(), batch_df, key=key)
+        nxt.write.mode("overwrite").parquet(f"{snapshot_dir}/v{batch_id}")
+
+    q = (
+        changes_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"CDC stream did not drain within {timeout_sec}s")
+    return _latest()

@@ -268,3 +268,43 @@ def test_sessionize_event_timeout_flushes_idle(spark, tmp_path):
                       [(4, t0 + 2 * 86_400, 2, 7.0)])
     rows = drain()
     assert any(r[0] == 1 and r[3] == 2 and abs(r[4] - 3.0) < 1e-9 for r in rows), rows
+
+
+def test_cdc_stream_maintains_snapshot(spark, tmp_path):
+    """foreachBatch CDC loop: draining a stream of changeset files
+    yields the same snapshot as applying the merged changeset in batch —
+    and maxFilesPerTrigger=1 forces MULTIPLE sequential micro-batches,
+    so the version chaining is actually exercised."""
+    from crypto_etl_pipeline_spark.operators.cdc import apply_changeset
+    from crypto_etl_pipeline_spark.streaming.incremental import run_cdc_stream
+
+    snap = spark.createDataFrame([(k, f"v{k}") for k in range(8)], "k long, v string")
+    c1 = [(1, "a", "U", 1), (2, "b", "U", 1), (3, None, "D", 1)]
+    c2 = [(1, "a2", "U", 2), (9, "new", "I", 2), (2, None, "D", 2)]
+    schema = "k long, v string, op string, seq long"
+
+    in_dir = str(tmp_path / "changes")
+    os.makedirs(in_dir)
+    for i, rows in enumerate([c1, c2]):
+        df = spark.createDataFrame(rows, schema)
+        tmp = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import glob as g
+
+        shutil.move(g.glob(tmp + "/part-*.parquet")[0], os.path.join(in_dir, f"c{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    final = run_cdc_stream(
+        stream, snap, str(tmp_path / "snap"), "k", str(tmp_path / "ckpt")
+    )
+    got = sorted((r["k"], r["v"]) for r in final.collect())
+
+    merged = spark.createDataFrame(c1 + c2, schema)
+    want = sorted(
+        (r["k"], r["v"]) for r in apply_changeset(snap, merged, key="k").collect()
+    )
+    assert got == want
+    assert (1, "a2") in got and (9, "new") in got
+    assert all(k not in (2, 3) for k, _ in got)
