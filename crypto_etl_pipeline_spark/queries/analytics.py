@@ -700,3 +700,42 @@ def stratified_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rk") <= 5)
         .select("lang", "doc_id")
     )
+
+
+@register(
+    "sql_interface_window",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           round(o_totalprice, 2) AS totalprice,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_spend,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS order_no
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+    description="spark.sql textual interface: windowed running totals (same SQL text family as the oracle)",
+    tags=("sql", "window"),
+)
+def sql_interface_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The textual SQL surface over registered temp views — the same
+    window query a DataFrame user writes with Window.partitionBy. The
+    SQL goes through the identical Catalyst pipeline, which is the
+    point: spark.sql IS the DataFrame API with a parser in front."""
+    from crypto_etl_pipeline_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir, ["orders"])
+    return spark.sql("""
+        SELECT o_custkey,
+               o_orderkey,
+               round(o_totalprice, 2) AS totalprice,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                 AS running_spend,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                 AS order_no
+        FROM orders
+        WHERE o_custkey < 100
+    """)

@@ -696,3 +696,59 @@ def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(
         docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="split-v1"
     ).select("doc_id", "lang", "split")
+
+
+@register(
+    "text_chunk_documents",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, len(t) AS n_tok,
+             unnest(generate_series(0,
+               greatest((len(t) - 64 + 32 - 1) // 32, 0))) AS chunk_no,
+             t
+      FROM toks
+    )
+    SELECT doc_id, chunk_no,
+           len(list_slice(t, chunk_no * 32 + 1, chunk_no * 32 + 64)) AS chunk_tokens,
+           md5(array_to_string(list_slice(t, chunk_no * 32 + 1, chunk_no * 32 + 64), ' '))
+             AS chunk_md5
+    FROM chunks
+    WHERE chunk_no * 32 < n_tok
+    """,
+    description="Sliding-window token chunking (64-token chunks, stride 32) for context-window prep",
+    tags=("text", "chunking"),
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenize-and-chunk pass a training pipeline runs before
+    packing context windows: 64-token chunks at stride 32 (50% overlap),
+    emitted as (doc_id, chunk_no, token count, content md5). Pure
+    expression fan-out — sequence + explode + slice over the hoisted
+    token-array attribute, no Python; chunk count scales the output by
+    ~len/stride, exactly like production corpus chunking."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunk, stride = 64, 32
+    base = docs.select(
+        "doc_id", textops.tokens(F.col("text")).alias("_t")
+    ).select(
+        "doc_id",
+        "_t",
+        F.size("_t").alias("_n"),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.ceil((F.size("_t") - chunk) / stride).cast("int"), F.lit(0)
+                ),
+            )
+        ).alias("chunk_no"),
+    ).where(F.col("chunk_no") * stride < F.col("_n"))
+    sl = F.slice(F.col("_t"), F.col("chunk_no") * stride + 1, chunk)
+    return base.select(
+        "doc_id",
+        "chunk_no",
+        F.size(sl).alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", sl)).alias("chunk_md5"),
+    )
