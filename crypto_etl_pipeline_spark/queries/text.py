@@ -24,7 +24,7 @@ from crypto_etl_pipeline_spark.operators.dedup import (
     simhash_signatures,
     winnow_fingerprints,
 )
-from crypto_etl_pipeline_spark.queries.base import register
+from crypto_etl_pipeline_spark.queries.base import REGISTRY, register
 from crypto_etl_pipeline_spark.sources.tables import load_table
 
 _EN = ", ".join(f"'{w}'" for w in textops.STOPWORDS["en"])
@@ -751,4 +751,53 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_no",
         F.size(sl).alias("chunk_tokens"),
         F.md5(F.concat_ws(" ", sl)).alias("chunk_md5"),
+    )
+
+
+def _chunker_udtf():
+    """Python UDTF (Spark 4 table function): one input row -> N chunk
+    rows. Same 64/32 chunking as text_chunk_documents; the md5 comes
+    from hashlib so all three implementations (expression, UDTF,
+    DuckDB) hash identical byte strings."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_no int, chunk_tokens int, chunk_md5 string")
+    class Chunker:
+        def eval(self, text: str):
+            import hashlib
+            import re as _re
+
+            toks = _re.split(r"\s+", text)
+            n = len(toks)
+            chunk, stride = 64, 32
+            last = max((n - chunk + stride - 1) // stride, 0)
+            for c in range(last + 1):
+                if c * stride >= n:
+                    break
+                sl = toks[c * stride : c * stride + chunk]
+                yield c, len(sl), hashlib.md5(" ".join(sl).encode()).hexdigest()
+
+    return Chunker
+
+
+@register(
+    "text_chunk_documents_udtf",
+    oracle=REGISTRY["text_chunk_documents"].oracle,
+    description="Same chunking via a Python UDTF (LATERAL table function) — shares the expression variant's oracle",
+    tags=("text", "chunking", "udtf"),
+)
+def text_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.11 UDTF surface: a Python table function applied LATERAL
+    per document. Value-checked against the SAME DuckDB oracle as the
+    expression variant, so the two implementations are mutually
+    differential-tested through the driver. Row-at-a-time Python — the
+    expression variant is the scale path; this exists to cover the
+    UDTF API with real verification."""
+    from crypto_etl_pipeline_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir, ["documents"])
+    spark.udtf.register("chunker64", _chunker_udtf())
+    return spark.sql(
+        "SELECT doc_id, c.chunk_no, c.chunk_tokens, c.chunk_md5 "
+        "FROM documents, LATERAL chunker64(text) c"
     )

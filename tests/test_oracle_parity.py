@@ -187,3 +187,30 @@ def test_nearest_centroid_expression_matches_numpy(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_ivf_lloyd_iterations_reduce_inertia(spark):
+    """k-means property: each Lloyd iteration cannot increase total
+    within-cell squared distance (inertia). Checked across iters=0/1/2
+    on the real corpus — a broken centroid-update step would violate
+    monotonicity."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from crypto_etl_pipeline_spark.operators.similarity import ivf_build_centroids
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    X = np.asarray(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in emb.select("embedding").collect()]
+    )
+
+    def inertia(cents):
+        C = np.asarray(cents, dtype=np.float64)
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return float(d.min(axis=1).sum())
+
+    vals = [inertia(ivf_build_centroids(emb, k=16, iters=i)) for i in (0, 1, 2)]
+    assert vals[1] <= vals[0] + 1e-6, vals
+    assert vals[2] <= vals[1] + 1e-6, vals
+    assert vals[2] < vals[0], "two Lloyd steps should strictly improve on seed cells"

@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 import os
+
+import pytest
 import shutil
 import tempfile
 from datetime import datetime
@@ -308,3 +310,19 @@ def test_cdc_stream_maintains_snapshot(spark, tmp_path):
     assert got == want
     assert (1, "a2") in got and (9, "new") in got
     assert all(k not in (2, 3) for k, _ in got)
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_NETWORK") != "1",
+    reason="live network test; set SPARK_GRAFT_NETWORK=1 to run",
+)
+def test_live_coingecko_fetch(spark):
+    """Gated integration test for the real REST path (off by default —
+    this sandbox has no egress). Asserts schema and row shape only;
+    values are live market data."""
+    from crypto_etl_pipeline_spark.sources.rest import coingecko_fetch, rest_source
+
+    df = rest_source(spark, fetch=lambda: coingecko_fetch(per_page=5))
+    rows = df.collect()
+    assert len(rows) == 5
+    assert "symbol" in df.columns and "current_price" in df.columns
