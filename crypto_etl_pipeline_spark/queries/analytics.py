@@ -739,3 +739,118 @@ def sql_interface_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         WHERE o_custkey < 100
     """)
+
+
+@register(
+    "null_semantics_suite",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_rows,
+           count(value) AS n_nonnull,
+           sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
+           sum(CASE WHEN value IS NOT DISTINCT FROM lag_v THEN 1 ELSE 0 END)
+             AS n_nullsafe_eq_prev,
+           min(value) AS min_nonnull
+    FROM (
+      SELECT event_type, value,
+             lag(value) OVER (PARTITION BY event_type ORDER BY event_id) AS lag_v
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+    description="Null-semantics breadth: count(col) vs count(*), IS NOT DISTINCT FROM (null-safe =), null-skipping min",
+    tags=("nulls", "agg", "window"),
+)
+def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL three-valued logic surfaced explicitly: count(col) skips
+    nulls, the null-safe comparator (<=> / IS NOT DISTINCT FROM) treats
+    null=null as true, aggregate min ignores nulls. The engine's
+    missing-is-null discipline (never NaN) is what makes these
+    semantics match the oracle exactly."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    lagd = ev.select(
+        "event_type", "value", F.lag("value").over(w).alias("lag_v")
+    )
+    return lagd.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_nonnull"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.sum(F.when(F.col("value").eqNullSafe(F.col("lag_v")), 1).otherwise(0)).alias(
+            "n_nullsafe_eq_prev"
+        ),
+        F.min("value").alias("min_nonnull"),
+    )
+
+
+@register(
+    "decimal_exact_money_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total_exact,
+           CAST(avg(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS avg_exact,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    description="Exact DECIMAL(18,4) money aggregation — no float rounding discipline needed",
+    tags=("decimal", "agg"),
+)
+def decimal_exact_money_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-money path: casting to DECIMAL before aggregating makes
+    the sum associative and engine-independent — no rounding discipline,
+    the hash compares exact decimals. The cast itself is well-defined
+    because o_totalprice carries 2-decimal values exactly representable
+    at scale 4. Spark widens sum(DECIMAL(18,4)) to (28,4),
+    which DuckDB's sum matches exactly; avg is normalized to
+    DECIMAL(18,4) on both sides because DuckDB's avg(DECIMAL) returns
+    DOUBLE while Spark stays exact at (22,8)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_totalprice").cast("decimal(18,4)")
+    return orders.groupBy("o_orderstatus").agg(
+        F.sum(d).alias("total_exact"),
+        F.avg(d).cast("decimal(18,4)").alias("avg_exact"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "array_agg_order_history",
+    oracle="""
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           list(o_orderkey ORDER BY o_orderdate, o_orderkey) AS order_keys,
+           list(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS statuses
+    FROM orders
+    WHERE o_custkey < 50
+    GROUP BY o_custkey
+    """,
+    description="Ordered collect_list / sorted collect_set per group (array aggregation)",
+    tags=("agg", "array"),
+)
+def array_agg_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation with DETERMINISTIC element order: collect_list
+    gives no ordering guarantee under parallel merge, so the rows are
+    collected as (date, key) structs and array_sort'ed — the only way
+    an array-valued aggregate can hash-match across engines/layouts."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.array_sort(
+                F.collect_list(F.struct("o_orderdate", "o_orderkey"))
+            ).alias("_hist"),
+            F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        )
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.transform(F.col("_hist"), lambda s: s.getField("o_orderkey")).alias(
+                "order_keys"
+            ),
+            "statuses",
+        )
+    )
