@@ -175,3 +175,52 @@ def sample_frames_stub(media: DataFrame, every_n_bytes: int = 256) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "frame_no": nos, "offset": offs})
 
     return media.mapInPandas(frames, schema=schema)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_w", IntegerType()),
+        StructField("src_h", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+    ]
+)
+
+
+def resize_image_stub(media: DataFrame, max_side: int = 224) -> DataFrame:
+    """STUB resize: aspect-preserving target dimensions via exact
+    integer arithmetic (``dim * max_side // longest_side``), computed
+    over the metadata only — the codec call that would produce resized
+    pixels is the marked stub. Upscaling is avoided (min with source).
+    Pure-expression: at 100 TB this plans as a metadata-only projection
+    that never touches payload bytes.
+    """
+    w = F.col("meta.width")
+    h = F.col("meta.height")
+    longest = F.greatest(w, h)
+    return media.select(
+        "doc_id",
+        w.alias("src_w"),
+        h.alias("src_h"),
+        F.least(w, (w * max_side).cast("int") / longest).cast("int").alias("out_w"),
+        F.least(h, (h * max_side).cast("int") / longest).cast("int").alias("out_h"),
+    )
+
+
+def resample_audio_stub(
+    media: DataFrame, src_rate: int = 44_100, dst_rate: int = 16_000
+) -> DataFrame:
+    """STUB audio resample: payload bytes stand in for PCM samples; the
+    output sample count and duration follow the exact integer
+    resampling arithmetic (``n * dst // src``). A real implementation
+    would run the polyphase filter inside mapInPandas — the arithmetic
+    contract checked here is what any implementation must satisfy."""
+    n = F.octet_length(F.col("payload")).cast("long")
+    out = (n * dst_rate).cast("long") / src_rate
+    return media.select(
+        "doc_id",
+        n.alias("src_samples"),
+        out.cast("long").alias("out_samples"),
+        ((out.cast("long") * 1000) / dst_rate).cast("long").alias("duration_ms"),
+    )

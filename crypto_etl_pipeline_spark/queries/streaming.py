@@ -24,6 +24,7 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from crypto_etl_pipeline_spark.queries.base import register
 from crypto_etl_pipeline_spark.sources.tables import load_table
@@ -250,4 +251,86 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("c_ts_s"),
         F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000").alias("delay_sec"),
         F.round("purchase_value", 6).alias("purchase_value"),
+    )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             (octet_length(encode(text)) % 640 + 1)::INTEGER AS w,
+             (octet_length(encode(text)) % 480 + 1)::INTEGER AS h
+      FROM documents
+    )
+    SELECT doc_id, w AS src_w, h AS src_h,
+           least(w, (w * 224) // greatest(w, h))::INTEGER AS out_w,
+           least(h, (h * 224) // greatest(w, h))::INTEGER AS out_h
+    FROM m
+    """,
+    description="Aspect-preserving resize target dims (metadata-only projection; codec stubbed)",
+    tags=("multimodal",),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_etl_pipeline_spark.multimodal.binary import (
+        attach_fake_payloads,
+        resize_image_stub,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_image_stub(attach_fake_payloads(docs), max_side=224)
+
+
+@register(
+    "multimodal_audio_resample",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS src_samples,
+           (octet_length(encode(text))::BIGINT * 16000) // 44100 AS out_samples,
+           (((octet_length(encode(text))::BIGINT * 16000) // 44100) * 1000) // 16000
+             AS duration_ms
+    FROM documents
+    """,
+    description="Audio resample arithmetic contract (44.1kHz -> 16kHz; filter stubbed)",
+    tags=("multimodal",),
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_etl_pipeline_spark.multimodal.binary import (
+        attach_fake_payloads,
+        resample_audio_stub,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resample_audio_stub(attach_fake_payloads(docs))
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           list_sum(list_transform(range(length(text)),
+                                   i -> ord(substr(text, i + 1, 1))))::BIGINT
+             // greatest(length(text), 1) AS brightness,
+           octet_length(encode(text))::BIGINT AS n_bytes
+    FROM documents
+    """,
+    description="mapInPandas feature-extraction stub, value-checked (mean byte 'brightness')",
+    tags=("multimodal",),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-extraction plumbing (Arrow batches -> struct column)
+    value-checked: the fake 'brightness' (mean payload byte) is
+    SQL-expressible because the synthetic corpus is ASCII, so DuckDB's
+    per-char ord() equals the UTF-8 byte."""
+    from crypto_etl_pipeline_spark.multimodal.binary import (
+        attach_fake_payloads,
+        extract_features_stub,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = extract_features_stub(attach_fake_payloads(docs))
+    return out.select(
+        "doc_id",
+        F.col("feature.brightness").alias("brightness"),
+        F.col("feature.n_bytes").alias("n_bytes"),
     )
