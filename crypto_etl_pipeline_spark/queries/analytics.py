@@ -854,3 +854,56 @@ def array_agg_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             "statuses",
         )
     )
+
+
+@register(
+    "pagerank_trade_graph",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT 'C' || o_custkey AS c, 'S' || l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT c AS src, s AS dst FROM pairs
+              UNION ALL SELECT s, c FROM pairs),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r1 AS (
+      SELECT e.dst AS node, 0.15 + 0.85 * sum(1.0 / d.deg) AS rank
+      FROM edges e JOIN deg d ON e.src = d.src GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT e.dst AS node, 0.15 + 0.85 * sum(r1.rank / d.deg) AS rank
+      FROM edges e JOIN deg d ON e.src = d.src JOIN r1 ON r1.node = e.src
+      GROUP BY e.dst
+    )
+    SELECT node, round(rank, 6) AS rank
+    FROM r2 ORDER BY round(rank, 6) DESC, node LIMIT 20
+    """,
+    description="PageRank (2 power iterations) on the bipartite customer-supplier trade graph",
+    tags=("graph", "iterative", "topk"),
+)
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-looped PageRank over the bidirectional customer<->supplier
+    edge set (distinct trading pairs). Fixed 2 iterations so the DuckDB
+    twin unrolls exactly; ranking rounds before ordering so FP summation
+    noise (~1e-15) cannot flip the top-20 cut."""
+    from crypto_etl_pipeline_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")), li.l_orderkey == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = pagerank(edges, iters=2)
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )
