@@ -907,3 +907,42 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
     )
+
+
+@register(
+    "window_rolling_7d_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 4)
+             AS spend_7d
+    FROM orders
+    WHERE o_custkey < 200
+    """,
+    description="Time-RANGE window frame: per-customer rolling 7-day spend",
+    tags=("window", "timeseries"),
+)
+def window_rolling_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over EVENT TIME (not row counts): every order sums
+    the same customer's orders in the trailing 7 days, including
+    same-timestamp peers — the semantics ROWS frames cannot express.
+    Spark range frames need a numeric order key, so the timestamp
+    becomes epoch seconds and the frame is -7 days in seconds; the
+    7-day bound is inclusive on both engines. Values rounded on the
+    4-decimal grid (sums of 2dp money never tie there)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.round(F.sum("o_totalprice").over(w), 4).alias("spend_7d"),
+    )
