@@ -946,3 +946,52 @@ def window_rolling_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
         F.round(F.sum("o_totalprice").over(w), 4).alias("spend_7d"),
     )
+
+
+@register(
+    "csv_corrupt_record_audit",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           sum(CASE WHEN o_orderkey % 50 = 0 THEN 1 ELSE 0 END) AS n_corrupt,
+           round(sum(CASE WHEN o_orderkey % 50 != 0 THEN o_totalprice END), 4)
+             AS clean_total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    description="PERMISSIVE CSV parse of a deliberately-corrupted file: malformed rows null out, audit matches the known corruption pattern",
+    tags=("source", "robustness"),
+)
+def csv_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-input contract check: orders are written to CSV with
+    totalprice replaced by unparseable text on every key%50==0 row, then
+    read back with an explicit schema in PERMISSIVE mode (the default:
+    malformed fields null out, rows survive). The oracle knows the
+    corruption pattern arithmetically, so the hash match proves
+    PERMISSIVE nulls land exactly on the corrupted rows — none lost,
+    none invented. FAILFAST/DROPMALFORMED are the strict alternatives;
+    a 100 TB ingest almost always wants this audit-then-quarantine
+    shape instead."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    dirty = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 50 == 0, F.lit("NOT_A_NUMBER"))
+        .otherwise(F.col("o_totalprice").cast("string"))
+        .alias("o_totalprice"),
+    )
+    path = tempfile.mkdtemp(prefix="orders_dirty_") + "/orders_csv"
+    dirty.write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.schema("o_orderkey long, o_orderstatus string, o_totalprice double")
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias("n_corrupt"),
+        F.round(F.sum("o_totalprice"), 4).alias("clean_total"),
+    )
