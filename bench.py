@@ -45,6 +45,12 @@ HEADLINE = [
     "tfidf_top_terms",
     "pipeline_historical_clean",
     "skew_salted_join",
+    # round-2 surface
+    "q9_product_profit",
+    "text_chunk_documents",
+    "pipeline_dedup_corpus",
+    "cdc_apply_changeset",
+    "pagerank_trade_graph",
 ]
 
 

@@ -30,13 +30,19 @@ def pagerank(
     kept. Fixed iteration count (not convergence-tested) keeps the
     result exactly reproducible in the unrolled SQL oracle.
     """
+    # nodes and the degree-annotated edge table are loop INVARIANTS:
+    # lazy localCheckpoints stop each iteration's plan from re-embedding
+    # (and re-executing) their whole subtrees — the same lineage
+    # discipline as operators/cluster.py (swap for reliable
+    # checkpoint(dir) on a real cluster).
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    e = edges.join(deg, src)
+    e = edges.join(deg, src).localCheckpoint(eager=False)
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(iters):
         contribs = (
