@@ -91,3 +91,52 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
     # column pruning: the scan reads only the needed columns
     assert "l_comment" not in plan
+
+
+def test_round2_tpch_shapes_all_broadcast(spark):
+    """Every dimension join in the round-2 TPC-H shapes must resolve to
+    BroadcastHashJoin — a SortMergeJoin on a dimension side means a
+    needless fact-table shuffle at 100 TB."""
+    from crypto_etl_pipeline_spark.queries import REGISTRY
+
+    for name in [
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_item_customers",
+        "q18_large_volume_orders",
+        "q19_disjunctive_revenue",
+    ]:
+        plan = _plan(REGISTRY[name].fn(spark, "/root/testdata/sf0.001"))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_pick_latest_plans_as_window_group_limit(spark):
+    """CDC pick-latest (row_number = 1) and the stratified top-k must
+    plan as WindowGroupLimit — the map-side prune that keeps per-group
+    selection from shuffling whole groups."""
+    from crypto_etl_pipeline_spark.queries import REGISTRY
+
+    for name in ["cdc_apply_changeset", "stratified_fixed_k_sample"]:
+        plan = _plan(REGISTRY[name].fn(spark, "/root/testdata/sf0.001"))
+        assert "WindowGroupLimit" in plan, name
+
+
+def test_quantize_evaluates_scale_once(spark):
+    """The int8-quantization scale (an array_max) must appear exactly
+    once in the optimized plan — CollapseProject inlining it into the
+    HOF lambdas would re-evaluate it per vector element."""
+    from crypto_etl_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["embedding_int8_quantize"].fn(spark, "/root/testdata/sf0.001")
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("array_max") == 1
+
+
+def test_q6_pushdown(spark):
+    """Q6's filters must reach the parquet scan."""
+    from crypto_etl_pipeline_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["q6_forecast_revenue"].fn(spark, "/root/testdata/sf0.001"))
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
