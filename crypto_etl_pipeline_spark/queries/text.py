@@ -801,3 +801,79 @@ def text_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, c.chunk_no, c.chunk_tokens, c.chunk_md5 "
         "FROM documents, LATERAL chunker64(text) c"
     )
+
+
+@register(
+    "pipeline_training_prep",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, lang, text,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok,
+             len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS n_uniq,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             t -> t IN ({_EN}))) AS n_stop
+      FROM documents WHERE lang = 'en'
+    ),
+    quality AS (
+      SELECT * FROM feat
+      WHERE n_tok >= 10 AND n_uniq * 1.0 / n_tok >= 0.3 AND n_stop > 0
+    ),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id, arbitrary(text) AS text, arbitrary(n_tok) AS n_tok
+      FROM quality
+      GROUP BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+    ),
+    split AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || 'prep-v1'), 1, 15))::BIGINT
+                       % 1000000 < 950000 THEN 'train' ELSE 'val' END AS split,
+             greatest((n_tok - 64 + 31) // 32, 0) + 1 AS n_chunks
+      FROM deduped
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           sum(n_chunks) AS n_chunks,
+           sum(n_tok) AS total_tokens
+    FROM split GROUP BY split
+    """,
+    description="End-to-end training-data prep: lang filter -> quality gate -> exact dedup -> chunk count -> hash split -> per-split yield",
+    tags=("pipeline", "text", "sampling"),
+)
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-prep flow: English filter, quality gate
+    (length / diversity / stopword presence), exact dedup on the
+    normalized-text fingerprint (min-id canonical), 64/32 chunk-count
+    accounting, and a deterministic 95/5 train/val hash split — ending
+    in the per-split yield report a data engineer signs off on. Every
+    stage is the already-verified operator; stages compose lazily into
+    ONE plan (no intermediate materialization), so Catalyst fuses the
+    filters and the single shuffle pair is the dedup groupBy + split
+    agg."""
+    from crypto_etl_pipeline_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    t = F.col("text")
+    quality = docs.where(
+        (textops.token_count(t) >= 10)
+        & (textops.type_token_ratio(t) >= 0.3)
+        & (textops.stopword_hits(t, textops.STOPWORDS["en"]) > 0)
+    )
+    deduped = (
+        quality.withColumn("_fp", textops.fingerprint_md5(t))
+        .groupBy("_fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.any_value("text").alias("text"),
+        )
+        .select("doc_id", textops.token_count(F.col("text")).alias("n_tok"))
+    )
+    chunked = deduped.withColumn(
+        "n_chunks",
+        F.greatest(F.floor((F.col("n_tok") - 64 + 31) / 32), F.lit(0)).cast("long") + 1,
+    )
+    split = hash_split(chunked, "doc_id", {"train": 0.95, "val": 0.05}, salt="prep-v1")
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chunks").alias("n_chunks"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
