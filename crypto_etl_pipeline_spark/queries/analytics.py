@@ -995,3 +995,66 @@ def csv_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias("n_corrupt"),
         F.round(F.sum("o_totalprice"), 4).alias("clean_total"),
     )
+
+
+def _interleave16_sql(a: str, b: str) -> str:
+    """SQL fragment interleaving the low 16 bits of a (even positions)
+    and b (odd positions) — identical arithmetic in both engines."""
+    terms = []
+    for i in range(16):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_layout_events",
+    oracle=f"""
+    WITH dims AS (
+      SELECT event_id,
+             (user_id & 65535)::BIGINT AS u16,
+             (epoch(ts)::BIGINT // 3600) & 65535 AS t16
+      FROM events
+    ),
+    z AS (
+      SELECT event_id, u16, t16, ({_interleave16_sql("u16", "t16")})::BIGINT AS zvalue
+      FROM dims
+    )
+    SELECT zvalue // 65536 AS zbucket,
+           count(*) AS n,
+           min(zvalue) AS zmin,
+           max(zvalue) AS zmax
+    FROM z GROUP BY zvalue // 65536
+    """,
+    description="Z-order (Morton) interleave of (user, hour) + range bucketing — multi-dim layout clustering",
+    tags=("layout", "agg"),
+)
+def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-dimensional data-layout pass: interleaving the low 16
+    bits of user_id and event-hour gives a Morton (Z-order) key; range-
+    partitioning and sorting by it before a write co-locates rows close
+    in BOTH dimensions, so parquet row-group min/max stats prune scans
+    filtered on either column. Here the zvalue + its range buckets are
+    value-checked; the write path is write_parquet + repartitionByRange
+    (plan-tested separately). The 32-term bit interleave is plan-time
+    unrolled shifts — fully codegen'd, no HOF."""
+    ev = load_table(spark, sf_dir, "events")
+    u16 = F.col("user_id").bitwiseAND(65535)
+    t16 = F.floor(F.unix_timestamp("ts") / 3600).cast("long").bitwiseAND(65535)
+    dims = ev.select("event_id", u16.alias("u16"), t16.alias("t16"))
+    z = None
+    for i in range(16):
+        for col, off in (("u16", 0), ("t16", 1)):
+            term = F.shiftleft(
+                F.shiftright(F.col(col), i).bitwiseAND(1), 2 * i + off
+            ).cast("long")
+            z = term if z is None else z + term
+    zdf = dims.select("event_id", z.alias("zvalue"))
+    return (
+        zdf.groupBy((F.col("zvalue") / 65536).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("zvalue").alias("zmin"),
+            F.max("zvalue").alias("zmax"),
+        )
+    )
