@@ -1058,3 +1058,65 @@ def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zvalue").alias("zmax"),
         )
     )
+
+
+@register(
+    "map_type_event_counts",
+    oracle="""
+    SELECT user_id,
+           '{' || string_agg('"' || event_type || '":' || n, ',' ORDER BY event_type)
+               || '}' AS type_counts_json
+    FROM (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    WHERE user_id < 100
+    GROUP BY user_id
+    """,
+    description="MapType surface: per-user event-type count map, serialized sorted for cross-engine hashing",
+    tags=("map", "agg"),
+)
+def map_type_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builds a real MapType column (map_from_entries over sorted
+    entries) then serializes with to_json — maps have no canonical
+    order, so the sorted-entry JSON string is the only representation
+    that hash-compares across engines. The map construction itself is
+    the surface under test; the JSON is transport."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_type.groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("event_type", "n")))
+            ).alias("_m")
+        )
+        .select("user_id", F.to_json(F.col("_m")).alias("type_counts_json"))
+    )
+
+
+@register(
+    "regexp_extract_entity_ids",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, 'Customer#(0*)([0-9]+)$', 2)::BIGINT AS name_id,
+           c_custkey = regexp_extract(c_name, 'Customer#(0*)([0-9]+)$', 2)::BIGINT
+             AS consistent
+    FROM customer
+    """,
+    description="Structured regexp_extract with capture groups (entity-id parse + consistency audit)",
+    tags=("text", "regex"),
+)
+def regexp_extract_entity_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-group extraction over the common Java-regex/RE2 subset:
+    parse the numeric entity id out of the formatted name and audit it
+    against the key column — the structured-parse shape every log/ID
+    pipeline needs. Leading zeros strip via a separate group so the
+    cast is exact."""
+    cust = load_table(spark, sf_dir, "customer")
+    name_id = F.regexp_extract(F.col("c_name"), r"Customer#(0*)([0-9]+)$", 2).cast("long")
+    return cust.select(
+        "c_custkey",
+        name_id.alias("name_id"),
+        (F.col("c_custkey") == name_id).alias("consistent"),
+    )
