@@ -1120,3 +1120,34 @@ def regexp_extract_entity_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         name_id.alias("name_id"),
         (F.col("c_custkey") == name_id).alias("consistent"),
     )
+
+
+@register(
+    "stat_aggregate_suite",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS price_sd,
+           round(stddev_pop(l_extendedprice), 4)  AS price_sd_pop,
+           round(var_samp(l_quantity), 4)         AS qty_var,
+           round(covar_samp(l_extendedprice, l_quantity), 4) AS cov_price_qty,
+           round(covar_pop(l_extendedprice, l_discount), 6)  AS cov_price_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="Statistical aggregate breadth: stddev/var/covar (sample + population) per group",
+    tags=("stats", "agg"),
+)
+def stat_aggregate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates, both sample and population flavors —
+    definitionally identical across engines (unlike skewness/kurtosis,
+    whose bias corrections differ — those stay in the rows-only
+    profile). All compute in ONE partial+final agg pass over the
+    grouped scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_sd"),
+        F.round(F.stddev_pop("l_extendedprice"), 4).alias("price_sd_pop"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("cov_price_qty"),
+        F.round(F.covar_pop("l_extendedprice", "l_discount"), 6).alias("cov_price_disc"),
+    )
