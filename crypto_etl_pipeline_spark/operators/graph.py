@@ -21,6 +21,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    every_node_has_in_edges: bool = False,
 ) -> DataFrame:
     """(node, rank) after ``iters`` power iterations from rank=1.0.
 
@@ -51,10 +52,14 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("_c").alias("_s"))
         )
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (F.lit(1.0 - damping) + damping * F.coalesce(F.col("_s"), F.lit(0.0))).alias(
-                "rank"
-            ),
-        )
+        base = (1.0 - damping) + damping * F.coalesce(F.col("_s"), F.lit(0.0))
+        if every_node_has_in_edges:
+            # e.g. a bidirectional edge set: contribs already covers
+            # every node, so the per-iteration left join back to the
+            # node table (and its stages) is dead weight.
+            ranks = contribs.select("node", base.alias("rank"))
+        else:
+            ranks = nodes.join(contribs, "node", "left").select(
+                "node", base.alias("rank")
+            )
     return ranks

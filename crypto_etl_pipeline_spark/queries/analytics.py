@@ -901,7 +901,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    ranks = pagerank(edges, iters=2)
+    ranks = pagerank(edges, iters=2, every_node_has_in_edges=True)
     return (
         ranks.select("node", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("node"))
