@@ -1151,3 +1151,62 @@ def stat_aggregate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("cov_price_qty"),
         F.round(F.covar_pop("l_extendedprice", "l_discount"), 6).alias("cov_price_disc"),
     )
+
+
+@register(
+    "unpivot_customer_metrics",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS metric, round(c_acctbal, 2) AS value
+    FROM customer WHERE c_custkey < 100
+    UNION ALL
+    SELECT c_custkey, 'nationkey', c_nationkey::DOUBLE
+    FROM customer WHERE c_custkey < 100
+    """,
+    description="unpivot/melt (inverse of pivot): wide numeric columns -> (metric, value) rows",
+    tags=("analytics", "reshape"),
+)
+def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wide->long reshape via the native unpivot operator (Expand
+    under the hood — one pass, rows x n_metrics output, no shuffle);
+    values share one column so they widen to double, exactly like the
+    oracle's UNION ALL."""
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 100)
+    return cust.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
+
+
+@register(
+    "ansi_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity = 25 THEN NULL
+                ELSE round(l_extendedprice / (l_quantity - 25), 6) END AS price_per_offset,
+           TRY_CAST(l_returnflag AS BIGINT) AS flag_as_number
+    FROM lineitem
+    WHERE l_orderkey < 2000
+    """,
+    description="ANSI-safe arithmetic: try_divide (div-by-zero -> null) and try_cast under ANSI mode",
+    tags=("ansi", "functions"),
+)
+def ansi_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 runs ANSI mode: plain division by zero RAISES. try_divide
+    is the explicit opt-out that yields null instead — the oracle
+    mirrors it with a CASE guard; try_cast of a non-numeric string
+    nulls identically in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # round 6, not 4: 2dp-price / small-integer quotients terminate
+        # with up to 6 decimals (divisors <= 25 contribute <= 4 digits),
+        # so the 4-decimal grid sits exactly on .xxxx5 ties where the
+        # engines' rounding disagrees; at 6 decimals the exact value IS
+        # the grid point
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25), 6
+        ).alias("price_per_offset"),
+        F.col("l_returnflag").try_cast("long").alias("flag_as_number"),
+    )
