@@ -270,3 +270,56 @@ def timeseries_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hour_value").isNotNull().alias("observed"),
         F.round(F.last("hour_value", ignorenulls=True).over(w), 4).alias("filled_value"),
     )
+
+
+@register(
+    "session_window_batch",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, coalesce(value, 0.0) AS v,
+             CASE WHEN epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                       > 21600 OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    numbered AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           round(sum(v), 4) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    description="Built-in session_window gap sessionization (batch) == gaps-and-islands SQL",
+    tags=("timeseries", "window", "session"),
+)
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT-IN dynamic-gap session window (F.session_window, 6h
+    gap) — the declarative counterpart to the custom
+    applyInPandasWithState sessionizer (stream_sessionize_stateful):
+    same semantics, zero custom state code, and unlike the streaming
+    append-mode variant it emits every session including each user's
+    last. One shuffle on (user_id, merged session); DuckDB twin is the
+    classic gaps-and-islands construction.
+
+    The reported session_start is the window's start truncated to the
+    first event's timestamp (session_window start == first event ts)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
