@@ -1210,3 +1210,31 @@ def ansi_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("price_per_offset"),
         F.col("l_returnflag").try_cast("long").alias("flag_as_number"),
     )
+
+
+@register(
+    "argmax_user_events",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_type, event_id) AS last_event_type,
+           arg_min(event_type, event_id) AS first_event_type,
+           round(arg_max(coalesce(value, 0.0), event_id), 6) AS last_value
+    FROM events
+    GROUP BY user_id
+    """,
+    description="argmax/argmin aggregates (max_by/min_by) per group — no window, no self-join",
+    tags=("agg",),
+)
+def argmax_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by: the single-pass argmax aggregate that replaces the
+    window-row_number-filter idiom when only one extremum row is needed
+    — map-side partial aggregation instead of a full sort per group.
+    Keyed on event_id (unique) so the extremum is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", "event_id").alias("last_event_type"),
+        F.min_by("event_type", "event_id").alias("first_event_type"),
+        F.round(
+            F.max_by(F.coalesce(F.col("value"), F.lit(0.0)), F.col("event_id")), 6
+        ).alias("last_value"),
+    )
