@@ -1238,3 +1238,64 @@ def argmax_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by(F.coalesce(F.col("value"), F.lit(0.0)), F.col("event_id")), 6
         ).alias("last_value"),
     )
+
+
+@register(
+    "hll_sketch_mergeable_rollup",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, count(DISTINCT user_id) AS exact_daily
+      FROM events GROUP BY date_trunc('day', ts)
+    )
+    SELECT (SELECT count(*) FROM daily) AS n_days,
+           (SELECT count(DISTINCT user_id) FROM events) AS exact_total,
+           true AS daily_estimates_within_5pct,
+           true AS merged_estimate_within_5pct
+    FROM (SELECT 1)
+    """,
+    description="Mergeable HLL sketches: per-day sketch rollup + union == direct estimate (contract oracle)",
+    tags=("approx", "sketch", "agg"),
+)
+def hll_sketch_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE scale pattern for distinct counts over rollups: build one
+    HLL sketch per day (mergeable binary state, map-side partial), then
+    hll_union_agg the daily sketches into the overall estimate — at
+    100 TB you store the daily sketches and answer any date-range
+    distinct-count from them without rescanning. The oracle checks the
+    accuracy CONTRACT: every daily estimate and the merged estimate
+    land within 5% of the exact counts (booleans assert true), plus the
+    exact totals hash-compare."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.countDistinct("user_id").alias("exact_daily"),
+    )
+    daily_ok = daily.select(
+        F.min(
+            (
+                F.abs(F.expr("hll_sketch_estimate(sk)") - F.col("exact_daily"))
+                <= 0.05 * F.col("exact_daily")
+            ).cast("int")
+        ).alias("_all_ok"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).agg(
+        F.first("n_days").alias("n_days"),
+        (F.min("_all_ok") == 1).alias("daily_estimates_within_5pct"),
+    )
+    merged = daily.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("_merged_est")
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_total"))
+    return (
+        daily_ok.crossJoin(merged)
+        .crossJoin(exact)
+        .select(
+            "n_days",
+            "exact_total",
+            "daily_estimates_within_5pct",
+            (
+                F.abs(F.col("_merged_est") - F.col("exact_total"))
+                <= 0.05 * F.col("exact_total")
+            ).alias("merged_estimate_within_5pct"),
+        )
+    )

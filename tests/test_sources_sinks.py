@@ -326,3 +326,29 @@ def test_live_coingecko_fetch(spark):
     rows = df.collect()
     assert len(rows) == 5
     assert "symbol" in df.columns and "current_price" in df.columns
+
+
+def test_observe_metrics_match_result(spark):
+    """df.observe: in-flight data-quality metrics collected during the
+    SAME job that produces the result — no second scan. The observed
+    row count and sum must equal what the result itself says."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    obs = Observation("quality")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_null_values"),
+    )
+    agg = observed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("nulls"),
+    ).collect()[0]
+    m = obs.get
+    assert m["n_rows"] == agg["n"]
+    assert m["n_null_values"] == agg["nulls"]
+    assert m["n_rows"] > 0
