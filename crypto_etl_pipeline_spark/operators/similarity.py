@@ -71,7 +71,14 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     cores); at test scale it is the difference between 1 and 32 cores.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # Plan-derived parallelism proxy: leaf input files, not
+    # df.rdd.getNumPartitions() — the RDD conversion rebuilds the whole
+    # physical plan into a Python RDD wrapper on every call, which is
+    # pure driver overhead in a hot helper. A table with >= cores files
+    # is already parallel enough (the 100 TB case: thousands of files ->
+    # no-op); fewer files than cores means a compact table where one
+    # hash shuffle to all cores is the cheap, right call.
+    if len(df.inputFiles()) < target:
         return df.repartition(target, F.col(id_col))
     return df
 
@@ -178,11 +185,15 @@ def _lsh_signature_pd(planes: list[list[float]]):
 def _probe_masks(n_planes: int, radius: int) -> list[int]:
     """XOR masks for multi-probe LSH: all bit patterns of hamming
     weight <= radius over n_planes bits, ascending weight."""
-    masks = [0]
-    if radius >= 1:
-        masks += [1 << i for i in range(n_planes)]
-    if radius >= 2:
-        masks += [(1 << i) | (1 << j) for i in range(n_planes) for j in range(i + 1, n_planes)]
+    from itertools import combinations
+
+    masks: list[int] = []
+    for w in range(radius + 1):
+        for bits in combinations(range(n_planes), w):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
     return masks
 
 

@@ -220,7 +220,7 @@ def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS n_with_k,
+           sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_with_k,
            round(avg(k), 6) AS avg_k,
            min(k) AS min_k, max(k) AS max_k
     FROM (SELECT event_type,
@@ -482,7 +482,7 @@ def approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(user_id) AS sum_users,
+           sum(user_id)::BIGINT AS sum_users,
            round(sum(value), 4) AS sum_value
     FROM events
     GROUP BY event_type
@@ -747,8 +747,8 @@ def sql_interface_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*) AS n_rows,
            count(value) AS n_nonnull,
-           sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
-           sum(CASE WHEN value IS NOT DISTINCT FROM lag_v THEN 1 ELSE 0 END)
+           sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           sum(CASE WHEN value IS NOT DISTINCT FROM lag_v THEN 1 ELSE 0 END)::BIGINT
              AS n_nullsafe_eq_prev,
            min(value) AS min_nonnull
     FROM (
@@ -953,7 +953,7 @@ def window_rolling_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            count(*) AS n_rows,
-           sum(CASE WHEN o_orderkey % 50 = 0 THEN 1 ELSE 0 END) AS n_corrupt,
+           sum(CASE WHEN o_orderkey % 50 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_corrupt,
            round(sum(CASE WHEN o_orderkey % 50 != 0 THEN o_totalprice END), 4)
              AS clean_total
     FROM orders
@@ -1013,7 +1013,7 @@ def _interleave16_sql(a: str, b: str) -> str:
     WITH dims AS (
       SELECT event_id,
              (user_id & 65535)::BIGINT AS u16,
-             (epoch(ts)::BIGINT // 3600) & 65535 AS t16
+             (floor(epoch(ts))::BIGINT // 3600) & 65535 AS t16
       FROM events
     ),
     z AS (

@@ -298,7 +298,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id, r.b
     )
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END) AS simhash
+           sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END)::BIGINT AS simhash
     FROM bits GROUP BY doc_id
     """,
     description="60-bit SimHash signatures (portable md5-derived bits)",
@@ -598,9 +598,9 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.lang,
            count(*) AS n_total,
-           sum(CASE WHEN c.is_canonical THEN 1 ELSE 0 END) AS n_kept,
-           sum(CASE WHEN c.is_canonical THEN 0 ELSE 1 END) AS n_removed,
-           sum(CASE WHEN c.is_canonical THEN d.n_chars ELSE 0 END) AS kept_chars
+           sum(CASE WHEN c.is_canonical THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           sum(CASE WHEN c.is_canonical THEN 0 ELSE 1 END)::BIGINT AS n_removed,
+           sum(CASE WHEN c.is_canonical THEN d.n_chars ELSE 0 END)::BIGINT AS kept_chars
     FROM documents d JOIN clusters c USING (doc_id)
     GROUP BY d.lang
     """,
@@ -645,7 +645,7 @@ def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            count(*) AS n_total,
-           sum(CASE WHEN gate < floor(rate * 1000000)::BIGINT THEN 1 ELSE 0 END)
+           sum(CASE WHEN gate < floor(rate * 1000000)::BIGINT THEN 1 ELSE 0 END)::BIGINT
              AS n_sampled
     FROM g GROUP BY lang
     """,
@@ -832,8 +832,8 @@ def text_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT split,
            count(*) AS n_docs,
-           sum(n_chunks) AS n_chunks,
-           sum(n_tok) AS total_tokens
+           sum(n_chunks)::BIGINT AS n_chunks,
+           sum(n_tok)::BIGINT AS total_tokens
     FROM split GROUP BY split
     """,
     description="End-to-end training-data prep: lang filter -> quality gate -> exact dedup -> chunk count -> hash split -> per-split yield",

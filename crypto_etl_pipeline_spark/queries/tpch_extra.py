@@ -258,7 +258,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     supp = load_table(spark, sf_dir, "supplier")
-    # revenue is rounded to 2 BEFORE the max-compare, so which supplier
+    # revenue is rounded to 4 BEFORE the max-compare, so which supplier
     # is the argmax cannot flip on engine-dependent summation order
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.round(F.sum(_disc_price()), 4).alias("total_revenue")

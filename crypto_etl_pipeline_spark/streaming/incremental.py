@@ -347,15 +347,22 @@ def run_cdc_stream(
 
     spark = changes_stream.sparkSession
 
-    def _latest() -> DataFrame:
+    def _latest(below: int | None = None) -> DataFrame:
         versions = sorted(
             _glob.glob(f"{snapshot_dir}/v*"),
             key=lambda p: int(p.rsplit("v", 1)[1]),
         )
+        if below is not None:
+            versions = [p for p in versions if int(p.rsplit("v", 1)[1]) < below]
         return spark.read.parquet(versions[-1]) if versions else snapshot_seed
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        nxt = apply_changeset(_latest(), batch_df, key=key)
+        # Replay safety: parquet overwrite is not atomic, so a crash
+        # mid-write of v{batch_id} can leave a partial directory. Base the
+        # merge on the max version STRICTLY BELOW batch_id — a replayed
+        # batch then rebuilds v{batch_id} from v{batch_id-1}, never from
+        # its own torn output.
+        nxt = apply_changeset(_latest(below=batch_id), batch_df, key=key)
         nxt.write.mode("overwrite").parquet(f"{snapshot_dir}/v{batch_id}")
 
     q = (

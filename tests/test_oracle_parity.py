@@ -63,6 +63,20 @@ def test_oracle_parity(name, spark, duck):
     assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first 3: {mismatches[:3]}"
 
 
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_no_hugeint_columns(name, duck):
+    """Oracle-typing lint (round-2 postmortem): DuckDB `sum()` over any
+    integer type returns HUGEINT (int128), which the driver's value-hash
+    normalizes differently from Spark's bigint — a bit-identical answer
+    then reads as hash-red (see CORRECTNESS_r02 dedup_simhash /
+    pipeline_dedup_corpus). DESCRIBE every oracle and reject any
+    HUGEINT/UHUGEINT output column; fix is a `::BIGINT` cast on the sum."""
+    spec = REGISTRY[name]
+    rows = duck.execute(f"DESCRIBE {spec.oracle}").fetchall()
+    huge = [(r[0], r[1]) for r in rows if "HUGEINT" in str(r[1]).upper()]
+    assert not huge, f"{name}: HUGEINT-typed oracle columns {huge}; cast to ::BIGINT"
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
 def test_rows_only_queries_run(name, spark):
     spec = REGISTRY[name]
