@@ -84,14 +84,41 @@ DECODED_SCHEMA = StructType(
 )
 
 
+# Capability probe: use the real codec when the environment provides
+# it, the deterministic stub otherwise. The sandbox has no PIL, so the
+# stub is the tested default; an environment with Pillow flips this
+# flag at import time and decode_image() parses real image bytes with
+# the SAME mapInPandas plumbing (schema, batching, partitioning).
+try:  # pragma: no cover - environment-dependent
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """STUB codec: replace with e.g. PIL.Image.open(io.BytesIO(payload)).
+    """STUB codec (sandbox default; see HAS_PIL probe above).
 
     Deterministic fake: dimensions from byte length, checksum = sum of
     bytes mod 2^31 (cheap, reproducible, oracle-expressible).
     """
     n = len(payload)
     return n % 640 + 1, n % 480 + 1, sum(payload) % 2_147_483_648
+
+
+def _pil_decode(payload: bytes) -> tuple[int, int, int]:
+    """Real codec path, exercised only when HAS_PIL (flag-gated test).
+
+    Same return contract as the stub: (width, height, checksum-of-
+    payload-bytes) — so downstream schemas and oracles are unchanged.
+    """
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as im:
+        w, h = im.size
+    return w, h, sum(payload) % 2_147_483_648
 
 
 def decode_image_stub(media: DataFrame) -> DataFrame:
@@ -103,9 +130,27 @@ def decode_image_stub(media: DataFrame) -> DataFrame:
     count preserved.
     """
 
+    return _decode_image_with(media, _fake_decode)
+
+
+def decode_image(media: DataFrame, use_pil: bool | None = None) -> DataFrame:
+    """Decode payloads with the best available codec.
+
+    ``use_pil=None`` auto-selects: the real PIL parser when the
+    environment provides Pillow (HAS_PIL), the deterministic stub
+    otherwise. Either way the Spark plan is identical — only the
+    per-batch Python callable differs."""
+    if use_pil is None:
+        use_pil = HAS_PIL
+    if use_pil and not HAS_PIL:
+        raise RuntimeError("use_pil=True but Pillow is not importable")
+    return _decode_image_with(media, _pil_decode if use_pil else _fake_decode)
+
+
+def _decode_image_with(media: DataFrame, codec) -> DataFrame:
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            dims = [codec(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,

@@ -45,15 +45,26 @@ def connected_components(
     # is the action that materializes them, so each round costs ONE job
     # (join + groupBy + sum over the freshly-cached partitions) instead
     # of a materialization job followed by a separate agg job.
+    # The loop runs ONLY over edge ENDPOINTS: a node with no incident
+    # edge can never receive a smaller label, so singletons are their
+    # own component by construction and rejoin at the end. On a real
+    # near-dup corpus the endpoint set is proportional to collision
+    # density (a sliver of the corpus), so every per-round join/agg
+    # touches a table orders of magnitude smaller than `nodes` — at
+    # 100 TB this is the difference between iterating over megabytes
+    # and iterating over the whole corpus.
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .localCheckpoint(eager=False)
     )
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("component")
-    ).localCheckpoint(eager=False)
-    prev_sum = labels.agg(F.sum("component")).first()[0]
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=False)
+    )
+    prev_sum = None
 
     for _ in range(max_iter):
         msgs = (
@@ -69,13 +80,22 @@ def connected_components(
         # Converged when no label decreased: labels only ever decrease,
         # so an unchanged sum == identical assignment. This agg is the
         # single action of the round — it both materializes new_labels'
-        # checkpoint and returns the indicator.
+        # checkpoint and returns the indicator. (No separate job to
+        # seed prev_sum: round 1 always runs, and its sum primes the
+        # comparison.)
         new_sum = new_labels.agg(F.sum("component")).first()[0]
         labels = new_labels
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    return labels
+    # Singletons (no incident edges) rejoin with component = own id.
+    # The label table is collision-density-sized, so AQE will broadcast
+    # it against a large node table on a real cluster.
+    return nodes.select(F.col(id_col).alias("id")).join(
+        labels.withColumnRenamed("id", "_lid"),
+        F.col("id") == F.col("_lid"),
+        "left",
+    ).select("id", F.coalesce("component", "id").alias("component"))
 
 
 def dedup_clusters(

@@ -31,35 +31,75 @@ def pagerank(
     kept. Fixed iteration count (not convergence-tested) keeps the
     result exactly reproducible in the unrolled SQL oracle.
     """
-    # nodes and the degree-annotated edge table are loop INVARIANTS:
-    # lazy localCheckpoints stop each iteration's plan from re-embedding
-    # (and re-executing) their whole subtrees — the same lineage
+    # The degree-annotated edge table is the loop INVARIANT: a lazy
+    # localCheckpoint stops each iteration's plan from re-embedding
+    # (and re-executing) its whole subtree — the same lineage
     # discipline as operators/cluster.py (swap for reliable
-    # checkpoint(dir) on a real cluster).
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct()
+    # checkpoint(dir) on a real cluster). It is REPARTITIONED on the
+    # join key BEFORE the checkpoint (LogicalRDD preserves the
+    # physical outputPartitioning), so every iteration's e⨝ranks join
+    # reuses this one exchange instead of re-shuffling the edge set —
+    # at 100 TB the edge table is the dataset, and iters×(edge
+    # shuffle) is the dominant avoidable cost.
+    from pyspark.sql.window import Window
+
+    spark = edges.sparkSession
+    if iters < 1:
+        raise ValueError("pagerank needs at least one iteration")
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_part = spark.sparkContext.defaultParallelism
+    # Degree via a WINDOW count over the repartitioned edges, not a
+    # groupBy+join: a join would embed the (expensive) edge-building
+    # subtree TWICE in this plan — once under the aggregate, once under
+    # the probe side — while the window reads it exactly once, and its
+    # required clustering on `src` is satisfied by the repartition, so
+    # no extra exchange. The checkpoint then caches the degree-
+    # annotated edges partitioned on the join key, which every
+    # iteration reuses instead of re-shuffling the edge set — at
+    # 100 TB the edge table is the dataset, and iters×(edge shuffle)
+    # is the dominant avoidable cost. (A pathological hot source node
+    # concentrates its out-edges in one partition either way; AQE skew
+    # handling or salting the groupBy side applies as usual.)
+    e = (
+        edges.repartition(n_part, F.col(src))
+        .withColumn("_deg", F.count(F.lit(1)).over(Window.partitionBy(src)))
         .localCheckpoint(eager=False)
     )
-    e = edges.join(deg, src).localCheckpoint(eager=False)
-    ranks = nodes.withColumn("rank", F.lit(1.0))
-    for _ in range(iters):
-        contribs = (
-            e.join(ranks, e[src] == ranks["node"])
-            .select(F.col(dst).alias("node"), (F.col("rank") / F.col("_deg")).alias("_c"))
-            .groupBy("node")
-            .agg(F.sum("_c").alias("_s"))
+    nodes = None
+    if not every_node_has_in_edges:
+        # Derived from the checkpointed edges so the edge-building
+        # subtree is still executed only once.
+        nodes = (
+            e.select(F.col(src).alias("node"))
+            .unionByName(e.select(F.col(dst).alias("node")))
+            .distinct()
+            .localCheckpoint(eager=False)
         )
+    ranks = None
+    for i in range(iters):
+        if i == 0:
+            # Uniform start (rank=1.0 everywhere): the contribution of
+            # every edge is exactly 1/outdeg, so the first iteration
+            # needs NO rank join at all — one groupBy over e.
+            contribs = e.select(
+                F.col(dst).alias("node"), (F.lit(1.0) / F.col("_deg")).alias("_c")
+            )
+        else:
+            contribs = e.join(ranks, e[src] == ranks["node"]).select(
+                F.col(dst).alias("node"), (F.col("rank") / F.col("_deg")).alias("_c")
+            )
+        agg = contribs.groupBy("node").agg(F.sum("_c").alias("_s"))
         base = (1.0 - damping) + damping * F.coalesce(F.col("_s"), F.lit(0.0))
         if every_node_has_in_edges:
             # e.g. a bidirectional edge set: contribs already covers
             # every node, so the per-iteration left join back to the
-            # node table (and its stages) is dead weight.
-            ranks = contribs.select("node", base.alias("rank"))
+            # node table (and its stages) is dead weight — and the
+            # node table itself is never built.
+            ranks = agg.select("node", base.alias("rank"))
         else:
-            ranks = nodes.join(contribs, "node", "left").select(
+            ranks = nodes.join(agg, "node", "left").select(
                 "node", base.alias("rank")
             )
     return ranks

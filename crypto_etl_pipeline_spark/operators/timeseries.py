@@ -106,3 +106,41 @@ def range_join_binned(
     cand = lb.join(rb, [by, "_bin"]).unionByName(lb.join(shifted, [by, "_bin"]))
     delta = l_ep - r_ep
     return cand.where((delta >= 0) & (delta < max_gap_seconds)).drop("_bin")
+
+
+def ewma(
+    df: DataFrame,
+    by: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per ``by`` group.
+
+    The EWMA recurrence y_i = (1-a)*y_{i-1} + a*x_i is a linear scan a
+    SQL window cannot express without numerically unstable pow()
+    rescaling, so this is the canonical applyInPandas case: groups are
+    Arrow-shipped to pandas, ``Series.ewm(adjust=False)`` runs the O(n)
+    vectorized recurrence, and only (group key, order cols, ewma) come
+    back. Scale shape: one shuffle on ``by``; group size is bounded by
+    per-entity history, never the table — the same partitioning
+    contract as asof_join. Spilling risk is per-group, so a pathological
+    entity needs time-slicing upstream (not needed for bounded keys).
+    """
+    import pandas as pd  # noqa: F401  (arrow path requires pandas)
+
+    key_field = df.schema[by]
+    order_fields = [df.schema[c] for c in order_cols]
+    schema_parts = [f"{key_field.name} {key_field.dataType.simpleString()}"] + [
+        f"{f.name} {f.dataType.simpleString()}" for f in order_fields
+    ] + [f"{out_col} double"]
+    out_schema = ", ".join(schema_parts)
+
+    def _ewm(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        out = pdf[[by, *order_cols]].copy()
+        out[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return out
+
+    return df.groupBy(by).applyInPandas(_ewm, schema=out_schema)

@@ -23,6 +23,8 @@ from crypto_etl_pipeline_spark.queries import pipelines  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import timeseries  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import quality  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import tpch_extra  # noqa: F401, E402
+from crypto_etl_pipeline_spark.queries import market  # noqa: F401, E402
+from crypto_etl_pipeline_spark.queries import behavior  # noqa: F401, E402
 
 
 def queries():

@@ -890,13 +890,18 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
+    # distinct on the INT key pair, then build the labels: hash-agg on
+    # two longs shuffles ~16 B/row instead of two strings, and the
+    # int-pair -> string-pair mapping is injective so the result set is
+    # identical to the oracle's DISTINCT over concatenated labels.
     pairs = (
         li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")), li.l_orderkey == F.col("o_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
             F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
         )
-        .distinct()
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))

@@ -1,0 +1,290 @@
+"""Market/time-series analytics: OHLC bars, VWAP, gap-fill resampling,
+EWMA smoothing, rolling z-score anomaly flags.
+
+The reference pipeline's domain is crypto market data (SURVEY.md §1:
+CoinGecko prices P:43-92, historical OHLC-ish CSV K:1); these queries
+re-express the standard market-data derivations a production version
+of that pipeline computes downstream, over the driver's `events`
+stream (`value` as the traded price, `props.k` as the traded size).
+
+Engine notes:
+- OHLC open/close are ORDER-DEPENDENT aggregates; both engines pick
+  the row via row_number over (ts, event_id) so ties are deterministic
+  and the value hash is stable.
+- The gap-fill resample materializes the dense (entity x hour) grid
+  with sequence()/generate_series and forward-fills with
+  last(ignorenulls) — the hypertable "locf" pattern, expressed as one
+  window over the grid join.
+- EWMA is the one genuinely non-SQL recurrence here: Spark side runs
+  operators/timeseries.ewma (Arrow + pandas ewm, O(n) per group); the
+  oracle unrolls the recurrence as an O(n^2)-per-group weighted
+  self-join, which only the oracle pays (test SFs), never the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crypto_etl_pipeline_spark.queries.base import register
+from crypto_etl_pipeline_spark.sources.tables import load_table
+
+
+@register(
+    "ohlc_hourly_bars",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS hour, ts, event_id, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    o AS (
+      SELECT hour, value,
+             row_number() OVER (PARTITION BY hour ORDER BY ts ASC,  event_id ASC)  AS rn_a,
+             row_number() OVER (PARTITION BY hour ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour_s,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+           round(max(value), 4)                             AS high,
+           round(min(value), 4)                             AS low,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+           count(*)                                         AS n_trades,
+           round(sum(value), 4)                             AS volume
+    FROM o GROUP BY hour
+    """,
+    description="OHLC candlestick bars per hour (deterministic open/close via (ts,event_id) order)",
+    tags=("market", "timeseries", "window", "agg"),
+)
+def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly candles over the purchase stream. One exchange: the two
+    row_number windows and the final groupBy all cluster on `hour`, so
+    Catalyst plans exchange(hour) -> sort -> window -> sort -> window
+    -> hash agg. At 100 TB the bar count is bounded by wall-clock
+    hours x instruments — the aggregation collapses the stream."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.where(F.col("event_type") == "purchase").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "ts", "event_id", "value"
+    )
+    w_a = Window.partitionBy("hour").orderBy(F.asc("ts"), F.asc("event_id"))
+    w_d = Window.partitionBy("hour").orderBy(F.desc("ts"), F.desc("event_id"))
+    o = b.select(
+        "hour",
+        "value",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    return (
+        o.groupBy("hour")
+        .agg(
+            F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4).alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+            F.round(F.sum("value"), 4).alias("volume"),
+        )
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+            "open", "high", "low", "close", "n_trades", "volume",
+        )
+    )
+
+
+@register(
+    "vwap_daily",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           round(sum(value * k) / sum(k), 6) AS vwap,
+           round(sum(value * k), 4)          AS turnover,
+           sum(k)::BIGINT                    AS total_qty
+    FROM (
+      SELECT ts, value,
+             regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT AS k
+      FROM events WHERE event_type = 'purchase'
+    )
+    GROUP BY 1
+    """,
+    description="Daily volume-weighted average price; trade size parsed from the JSON props column",
+    tags=("market", "timeseries", "agg", "json"),
+)
+def vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VWAP = sum(price*qty)/sum(qty) per day, with qty extracted from
+    the JSON `props` payload via get_json_object (JVM-side JSON path,
+    no UDF). The oracle reads the same field with a regex — both yield
+    the identical integer. Single shuffle on the day key with map-side
+    partial sums; sum(k) stays LongType on the Spark side and is
+    BIGINT-cast in the oracle per the HUGEINT lint."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "value",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return (
+        p.groupBy("day")
+        .agg(
+            F.round(F.sum(F.col("value") * F.col("k")) / F.sum("k"), 6).alias("vwap"),
+            F.round(F.sum(F.col("value") * F.col("k")), 4).alias("turnover"),
+            F.sum("k").alias("total_qty"),
+        )
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "vwap", "turnover", "total_qty")
+    )
+
+
+@register(
+    "resample_ffill_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             count(*) AS n, avg(value) AS a
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+      FROM events
+    ),
+    grid AS (
+      SELECT t.event_type, g.hour
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN bounds
+      CROSS JOIN LATERAL unnest(generate_series(bounds.h0, bounds.h1, INTERVAL 1 HOUR)) AS g(hour)
+    ),
+    f AS (
+      SELECT g.event_type, g.hour, h.n, h.a
+      FROM grid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hour = h.hour
+    )
+    SELECT event_type,
+           strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour_s,
+           coalesce(n, 0) AS n_events,
+           round(last_value(a IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS avg_value_ffill
+    FROM f
+    """,
+    description="Dense hourly resample with forward-fill (hypertable locf): grid via sequence(), fill via last(ignorenulls)",
+    tags=("market", "timeseries", "window", "gapfill"),
+)
+def resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled per-type hourly series. The dense grid is entity x
+    sequence(min_hour, max_hour) — the bounds row is a 1-row broadcast,
+    so grid construction never shuffles; the left join hits the hourly
+    rollup (already clustered on the grid key), and the forward fill is
+    one partitioned window. Average is carried UNROUNDED through the
+    fill and rounded once at the end — rounding before the fill would
+    compound representation error across filled rows."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("a"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = (
+        ev.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"),
+        )
+    )
+    f = grid.join(hourly, ["event_type", "hour"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return f.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.round(F.last("a", ignorenulls=True).over(w), 6).alias("avg_value_ffill"),
+    )
+
+
+@register(
+    "ewma_user_purchase_value",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.user_id, a.event_id,
+           round(sum(CASE WHEN b.rn = 1 THEN power(0.8, a.rn - 1) * b.value
+                          ELSE 0.2 * power(0.8, a.rn - b.rn) * b.value END), 6)
+             AS ewma_value
+    FROM p a JOIN p b ON a.user_id = b.user_id AND b.rn <= a.rn
+    GROUP BY a.user_id, a.event_id
+    """,
+    description="Per-user EWMA of purchase values: applyInPandas O(n) recurrence vs unrolled weighted-sum oracle",
+    tags=("market", "timeseries", "pandas-udf", "recurrence"),
+)
+def ewma_user_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA with alpha=0.2, initialized at the first observation
+    (pandas ewm(adjust=False) semantics): y_1 = x_1,
+    y_i = 0.8*y_{i-1} + 0.2*x_i. The engine runs the O(n)-per-group
+    Arrow/pandas recurrence (operators/timeseries.ewma); the oracle
+    expands the closed form y_i = 0.8^(i-1)*x_1 +
+    0.2*sum_{j=2..i} 0.8^(i-j)*x_j, whose weights are all <= 1 so the
+    unrolled sum is numerically stable; both land on the same 6-decimal
+    grid."""
+    from crypto_etl_pipeline_spark.operators.timeseries import ewma
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = ewma(p, by="user_id", order_cols=["ts", "event_id"], value_col="value",
+               alpha=0.2, out_col="ewma_value")
+    return out.select("user_id", "event_id", F.round("ewma_value", 6).alias("ewma_value"))
+
+
+@register(
+    "rolling_zscore_anomaly",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, event_id, value,
+             avg(value) OVER w         AS mu,
+             stddev_samp(value) OVER w AS sd
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, event_id,
+           round((value - mu) / sd, 4) AS z,
+           abs(round((value - mu) / sd, 4)) > 3 AS is_anomaly
+    FROM s WHERE sd IS NOT NULL AND sd > 0
+    """,
+    description="Rolling 24-observation z-score anomaly flag per event type (trailing window excludes current row)",
+    tags=("market", "timeseries", "window", "quality"),
+)
+def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score: each observation scored against the mean/std
+    of its 24 predecessors (excluding itself — a self-inclusive window
+    dilutes the very anomaly being scored). The anomaly flag compares
+    the ROUNDED z so the boundary decision is made on the same
+    4-decimal grid in both engines. One exchange on event_type; the
+    frame never crosses partitions, so this scales as pure windowed
+    streaming at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-24, -1)
+    )
+    s = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4)
+    return s.where(F.col("sd").isNotNull() & (F.col("sd") > 0)).select(
+        "event_type",
+        "event_id",
+        z.alias("z"),
+        (F.abs(z) > 3).alias("is_anomaly"),
+    )

@@ -50,6 +50,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (~1.7e18) exceed 2^53, so float division jitters the low bits
         # by up to ~512 ns — enough to flip rounding boundaries.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Parquet timestamps without isAdjustedToUTC read as TIMESTAMP_NTZ
+    # under Spark 4's inferTimestampNTZ; DuckDB treats the same values
+    # as naive-in-UTC. With the session timezone pinned to UTC
+    # (session.py), casting NTZ -> TIMESTAMP (LTZ) preserves the wall
+    # clock AND the instant, so epoch arithmetic (`cast(ts as double)`,
+    # unix_timestamp, window()) behaves identically on both engines.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

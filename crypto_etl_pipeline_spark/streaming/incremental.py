@@ -34,6 +34,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -69,14 +70,40 @@ def read_event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     query drains whatever is present and stops (the reference's 6-hourly
     batch cadence, minus the from-scratch recompute).
     """
+    # A stream needs its schema up front; probe the landed files with a
+    # one-off batch read (parquet footers only — no data scan) so the
+    # same pipeline accepts all three physical encodings of `ts` the
+    # driver testdata has shipped: TIMESTAMP(NANOS) surfaced as ns-long
+    # (legacy.parquet.nanosAsLong), TIMESTAMP_NTZ (no-timezone us), and
+    # plain TIMESTAMP.
+    ts_kind = dict(spark.read.parquet(input_dir).dtypes).get("ts", "timestamp")
+    file_schema = StructType(
+        [
+            StructField(
+                "ts",
+                {"bigint": LongType(), "timestamp_ntz": TimestampNTZType()}.get(
+                    ts_kind, TimestampType()
+                ),
+            )
+            if f.name == "ts"
+            else f
+            for f in _EVENT_FILE_SCHEMA.fields
+        ]
+    )
     raw = (
-        spark.readStream.schema(_EVENT_FILE_SCHEMA)
+        spark.readStream.schema(file_schema)
         .option("maxFilesPerTrigger", 8)
         .parquet(input_dir)
     )
-    # Integer `div`, not `/`: float division of ns epochs (> 2^53)
-    # jitters low bits (see sources/tables.py).
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_kind == "bigint":
+        # Integer `div`, not `/`: float division of ns epochs (> 2^53)
+        # jitters low bits (see sources/tables.py).
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_kind == "timestamp_ntz":
+        # Session tz is UTC (session.py): NTZ -> LTZ keeps wall clock
+        # and instant identical to DuckDB's naive-in-UTC reading.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -352,3 +352,43 @@ def test_observe_metrics_match_result(spark):
     assert m["n_rows"] == agg["n"]
     assert m["n_null_values"] == agg["nulls"]
     assert m["n_rows"] > 0
+
+
+def test_decode_image_auto_codec_matches_stub_without_pil(spark):
+    """decode_image() auto-selects the codec: in this sandbox (no
+    Pillow) it must take the stub path and match decode_image_stub
+    bit-for-bit; requesting the real codec explicitly must fail loudly
+    instead of silently stubbing."""
+    from crypto_etl_pipeline_spark.multimodal import binary as mm
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, bytearray(b"x" * 300))],
+        "doc_id long, payload binary",
+    )
+    auto = {tuple(r) for r in mm.decode_image(df).collect()}
+    stub = {tuple(r) for r in mm.decode_image_stub(df).collect()}
+    if mm.HAS_PIL:
+        pytest.skip("Pillow present: auto mode uses the real codec")
+    assert auto == stub
+    with pytest.raises(RuntimeError):
+        mm.decode_image(df, use_pil=True)
+
+
+def test_decode_image_pil_parses_real_png(spark):
+    """Flag-gated real-codec test: runs only where Pillow exists; the
+    mapInPandas plumbing is identical, only the batch callable differs."""
+    from crypto_etl_pipeline_spark.multimodal import binary as mm
+
+    if not mm.HAS_PIL:
+        pytest.skip("Pillow not available in this environment")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (7, 5)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    row = mm.decode_image(df, use_pil=True).collect()[0]
+    assert (row["width"], row["height"]) == (7, 5)
