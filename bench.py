@@ -51,6 +51,11 @@ HEADLINE = [
     "pipeline_dedup_corpus",
     "cdc_apply_changeset",
     "pagerank_trade_graph",
+    # round-3 surface
+    "ohlc_hourly_bars",
+    "ewma_user_purchase_value",
+    "funnel_view_click_purchase",
+    "resample_ffill_hourly",
 ]
 
 

@@ -62,3 +62,48 @@ def violations(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     ]
     out = df.select("*", F.array_compact(F.array(*flags)).alias("failed_checks"))
     return out.where(F.size("failed_checks") > 0)
+
+
+def rule_report(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """(rule, n_violations) — every rule counted in ONE scan.
+
+    The dual of :func:`violations`: instead of materializing failing
+    rows, aggregate a violation count per rule with a single
+    conditional-sum pass (map-side partials, one-row shuffle), then
+    unpivot the counts with ``stack`` so downstream consumers see a
+    long-format report. At 100 TB this is the shape a nightly
+    data-contract job runs: N rules never cost N scans.
+    """
+    n = len(checks)
+    agg = df.agg(
+        *[
+            F.sum(
+                F.when(~F.coalesce(pred, F.lit(False)), 1).otherwise(0)
+            ).cast("long").alias(f"_r{i}")
+            for i, (_, pred) in enumerate(checks.items())
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{name}', _r{i}" for i, name in enumerate(checks)
+    )
+    return agg.select(
+        F.expr(f"stack({n}, {stack_args}) as (rule, n_violations)")
+    )
+
+
+def fk_orphan_count(
+    child: DataFrame, fk: str, parent: DataFrame, pk: str, rule: str
+) -> DataFrame:
+    """(rule, n_violations) — child rows whose ``fk`` has no ``pk`` match.
+
+    Referential integrity as a LEFT ANTI join (never a row-multiplying
+    outer join); the parent side is key-projected so only the join key
+    shuffles, and AQE broadcasts it when the parent is dimension-sized.
+    """
+    orphans = child.select(F.col(fk)).join(
+        parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
+    )
+    return orphans.agg(
+        F.lit(rule).alias("rule"),
+        F.count(F.lit(1)).alias("n_violations"),
+    )

@@ -1304,3 +1304,47 @@ def hll_sketch_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merged_estimate_within_5pct"),
         )
     )
+
+
+@register(
+    "degree_distribution_trade_graph",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey, l_suppkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    deg AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT 'C' || o_custkey AS node FROM pairs
+        UNION ALL SELECT 'S' || l_suppkey FROM pairs
+      ) GROUP BY node
+    )
+    SELECT degree, count(*) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+    description="Degree distribution of the customer-supplier trade graph (graph-health histogram)",
+    tags=("graph", "agg"),
+)
+def degree_distribution_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregation (node degree -> degree histogram) over the
+    distinct trade pairs: the first groupBy clusters on node, the
+    second on the (tiny-cardinality) degree — the classic graph-health
+    check that detects hub formation before an iterative algorithm is
+    run. Distinct runs on integer keys; labels are built after."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(
+            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    nodes = pairs.select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("node")
+    ).unionByName(
+        pairs.select(F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -210,3 +210,41 @@ def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .where(F.col("rn") <= 50)
     )
+
+
+@register(
+    "event_type_cooccurrence",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_users
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+    description="Market-basket co-occurrence: users performing both event types, per unordered type pair",
+    tags=("behavior", "join", "agg"),
+)
+def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence via self-join of the DISTINCT (user, type) table —
+    the distinct collapses the event stream to at most
+    |users| x |types| rows BEFORE the join, so the pair blow-up is
+    bounded by types^2 per user, never events^2. The `<` predicate
+    halves the output (unordered pairs) and the join clusters on
+    user_id, reusing the distinct's exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -137,7 +137,8 @@ def vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS hour,
-             count(*) AS n, avg(value) AS a
+             count(*) AS n,
+             round(round(sum(value), 2) / count(*), 6) AS a
       FROM events GROUP BY 1, 2
     ),
     bounds AS (
@@ -157,9 +158,9 @@ def vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour_s,
            coalesce(n, 0) AS n_events,
-           round(last_value(a IGNORE NULLS) OVER (
+           last_value(a IGNORE NULLS) OVER (
              PARTITION BY event_type ORDER BY hour
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS avg_value_ffill
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value_ffill
     FROM f
     """,
     description="Dense hourly resample with forward-fill (hypertable locf): grid via sequence(), fill via last(ignorenulls)",
@@ -170,13 +171,18 @@ def resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence(min_hour, max_hour) — the bounds row is a 1-row broadcast,
     so grid construction never shuffles; the left join hits the hourly
     rollup (already clustered on the grid key), and the forward fill is
-    one partitioned window. Average is carried UNROUNDED through the
-    fill and rounded once at the end — rounding before the fill would
-    compound representation error across filled rows."""
+    one partitioned window. The filled average is made DETERMINISTIC
+    before the fill: the raw sum is rounded on the 2-decimal input
+    grid first (killing summation-order ulps that flipped a 6-decimal
+    boundary at sf0.1), then divided and rounded once — the window
+    only copies finished values."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("a"))
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)), 6).alias("a"),
+    )
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("h0"),
         F.date_trunc("hour", F.max("ts")).alias("h1"),
@@ -199,7 +205,7 @@ def resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
         F.coalesce("n", F.lit(0)).alias("n_events"),
-        F.round(F.last("a", ignorenulls=True).over(w), 6).alias("avg_value_ffill"),
+        F.last("a", ignorenulls=True).over(w).alias("avg_value_ffill"),
     )
 
 

@@ -119,3 +119,96 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     out = zscore_by_group(ev, "user_id", "value")
     return out.select("event_id", "user_id", F.round("zscore", 6).alias("zscore"))
+
+
+@register(
+    "quality_rule_report",
+    oracle="""
+    SELECT 'quantity_in_range' AS rule,
+           sum(CASE WHEN NOT coalesce(l_quantity >= 1 AND l_quantity <= 50, FALSE)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'price_positive',
+           sum(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE)
+                    THEN 1 ELSE 0 END)::BIGINT
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_bounded',
+           sum(CASE WHEN NOT coalesce(l_discount >= 0 AND l_discount <= 0.1, FALSE)
+                    THEN 1 ELSE 0 END)::BIGINT
+    FROM lineitem
+    UNION ALL
+    SELECT 'returnflag_known',
+           sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), FALSE)
+                    THEN 1 ELSE 0 END)::BIGINT
+    FROM lineitem
+    UNION ALL
+    SELECT 'orderkey_references_orders',
+           count(*)::BIGINT
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+    description="Data-contract report: N declarative rules counted in one scan + referential-integrity anti-join",
+    tags=("quality", "agg", "join"),
+)
+def quality_rule_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly data-contract shape: every value rule is a conditional
+    sum inside ONE aggregate pass over the fact table (N rules never
+    cost N scans), unpivoted to long form with stack(); the FK rule is
+    a key-projected LEFT ANTI join appended by union. Null predicate
+    results count as violations (unknown validity is not validity)."""
+    from crypto_etl_pipeline_spark.operators.validate import fk_orphan_count, rule_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rules = rule_report(
+        li,
+        {
+            "quantity_in_range": (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50),
+            "price_positive": F.col("l_extendedprice") > 0,
+            "discount_bounded": (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1),
+            "returnflag_known": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+    )
+    fk = fk_orphan_count(li, "l_orderkey", orders, "o_orderkey", "orderkey_references_orders")
+    return rules.unionByName(fk)
+
+
+@register(
+    "json_roundtrip_documents",
+    oracle=f"""
+    SELECT lang,
+           count(*)                 AS n_docs,
+           sum(n_chars)::BIGINT     AS total_chars,
+           sum(('0x' || substr(md5(text), 1, 11))::BIGINT)::BIGINT AS text_checksum
+    FROM documents
+    GROUP BY lang
+    """,
+    description="JSONL sink->source round-trip fidelity: per-lang md5 checksum of text survives serialization",
+    tags=("source", "sink", "json", "agg"),
+)
+def json_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writes the documents table to JSON Lines, reads it back with an
+    explicit schema (never inference — a malformed corpus must fail
+    loudly, not re-type silently), and aggregates a per-language md5
+    checksum of the text. The oracle computes the same checksum from
+    the ORIGINAL parquet, so a green row proves byte-level fidelity of
+    the JSON escape/unescape path for real corpus text (embedded
+    quotes, newlines, unicode). The md5-prefix length (11 hex chars)
+    keeps the per-lang sum far under int64 even at sf1."""
+    import tempfile
+
+    from crypto_etl_pipeline_spark.operators.phash import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="docs_jsonl_")
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(md5_long(F.col("text"), 11)).alias("text_checksum"),
+    )

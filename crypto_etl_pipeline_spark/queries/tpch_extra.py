@@ -549,3 +549,130 @@ def q21_last_shipping_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+@register(
+    "q11_important_suppliers",
+    oracle="""
+    WITH sv AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS value
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, value
+    FROM sv
+    WHERE value > (
+      SELECT round(sum(l_extendedprice * (1 - l_discount)) * 0.005, 4) FROM lineitem
+    )
+    ORDER BY value DESC, l_suppkey
+    """,
+    description="Value-concentration HAVING vs global-fraction scalar subquery (TPC-H Q11 shape, partsupp-free)",
+    tags=("join", "agg", "subquery"),
+)
+def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11's signature: a grouped aggregate filtered against a SCALAR
+    subquery over the SAME fact table (group value > fraction of the
+    global total). Spark decorrelates this as one shared scan feeding
+    two aggregates; the threshold side is a 1-row broadcast cross
+    join, so the fact table is read once per aggregate and never
+    re-shuffled for the comparison. BOTH compared quantities are
+    rounded on the same 4-decimal grid so engine-side FP summation
+    order cannot flip membership at the threshold boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sv = li.groupBy("l_suppkey").agg(F.round(F.sum(_disc_price()), 4).alias("value"))
+    thresh = li.agg(F.round(F.sum(_disc_price()) * F.lit(0.005), 4).alias("_t"))
+    return (
+        sv.crossJoin(F.broadcast(thresh))
+        .where(F.col("value") > F.col("_t"))
+        .select("l_suppkey", "value")
+        .orderBy(F.desc("value"), F.asc("l_suppkey"))
+    )
+
+
+@register(
+    "q12_linestatus_priority",
+    oracle="""
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    description="IN-list filter + priority-split conditional counts (TPC-H Q12 shape, shipmode-free)",
+    tags=("join", "agg"),
+)
+def q12_linestatus_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12's shape — join the fact to orders, filter by an IN-list and
+    a date range, then split counts by priority class in ONE
+    conditional aggregation (never two passes). l_linestatus stands in
+    for the absent l_shipmode; the filter pushes to the lineitem scan
+    below the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(orders.select("o_orderkey", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q16_parts_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    description="NOT-IN anti subquery + multi-key count-distinct rollup (TPC-H Q16 shape, partsupp-free)",
+    tags=("join", "agg", "subquery"),
+)
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16's shape: exclude a blacklist of suppliers with NOT IN
+    (rewritten as LEFT ANTI — the blacklist is provably non-null here,
+    so anti-join semantics match NOT IN), then count DISTINCT
+    suppliers per (brand, type, size). The part dimension broadcasts;
+    the count-distinct runs as Spark's two-phase partial-distinct
+    aggregate, so the only wide shuffle carries (group keys, suppkey)
+    pairs, already deduplicated map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    bad = supp.where(F.col("s_acctbal") < 0).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(
+            F.broadcast(
+                part.where(
+                    (F.col("p_brand") != "Brand#1")
+                    & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )

@@ -296,3 +296,42 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_l1"),
         F.round(F.aggregate(err_terms, F.lit(0.0), lambda a, b: a + b), 8).alias("recon_err"),
     )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+    SELECT vec_id,
+           label,
+           len(embedding) AS dim,
+           round(list_sum(list_transform(embedding, x -> (x::DOUBLE) * (x::DOUBLE))), 6)
+             AS norm2,
+           round(list_min(embedding), 6) AS vmin,
+           round(list_max(embedding), 6) AS vmax,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos
+    FROM embeddings
+    """,
+    description="Per-vector norm/extrema/positivity via higher-order array functions (quality screen before ANN)",
+    tags=("vector", "hof"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-quality screen a corpus runs before indexing:
+    squared L2 norm (catches un-normalized or zero vectors), extrema,
+    and positive-component count, all per row via higher-order
+    functions. Lambdas reference ONLY the array attribute (the
+    HOF-inlining trap documented in operators/dedup.py does not apply),
+    and both engines fold left-to-right over the same element order
+    with explicit float->double casts before multiplying, so the sums
+    are bit-identical before rounding. No shuffle at all — this is a
+    pure map over the scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x2 = lambda acc, x: acc + x.cast("double") * x.cast("double")  # noqa: E731
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.aggregate("embedding", F.lit(0.0), x2), 6).alias("norm2"),
+        F.round(F.array_min("embedding"), 6).alias("vmin"),
+        F.round(F.array_max("embedding"), 6).alias("vmax"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+    )
