@@ -17,6 +17,7 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def zscore_by_group(
@@ -30,6 +31,17 @@ def zscore_by_group(
     Population stddev==0 or single-row groups yield null (matching the
     SQL convention where sample stddev of one row is null).
     """
+    # Explicit fixed-width repartition: AQE's byte-advisory coalescing
+    # would merge this small-byte / Python-heavy stage to one partition
+    # and serialize all groups through a single worker (see
+    # operators/timeseries.ewma — measured 6.7x at sf0.1). A
+    # user-specified partition count is exempt from coalescing.
+    spark = df.sparkSession
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_part = spark.sparkContext.defaultParallelism
+    df = df.repartition(n_part, F.col(group_col))
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     schema = f"{fields}, {out_col} double"
 

@@ -127,9 +127,22 @@ def ewma(
     per-entity history, never the table — the same partitioning
     contract as asof_join. Spilling risk is per-group, so a pathological
     entity needs time-slicing upstream (not needed for bounded keys).
+
+    The shuffle is an EXPLICIT fixed-width repartition, not a plain
+    groupBy exchange: AQE's coalescing is byte-advisory (64 MB) and
+    blind to Python CPU cost, so it happily merges a small-byte /
+    Python-heavy stage down to ONE partition and serializes every
+    group through a single worker — measured 6.7x slower at sf0.1.
+    A user-specified partition count is exempt from AQE coalescing.
     """
     import pandas as pd  # noqa: F401  (arrow path requires pandas)
 
+    spark = df.sparkSession
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_part = spark.sparkContext.defaultParallelism
+    df = df.repartition(n_part, F.col(by))
     key_field = df.schema[by]
     order_fields = [df.schema[c] for c in order_cols]
     schema_parts = [f"{key_field.name} {key_field.dataType.simpleString()}"] + [

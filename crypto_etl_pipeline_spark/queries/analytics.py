@@ -1348,3 +1348,43 @@ def degree_distribution_trade_graph(spark: SparkSession, sf_dir: str) -> DataFra
     )
     deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register(
+    "window_dense_rank_lead",
+    oracle="""
+    SELECT event_type, event_id,
+           round(value, 6) AS value,
+           dense_rank() OVER w AS drank,
+           round(lead(value, 1) OVER w, 6) AS next_value,
+           round(nth_value(value, 3) OVER (PARTITION BY event_type
+                   ORDER BY value DESC, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS third_highest
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+    """,
+    description="Window-function completion: dense_rank, lead, nth_value (deterministic tie-break)",
+    tags=("window", "analytics"),
+)
+def window_dense_rank_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounds out the rank-function family beyond window_rank_suite:
+    dense_rank (no rank gaps on ties), lead (forward offset), and
+    nth_value over a running frame (null until 3 rows seen — both
+    engines agree because the ORDER includes the unique event_id
+    tie-break). One exchange on event_type, shared by all three
+    window functions (same partitioning + ordering)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_type",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.dense_rank().over(w).alias("drank"),
+        F.round(F.lead("value", 1).over(w), 6).alias("next_value"),
+        F.round(F.nth_value("value", 3).over(w_run), 6).alias("third_highest"),
+    )

@@ -747,3 +747,44 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
     )
+
+
+@register(
+    "set_multiset_buyer_sessions",
+    oracle="""
+    WITH a AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+         b AS (SELECT user_id FROM events WHERE event_type = 'click')
+    SELECT 'intersect_all' AS op, user_id, count(*) AS n
+    FROM (SELECT user_id FROM a INTERSECT ALL SELECT user_id FROM b)
+    GROUP BY user_id
+    UNION ALL
+    SELECT 'except_all', user_id, count(*)
+    FROM (SELECT user_id FROM a EXCEPT ALL SELECT user_id FROM b)
+    GROUP BY user_id
+    """,
+    description="Multiset set ops (INTERSECT ALL / EXCEPT ALL): bag semantics the DISTINCT variants cannot express",
+    tags=("setop", "agg"),
+)
+def set_multiset_buyer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag semantics: a user with 5 purchases and 3 clicks contributes
+    3 rows to INTERSECT ALL and 2 to EXCEPT ALL — min/difference of
+    multiplicities, which the round-2 DISTINCT set ops collapse.
+    Spark plans intersectAll/exceptAll as a count-aggregated join +
+    replication (never a row-by-row nested loop); the per-user count
+    aggregation on top keeps the compared output compact."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "purchase").select("user_id")
+    b = ev.where(F.col("event_type") == "click").select("user_id")
+    ia = (
+        a.intersectAll(b)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "user_id", "n")
+    )
+    ea = (
+        a.exceptAll(b)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "user_id", "n")
+    )
+    return ia.unionByName(ea)

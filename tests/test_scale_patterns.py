@@ -140,3 +140,26 @@ def test_q6_pushdown(spark):
 
     plan = _plan(REGISTRY["q6_forecast_revenue"].fn(spark, "/root/testdata/sf0.001"))
     assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_python_grouped_stages_keep_parallelism(spark):
+    """AQE's byte-advisory coalescing must NOT serialize Python-heavy
+    grouped stages: the ewma / zscore operators pin a user repartition
+    (exempt from coalescing) under their FlatMapGroupsInPandas, so the
+    Python stage runs wide even when the shuffled bytes are tiny
+    (measured 6.7x wall-clock difference at sf0.1)."""
+    from crypto_etl_pipeline_spark.operators.grouped import zscore_by_group
+    from crypto_etl_pipeline_spark.operators.timeseries import ewma
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    for df in (
+        ewma(ev, by="user_id", order_cols=["ts", "event_id"], value_col="value", alpha=0.2),
+        zscore_by_group(ev.drop("ts"), "user_id", "value"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" in plan
+        # the user repartition survives into the physical plan
+        assert "REPARTITION_BY_NUM" in plan, plan[:2000]
