@@ -1,0 +1,141 @@
+"""Invariant tests for the round-3 operators, beyond oracle parity.
+
+Oracle parity proves Spark == DuckDB; these prove both are RIGHT:
+algebraic invariants that hold regardless of data (OHLC ordering, EWMA
+bounds/fixpoints, rule-report consistency with the row-level
+validator).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ohlc_bar_invariants(spark):
+    """low <= open, close <= high; volume >= high (n>=1 rows of
+    positive value sums exceed any single element only when all
+    positive — here just check volume >= high when n_trades == 1 means
+    equality of all four prices)."""
+    from crypto_etl_pipeline_spark.queries.market import ohlc_hourly_bars
+
+    bars = ohlc_hourly_bars(spark, SF)
+    bad = bars.where(
+        (F.col("low") > F.col("open"))
+        | (F.col("low") > F.col("close"))
+        | (F.col("high") < F.col("open"))
+        | (F.col("high") < F.col("close"))
+    )
+    assert bad.count() == 0
+    single = bars.where(F.col("n_trades") == 1).where(
+        (F.col("open") != F.col("close")) | (F.col("high") != F.col("low"))
+    )
+    assert single.count() == 0
+
+
+def test_ewma_constant_series_is_fixpoint(spark):
+    """EWMA of a constant series equals the constant at every step, for
+    any alpha — the recurrence's fixpoint."""
+    from crypto_etl_pipeline_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [(1, i, 7.5) for i in range(20)] + [(2, i, -3.25) for i in range(5)],
+        "k long, i long, v double",
+    )
+    out = ewma(df, by="k", order_cols=["i"], value_col="v", alpha=0.3, out_col="e")
+    assert out.count() == 25
+    assert out.where(F.abs(F.col("e") - F.when(F.col("k") == 1, 7.5).otherwise(-3.25)) > 1e-12).count() == 0
+
+
+def test_ewma_bounded_by_running_extrema(spark):
+    """EWMA is a convex combination of observed values, so it can never
+    leave the running [min, max] envelope of its own history."""
+    from pyspark.sql.window import Window
+
+    from crypto_etl_pipeline_spark.operators.timeseries import ewma
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events").where(F.col("event_type") == "purchase")
+    p = ev.select("user_id", "ts", "event_id", "value")
+    out = ewma(p, by="user_id", order_cols=["ts", "event_id"], value_col="value", out_col="e", alpha=0.2)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = out.join(p, ["user_id", "ts", "event_id"]).select(
+        "e",
+        F.min("value").over(w).alias("lo"),
+        F.max("value").over(w).alias("hi"),
+    )
+    assert joined.where((F.col("e") < F.col("lo") - 1e-9) | (F.col("e") > F.col("hi") + 1e-9)).count() == 0
+
+
+def test_rule_report_counts_match_row_level_validator(spark):
+    """The one-scan aggregate report and the row-materializing
+    validator must agree rule-by-rule (same predicates, same null
+    handling)."""
+    from crypto_etl_pipeline_spark.operators.validate import rule_report, violations
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    checks = {
+        "quantity_in_range": (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50),
+        "price_positive": F.col("l_extendedprice") > 0,
+    }
+    report = {r["rule"]: r["n_violations"] for r in rule_report(li, checks).collect()}
+    rows = violations(li, checks).select(F.explode("failed_checks").alias("rule"))
+    per_rule = {r["rule"]: r["n"] for r in rows.groupBy("rule").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for rule in checks:
+        assert report[rule] == per_rule.get(rule, 0), rule
+
+
+def test_fk_orphan_count_zero_on_consistent_fk(spark):
+    from crypto_etl_pipeline_spark.operators.validate import fk_orphan_count
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders")
+    row = fk_orphan_count(li, "l_orderkey", orders, "o_orderkey", "fk").first()
+    assert row["n_violations"] == 0
+    # and a broken parent set reports exactly the removed keys' rows
+    half = orders.where(F.col("o_orderkey") % 2 == 0)
+    broken = fk_orphan_count(li, "l_orderkey", half, "o_orderkey", "fk").first()
+    expect = li.where(F.col("l_orderkey") % 2 == 1).count()
+    assert broken["n_violations"] == expect
+
+
+def test_connected_components_singletons_and_chain(spark):
+    """Endpoint-restricted CC: singletons keep their own id; a chain
+    component converges to its min label even when the diameter forces
+    several rounds."""
+    from crypto_etl_pipeline_spark.operators.cluster import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    # chain 5-6-7-8-9 plus isolated 0..4
+    edges = spark.createDataFrame([(i, i + 1) for i in range(5, 9)], "src long, dst long")
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(nodes, edges, max_iter=10).collect()
+    }
+    expect = {(i, i) for i in range(5)} | {(i, 5) for i in range(5, 10)}
+    assert got == expect
+
+
+def test_pagerank_sums_preserved_on_regular_graph(spark):
+    """On a k-regular bidirectional graph every node has the same rank
+    (symmetry), and with damping d the fixpoint value is exactly 1.0."""
+    from crypto_etl_pipeline_spark.operators.graph import pagerank
+
+    # 4-cycle, bidirectional: 2-regular
+    pairs = [(i, (i + 1) % 4) for i in range(4)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    ranks = pagerank(edges, iters=3, every_node_has_in_edges=True).collect()
+    assert len(ranks) == 4
+    for r in ranks:
+        assert r["rank"] == pytest.approx(1.0, abs=1e-12)
