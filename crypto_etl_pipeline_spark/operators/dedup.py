@@ -83,14 +83,8 @@ def minhash_signatures(
     and doubles as the groupBy(id) partitioning, so the aggregation
     that follows adds NO second exchange.
     """
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    sh = (
-        df.repartition(n_parts, F.col(id_col))
-        # Tokenize behind its own projection so the shingle lambda
-        # references an attribute, not the split() expression (which
-        # would re-run the tokenizer per shingle position).
-        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-        .select(F.col(id_col), F.explode(shingles_of(F.col("_toks"), shingle_n)).alias("_shingle"))
+    sh = _shingle_arrays(df, text_col, id_col, shingle_n).select(
+        F.col(id_col), F.explode(F.col("_sh")).alias("_shingle")
     )
     # md5 behind its own projection: the num_hashes mul-mod columns each
     # reference the attribute `_x`, so the md5 runs once per shingle.
@@ -98,6 +92,43 @@ def minhash_signatures(
         id_col, *[universal_hash(i, F.col("_x")).alias(f"h{i}") for i in range(num_hashes)]
     )
     return hashed.groupBy(id_col).agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
+
+
+def _shingle_arrays(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, _sh) — DISTINCT shingle array per doc, repartitioned by id.
+
+    Order of operations matters twice here:
+
+    1. Repartition FIRST, tokenize after: compact text tables arrive
+       in one parquet split, and tokenization is the CPU-heavy step —
+       computing it below the exchange would serialize it on one core
+       (measured 7x at sf0.1 when tried the other way).
+    2. The computed arrays are cached with a LAZY localCheckpoint so
+       the two consumers in near_dup_pairs_minhash — signatures and
+       Jaccard rehydration — share one tokenizer pass instead of each
+       re-evaluating the projection above the reused exchange
+       (ReuseExchange dedups exchanges, not projections). On a real
+       cluster this is a persist(MEMORY_AND_DISK) decision sized to
+       the corpus, same as any reuse point.
+
+    Distinct shingles are equivalent for MinHash (min over a multiset
+    == min over its support) and are exactly what Jaccard needs. The
+    tokenizer sits behind its own projection so the shingle lambda
+    references an attribute, not the split() expression (which would
+    re-run per shingle position).
+    """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingles_of(F.col("_toks"), shingle_n)).alias("_sh"),
+        )
+        .localCheckpoint(eager=False)
+    )
 
 
 def lsh_buckets(
@@ -169,14 +200,10 @@ def near_dup_pairs_minhash(
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Same repartition rationale as minhash_signatures; the identical
-    # exchange subtree under both join sides is deduplicated by
-    # ReuseExchange, so shingles are computed once.
-    sh_tbl = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
-        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-        .select(F.col(id_col), F.array_distinct(shingles_of(F.col("_toks"), shingle_n)).alias("_sh"))
-    )
+    # Identical subtree to the signatures' _shingle_arrays: ReuseExchange
+    # dedups the exchange, so tokenize/shingle/distinct run once per doc
+    # across BOTH consumers (see _shingle_arrays).
+    sh_tbl = _shingle_arrays(df, text_col, id_col, shingle_n)
     a = sh_tbl.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh_tbl.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))
     return (

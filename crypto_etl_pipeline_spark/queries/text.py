@@ -877,3 +877,73 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chunks").alias("n_chunks"),
         F.sum("n_tok").alias("total_tokens"),
     )
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+    ),
+    big AS (
+      SELECT doc_id, b.s['w1'] AS w1, b.s['w2'] AS w2
+      FROM toks, LATERAL unnest(
+        CASE WHEN len(t) >= 2 THEN
+          list_transform(generate_series(1, len(t) - 1), i -> {'w1': t[i], 'w2': t[i+1]})
+        ELSE [] END) AS b(s)
+    ),
+    cb AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+    cu AS (SELECT u.w AS w1, count(*) AS cu
+           FROM toks, LATERAL unnest(t) AS u(w) GROUP BY 1)
+    SELECT b.doc_id, count(*) AS n_bigrams,
+           round(avg(ln(cb.cb * 1.0 / cu.cu)), 4) AS avg_logp
+    FROM big b JOIN cb USING (w1, w2) JOIN cu USING (w1)
+    GROUP BY b.doc_id
+    """,
+    description="Bigram language-model quality score: per-doc mean log P(w2|w1) under corpus-trained counts",
+    tags=("text", "lm", "agg", "join"),
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the step past heuristic ratios in
+    a Gopher/C4-style pipeline): train bigram/unigram counts on the
+    corpus itself, score each document by mean log P(w2|w1) = ln(
+    c(w1,w2)/c(w1)) — formulaic/repetitive docs score high, incoherent
+    ones low. Unsmoothed is exact here because every scored bigram is
+    by construction in the training counts. Bigrams are STRUCT pairs
+    (no separator-parsing fragility); the count tables cluster on
+    their own keys and AQE broadcasts them back over the bigram
+    stream; per-doc aggregation is the only other shuffle. The HOF
+    lambda references the token-array attribute only (dedup.py
+    inlining trap avoided)."""
+    from crypto_etl_pipeline_spark.operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("_toks"), i).alias("w1"),
+                F.element_at(F.col("_toks"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = toks.select("doc_id", F.explode(bigrams).alias("_b")).select(
+        "doc_id", F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2")
+    )
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cu = (
+        toks.select(F.explode("_toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    return (
+        big.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("cb") * 1.0 / F.col("cu"))), 4).alias("avg_logp"),
+        )
+    )
