@@ -212,3 +212,42 @@ def json_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.sum(md5_long(F.col("text"), 11)).alias("text_checksum"),
     )
+
+
+@register(
+    "ndjson_sink_roundtrip",
+    oracle="""
+    SELECT lang,
+           count(*)             AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           sum(('0x' || substr(md5(text), 1, 11))::BIGINT)::BIGINT AS text_checksum
+    FROM documents
+    GROUP BY lang
+    """,
+    description="Custom Python DataSource writer round-trip: two-phase-commit NDJSON sink, checksum vs original parquet",
+    tags=("sink", "json", "agg", "datasource"),
+)
+def ndjson_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the ndjson_sink Python DataSource WRITER end to end:
+    documents -> staged part files -> driver commit (manifest) ->
+    read-back -> per-lang md5 checksum equal to the ORIGINAL parquet's.
+    Proves the custom sink's write/commit path loses nothing, the same
+    way json_roundtrip_documents proves the built-in JSON codec."""
+    import os
+    import tempfile
+
+    from crypto_etl_pipeline_spark.operators.phash import md5_long
+    from crypto_etl_pipeline_spark.sources.ndjson_sink import NdjsonSinkDataSource
+
+    spark.dataSource.register(NdjsonSinkDataSource)
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="ndjson_sink_")
+    docs.write.format("ndjson_sink").mode("overwrite").option("path", out).save()
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(os.path.join(out, "part-*.ndjson"))
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(md5_long(F.col("text"), 11)).alias("text_checksum"),
+    )

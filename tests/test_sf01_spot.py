@@ -48,6 +48,14 @@ SPOT_QUERIES = [
     "resample_ffill_hourly",
     "ohlc_hourly_bars",
     "cohort_weekly_retention",
+    "text_bigram_lm_score",
+    "event_type_cooccurrence",
+    "quality_rule_report",
+    "json_roundtrip_documents",
+    "q11_important_suppliers",
+    "embedding_norm_stats",
+    "set_multiset_buyer_sessions",
+    "window_dense_rank_lead",
 ]
 
 

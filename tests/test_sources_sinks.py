@@ -392,3 +392,50 @@ def test_decode_image_pil_parses_real_png(spark):
     )
     row = mm.decode_image(df, use_pil=True).collect()[0]
     assert (row["width"], row["height"]) == (7, 5)
+
+
+def test_ndjson_sink_two_phase_commit(spark, tmp_path):
+    """Python DataSource writer: rows land atomically (manifest +
+    promoted parts, no staging residue) and read back value-identical."""
+    import json
+
+    from crypto_etl_pipeline_spark.sources.ndjson_sink import NdjsonSinkDataSource
+
+    spark.dataSource.register(NdjsonSinkDataSource)
+    df = spark.createDataFrame(
+        [(i, f"s{i}", i * 1.5) for i in range(100)], "id long, s string, v double"
+    )
+    out = str(tmp_path / "sink_out")
+    os.makedirs(out)
+    df.repartition(4).write.format("ndjson_sink").mode("append").option("path", out).save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 100
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    parts = [e for e in os.listdir(out) if e.startswith("part-")]
+    assert sorted(p["file"] for p in manifest["files"]) == sorted(parts)
+
+    back = spark.read.schema("id long, s string, v double").json(
+        os.path.join(out, "part-*.ndjson")
+    )
+    assert {(r["id"], r["s"], r["v"]) for r in back.collect()} == {
+        (i, f"s{i}", i * 1.5) for i in range(100)
+    }
+
+
+def test_ndjson_sink_overwrite_replaces_previous_commit(spark, tmp_path):
+    import json
+
+    from crypto_etl_pipeline_spark.sources.ndjson_sink import NdjsonSinkDataSource
+
+    spark.dataSource.register(NdjsonSinkDataSource)
+    out = str(tmp_path / "sink_out2")
+    os.makedirs(out)
+    df1 = spark.createDataFrame([(1,), (2,)], "id long")
+    df1.write.format("ndjson_sink").mode("append").option("path", out).save()
+    df2 = spark.createDataFrame([(10,)], "id long")
+    df2.write.format("ndjson_sink").mode("overwrite").option("path", out).save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 1
+    back = spark.read.schema("id long").json(os.path.join(out, "part-*.ndjson"))
+    assert [r["id"] for r in back.collect()] == [10]
