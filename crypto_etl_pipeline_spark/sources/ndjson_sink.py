@@ -37,6 +37,7 @@ from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -100,3 +101,57 @@ class NdjsonSinkDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
         return _NdjsonWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "DataSourceStreamWriter":
+        return _NdjsonStreamWriter(self.options)
+
+
+class _NdjsonStreamWriter(DataSourceStreamWriter):
+    """Streaming flavor: one manifest PER MICRO-BATCH, replay-idempotent.
+
+    Exactly-once story: tasks stage exactly like the batch writer;
+    ``commit(messages, batchId)`` promotes parts under a
+    ``batch-{batchId}-`` prefix AFTER deleting any files a previous
+    attempt of the SAME batch left behind, then (re)writes
+    ``_MANIFEST-{batchId}.json``. A replayed micro-batch therefore
+    REPLACES its own output instead of appending a duplicate — the
+    sink-side half of exactly-once that foreachBatch users must
+    hand-roll. Readers sum the manifests, never the directory listing.
+    """
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("ndjson_sink requires .option('path', ...)")
+        self.path = path
+
+    def write(self, rows: Iterator) -> _PartCommit:
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.ndjson"
+        n = 0
+        with open(os.path.join(staging, name), "w") as f:
+            for row in rows:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _PartCommit(name, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        staging = os.path.join(self.path, "_staging")
+        prefix = f"batch-{batchId}-"
+        for entry in os.listdir(self.path):
+            if entry.startswith(prefix):
+                os.remove(os.path.join(self.path, entry))
+        files, total = [], 0
+        for m in messages:
+            if m is None:
+                continue
+            final = prefix + m.filename
+            os.replace(os.path.join(staging, m.filename), os.path.join(self.path, final))
+            files.append({"file": final, "rows": m.n_rows})
+            total += m.n_rows
+        with open(os.path.join(self.path, f"_MANIFEST-{batchId}.json"), "w") as f:
+            json.dump({"batch_id": batchId, "files": files, "total_rows": total}, f)
+
+    def abort(self, messages, batchId: int) -> None:
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)

@@ -439,3 +439,61 @@ def test_ndjson_sink_overwrite_replaces_previous_commit(spark, tmp_path):
     assert manifest["total_rows"] == 1
     back = spark.read.schema("id long").json(os.path.join(out, "part-*.ndjson"))
     assert [r["id"] for r in back.collect()] == [10]
+
+
+def test_ndjson_stream_writer_manifests_and_replay_idempotence(spark, tmp_path):
+    """writeStream into the custom sink: per-micro-batch manifests sum
+    to the source row count, and re-running the SAME input with a fresh
+    checkpoint (which replays batch 0) REPLACES batch-0 output instead
+    of duplicating it."""
+    import glob
+    import json
+
+    from crypto_etl_pipeline_spark.sources.ndjson_sink import NdjsonSinkDataSource
+
+    spark.dataSource.register(NdjsonSinkDataSource)
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for fi in range(2):
+        _write_event_file(
+            spark,
+            os.path.join(in_dir, f"ev{fi}.parquet"),
+            [(fi * 10 + i, 1000.0 + fi * 100 + i, 7, 1.0) for i in range(10)],
+        )
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            stream.writeStream.format("ndjson_sink")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain(str(tmp_path / "ckpt1"))
+    manifests = sorted(glob.glob(os.path.join(out, "_MANIFEST-*.json")))
+    total = sum(json.load(open(m))["total_rows"] for m in manifests)
+    assert total == 20
+    assert len(manifests) == 2  # one per micro-batch (maxFilesPerTrigger=1)
+
+    # fresh checkpoint => batch ids restart at 0; replayed batches must
+    # REPLACE their previous output, keeping the manifest sum stable
+    drain(str(tmp_path / "ckpt2"))
+    manifests2 = sorted(glob.glob(os.path.join(out, "_MANIFEST-*.json")))
+    total2 = sum(json.load(open(m))["total_rows"] for m in manifests2)
+    assert total2 == 20
+    listed = {
+        e["file"] for m in manifests2 for e in json.load(open(m))["files"]
+    }
+    on_disk = {e for e in os.listdir(out) if e.startswith("batch-")}
+    assert listed == on_disk  # no orphan parts from the replay
