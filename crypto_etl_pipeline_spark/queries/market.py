@@ -294,3 +294,116 @@ def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > 3).alias("is_anomaly"),
     )
+
+
+@register(
+    "histogram_quantile_rollup",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type, min(value) AS lo, max(value) AS hi,
+             CASE WHEN max(value) > min(value)
+                  THEN (max(value) - min(value)) / 100 ELSE 1.0 END AS w
+      FROM events GROUP BY event_type
+    ),
+    binned AS (
+      SELECT e.event_type,
+             least(cast(floor((e.value - b.lo) / b.w) AS BIGINT), 99) AS bin
+      FROM events e JOIN bounds b USING (event_type)
+    ),
+    sketch AS (
+      SELECT event_type, bin, count(*) AS c
+      FROM binned GROUP BY event_type, bin
+    ),
+    cum AS (
+      SELECT event_type, bin, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS total
+      FROM sketch
+    ),
+    est AS (
+      SELECT c.event_type, c.total,
+             min(CASE WHEN c.cum >= 0.50 * c.total THEN c.bin END) AS b50,
+             min(CASE WHEN c.cum >= 0.95 * c.total THEN c.bin END) AS b95
+      FROM cum c GROUP BY c.event_type, c.total
+    )
+    SELECT e.event_type,
+           e.total::BIGINT AS n_rows,
+           round(b.lo + b.w * (e.b50 + (0.50 * e.total - c50.cum + c50.c) / c50.c), 6)
+             AS est_p50,
+           round(b.lo + b.w * (e.b95 + (0.95 * e.total - c95.cum + c95.c) / c95.c), 6)
+             AS est_p95
+    FROM est e
+    JOIN bounds b USING (event_type)
+    JOIN cum c50 ON c50.event_type = e.event_type AND c50.bin = e.b50
+    JOIN cum c95 ON c95.event_type = e.event_type AND c95.bin = e.b95
+    """,
+    description="Mergeable histogram quantile sketch: per-type 100-bin counts -> interpolated p50/p95",
+    tags=("sketch", "agg", "window", "timeseries"),
+)
+def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-quantile pattern a 100 TB hypertable uses: store
+    per-(entity, window) 100-bin histograms — integer counts, mergeable
+    by ADDITION across any time range (unlike exact percentiles, which
+    need the raw data) — then interpolate quantiles from the cumulative
+    bins at read time. Estimates the NEAREST-RANK quantile (smallest
+    value with CDF >= p) within one bin width by construction — the
+    mergeable-sketch convention; the interpolated-order-statistic
+    convention differs by at most one rank. Both engines do the identical integer
+    bin math and double interpolation, so the oracle is exact, not a
+    tolerance check. Two scans (bounds, binning) + one narrow sketch
+    shuffle; the interpolation works on <= 100 rows per entity."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    ).select(
+        "event_type", "lo",
+        F.when(F.col("hi") > F.col("lo"), (F.col("hi") - F.col("lo")) / 100)
+        .otherwise(F.lit(1.0)).alias("w"),
+    )
+    binned = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / F.col("w")).cast("long"),
+            F.lit(99),
+        ).alias("bin"),
+    )
+    sketch = binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.partitionBy("event_type").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = sketch.select(
+        "event_type", "bin", "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    est = cum.groupBy("event_type", "total").agg(
+        F.min(F.when(F.col("cum") >= 0.50 * F.col("total"), F.col("bin"))).alias("b50"),
+        F.min(F.when(F.col("cum") >= 0.95 * F.col("total"), F.col("bin"))).alias("b95"),
+    )
+    c50 = cum.select(
+        F.col("event_type"), F.col("bin").alias("b50"),
+        F.col("cum").alias("cum50"), F.col("c").alias("c50"),
+    )
+    c95 = cum.select(
+        F.col("event_type"), F.col("bin").alias("b95"),
+        F.col("cum").alias("cum95"), F.col("c").alias("c95"),
+    )
+    interp50 = F.col("lo") + F.col("w") * (
+        F.col("b50") + (0.50 * F.col("total") - F.col("cum50") + F.col("c50")) / F.col("c50")
+    )
+    interp95 = F.col("lo") + F.col("w") * (
+        F.col("b95") + (0.95 * F.col("total") - F.col("cum95") + F.col("c95")) / F.col("c95")
+    )
+    return (
+        est.join(F.broadcast(bounds), "event_type")
+        .join(F.broadcast(c50), ["event_type", "b50"])
+        .join(F.broadcast(c95), ["event_type", "b95"])
+        .select(
+            "event_type",
+            F.col("total").cast("long").alias("n_rows"),
+            F.round(interp50, 6).alias("est_p50"),
+            F.round(interp95, 6).alias("est_p95"),
+        )
+    )

@@ -139,3 +139,29 @@ def test_pagerank_sums_preserved_on_regular_graph(spark):
     assert len(ranks) == 4
     for r in ranks:
         assert r["rank"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_histogram_quantile_within_one_bin_of_exact(spark):
+    """The sketch's interpolated p50/p95 must land within one bin width
+    of the exact NEAREST-RANK quantile (smallest value with CDF >= p) —
+    the construction's error bound. (The interpolated-order-statistic
+    convention `percentile()` uses index p*(n-1), which can sit one
+    rank lower; across a value gap that is arbitrarily far in value
+    space, so it is NOT the statistic this sketch estimates.)"""
+    import math
+
+    from crypto_etl_pipeline_spark.queries.market import histogram_quantile_rollup
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    est = {r["event_type"]: r for r in histogram_quantile_rollup(spark, SF).collect()}
+    ev = load_table(spark, SF, "events")
+    by_type = {}
+    for r in ev.select("event_type", "value").collect():
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for t, e in est.items():
+        vals = sorted(by_type[t])
+        n = len(vals)
+        w = (vals[-1] - vals[0]) / 100
+        for p, col in ((0.50, "est_p50"), (0.95, "est_p95")):
+            nearest_rank = vals[max(math.ceil(p * n) - 1, 0)]
+            assert abs(e[col] - nearest_rank) <= w + 1e-9, (t, col)

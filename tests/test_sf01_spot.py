@@ -56,6 +56,7 @@ SPOT_QUERIES = [
     "embedding_norm_stats",
     "set_multiset_buyer_sessions",
     "window_dense_rank_lead",
+    "histogram_quantile_rollup",
 ]
 
 
