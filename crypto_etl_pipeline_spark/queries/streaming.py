@@ -334,3 +334,40 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("feature.brightness").alias("brightness"),
         F.col("feature.n_bytes").alias("n_bytes"),
     )
+
+
+@register(
+    "stream_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+           least(greatest(cast(floor(value / 5.0) AS BIGINT), 0), 99) AS bin,
+           count(*) AS c
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    description="Streaming continuous aggregate: per-micro-batch fixed-bin histogram sketches merged by addition == one batch GROUP BY",
+    tags=("streaming", "sketch"),
+)
+def stream_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives run_sketch_rollup_stream end to end: the event files
+    stream in micro-batches, each batch reduces to fixed-bin counts,
+    and the running sketch is merged by addition into versioned
+    snapshots (exactly-once recovery discipline). Because histogram
+    merge is associative and commutative, the drained result must
+    equal the single batch GROUP BY the oracle runs — THE defining
+    property of a mergeable-sketch continuous aggregate."""
+    import tempfile
+
+    from crypto_etl_pipeline_spark.streaming.incremental import (
+        read_event_stream,
+        run_sketch_rollup_stream,
+    )
+
+    events = read_event_stream(spark, _stage_dir(sf_dir, copies=1))
+    return run_sketch_rollup_stream(
+        events,
+        sketch_dir=tempfile.mkdtemp(prefix="sketch_"),
+        checkpoint_dir=_checkpoint(),
+        bin_width=5.0,
+        n_bins=100,
+    )

@@ -402,3 +402,76 @@ def run_cdc_stream(
         q.stop()
         raise TimeoutError(f"CDC stream did not drain within {timeout_sec}s")
     return _latest()
+
+
+def run_sketch_rollup_stream(
+    events: DataFrame,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    bin_width: float = 5.0,
+    n_bins: int = 100,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Continuous aggregate over a stream via MERGEABLE sketch state.
+
+    Each micro-batch reduces to fixed-bin histogram counts
+    (``bin = clamp(floor(value / bin_width), 0, n_bins-1)``) and MERGES
+    them into the running sketch by per-(event_type, bin) ADDITION —
+    the property that makes histogram sketches (and HLL, and count-min)
+    the right state representation for streaming aggregates: state
+    size is bounded by entities x bins regardless of stream length,
+    and merge is associative + commutative, so replay order cannot
+    change the result. Versioned snapshots + strictly-below-batch-id
+    recovery give the same exactly-once discipline as run_cdc_stream.
+    Fixed bins (not data-dependent bounds) are deliberate: a stream
+    cannot know the global min/max up front, and fixed bins keep every
+    batch's sketch mergeable with every other's. Returns the final
+    merged (event_type, bin, c) sketch as a batch DataFrame.
+    """
+    import glob as _glob
+
+    spark = events.sparkSession
+
+    def _latest(below: int | None = None) -> DataFrame | None:
+        versions = sorted(
+            _glob.glob(f"{sketch_dir}/v*"), key=lambda p: int(p.rsplit("v", 1)[1])
+        )
+        if below is not None:
+            versions = [p for p in versions if int(p.rsplit("v", 1)[1]) < below]
+        return spark.read.parquet(versions[-1]) if versions else None
+
+    def _bin(df: DataFrame) -> DataFrame:
+        b = F.least(
+            F.greatest(F.floor(F.col("value") / bin_width), F.lit(0)),
+            F.lit(n_bins - 1),
+        ).cast("long")
+        return (
+            df.where(F.col("value").isNotNull())
+            .groupBy("event_type", b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        delta = _bin(batch_df)
+        base = _latest(below=batch_id)
+        merged = (
+            delta
+            if base is None
+            else base.unionByName(delta)
+            .groupBy("event_type", "bin")
+            .agg(F.sum("c").alias("c"))
+        )
+        merged.write.mode("overwrite").parquet(f"{sketch_dir}/v{batch_id}")
+
+    q = (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"sketch rollup stream did not drain within {timeout_sec}s")
+    final = _latest()
+    assert final is not None, "stream produced no batches"
+    return final
