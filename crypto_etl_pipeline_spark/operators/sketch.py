@@ -1,0 +1,111 @@
+"""Mergeable histogram sketches: the scale representation for
+distribution statistics (quantiles, CDFs) over 100 TB.
+
+Exact percentiles need the raw data; a histogram sketch needs only
+(entity, bin, count) rows — integer counts, MERGEABLE BY ADDITION
+across any partitioning of the input (time windows, shards, streams),
+which is what makes it the right state for continuous aggregates
+(streaming/incremental.run_sketch_rollup_stream) and multi-resolution
+rollups (store hourly sketches, merge to any range at read time).
+
+Two binning modes:
+
+- ``fixed_bin`` (``bin = clamp(floor(value / width), 0, n-1)``): the
+  streaming mode — a stream cannot know global bounds up front, and
+  fixed bins keep every batch's sketch mergeable with every other's.
+- ``bounded_bin`` (equi-width over per-entity [min, max]): the batch
+  mode — tighter bins for a known dataset, used by
+  queries/market.histogram_quantile_rollup.
+
+``quantile_from_sketch`` interpolates the NEAREST-RANK quantile
+(smallest value with CDF >= p) from cumulative bin counts; the
+estimate is within one bin width of the true nearest-rank statistic by
+construction (tests/test_round3_ops.py pins the bound).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def fixed_bin(value: Column, width: float, n_bins: int = 100) -> Column:
+    """Stream-safe bin id: clamp(floor(value / width), 0, n_bins-1)."""
+    return F.least(
+        F.greatest(F.floor(value / width), F.lit(0)), F.lit(n_bins - 1)
+    ).cast("long")
+
+
+def histogram_sketch(
+    df: DataFrame, entity_col: str, bin_col: Column
+) -> DataFrame:
+    """(entity, bin, c) — the mergeable sketch rows (one narrow shuffle,
+    map-side partial counts)."""
+    return df.groupBy(F.col(entity_col), bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def merge_sketches(*sketches: DataFrame) -> DataFrame:
+    """Union + re-sum: the associative/commutative merge that makes the
+    representation streaming- and shard-safe."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    cols = [c for c in out.columns if c != "c"]
+    return out.groupBy(*cols).agg(F.sum("c").alias("c"))
+
+
+def quantile_from_sketch(
+    sketch: DataFrame,
+    entity_col: str,
+    ps: dict[str, float],
+    lo: Column,
+    width: Column,
+) -> DataFrame:
+    """Interpolated nearest-rank quantiles from a (entity, bin, c) sketch.
+
+    ``ps`` maps output column name -> quantile (e.g. {"est_p50": 0.5}).
+    ``lo``/``width`` are per-entity columns (join them onto the sketch
+    first, or pass literals for fixed-bin sketches). The cumulative
+    window runs over <= n_bins rows per entity — driver-free and tiny
+    regardless of input scale.
+    """
+    w_cum = Window.partitionBy(entity_col).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy(entity_col)
+    cum = sketch.select(
+        entity_col, "bin", "c", lo.alias("_lo"), width.alias("_w"),
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    est = cum.groupBy(entity_col, "total").agg(
+        *[
+            F.min(F.when(F.col("cum") >= p * F.col("total"), F.col("bin"))).alias(f"_b_{name}")
+            for name, p in ps.items()
+        ]
+    )
+    out = est
+    for name, p in ps.items():
+        picked = cum.select(
+            F.col(entity_col),
+            F.col("bin").alias(f"_b_{name}"),
+            F.col("cum").alias(f"_cum_{name}"),
+            F.col("c").alias(f"_c_{name}"),
+            F.col("_lo").alias(f"_lo_{name}"),
+            F.col("_w").alias(f"_w_{name}"),
+        )
+        out = out.join(F.broadcast(picked), [entity_col, f"_b_{name}"])
+        interp = F.col(f"_lo_{name}") + F.col(f"_w_{name}") * (
+            F.col(f"_b_{name}")
+            + (p * F.col("total") - F.col(f"_cum_{name}") + F.col(f"_c_{name}"))
+            / F.col(f"_c_{name}")
+        )
+        out = out.withColumn(name, F.round(interp, 6))
+    return out.select(
+        entity_col,
+        F.col("total").cast("long").alias("n_rows"),
+        *[name for name in ps],
+    )

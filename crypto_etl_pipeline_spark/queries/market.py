@@ -352,6 +352,11 @@ def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin math and double interpolation, so the oracle is exact, not a
     tolerance check. Two scans (bounds, binning) + one narrow sketch
     shuffle; the interpolation works on <= 100 rows per entity."""
+    from crypto_etl_pipeline_spark.operators.sketch import (
+        histogram_sketch,
+        quantile_from_sketch,
+    )
+
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     bounds = ev.groupBy("event_type").agg(
         F.min("value").alias("lo"),
@@ -361,49 +366,18 @@ def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("hi") > F.col("lo"), (F.col("hi") - F.col("lo")) / 100)
         .otherwise(F.lit(1.0)).alias("w"),
     )
-    binned = ev.join(F.broadcast(bounds), "event_type").select(
+    binned = ev.join(F.broadcast(bounds), "event_type")
+    bin_col = F.least(
+        F.floor((F.col("value") - F.col("lo")) / F.col("w")).cast("long"),
+        F.lit(99),
+    )
+    sketch = histogram_sketch(binned, "event_type", bin_col).join(
+        F.broadcast(bounds), "event_type"
+    )
+    return quantile_from_sketch(
+        sketch,
         "event_type",
-        F.least(
-            F.floor((F.col("value") - F.col("lo")) / F.col("w")).cast("long"),
-            F.lit(99),
-        ).alias("bin"),
-    )
-    sketch = binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
-    w_cum = Window.partitionBy("event_type").orderBy("bin").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.partitionBy("event_type")
-    cum = sketch.select(
-        "event_type", "bin", "c",
-        F.sum("c").over(w_cum).alias("cum"),
-        F.sum("c").over(w_all).alias("total"),
-    )
-    est = cum.groupBy("event_type", "total").agg(
-        F.min(F.when(F.col("cum") >= 0.50 * F.col("total"), F.col("bin"))).alias("b50"),
-        F.min(F.when(F.col("cum") >= 0.95 * F.col("total"), F.col("bin"))).alias("b95"),
-    )
-    c50 = cum.select(
-        F.col("event_type"), F.col("bin").alias("b50"),
-        F.col("cum").alias("cum50"), F.col("c").alias("c50"),
-    )
-    c95 = cum.select(
-        F.col("event_type"), F.col("bin").alias("b95"),
-        F.col("cum").alias("cum95"), F.col("c").alias("c95"),
-    )
-    interp50 = F.col("lo") + F.col("w") * (
-        F.col("b50") + (0.50 * F.col("total") - F.col("cum50") + F.col("c50")) / F.col("c50")
-    )
-    interp95 = F.col("lo") + F.col("w") * (
-        F.col("b95") + (0.95 * F.col("total") - F.col("cum95") + F.col("c95")) / F.col("c95")
-    )
-    return (
-        est.join(F.broadcast(bounds), "event_type")
-        .join(F.broadcast(c50), ["event_type", "b50"])
-        .join(F.broadcast(c95), ["event_type", "b95"])
-        .select(
-            "event_type",
-            F.col("total").cast("long").alias("n_rows"),
-            F.round(interp50, 6).alias("est_p50"),
-            F.round(interp95, 6).alias("est_p95"),
-        )
+        {"est_p50": 0.50, "est_p95": 0.95},
+        lo=F.col("lo"),
+        width=F.col("w"),
     )

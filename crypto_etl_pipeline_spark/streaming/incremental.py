@@ -430,6 +430,12 @@ def run_sketch_rollup_stream(
     """
     import glob as _glob
 
+    from crypto_etl_pipeline_spark.operators.sketch import (
+        fixed_bin,
+        histogram_sketch,
+        merge_sketches,
+    )
+
     spark = events.sparkSession
 
     def _latest(below: int | None = None) -> DataFrame | None:
@@ -440,27 +446,14 @@ def run_sketch_rollup_stream(
             versions = [p for p in versions if int(p.rsplit("v", 1)[1]) < below]
         return spark.read.parquet(versions[-1]) if versions else None
 
-    def _bin(df: DataFrame) -> DataFrame:
-        b = F.least(
-            F.greatest(F.floor(F.col("value") / bin_width), F.lit(0)),
-            F.lit(n_bins - 1),
-        ).cast("long")
-        return (
-            df.where(F.col("value").isNotNull())
-            .groupBy("event_type", b.alias("bin"))
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        delta = _bin(batch_df)
-        base = _latest(below=batch_id)
-        merged = (
-            delta
-            if base is None
-            else base.unionByName(delta)
-            .groupBy("event_type", "bin")
-            .agg(F.sum("c").alias("c"))
+        delta = histogram_sketch(
+            batch_df.where(F.col("value").isNotNull()),
+            "event_type",
+            fixed_bin(F.col("value"), bin_width, n_bins),
         )
+        base = _latest(below=batch_id)
+        merged = delta if base is None else merge_sketches(base, delta)
         merged.write.mode("overwrite").parquet(f"{sketch_dir}/v{batch_id}")
 
     q = (
