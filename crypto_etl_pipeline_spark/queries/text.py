@@ -947,3 +947,66 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log(F.col("cb") * 1.0 / F.col("cu"))), 4).alias("avg_logp"),
         )
     )
+
+
+@register(
+    "pack_training_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tok,
+             coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      FROM t
+    )
+    SELECT doc_id, lang, n_tok,
+           cum_prev // 2048                              AS first_pack,
+           cum_prev % 2048                               AS offset_in_pack,
+           (cum_prev + n_tok - 1) // 2048 - cum_prev // 2048 + 1 AS n_packs_spanned
+    FROM c
+    """,
+    description="LLM sequence packing (concat-and-slice): deterministic pack id/offset per doc for 2048-token windows",
+    tags=("text", "packing", "window"),
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining packing step: per language, documents are
+    concatenated in a deterministic order (doc_id) and sliced into
+    fixed 2048-token context windows — docs may straddle window
+    boundaries, exactly like concat-and-chunk pretraining pipelines.
+    Because the layout is a pure function of the running token sum,
+    pack assignment is ONE partitioned cumulative window (no
+    recurrence, no bin-packing heuristic, reproducible across engines
+    and partition layouts). Every downstream shard writer can derive
+    its byte ranges from (first_pack, offset_in_pack, n_packs_spanned)
+    without touching any other document — at 100 TB the packing plan
+    itself is embarrassingly parallel after this window."""
+    from pyspark.sql.window import Window
+
+    from crypto_etl_pipeline_spark.operators.textops import token_count
+
+    cap = 2048
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", token_count(F.col("text")).alias("n_tok"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.select(
+        "doc_id", "lang", "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("cum_prev"),
+    )
+    return c.select(
+        "doc_id", "lang", "n_tok",
+        (F.col("cum_prev") / cap).cast("long").alias("first_pack"),
+        (F.col("cum_prev") % cap).alias("offset_in_pack"),
+        (
+            ((F.col("cum_prev") + F.col("n_tok") - 1) / cap).cast("long")
+            - (F.col("cum_prev") / cap).cast("long")
+            + 1
+        ).alias("n_packs_spanned"),
+    )
