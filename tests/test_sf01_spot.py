@@ -57,6 +57,7 @@ SPOT_QUERIES = [
     "set_multiset_buyer_sessions",
     "window_dense_rank_lead",
     "histogram_quantile_rollup",
+    "pack_training_sequences",
 ]
 
 
