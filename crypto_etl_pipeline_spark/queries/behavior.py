@@ -108,3 +108,65 @@ def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "rolling_wau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    fan AS (
+      SELECT DISTINCT g.report_day, du.user_id
+      FROM du, LATERAL unnest(generate_series(du.day, du.day + INTERVAL 6 DAY,
+                                              INTERVAL 1 DAY)) AS g(report_day)
+    ),
+    bounds AS (SELECT min(date_trunc('day', ts)) AS d0,
+                      max(date_trunc('day', ts)) AS d1 FROM events)
+    SELECT strftime(f.report_day, '%Y-%m-%d') AS day,
+           count(*) AS wau
+    FROM fan f, bounds b
+    WHERE f.report_day BETWEEN b.d0 AND b.d1
+    GROUP BY f.report_day
+    """,
+    description="Rolling 7-day distinct active users (WAU) via bounded explode fan-out — windowed COUNT DISTINCT that frames cannot express",
+    tags=("behavior", "window", "timeseries", "agg"),
+)
+def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window DISTINCT counting: SQL window frames cannot host
+    COUNT(DISTINCT), and a day-range self-join multiplies the fact
+    table. The scale pattern is a BOUNDED fan-out: dedupe to (day,
+    user) first (collapsing the event stream), explode each pair into
+    the <= 7 report days it contributes to, dedupe again, count. Work
+    is O(active-pairs x window-days) regardless of event volume, and
+    every stage is a plain hash aggregate. Report days outside the
+    observed range are trimmed so partial windows at the edges match
+    the oracle exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    fan = (
+        du.select(
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.col("day") + F.expr("interval 6 days"),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("report_day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    return (
+        fan.crossJoin(F.broadcast(bounds))
+        .where((F.col("report_day") >= F.col("d0")) & (F.col("report_day") <= F.col("d1")))
+        .groupBy("report_day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+        .select(F.date_format("report_day", "yyyy-MM-dd").alias("day"), "wau")
+    )

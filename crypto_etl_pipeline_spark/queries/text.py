@@ -1010,3 +1010,51 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         ).alias("n_packs_spanned"),
     )
+
+
+@register(
+    "corpus_source_stats",
+    oracle="""
+    WITH fp AS (
+      SELECT source,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS f,
+             n_chars,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok,
+             len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS n_uniq
+      FROM documents
+    )
+    SELECT source,
+           count(*)                                   AS n_docs,
+           sum(n_chars)::BIGINT                       AS total_chars,
+           (count(*) - count(DISTINCT f))::BIGINT     AS n_exact_dups,
+           round(avg(n_uniq * 1.0 / n_tok), 6)        AS avg_ttr
+    FROM fp GROUP BY source
+    """,
+    description="Provenance-aware curation stats: per-source volume, exact-dup count, mean type-token ratio",
+    tags=("text", "provenance", "agg"),
+)
+def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE curation report — the provenance dimension a corpus
+    pipeline weighs when deciding inclusion rates: volume, exact
+    duplicate pressure (rows minus distinct normalized-text
+    fingerprints; a high rate flags a scraper echoing itself), and
+    lexical diversity (mean type-token ratio). One scan, one shuffle
+    on source with a partial-distinct fingerprint aggregate — the
+    md5 fingerprints never leave the executors un-aggregated."""
+    from crypto_etl_pipeline_spark.operators.textops import fingerprint_md5, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    fp = docs.select(
+        "source",
+        fingerprint_md5(F.col("text")).alias("f"),
+        "n_chars",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+    return fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.count(F.lit(1)) - F.count_distinct("f")).alias("n_exact_dups"),
+        F.round(F.avg(F.col("n_uniq") / F.col("n_tok")), 6).alias("avg_ttr"),
+    )
