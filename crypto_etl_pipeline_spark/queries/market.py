@@ -381,3 +381,53 @@ def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo=F.col("lo"),
         width=F.col("w"),
     )
+
+
+@register(
+    "decayed_user_value",
+    oracle="""
+    WITH b AS (SELECT max(ts) AS t_max FROM events),
+    w AS (
+      SELECT user_id,
+             value * exp(-(epoch(b.t_max) - epoch(ts)) / 86400.0 * 0.1) AS wv
+      FROM events, b
+      WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           count(*) AS n_purchases,
+           round(sum(wv), 4) AS decayed_value
+    FROM w GROUP BY user_id
+    """,
+    description="Exponentially time-decayed per-user purchase value (recency weighting, half-life ~7d)",
+    tags=("market", "timeseries", "agg"),
+)
+def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted aggregate: each purchase contributes
+    value * exp(-0.1 * age_days) relative to the corpus max timestamp
+    (half-life ~= 6.9 days) — the decay-weighted counter behind
+    recommendation freshness and churn features. Expressed as a plain
+    weighted sum, it keeps map-side partial aggregation (a true
+    decayed COUNTER would need state; this is the batch form). The
+    anchor t_max is a 1-row broadcast; exp() agrees across engines to
+    <1 ulp and the sum is rounded on a 4-decimal grid."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.max("ts").alias("t_max"))
+    w = (
+        ev.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(b))
+        .select(
+            "user_id",
+            (
+                F.col("value")
+                * F.exp(
+                    -(F.col("t_max").cast("double") - F.col("ts").cast("double"))
+                    / 86400.0
+                    * 0.1
+                )
+            ).alias("wv"),
+        )
+    )
+    return w.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("wv"), 4).alias("decayed_value"),
+    )

@@ -1058,3 +1058,46 @@ def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.count_distinct("f")).alias("n_exact_dups"),
         F.round(F.avg(F.col("n_uniq") / F.col("n_tok")), 6).alias("avg_ttr"),
     )
+
+
+@register(
+    "inverted_index_postings",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, lower(t.tok) AS token
+      FROM documents, LATERAL unnest(regexp_split_to_array(text, '\\s+')) AS t(tok)
+      WHERE length(t.tok) >= 6
+    ),
+    df AS (SELECT token, count(*) AS df FROM tok GROUP BY token)
+    SELECT d.token, d.df,
+           list(t.doc_id ORDER BY t.doc_id) AS postings
+    FROM df d JOIN tok t USING (token)
+    WHERE d.df BETWEEN 3 AND 8
+    GROUP BY d.token, d.df
+    """,
+    description="Inverted index construction: token -> sorted posting list (array aggregation), rare-band terms only",
+    tags=("text", "index", "agg", "array"),
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The search-index building block: per token, the SORTED array of
+    documents containing it. sort_array(collect_list(...)) keeps the
+    output deterministic across partition layouts (collect_list alone
+    is arrival-ordered); the df band filter keeps posting lists
+    bounded — at 100 TB the unbounded head terms ('the') would be
+    skip-listed or elided exactly like this. Distinct (doc, token)
+    first so each doc appears once per posting list."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+        )
+        .where(F.length("token") >= 6)
+        .select("doc_id", F.lower("token").alias("token"))
+        .distinct()
+    )
+    df_ = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tok.join(df_.where(F.col("df").between(3, 8)), "token")
+        .groupBy("token", "df")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+    )
