@@ -960,7 +960,8 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (
       SELECT doc_id, lang, n_tok,
              coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS cum_prev
       FROM t
     )
     SELECT doc_id, lang, n_tok,
