@@ -58,6 +58,13 @@ def attach_fake_payloads(docs: DataFrame, id_col: str = "doc_id", text_col: str 
     the byte length so every downstream assertion is reproducible and
     SQL-expressible (the DuckDB oracle mirrors the arithmetic).
     """
+    # Round-robin spread BEFORE attaching payloads: the downstream
+    # decode/feature/frame operators are partition-preserving Arrow
+    # stages (their documented contract), so a compact source that
+    # arrives in one parquet split would otherwise pin the CPU-bound
+    # codec work to a single core — the same hazard class as AQE
+    # coalescing Python grouped stages (operators/timeseries.ewma).
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     payload = F.encode(F.col(text_col), "UTF-8")
     n = F.octet_length(payload)
     return docs.select(
