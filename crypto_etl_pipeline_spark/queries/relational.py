@@ -788,3 +788,35 @@ def set_multiset_buyer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("except_all").alias("op"), "user_id", "n")
     )
     return ia.unionByName(ea)
+
+
+@register(
+    "agg_decimal_exact_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           sum(cast(l_extendedprice AS DECIMAL(18,2))) AS revenue_exact,
+           sum(cast(l_extendedprice AS DECIMAL(18,2))
+               * cast(1 - l_discount AS DECIMAL(18,2))) AS disc_revenue_exact,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="Exact-money aggregation in DECIMAL(18,2): order-independent sums, no FP rounding anywhere",
+    tags=("agg", "decimal"),
+)
+def agg_decimal_exact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decimal surface the reference lacks entirely (SURVEY §1.2:
+    binary floats only): money cast to DECIMAL(18,2) before summing
+    makes the aggregate EXACT and order-independent — no round() is
+    needed on either engine because there is no representation error
+    to absorb. Spark widens decimal sums (precision +10) and the
+    product to (38, 4); DuckDB mirrors with explicit result casts so
+    the compared values are on identical scales. Same one-exchange
+    partial/final hash aggregate as any double sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).alias("revenue_exact"),
+        F.sum(price * disc).alias("disc_revenue_exact"),
+        F.count(F.lit(1)).alias("n"),
+    )

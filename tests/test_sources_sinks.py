@@ -497,3 +497,25 @@ def test_ndjson_stream_writer_manifests_and_replay_idempotence(spark, tmp_path):
     }
     on_disk = {e for e in os.listdir(out) if e.startswith("batch-")}
     assert listed == on_disk  # no orphan parts from the replay
+
+
+def test_parquet_schema_evolution_merge_on_read(spark, tmp_path):
+    """Lakehouse schema evolution: files written before a column was
+    added must read back as nulls under mergeSchema, with no rewrite of
+    old files — the additive-evolution contract a 100 TB table relies
+    on (rewriting history is not an option at that scale)."""
+    base = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    v1.write.parquet(base + "/d=1")
+    v2 = spark.createDataFrame(
+        [(3, "c", 1.5), (4, "d", 2.5)], "id long, s string, score double"
+    )
+    v2.write.parquet(base + "/d=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "s", "score", "d"}
+    rows = {r["id"]: (r["s"], r["score"]) for r in merged.collect()}
+    assert rows[1] == ("a", None) and rows[4] == ("d", 2.5)
+    # old files untouched: the narrow read of partition d=1 still works
+    old = spark.read.parquet(base + "/d=1")
+    assert old.columns == ["id", "s"]
