@@ -170,3 +170,37 @@ def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("wau"))
         .select(F.date_format("report_day", "yyyy-MM-dd").alias("day"), "wau")
     )
+
+
+@register(
+    "semistructured_props_paths",
+    oracle="""
+    SELECT event_type,
+           sum(regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT)::BIGINT AS sum_k_variant,
+           sum(regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT)::BIGINT AS sum_k_map,
+           count(props) AS n_parsed
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY event_type
+    """,
+    description="Semi-structured access paths: Spark 4 VARIANT (parse_json/try_variant_get) and MapType (from_json) must agree",
+    tags=("behavior", "json", "variant", "map"),
+)
+def semistructured_props_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two engine-native routes into semi-structured payloads,
+    value-checked against each other AND the oracle: VARIANT
+    (parse_json -> try_variant_get: Spark 4's open-schema binary JSON,
+    parsed once, fields extracted without re-tokenizing) and the
+    closed-schema MapType (from_json with an explicit value type).
+    At 100 TB the VARIANT column is what you STORE when producers add
+    fields freely; the map is what you project when the schema is
+    settled. try_-prefixed access returns null (never throws) on
+    malformed rows, mirroring the pipeline's try_cast discipline."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("props").isNotNull())
+    k_variant = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    k_map = F.element_at(F.from_json("props", "map<string,long>"), "k")
+    return ev.groupBy("event_type").agg(
+        F.sum(k_variant).alias("sum_k_variant"),
+        F.sum(k_map).alias("sum_k_map"),
+        F.count("props").alias("n_parsed"),
+    )
