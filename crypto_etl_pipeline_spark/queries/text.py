@@ -1064,41 +1064,53 @@ def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "inverted_index_postings",
     oracle="""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, lower(t.tok) AS token
-      FROM documents, LATERAL unnest(regexp_split_to_array(text, '\\s+')) AS t(tok)
-      WHERE length(t.tok) >= 6
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
     ),
-    df AS (SELECT token, count(*) AS df FROM tok GROUP BY token)
-    SELECT d.token, d.df,
+    tok AS (
+      SELECT DISTINCT doc_id, b.s['w1'] || '_' || b.s['w2'] AS term
+      FROM toks, LATERAL unnest(
+        CASE WHEN len(t) >= 2 THEN
+          list_transform(generate_series(1, len(t) - 1), i -> {'w1': t[i], 'w2': t[i+1]})
+        ELSE [] END) AS b(s)
+    ),
+    df AS (SELECT term, count(*) AS df FROM tok GROUP BY term)
+    SELECT d.term, d.df,
            list(t.doc_id ORDER BY t.doc_id) AS postings
-    FROM df d JOIN tok t USING (token)
-    WHERE d.df BETWEEN 3 AND 8
-    GROUP BY d.token, d.df
+    FROM df d JOIN tok t USING (term)
+    WHERE d.df BETWEEN 2 AND 10
+    GROUP BY d.term, d.df
     """,
-    description="Inverted index construction: token -> sorted posting list (array aggregation), rare-band terms only",
+    description="Inverted index construction: bigram term -> sorted posting list (array aggregation), rare-band terms only",
     tags=("text", "index", "agg", "array"),
 )
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The search-index building block: per token, the SORTED array of
-    documents containing it. sort_array(collect_list(...)) keeps the
-    output deterministic across partition layouts (collect_list alone
-    is arrival-ordered); the df band filter keeps posting lists
-    bounded — at 100 TB the unbounded head terms ('the') would be
-    skip-listed or elided exactly like this. Distinct (doc, token)
-    first so each doc appears once per posting list."""
+    """The search-index building block: per term, the SORTED array of
+    documents containing it. Terms are word BIGRAMS — this corpus's
+    unigram vocabulary is a handful of stopword-like tokens that appear
+    in ~80% of documents, so unigram posting lists would be corpus-
+    sized; bigrams have the frequency tail a real index exploits, and
+    the df band filter keeps posting lists bounded (at 100 TB the
+    unbounded head terms would be skip-listed or elided exactly like
+    this). sort_array(collect_list(...)) keeps the output deterministic
+    across partition layouts (collect_list alone is arrival-ordered);
+    distinct (doc, term) first so each doc appears once per list."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = (
-        docs.select(
-            "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("token")
-        )
-        .where(F.length("token") >= 6)
-        .select("doc_id", F.lower("token").alias("token"))
-        .distinct()
-    )
-    df_ = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    toks = docs.select("doc_id", F.split(F.col("text"), r"\s+").alias("_toks"))
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - 1),
+            lambda i: F.concat_ws(
+                "_", F.element_at(F.col("_toks"), i), F.element_at(F.col("_toks"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tok = toks.select("doc_id", F.explode(bigrams).alias("term")).distinct()
+    df_ = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (
-        tok.join(df_.where(F.col("df").between(3, 8)), "token")
-        .groupBy("token", "df")
+        tok.join(df_.where(F.col("df").between(2, 10)), "term")
+        .groupBy("term", "df")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
     )
+

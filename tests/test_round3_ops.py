@@ -165,3 +165,77 @@ def test_histogram_quantile_within_one_bin_of_exact(spark):
         for p, col in ((0.50, "est_p50"), (0.95, "est_p95")):
             nearest_rank = vals[max(math.ceil(p * n) - 1, 0)]
             assert abs(e[col] - nearest_rank) <= w + 1e-9, (t, col)
+
+
+def test_rolling_wau_matches_naive_range_join(spark):
+    """Differential: the bounded-explode WAU must equal the naive
+    day-grid x (day,user) range join — an independent second Spark
+    implementation, not just the SQL oracle."""
+    from crypto_etl_pipeline_spark.queries.behavior import rolling_wau
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    fast = {(r["day"], r["wau"]) for r in rolling_wau(spark, SF).collect()}
+
+    ev = load_table(spark, SF, "events")
+    du = ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id").distinct()
+    days = ev.select(F.date_trunc("day", F.col("ts")).alias("report_day")).distinct()
+    naive = (
+        days.join(
+            du,
+            (F.col("day") <= F.col("report_day"))
+            & (F.col("day") >= F.col("report_day") - F.expr("interval 6 days")),
+        )
+        .select("report_day", "user_id")
+        .distinct()
+        .groupBy("report_day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+        .select(F.date_format("report_day", "yyyy-MM-dd").alias("day"), "wau")
+    )
+    assert fast == {(r["day"], r["wau"]) for r in naive.collect()}
+
+
+def test_pack_training_sequences_invariants(spark):
+    """Packing layout invariants: offsets inside the window, spans >= 1,
+    and per-language conservation — the last doc's cum position equals
+    the language's total token count."""
+    from crypto_etl_pipeline_spark.queries.text import pack_training_sequences
+
+    out = pack_training_sequences(spark, SF)
+    cap = 2048
+    assert out.where((F.col("offset_in_pack") < 0) | (F.col("offset_in_pack") >= cap)).count() == 0
+    assert out.where(F.col("n_packs_spanned") < 1).count() == 0
+    # conservation: first_pack*cap + offset == cumulative tokens before the doc,
+    # so summing n_tok per lang equals the final doc's position + its tokens
+    per_lang = out.groupBy("lang").agg(
+        F.sum("n_tok").alias("total"),
+        F.max(F.col("first_pack") * cap + F.col("offset_in_pack") + F.col("n_tok")).alias("end_pos"),
+    )
+    assert per_lang.where(F.col("total") != F.col("end_pos")).count() == 0
+
+
+def test_decayed_value_bounded_by_plain_sum(spark):
+    """Decay weights are in (0, 1], so the decayed value is positive
+    and never exceeds the undecayed sum."""
+    from crypto_etl_pipeline_spark.queries.market import decayed_user_value
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    dec = decayed_user_value(spark, SF)
+    ev = load_table(spark, SF, "events").where(F.col("event_type") == "purchase")
+    plain = ev.groupBy("user_id").agg(F.sum("value").alias("plain_sum"))
+    joined = dec.join(plain, "user_id")
+    assert joined.where(
+        (F.col("decayed_value") <= 0)
+        | (F.col("decayed_value") > F.col("plain_sum") + 1e-6)
+    ).count() == 0
+
+
+def test_inverted_index_postings_consistency(spark):
+    """Posting lists are sorted, duplicate-free, and their length equals
+    the advertised document frequency."""
+    from crypto_etl_pipeline_spark.queries.text import inverted_index_postings
+
+    rows = inverted_index_postings(spark, SF).collect()
+    assert rows, "band filter should keep some terms at sf0.001"
+    for r in rows:
+        p = r["postings"]
+        assert p == sorted(p) and len(p) == len(set(p)) == r["df"], r["token"]
