@@ -228,3 +228,32 @@ def test_ivf_lloyd_iterations_reduce_inertia(spark):
     assert vals[1] <= vals[0] + 1e-6, vals
     assert vals[2] <= vals[1] + 1e-6, vals
     assert vals[2] < vals[0], "two Lloyd steps should strictly improve on seed cells"
+
+
+@pytest.fixture(scope="module")
+def duck_gate():
+    """DuckDB views at sf0.01 — the DRIVER's gate SF, fixed regardless
+    of SPARK_GRAFT_TEST_SF_DIR, for oracle lints that must reflect the
+    gate's conditions."""
+    import duckdb
+
+    from crypto_etl_pipeline_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_not_vacuous_at_gate_sf(name, duck_gate):
+    """Vacuity lint (round-3 postmortem): a 0-row oracle makes the
+    driver's comparison an empty-vs-empty tautology — the first
+    inverted-index query 'passed' at every SF while matching nothing.
+    Every oracle must select at least one row at the gate SF."""
+    spec = REGISTRY[name]
+    rows = duck_gate.execute(f"SELECT count(*) FROM ({spec.oracle})").fetchone()
+    assert rows[0] > 0, f"{name}: oracle returns 0 rows at sf0.01 — vacuous comparison"
