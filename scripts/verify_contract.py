@@ -1,0 +1,88 @@
+"""Driver-contract verification sweep: run EVERY oracled query in both
+engines at a chosen SF and compare rows/columns/values exactly like
+the driver's correctness gate.
+
+Usage:
+    python scripts/verify_contract.py [sf_dir] [--sample name1,name2]
+
+Defaults to /root/testdata/sf0.01 (the driver's gate SF). Exits
+non-zero if any query mismatches. This is the same compare the local
+pytest harness runs (tests/test_oracle_parity.py), packaged for
+one-command verification outside pytest.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                vals.append("NaN" if math.isnan(v) else round(v, 9))
+            elif hasattr(v, "__float__") and not isinstance(v, (int, bool)):
+                vals.append(round(float(v), 9))
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=repr)
+    return out
+
+
+def main() -> int:
+    import duckdb
+
+    from crypto_etl_pipeline_spark.queries import REGISTRY
+    from crypto_etl_pipeline_spark.session import get_spark
+    from crypto_etl_pipeline_spark.sources.tables import TABLES
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    sample = None
+    for a in sys.argv[1:]:
+        if a.startswith("--sample"):
+            sample = set(a.split("=", 1)[1].split(","))
+
+    spark = get_spark(app_name="verify-contract", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+    bad = 0
+    names = sorted(n for n, s in REGISTRY.items() if s.oracle and (sample is None or n in sample))
+    for name in names:
+        spec = REGISTRY[name]
+        try:
+            sdf = spec.fn(spark, sf)
+            cols = sdf.columns
+            srows = _norm([tuple(r) for r in sdf.collect()], cols)
+            res = con.execute(spec.oracle)
+            dcols = [d[0] for d in res.description]
+            drows = _norm(res.fetchall(), dcols)
+            ok = sorted(cols) == sorted(dcols) and srows == drows
+            if ok:
+                print(f"{name} MATCH {len(srows)}", flush=True)
+            else:
+                bad += 1
+                diff = [(a, b) for a, b in zip(srows, drows) if a != b][:2]
+                print(f"{name} MISMATCH rows={len(srows)}/{len(drows)} first={diff}", flush=True)
+        except Exception as ex:  # noqa: BLE001 - report-and-continue sweep
+            bad += 1
+            print(f"{name} ERROR {type(ex).__name__}: {str(ex)[:200]}", flush=True)
+    print(f"DONE bad={bad} total={len(names)}", flush=True)
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
