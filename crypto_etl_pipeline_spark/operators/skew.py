@@ -20,7 +20,7 @@ content, not rand(), so retries/replays produce identical plans.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
