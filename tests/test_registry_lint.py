@@ -1,0 +1,39 @@
+"""Registry-wide hygiene lints: metadata completeness and a plan-level
+scale guard over every registered query.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from crypto_etl_pipeline_spark.queries import REGISTRY
+
+BATCH_QUERIES = sorted(
+    n for n, s in REGISTRY.items()
+    if not (n.startswith("stream_") or "streaming" in s.tags)
+)
+
+
+def test_registry_metadata_complete():
+    """Every entry has a description, at least one tag, and an oracle
+    that is either None (rows-only, deliberate) or a SELECT/WITH."""
+    assert len(REGISTRY) == len({n.lower() for n in REGISTRY}), "case-colliding names"
+    for n, s in REGISTRY.items():
+        assert s.description, f"{n}: missing description"
+        assert s.tags, f"{n}: missing tags"
+        if s.oracle is not None:
+            head = s.oracle.strip().split(None, 1)[0].upper()
+            assert head in ("SELECT", "WITH"), f"{n}: oracle does not start with SELECT/WITH"
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_no_cartesian_product_plans(name, spark):
+    """Scale lint: no registered batch query may plan a CartesianProduct
+    (both-sides-large cross join). Intentional scalar broadcasts plan
+    as BroadcastNestedLoopJoin and are fine; a CartesianProduct means a
+    join lost its keys or its broadcast and would be quadratic at
+    100 TB."""
+    spec = REGISTRY[name]
+    df = spec.fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
