@@ -56,6 +56,9 @@ HEADLINE = [
     "ewma_user_purchase_value",
     "cohort_weekly_retention",
     "resample_ffill_hourly",
+    "histogram_quantile_rollup",
+    "text_bigram_lm_score",
+    "rolling_wau",
 ]
 
 
