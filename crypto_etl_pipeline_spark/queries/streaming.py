@@ -371,3 +371,70 @@ def stream_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_width=5.0,
         n_bins=100,
     )
+
+
+@register(
+    "stream_sketch_quantiles",
+    oracle="""
+    WITH sketch AS (
+      SELECT event_type,
+             least(greatest(cast(floor(value / 5.0) AS BIGINT), 0), 99) AS bin,
+             count(*) AS c
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS total
+      FROM sketch
+    ),
+    est AS (
+      SELECT event_type, total,
+             min(CASE WHEN cum >= 0.50 * total THEN bin END) AS b50,
+             min(CASE WHEN cum >= 0.95 * total THEN bin END) AS b95
+      FROM cum GROUP BY event_type, total
+    )
+    SELECT e.event_type,
+           e.total::BIGINT AS n_rows,
+           round(5.0 * (e.b50 + (0.50 * e.total - c50.cum + c50.c) / c50.c), 6) AS est_p50,
+           round(5.0 * (e.b95 + (0.95 * e.total - c95.cum + c95.c) / c95.c), 6) AS est_p95
+    FROM est e
+    JOIN cum c50 ON c50.event_type = e.event_type AND c50.bin = e.b50
+    JOIN cum c95 ON c95.event_type = e.event_type AND c95.bin = e.b95
+    """,
+    description="Continuous-aggregate READ side: quantiles interpolated from micro-batch-merged sketch state == one batch computation",
+    tags=("streaming", "sketch", "window"),
+)
+def stream_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closes the continuous-aggregate loop: the WRITE side merges
+    fixed-bin histograms per micro-batch (stream_sketch_rollup); this
+    READ side interpolates p50/p95 from that streamed state via
+    operators/sketch.quantile_from_sketch — and because sketch merge is
+    associative/commutative, the result must equal the same math over a
+    single batch GROUP BY, which is what the oracle computes. This is
+    how a 100 TB hypertable serves percentile dashboards without ever
+    re-touching raw history."""
+    import tempfile
+
+    from crypto_etl_pipeline_spark.operators.sketch import quantile_from_sketch
+    from crypto_etl_pipeline_spark.streaming.incremental import (
+        read_event_stream,
+        run_sketch_rollup_stream,
+    )
+
+    events = read_event_stream(spark, _stage_dir(sf_dir, copies=1))
+    merged = run_sketch_rollup_stream(
+        events,
+        sketch_dir=tempfile.mkdtemp(prefix="sketchq_"),
+        checkpoint_dir=_checkpoint(),
+        bin_width=5.0,
+        n_bins=100,
+    )
+    return quantile_from_sketch(
+        merged,
+        "event_type",
+        {"est_p50": 0.50, "est_p95": 0.95},
+        lo=F.lit(0.0),
+        width=F.lit(5.0),
+    )

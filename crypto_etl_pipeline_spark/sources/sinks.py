@@ -68,3 +68,36 @@ def read_jsonl(spark, path: str, schema):
     pass the DDL string or StructType they expect, and corrupt rows
     surface as nulls in the columns they fail to parse."""
     return spark.read.schema(schema).json(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory into ~target-sized files; returns the
+    new file count.
+
+    The small-files problem is operational debt at 100 TB: streaming
+    sinks and fine-grained partitions accumulate kilobyte files whose
+    per-file open/footer costs dominate scans. Compaction = read ->
+    repartition(ceil(bytes/target)) -> rewrite to a temp dir -> atomic
+    directory swap (write NEVER overwrites the live dir in place — a
+    mid-rewrite crash must leave the original readable). Row contents
+    are preserved exactly; only the file layout changes.
+    """
+    import glob
+    import math
+    import os
+    import shutil
+
+    total = sum(os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.parquet")))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(glob.glob(os.path.join(path, "*.parquet")))

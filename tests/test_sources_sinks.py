@@ -519,3 +519,20 @@ def test_parquet_schema_evolution_merge_on_read(spark, tmp_path):
     # old files untouched: the narrow read of partition d=1 still works
     old = spark.read.parquet(base + "/d=1")
     assert old.columns == ["id", "s"]
+
+
+def test_compact_parquet_preserves_rows_and_reduces_files(spark, tmp_path):
+    import glob
+
+    from crypto_etl_pipeline_spark.sources.sinks import compact_parquet
+
+    out = str(tmp_path / "many_small")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(1000)], "id long, s string")
+    df.repartition(32).write.parquet(out)
+    before_files = len(glob.glob(os.path.join(out, "*.parquet")))
+    assert before_files >= 16
+    before_rows = {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    after_files = compact_parquet(spark, out, target_file_bytes=1 << 30)
+    assert after_files == 1
+    assert {tuple(r) for r in spark.read.parquet(out).collect()} == before_rows
