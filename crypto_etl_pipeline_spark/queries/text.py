@@ -1114,3 +1114,83 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
     )
 
+
+
+@register(
+    "decontaminate_eval_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 8 THEN
+               list_distinct(list_transform(generate_series(1, len(t) - 7),
+                 i -> t[i] || '_' || t[i+1] || '_' || t[i+2] || '_' || t[i+3] || '_'
+                      || t[i+4] || '_' || t[i+5] || '_' || t[i+6] || '_' || t[i+7]))
+             ELSE [] END AS g
+      FROM toks
+    ),
+    eval_g AS (
+      SELECT DISTINCT u.gram FROM grams, LATERAL unnest(g) AS u(gram)
+      WHERE doc_id % 10 = 0
+    ),
+    train_g AS (
+      SELECT doc_id, u.gram, len(g) AS n_grams
+      FROM grams, LATERAL unnest(g) AS u(gram)
+      WHERE doc_id % 10 <> 0
+    )
+    SELECT t.doc_id,
+           count(*)   AS n_hit_grams,
+           t.n_grams,
+           round(count(*) * 1.0 / t.n_grams, 6) AS contamination
+    FROM train_g t JOIN eval_g e ON t.gram = e.gram
+    GROUP BY t.doc_id, t.n_grams
+    """,
+    description="Benchmark decontamination: training docs sharing 8-gram spans with the held-out eval slice",
+    tags=("text", "dedup", "decontamination", "join"),
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus CONTAINMENT, not pairwise similarity: the standard
+    pre-training decontamination step flags any training document
+    sharing an 8-token span with the evaluation set (here a
+    deterministic doc_id % 10 slice standing in for the benchmark).
+    Shape: the eval side collapses to a DISTINCT gram set — far
+    smaller than the corpus — and the gram join is a hash join against
+    it (AQE broadcasts it at realistic eval-set sizes); cost scales
+    with train-side gram volume, never train x eval. Per-doc hit
+    ratios let policy choose between dropping docs and excising
+    spans."""
+    from crypto_etl_pipeline_spark.operators.textops import shingles_of, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        docs.repartition(n_parts, F.col("doc_id"))
+        .select("doc_id", tokens(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id",
+            F.array_distinct(shingles_of(F.col("_toks"), 8)).alias("_g"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    eval_g = (
+        grams.where(F.col("doc_id") % 10 == 0)
+        .select(F.explode("_g").alias("gram"))
+        .distinct()
+    )
+    train_g = (
+        grams.where(F.col("doc_id") % 10 != 0)
+        .select("doc_id", F.size("_g").alias("n_grams"), F.explode("_g").alias("gram"))
+    )
+    return (
+        train_g.join(eval_g, "gram")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+        .select(
+            "doc_id",
+            "n_hit_grams",
+            "n_grams",
+            F.round(F.col("n_hit_grams") / F.col("n_grams"), 6).alias("contamination"),
+        )
+    )
