@@ -789,7 +789,7 @@ def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decimal_exact_money_agg",
     oracle="""
     SELECT o_orderstatus,
-           sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total_exact,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS total_exact,
            CAST(avg(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS avg_exact,
            count(*) AS n
     FROM orders
@@ -803,8 +803,9 @@ def decimal_exact_money_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sum associative and engine-independent — no rounding discipline,
     the hash compares exact decimals. The cast itself is well-defined
     because o_totalprice carries 2-decimal values exactly representable
-    at scale 4. Spark widens sum(DECIMAL(18,4)) to (28,4),
-    which DuckDB's sum matches exactly; avg is normalized to
+    at scale 4. Spark widens sum(DECIMAL(18,4)) to (28,4) while DuckDB
+    widens to (38,4), so the oracle casts its sum down to (28,4) to put
+    both engines on identical result types; avg is normalized to
     DECIMAL(18,4) on both sides because DuckDB's avg(DECIMAL) returns
     DOUBLE while Spark stays exact at (22,8)."""
     orders = load_table(spark, sf_dir, "orders")

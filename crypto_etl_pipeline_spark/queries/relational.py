@@ -794,7 +794,7 @@ def set_multiset_buyer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_decimal_exact_revenue",
     oracle="""
     SELECT l_returnflag,
-           sum(cast(l_extendedprice AS DECIMAL(18,2))) AS revenue_exact,
+           cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue_exact,
            sum(cast(l_extendedprice AS DECIMAL(18,2))
                * cast(1 - l_discount AS DECIMAL(18,2))) AS disc_revenue_exact,
            count(*) AS n
