@@ -53,8 +53,16 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature as ``num_hashes`` plain long columns.
+
+    ``shingle_df`` lets a caller that ALSO needs the shingle sets (the
+    Jaccard-verify stage of :func:`near_dup_pairs_minhash`) pass the one
+    checkpointed ``_shingle_arrays`` table in, so tokenize/shingle/
+    distinct genuinely run once — two separate ``localCheckpoint`` calls
+    would materialize two distinct RDD lineages that ReuseExchange
+    cannot dedup (it dedups exchanges, not LogicalRDDs).
 
     Shuffle-based formulation: explode shingles, hash each shingle ONCE
     (``md5_long``, portable to the DuckDB oracle), fan out to
@@ -83,9 +91,8 @@ def minhash_signatures(
     and doubles as the groupBy(id) partitioning, so the aggregation
     that follows adds NO second exchange.
     """
-    sh = _shingle_arrays(df, text_col, id_col, shingle_n).select(
-        F.col(id_col), F.explode(F.col("_sh")).alias("_shingle")
-    )
+    sh_tbl = shingle_df if shingle_df is not None else _shingle_arrays(df, text_col, id_col, shingle_n)
+    sh = sh_tbl.select(F.col(id_col), F.explode(F.col("_sh")).alias("_shingle"))
     # md5 behind its own projection: the num_hashes mul-mod columns each
     # reference the attribute `_x`, so the md5 runs once per shingle.
     hashed = sh.select(id_col, md5_long(F.col("_shingle"), 8).alias("_x")).select(
@@ -186,7 +193,8 @@ def near_dup_pairs_minhash(
     (band, bucket) self-join, and two small joins rehydrating shingle
     sets for the (sparse) candidate set — never an n^2 comparison.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sh_tbl = _shingle_arrays(df, text_col, id_col, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, shingle_df=sh_tbl)
     buckets = lsh_buckets(sigs, id_col, num_hashes, num_bands)
     left = buckets.alias("l")
     right = buckets.alias("r")
@@ -200,10 +208,9 @@ def near_dup_pairs_minhash(
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Identical subtree to the signatures' _shingle_arrays: ReuseExchange
-    # dedups the exchange, so tokenize/shingle/distinct run once per doc
-    # across BOTH consumers (see _shingle_arrays).
-    sh_tbl = _shingle_arrays(df, text_col, id_col, shingle_n)
+    # The SAME checkpointed shingle table feeds both the signature path
+    # above and this Jaccard rehydration — one tokenizer pass, one
+    # localCheckpoint RDD shared by both consumers.
     a = sh_tbl.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh_tbl.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))
     return (

@@ -78,13 +78,22 @@ class _NdjsonWriter(DataSourceWriter):
                     full = os.path.join(self.path, entry)
                     shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
         files, total = [], 0
+        manifest_path = os.path.join(self.path, "_MANIFEST.json")
+        if not self.overwrite and os.path.exists(manifest_path):
+            # Append mode accumulates: the manifest is the readers' source
+            # of truth, so a second append must carry forward every file a
+            # previous job committed, not replace the list with its own.
+            with open(manifest_path) as f:
+                prev = json.load(f)
+            files = list(prev.get("files", []))
+            total = int(prev.get("total_rows", 0))
         for m in messages:
             os.replace(
                 os.path.join(staging, m.filename), os.path.join(self.path, m.filename)
             )
             files.append({"file": m.filename, "rows": m.n_rows})
             total += m.n_rows
-        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+        with open(manifest_path, "w") as f:
             json.dump({"files": files, "total_rows": total}, f)
         shutil.rmtree(staging, ignore_errors=True)
 
@@ -152,6 +161,11 @@ class _NdjsonStreamWriter(DataSourceStreamWriter):
             total += m.n_rows
         with open(os.path.join(self.path, f"_MANIFEST-{batchId}.json"), "w") as f:
             json.dump({"batch_id": batchId, "files": files, "total_rows": total}, f)
+        # Every promoted part was os.replace'd out of _staging above, so
+        # anything left is an orphan from a failed/speculative attempt —
+        # drop the directory or it grows unbounded over a long stream.
+        # (Micro-batches of a query are sequential, so nothing live here.)
+        shutil.rmtree(staging, ignore_errors=True)
 
     def abort(self, messages, batchId: int) -> None:
         shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)

@@ -85,18 +85,37 @@ def compact_parquet(
     directory swap (write NEVER overwrites the live dir in place — a
     mid-rewrite crash must leave the original readable). Row contents
     are preserved exactly; only the file layout changes.
+
+    Crash-safety contract: the swap is two renames (POSIX rename cannot
+    exchange two directories atomically), so there IS a window where
+    ``path`` is absent with the original parked at ``{path}__old`` and
+    the compacted data complete at ``{path}__compacting``. Entry-time
+    recovery makes that window survivable rather than fatal: a rerun
+    (or any caller) first rolls an orphaned ``__old`` back into place,
+    then clears stale ``__old``/``__compacting`` leftovers — no crash
+    point loses data or wedges the next run.
     """
     import glob
     import math
     import os
     import shutil
 
+    tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__old"
+    if not os.path.exists(path) and os.path.exists(old):
+        # Crashed between the two renames of a prior run: the original is
+        # intact at __old — roll it back (conservative; this run then
+        # recompacts from it).
+        os.rename(old, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)  # post-swap crash: new data live, __old stale
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # pre-swap crash: original live, tmp partial
+
     total = sum(os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.parquet")))
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compacting"
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "__old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

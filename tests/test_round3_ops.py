@@ -238,4 +238,4 @@ def test_inverted_index_postings_consistency(spark):
     assert rows, "band filter should keep some terms at sf0.001"
     for r in rows:
         p = r["postings"]
-        assert p == sorted(p) and len(p) == len(set(p)) == r["df"], r["token"]
+        assert p == sorted(p) and len(p) == len(set(p)) == r["df"], r["term"]

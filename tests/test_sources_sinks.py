@@ -441,6 +441,33 @@ def test_ndjson_sink_overwrite_replaces_previous_commit(spark, tmp_path):
     assert [r["id"] for r in back.collect()] == [10]
 
 
+def test_ndjson_sink_append_accumulates_manifest(spark, tmp_path):
+    """Two append jobs into the same directory: the manifest (readers'
+    source of truth) must carry BOTH commits' files and row totals —
+    a second append that rewrote the manifest with only its own files
+    would silently orphan the first job's rows."""
+    import json
+
+    from crypto_etl_pipeline_spark.sources.ndjson_sink import NdjsonSinkDataSource
+
+    spark.dataSource.register(NdjsonSinkDataSource)
+    out = str(tmp_path / "sink_append2")
+    os.makedirs(out)
+    spark.createDataFrame([(1,), (2,)], "id long").coalesce(1).write.format(
+        "ndjson_sink"
+    ).mode("append").option("path", out).save()
+    spark.createDataFrame([(10,), (11,), (12,)], "id long").coalesce(1).write.format(
+        "ndjson_sink"
+    ).mode("append").option("path", out).save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 5
+    parts = {e for e in os.listdir(out) if e.startswith("part-")}
+    assert {e["file"] for e in manifest["files"]} == parts
+    back = spark.read.schema("id long").json(os.path.join(out, "part-*.ndjson"))
+    assert sorted(r["id"] for r in back.collect()) == [1, 2, 10, 11, 12]
+
+
 def test_ndjson_stream_writer_manifests_and_replay_idempotence(spark, tmp_path):
     """writeStream into the custom sink: per-micro-batch manifests sum
     to the source row count, and re-running the SAME input with a fresh
@@ -497,6 +524,9 @@ def test_ndjson_stream_writer_manifests_and_replay_idempotence(spark, tmp_path):
     }
     on_disk = {e for e in os.listdir(out) if e.startswith("batch-")}
     assert listed == on_disk  # no orphan parts from the replay
+    # staged files from failed/speculative attempts must not accumulate
+    # over a long-running stream — commit clears the staging dir
+    assert not os.path.exists(os.path.join(out, "_staging"))
 
 
 def test_parquet_schema_evolution_merge_on_read(spark, tmp_path):
@@ -536,3 +566,38 @@ def test_compact_parquet_preserves_rows_and_reduces_files(spark, tmp_path):
     after_files = compact_parquet(spark, out, target_file_bytes=1 << 30)
     assert after_files == 1
     assert {tuple(r) for r in spark.read.parquet(out).collect()} == before_rows
+
+
+def test_compact_parquet_recovers_from_crash_states(spark, tmp_path):
+    """Every crash window of the two-rename swap must be survivable by
+    the next run: a stale __compacting dir (pre-swap crash), a stale
+    __old next to a live dir (post-swap crash), and the worst case —
+    path absent with the original parked at __old (crash BETWEEN the
+    renames) — all recover without losing a row."""
+    import shutil
+
+    from crypto_etl_pipeline_spark.sources.sinks import compact_parquet
+
+    out = str(tmp_path / "crashy")
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    df.repartition(8).write.parquet(out)
+    rows = {r["id"] for r in spark.read.parquet(out).collect()}
+
+    # pre-swap crash: partial tmp dir left behind
+    os.makedirs(out + "__compacting")
+    open(os.path.join(out + "__compacting", "garbage.parquet"), "w").write("x")
+    assert compact_parquet(spark, out, target_file_bytes=1 << 30) == 1
+    assert {r["id"] for r in spark.read.parquet(out).collect()} == rows
+    assert not os.path.exists(out + "__compacting") and not os.path.exists(out + "__old")
+
+    # post-swap crash: stale __old next to the live dir
+    shutil.copytree(out, out + "__old")
+    assert compact_parquet(spark, out, target_file_bytes=1 << 30) == 1
+    assert {r["id"] for r in spark.read.parquet(out).collect()} == rows
+    assert not os.path.exists(out + "__old")
+
+    # mid-swap crash: live dir gone, original parked at __old
+    os.rename(out, out + "__old")
+    assert compact_parquet(spark, out, target_file_bytes=1 << 30) == 1
+    assert {r["id"] for r in spark.read.parquet(out).collect()} == rows
+    assert not os.path.exists(out + "__old")
