@@ -222,6 +222,144 @@ def near_dup_pairs_minhash(
     )
 
 
+class MinhashStore:
+    """Persisted MinHash fingerprint store — the state an INCREMENTAL
+    dedup pipeline keeps between runs.
+
+    Three tables, saved as parquet subdirectories of one store path:
+
+    - ``sigs``     (id, h0..h{n-1})   — per-doc MinHash signatures
+    - ``bands``    (id, band, bucket) — LSH band table, the lookup side
+      of the incremental candidate join
+    - ``shingles`` (id, _sh)          — distinct shingle sets, used for
+      exact-Jaccard verification of candidates
+
+    100 TB posture: ``bands`` is the hot lookup table — in production
+    write it bucketed by (band, bucket) so the incremental candidate
+    join is shuffle-free on the store side. ``shingles`` is corpus-
+    scale; a deployment that cannot afford it verifies candidates by
+    signature-component agreement from ``sigs`` instead (estimate
+    rather than exact Jaccard) — the store layout supports either.
+    """
+
+    def __init__(self, sigs: DataFrame, bands: DataFrame, shingles: DataFrame):
+        self.sigs = sigs
+        self.bands = bands
+        self.shingles = shingles
+
+    def save(self, path: str) -> None:
+        self.sigs.write.mode("overwrite").parquet(f"{path}/sigs")
+        self.bands.write.mode("overwrite").parquet(f"{path}/bands")
+        self.shingles.write.mode("overwrite").parquet(f"{path}/shingles")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "MinhashStore":
+        return cls(
+            sigs=spark.read.parquet(f"{path}/sigs"),
+            bands=spark.read.parquet(f"{path}/bands"),
+            shingles=spark.read.parquet(f"{path}/shingles"),
+        )
+
+
+def build_minhash_store(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+) -> MinhashStore:
+    """Fingerprint a corpus once into a :class:`MinhashStore`.
+
+    One shared shingle pass feeds signatures, bands, and the stored
+    shingle sets (same single-tokenizer discipline as
+    :func:`near_dup_pairs_minhash`)."""
+    sh = _shingle_arrays(df, text_col, id_col, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, shingle_df=sh)
+    bands = lsh_buckets(sigs, id_col, num_hashes, num_bands)
+    return MinhashStore(sigs=sigs, bands=bands, shingles=sh)
+
+
+def incremental_near_dups(
+    new_docs: DataFrame,
+    store: MinhashStore,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, MinhashStore]:
+    """Deduplicate NEW documents against a persisted fingerprint store.
+
+    The batch path (:func:`near_dup_pairs_minhash`) refingerprints the
+    whole corpus every run; a real 100 TB pipeline instead fingerprints
+    only the day's new documents and JOINS their band table against the
+    store — corpus-side work is a store lookup, never a recompute (the
+    old documents' text is not even an input to this function).
+
+    Returns ``(pairs, updated_store)`` where ``pairs`` is
+    (id_a, id_b, jaccard) for every verified near-dup pair touching at
+    least one new document (new-vs-store and new-vs-new; id_a < id_b),
+    and ``updated_store`` unions the new fingerprints in, ready to
+    persist for the next run.
+
+    Exactness invariant (the correctness oracle): because LSH candidacy
+    is a per-pair property (shared (band, bucket)) and verification is
+    per-pair exact Jaccard, incremental == batch restricted to pairs
+    touching a new doc:
+
+        batch(old ∪ new)  ==  batch(old)  ∪  incremental(new, store(old))
+
+    Document ids must be unique across old and new (append-only corpus
+    ids; re-ingested ids belong in a CDC path, not here).
+
+    Shuffles: signature groupBy for the new docs, one (band, bucket)
+    join of new bands against (store ∪ new) bands, two shingle-
+    rehydration joins for the sparse candidate set. Store-side cost
+    scales with bucket collisions against new docs only.
+    """
+    sh_new = _shingle_arrays(new_docs, text_col, id_col, shingle_n)
+    sigs_new = minhash_signatures(
+        new_docs, text_col, id_col, num_hashes, shingle_n, shingle_df=sh_new
+    )
+    bands_new = lsh_buckets(sigs_new, id_col, num_hashes, num_bands)
+
+    nb = bands_new.select(F.col(id_col).alias("_nid"), "band", "bucket")
+    ab = store.bands.unionByName(bands_new).select(
+        F.col(id_col).alias("_oid"), "band", "bucket"
+    )
+    # New side probes the combined band table: (new x old) pairs appear
+    # once, (new x new) pairs twice (once from each probe) — normalized
+    # ordering + dropDuplicates collapses them, matching the batch
+    # path's a.id < b.id convention.
+    cand = (
+        nb.join(ab, ["band", "bucket"])
+        .where(F.col("_nid") != F.col("_oid"))
+        .select(
+            F.least("_nid", "_oid").alias("id_a"),
+            F.greatest("_nid", "_oid").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_all = store.shingles.unionByName(sh_new)
+    a = sh_all.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh_all.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))
+    pairs = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    updated = MinhashStore(
+        sigs=store.sigs.unionByName(sigs_new),
+        bands=store.bands.unionByName(bands_new),
+        shingles=store.shingles.unionByName(sh_new),
+    )
+    return pairs, updated
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

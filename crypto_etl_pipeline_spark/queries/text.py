@@ -18,8 +18,10 @@ from pyspark.sql import functions as F
 
 from crypto_etl_pipeline_spark.operators import phash, textops
 from crypto_etl_pipeline_spark.operators.dedup import (
+    build_minhash_store,
     exact_dedup,
     hamming64,
+    incremental_near_dups,
     near_dup_pairs_minhash,
     simhash_signatures,
     winnow_fingerprints,
@@ -282,6 +284,31 @@ def _minhash_ctes(num_hashes: int = 32, num_bands: int = 8, threshold: float = 0
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return near_dup_pairs_minhash(docs, threshold=0.05)
+
+
+@register(
+    "dedup_incremental_new_docs",
+    oracle=f"""WITH {_minhash_ctes()}
+    SELECT id_a, id_b, jaccard FROM mh_pairs
+    WHERE id_a % 2 = 1 OR id_b % 2 = 1""",
+    description="Incremental MinHash-LSH: new docs deduped against a persisted fingerprint store, no corpus recompute",
+    tags=("dedup", "incremental"),
+)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-ingest dedup path: even doc_ids play the
+    already-fingerprinted corpus (the persisted store), odd doc_ids are
+    the new batch. Only the new batch is tokenized/hashed; the corpus
+    side is a band-table lookup against the store. The oracle is the
+    FULL-corpus batch SQL restricted to pairs touching a new doc — the
+    equivalence ``batch(old ∪ new) == batch(old) ∪ incremental(new,
+    store(old))`` that makes incremental dedup trustworthy (see
+    operators/dedup.py incremental_near_dups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    store = build_minhash_store(old)
+    pairs, _updated = incremental_near_dups(new, store, threshold=0.05)
+    return pairs
 
 
 @register(

@@ -1,0 +1,96 @@
+"""Incremental MinHash-LSH dedup against a persisted fingerprint store.
+
+The trust property of incremental dedup is EXACT equivalence with the
+batch path: fingerprinting only the new documents and joining against
+the store must find precisely the pairs the full-corpus batch run would
+find among pairs touching a new doc. These tests prove that on the real
+documents table, plus the persistence round-trip and the no-recompute
+plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_etl_pipeline_spark.operators.dedup import (
+    MinhashStore,
+    build_minhash_store,
+    incremental_near_dups,
+    near_dup_pairs_minhash,
+)
+from crypto_etl_pipeline_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+THRESHOLD = 0.05
+
+
+def _pairs_set(df):
+    return {(r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()}
+
+
+def test_incremental_equals_batch_restricted_to_new(spark):
+    """batch(old ∪ new) == batch(old) ∪ incremental(new, store(old)) —
+    the doubled-corpus equivalence, on the real documents table."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+
+    batch_full = _pairs_set(near_dup_pairs_minhash(docs, threshold=THRESHOLD))
+    batch_old = _pairs_set(near_dup_pairs_minhash(old, threshold=THRESHOLD))
+    inc, _ = incremental_near_dups(new, build_minhash_store(old), threshold=THRESHOLD)
+    inc_pairs = _pairs_set(inc)
+
+    assert batch_old | inc_pairs == batch_full
+    assert batch_old & inc_pairs == set()  # incremental never re-reports old-only pairs
+    assert inc_pairs, "fixture must exercise at least one new-doc pair"
+    # pairs touching at least one new (odd) doc — exactly the oracle's filter
+    assert all(a % 2 == 1 or b % 2 == 1 for a, b, _ in inc_pairs)
+
+
+def test_updated_store_matches_batch_rebuild(spark, tmp_path):
+    """The updated store returned by incremental_near_dups must equal a
+    from-scratch store over the full corpus (so the NEXT incremental run
+    starts from exactly batch state), and survive a parquet round-trip."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+
+    _, updated = incremental_near_dups(new, build_minhash_store(old), threshold=THRESHOLD)
+    updated.save(str(tmp_path / "store"))
+    loaded = MinhashStore.load(spark, str(tmp_path / "store"))
+
+    rebuilt = build_minhash_store(docs)
+    assert {tuple(r) for r in loaded.sigs.collect()} == {
+        tuple(r) for r in rebuilt.sigs.collect()
+    }
+    assert {tuple(r) for r in loaded.bands.collect()} == {
+        tuple(r) for r in rebuilt.bands.collect()
+    }
+    assert loaded.shingles.count() == rebuilt.shingles.count()
+
+
+def test_incremental_store_side_is_lookup_not_recompute(spark, tmp_path):
+    """With the store loaded from parquet, the incremental plan's corpus
+    side must be a FileScan of the store tables — the old documents'
+    text is not an input, so re-tokenizing the corpus is structurally
+    impossible; assert the plan reads the store parquet directly."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+
+    build_minhash_store(old).save(str(tmp_path / "store"))
+    store = MinhashStore.load(spark, str(tmp_path / "store"))
+    pairs, _ = incremental_near_dups(new, store, threshold=THRESHOLD)
+
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # The corpus side must be parquet scans of the store (band lookup +
+    # two shingle-rehydration branches), and the old documents' text
+    # must appear NOWHERE in the pair plan — no recompute. (Store paths
+    # can be truncated out of FileScan Location strings, so count scan
+    # nodes rather than matching the tmp path.)
+    assert plan.count("FileScan parquet") >= 3, plan
+    assert "documents" not in plan, "corpus text must not be rescanned"
+    # equivalence still holds when the store comes off disk
+    batch_full = _pairs_set(near_dup_pairs_minhash(docs, threshold=THRESHOLD))
+    inc_pairs = _pairs_set(pairs)
+    assert inc_pairs == {p for p in batch_full if p[0] % 2 == 1 or p[1] % 2 == 1}
