@@ -177,6 +177,55 @@ def lsh_buckets(
     )
 
 
+def cap_hot_buckets(buckets: DataFrame, bucket_cap: int) -> DataFrame:
+    """Drop (band, bucket) groups larger than ``bucket_cap`` from a
+    :func:`lsh_buckets` table.
+
+    The LSH candidate join is quadratic WITHIN a bucket: a boilerplate-
+    heavy corpus (license headers, templated pages) can land millions of
+    documents in one bucket and turn the "sparse" candidate stage into
+    an n² explosion on a single shuffle partition. The standard
+    production mitigation is a per-bucket size cap: buckets above the
+    cap are excluded from candidate generation entirely.
+
+    Recall semantics (documented, not hidden): a pair is lost ONLY if
+    every band it collides in is capped. Genuinely near-duplicate pairs
+    collide in several of the ``num_bands`` bands, so the usual casualty
+    is exactly the degenerate boilerplate cluster the cap exists to
+    absorb — handle those with :func:`exact_dedup` upstream, which
+    collapses identical texts at hash-groupBy cost. Use
+    :func:`lsh_hot_buckets` to count what a cap would spill before
+    choosing one.
+
+    The count is a window over the same (band, bucket) partitioning the
+    downstream candidate join shuffles on, so the cap adds no exchange
+    of its own.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "bucket")
+    return (
+        buckets.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .where(F.col("_bn") <= bucket_cap)
+        .drop("_bn")
+    )
+
+
+def lsh_hot_buckets(buckets: DataFrame, bucket_cap: int) -> DataFrame:
+    """The spill metric for :func:`cap_hot_buckets`: (band, bucket,
+    n_ids) for every bucket a cap of ``bucket_cap`` would drop, plus the
+    implied number of skipped candidate comparisons — the observability
+    half of the cap (a silent cap would read as full coverage)."""
+    return (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_ids"))
+        .where(F.col("n_ids") > bucket_cap)
+        .withColumn(
+            "skipped_comparisons", (F.col("n_ids") * (F.col("n_ids") - 1) / 2).cast("long")
+        )
+    )
+
+
 def near_dup_pairs_minhash(
     df: DataFrame,
     text_col: str = "text",
@@ -185,6 +234,7 @@ def near_dup_pairs_minhash(
     num_bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact Jaccard verification.
 
@@ -192,10 +242,17 @@ def near_dup_pairs_minhash(
     jaccard >= threshold. Shuffles: the signature groupBy, the
     (band, bucket) self-join, and two small joins rehydrating shingle
     sets for the (sparse) candidate set — never an n^2 comparison.
+
+    ``bucket_cap`` bounds the within-bucket quadratic blowup on
+    boilerplate-heavy corpora — see :func:`cap_hot_buckets` for the
+    exact drop/recall semantics and :func:`lsh_hot_buckets` for the
+    spill metric.
     """
     sh_tbl = _shingle_arrays(df, text_col, id_col, shingle_n)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, shingle_df=sh_tbl)
     buckets = lsh_buckets(sigs, id_col, num_hashes, num_bands)
+    if bucket_cap is not None:
+        buckets = cap_hot_buckets(buckets, bucket_cap)
     left = buckets.alias("l")
     right = buckets.alias("r")
     cand = (
@@ -289,6 +346,7 @@ def incremental_near_dups(
     num_bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    bucket_cap: int | None = None,
 ) -> tuple[DataFrame, MinhashStore]:
     """Deduplicate NEW documents against a persisted fingerprint store.
 
@@ -325,10 +383,20 @@ def incremental_near_dups(
     )
     bands_new = lsh_buckets(sigs_new, id_col, num_hashes, num_bands)
 
-    nb = bands_new.select(F.col(id_col).alias("_nid"), "band", "bucket")
-    ab = store.bands.unionByName(bands_new).select(
-        F.col(id_col).alias("_oid"), "band", "bucket"
-    )
+    all_bands = store.bands.unionByName(bands_new)
+    if bucket_cap is not None:
+        # Cap on the COMBINED table: a bucket's heat is a property of
+        # the whole corpus, not of the new batch alone (same semantics
+        # as the batch path; see cap_hot_buckets). The probe side is
+        # capped by the same rule so both halves of a hot bucket drop.
+        all_bands = cap_hot_buckets(all_bands, bucket_cap)
+        bands_probe = all_bands.join(
+            bands_new.select(id_col).distinct(), id_col, "left_semi"
+        )
+    else:
+        bands_probe = bands_new
+    nb = bands_probe.select(F.col(id_col).alias("_nid"), "band", "bucket")
+    ab = all_bands.select(F.col(id_col).alias("_oid"), "band", "bucket")
     # New side probes the combined band table: (new x old) pairs appear
     # once, (new x new) pairs twice (once from each probe) — normalized
     # ordering + dropDuplicates collapses them, matching the batch
