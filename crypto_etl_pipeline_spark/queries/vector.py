@@ -28,6 +28,14 @@ from crypto_etl_pipeline_spark.sources.tables import load_table
 N_QUERIES = 10
 TOP_K = 10
 N_PLANES = 6
+#: multi-probe radius — the registered operating point. The synthetic
+#: embeddings are near-orthogonal (worst case for sign-LSH: per-plane
+#: agreement p ≈ 0.5+ε), so radius 2 measures ~0.5 recall@10 and
+#: radius 3 ~0.78 (full curve in BASELINE.md §ANN recall/cost). Radius
+#: 3 probes sum C(6,0..3)=42 buckets — acceptable here because recall
+#: is the gated contract; corpora with real neighbor structure hit the
+#: same recall at radius 1-2.
+PROBE_RADIUS = 3
 IVF_K = 16
 IVF_NPROBE = 4
 
@@ -126,7 +134,7 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     probe AS (
       SELECT s.vec_id, s.embedding, xor(s.bucket, m.m) AS bucket
-      FROM sig s CROSS JOIN (VALUES {", ".join(f"({m})" for m in _probe_masks(N_PLANES, 2))}) m(m)
+      FROM sig s CROSS JOIN (VALUES {", ".join(f"({m})" for m in _probe_masks(N_PLANES, PROBE_RADIUS))}) m(m)
       WHERE s.vec_id < {N_QUERIES}
     ),
     sims AS (
@@ -149,7 +157,9 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
-    return lsh_bucketed_topk(emb, queries, k=TOP_K, n_planes=N_PLANES)
+    return lsh_bucketed_topk(
+        emb, queries, k=TOP_K, n_planes=N_PLANES, probe_radius=PROBE_RADIUS
+    )
 
 
 @register(

@@ -124,8 +124,11 @@ def test_rows_only_queries_run(name, spark):
 
 
 def test_ivf_recall_vs_brute_force(spark):
-    """IVF with k=16 cells / nprobe=4 must recover most of the exact
-    top-10 (quality gate for the approximate path)."""
+    """IVF with k=16 cells / nprobe=4 must recover ≥0.8 of the exact
+    top-10 — the quality bar a real similarity-search component ships
+    with (measured 0.85-0.87 refined / 0.90-0.92 seeded across
+    sf0.001/sf0.01; deterministic, no RNG — curve in BASELINE.md
+    §ANN recall/cost)."""
     from pyspark.sql import functions as F
 
     from crypto_etl_pipeline_spark.operators.similarity import (
@@ -143,7 +146,7 @@ def test_ivf_recall_vs_brute_force(spark):
     approx = {(r["query_id"], r["neighbor_id"])
               for r in ivf_topk(emb, queries, cents, k=10, nprobe=4).collect()}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"IVF recall {recall:.2f} below threshold"
+    assert recall >= 0.8, f"IVF recall {recall:.2f} below threshold"
 
 
 def test_ivf_seeded_recall_vs_brute_force(spark):
@@ -166,19 +169,23 @@ def test_ivf_seeded_recall_vs_brute_force(spark):
     approx = {(r["query_id"], r["neighbor_id"])
               for r in ivf_topk(emb, queries, cents, k=10, nprobe=4).collect()}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"seeded-IVF recall {recall:.2f} below threshold"
+    assert recall >= 0.8, f"seeded-IVF recall {recall:.2f} below threshold"
 
 
 def test_lsh_recall_vs_brute_force(spark):
-    """Sign-LSH bucketed top-k must recover a meaningful share of the
-    exact top-10 at the registered plane count — a plane-sign bug that
-    returned plausible-count garbage would fail this."""
+    """Sign-LSH top-k at the REGISTERED operating point (n_planes=6,
+    probe_radius=3) must clear 0.7 recall@10. The synthetic embeddings
+    are near-orthogonal — sign-LSH's adversarial case (per-plane
+    agreement barely above 1/2) — which is why the gated point sits at
+    radius 3; the measured recall-vs-cost curve across radii is in
+    BASELINE.md §ANN recall/cost. Deterministic (fixed-seed planes)."""
     from pyspark.sql import functions as F
 
     from crypto_etl_pipeline_spark.operators.similarity import (
         brute_force_topk,
         lsh_bucketed_topk,
     )
+    from crypto_etl_pipeline_spark.queries.vector import N_PLANES, PROBE_RADIUS
     from crypto_etl_pipeline_spark.sources.tables import load_table
 
     emb = load_table(spark, SF_ORACLE, "embeddings")
@@ -186,9 +193,11 @@ def test_lsh_recall_vs_brute_force(spark):
     exact = {(r["query_id"], r["neighbor_id"])
              for r in brute_force_topk(emb, queries, k=10).collect()}
     approx = {(r["query_id"], r["neighbor_id"])
-              for r in lsh_bucketed_topk(emb, queries, k=10, n_planes=6).collect()}
+              for r in lsh_bucketed_topk(
+                  emb, queries, k=10, n_planes=N_PLANES, probe_radius=PROBE_RADIUS
+              ).collect()}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3, f"LSH recall {recall:.2f} below threshold"
+    assert recall >= 0.7, f"LSH recall {recall:.2f} below threshold"
 
 
 def test_lsh_bucket_expression_matches_numpy(spark):
