@@ -350,6 +350,39 @@ def interval_join_streams(
     )
 
 
+def _prune_versions(base_dir: str, keep: int) -> None:
+    """Drop all but the ``keep`` newest ``v{n}`` snapshot directories.
+
+    Retention discipline for the versioned-snapshot sinks: without it
+    the ``v{n}`` chain grows with stream lifetime (unbounded storage).
+    Deleting is safe for replay because Structured Streaming can only
+    replay batch ids AFTER the last checkpoint commit, whose
+    strictly-below base is the newest surviving version — keeping the
+    top ``keep >= 2`` versions always preserves it.
+
+    Crash safety mirrors compact_parquet's swap discipline: each doomed
+    version is atomically RENAMED to a ``_gc_`` name first (invisible to
+    the ``v*`` glob readers use), then deleted — a crash mid-delete can
+    never leave a half-deleted directory that looks like a valid
+    version. Stale ``_gc_`` leftovers from a previous crash are swept at
+    entry.
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    for t in _glob.glob(f"{base_dir}/_gc_v*"):
+        shutil.rmtree(t, ignore_errors=True)
+    keep = max(keep, 2)
+    versions = sorted(
+        _glob.glob(f"{base_dir}/v*"), key=lambda p: int(p.rsplit("v", 1)[1])
+    )
+    for p in versions[:-keep]:
+        trash = os.path.join(os.path.dirname(p), "_gc_" + os.path.basename(p))
+        os.rename(p, trash)
+        shutil.rmtree(trash, ignore_errors=True)
+
+
 def run_cdc_stream(
     changes_stream: DataFrame,
     snapshot_seed: DataFrame,
@@ -357,6 +390,7 @@ def run_cdc_stream(
     key: str,
     checkpoint_dir: str,
     timeout_sec: int = 120,
+    retain_versions: int = 3,
 ) -> DataFrame:
     """Maintain a parquet snapshot from a stream of CDC changesets.
 
@@ -367,6 +401,10 @@ def run_cdc_stream(
     version, which together with the checkpoint gives exactly-once
     snapshot maintenance (the lakehouse MERGE loop, minus a table
     format). Returns the final snapshot as a batch DataFrame.
+
+    ``retain_versions`` bounds snapshot storage: after each batch the
+    chain is pruned to the newest K versions (min 2 — the replay base
+    must survive; see :func:`_prune_versions`).
     """
     import glob as _glob
 
@@ -391,6 +429,7 @@ def run_cdc_stream(
         # its own torn output.
         nxt = apply_changeset(_latest(below=batch_id), batch_df, key=key)
         nxt.write.mode("overwrite").parquet(f"{snapshot_dir}/v{batch_id}")
+        _prune_versions(snapshot_dir, retain_versions)
 
     q = (
         changes_stream.writeStream.foreachBatch(_apply)
@@ -411,6 +450,7 @@ def run_sketch_rollup_stream(
     bin_width: float = 5.0,
     n_bins: int = 100,
     timeout_sec: int = 120,
+    retain_versions: int = 3,
 ) -> DataFrame:
     """Continuous aggregate over a stream via MERGEABLE sketch state.
 
@@ -455,6 +495,7 @@ def run_sketch_rollup_stream(
         base = _latest(below=batch_id)
         merged = delta if base is None else merge_sketches(base, delta)
         merged.write.mode("overwrite").parquet(f"{sketch_dir}/v{batch_id}")
+        _prune_versions(sketch_dir, retain_versions)
 
     q = (
         events.writeStream.foreachBatch(_merge)

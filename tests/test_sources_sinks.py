@@ -312,6 +312,64 @@ def test_cdc_stream_maintains_snapshot(spark, tmp_path):
     assert all(k not in (2, 3) for k, _ in got)
 
 
+def test_cdc_stream_retention_bounds_versions(spark, tmp_path):
+    """Snapshot retention: a 4-micro-batch drain with retain_versions=2
+    must leave exactly the two newest v{n} dirs (no unbounded chain, no
+    _gc_ residue) while still producing the batch-equivalent snapshot."""
+    from crypto_etl_pipeline_spark.operators.cdc import apply_changeset
+    from crypto_etl_pipeline_spark.streaming.incremental import run_cdc_stream
+
+    snap = spark.createDataFrame([(k, f"v{k}") for k in range(8)], "k long, v string")
+    schema = "k long, v string, op string, seq long"
+    changesets = [
+        [(1, "a", "U", 1)],
+        [(2, "b", "U", 2)],
+        [(9, "new", "I", 3)],
+        [(3, None, "D", 4)],
+    ]
+    in_dir = str(tmp_path / "changes")
+    os.makedirs(in_dir)
+    import glob as g
+
+    for i, rows in enumerate(changesets):
+        df = spark.createDataFrame(rows, schema)
+        tmp = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(g.glob(tmp + "/part-*.parquet")[0], os.path.join(in_dir, f"c{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    snap_dir = str(tmp_path / "snap")
+    final = run_cdc_stream(
+        stream, snap, snap_dir, "k", str(tmp_path / "ckpt"), retain_versions=2
+    )
+
+    assert sorted(os.listdir(snap_dir)) == ["v2", "v3"]
+    merged = spark.createDataFrame([r for c in changesets for r in c], schema)
+    want = sorted((r["k"], r["v"]) for r in apply_changeset(snap, merged, key="k").collect())
+    assert sorted((r["k"], r["v"]) for r in final.collect()) == want
+
+
+def test_prune_versions_clamps_keep_and_sweeps_trash(tmp_path):
+    """The retention helper keeps >=2 versions regardless of the asked
+    keep (the strictly-below replay base must survive), and sweeps
+    _gc_ leftovers from a crash mid-delete."""
+    from crypto_etl_pipeline_spark.streaming.incremental import _prune_versions
+
+    base = tmp_path / "snaps"
+    for n in range(5):
+        d = base / f"v{n}"
+        d.mkdir(parents=True)
+        (d / "part.parquet").write_text("x")
+    stale = base / "_gc_v99"
+    stale.mkdir()
+    (stale / "junk").write_text("x")
+
+    _prune_versions(str(base), keep=1)
+    assert sorted(p.name for p in base.iterdir()) == ["v3", "v4"]
+
+
 @pytest.mark.skipif(
     os.environ.get("SPARK_GRAFT_NETWORK") != "1",
     reason="live network test; set SPARK_GRAFT_NETWORK=1 to run",
