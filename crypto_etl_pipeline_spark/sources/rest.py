@@ -61,6 +61,67 @@ def coingecko_fetch(timeout: int = 30, params: dict[str, Any] | None = None) -> 
         return []
 
 
+class RetryableHTTPError(Exception):
+    """HTTP 429 (rate limit) or 5xx — transient by contract, retried."""
+
+
+def _http_get_json(url: str, params: dict[str, Any], timeout: int) -> list[dict]:
+    """One GET, classifying failures: 429/5xx raise RetryableHTTPError,
+    other HTTP errors raise requests' HTTPError (permanent)."""
+    import requests
+
+    r = requests.get(url, params=params, timeout=timeout)
+    if r.status_code == 429 or r.status_code >= 500:
+        raise RetryableHTTPError(f"HTTP {r.status_code}")
+    r.raise_for_status()
+    return r.json()
+
+
+def coingecko_fetch_with_retry(
+    timeout: int = 30,
+    params: dict[str, Any] | None = None,
+    max_retries: int = 4,
+    base_delay: float = 1.0,
+    max_delay: float = 30.0,
+    sleep: Callable[[float], None] | None = None,
+    get: Callable[[], list[dict]] | None = None,
+) -> list[dict]:
+    """:func:`coingecko_fetch` with bounded exponential backoff.
+
+    The free CoinGecko tier rate-limits aggressively (429s); the
+    reference's prose describes waiting out the limit (README rate-limit
+    note) but its code is a bare GET. This wrapper retries TRANSIENT
+    failures — HTTP 429/5xx and network-level errors (timeouts,
+    connection resets: OSError subclasses, which covers requests'
+    ConnectionError/Timeout) — with delays ``base_delay * 2^attempt``
+    capped at ``max_delay``. Permanent HTTP errors (4xx other than 429)
+    and parse errors fail immediately. On exhaustion or permanent
+    failure it returns ``[]``, preserving the reference's
+    empty-table-on-error contract (crypto_etl_pipeline.py:77-79) so the
+    downstream empty-guard behaves identically.
+
+    ``sleep`` and ``get`` are injectable for deterministic tests (the
+    mockable-clock requirement); defaults are ``time.sleep`` and a real
+    GET against the public API.
+    """
+    import time
+
+    do_sleep = sleep if sleep is not None else time.sleep
+    do_get = get if get is not None else (
+        lambda: _http_get_json(COINGECKO_URL, params or DEFAULT_PARAMS, timeout)
+    )
+    for attempt in range(max_retries + 1):
+        try:
+            return do_get()
+        except (RetryableHTTPError, OSError):
+            if attempt == max_retries:
+                return []
+            do_sleep(min(base_delay * (2**attempt), max_delay))
+        except Exception:
+            return []
+    return []
+
+
 def rows_to_dataframe(
     spark: SparkSession, rows: Sequence[dict], schema: StructType = API_SCHEMA
 ) -> DataFrame:

@@ -82,6 +82,86 @@ def test_rest_source_failure_yields_empty(spark):
     assert df.isEmpty() and len(df.schema.fields) == 7
 
 
+def test_rest_retry_backoff_schedule_and_success():
+    """Transient 429s retry on the exponential schedule, then succeed."""
+    from crypto_etl_pipeline_spark.sources.rest import (
+        RetryableHTTPError,
+        coingecko_fetch_with_retry,
+    )
+
+    calls = {"n": 0}
+    delays = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] <= 3:
+            raise RetryableHTTPError("HTTP 429")
+        return [{"symbol": "btc"}]
+
+    rows = coingecko_fetch_with_retry(get=flaky, sleep=delays.append, base_delay=1.0)
+    assert rows == [{"symbol": "btc"}]
+    assert delays == [1.0, 2.0, 4.0]
+    assert calls["n"] == 4
+
+
+def test_rest_retry_exhaustion_caps_delay_and_yields_empty():
+    """Persistent 5xx: delays cap at max_delay, exhaustion returns []
+    (the reference's empty-table error contract, P:77-79)."""
+    from crypto_etl_pipeline_spark.sources.rest import (
+        RetryableHTTPError,
+        coingecko_fetch_with_retry,
+    )
+
+    delays = []
+
+    def always_down():
+        raise RetryableHTTPError("HTTP 503")
+
+    rows = coingecko_fetch_with_retry(
+        get=always_down, sleep=delays.append, max_retries=3, base_delay=10.0, max_delay=15.0
+    )
+    assert rows == []
+    assert delays == [10.0, 15.0, 15.0]
+
+
+def test_rest_retry_permanent_error_fails_fast():
+    """Non-retryable failures (4xx other than 429, parse errors) return
+    [] immediately — no sleeps burned on a permanent condition."""
+    from crypto_etl_pipeline_spark.sources.rest import coingecko_fetch_with_retry
+
+    delays = []
+
+    def bad_request():
+        raise ValueError("HTTP 400")
+
+    assert coingecko_fetch_with_retry(get=bad_request, sleep=delays.append) == []
+    assert delays == []
+
+
+def test_rest_retry_network_errors_are_transient(spark):
+    """OSError subclasses (requests' ConnectionError/Timeout ancestors)
+    retry; the recovered rows flow into the normal rest_source path."""
+    from crypto_etl_pipeline_spark.sources.rest import (
+        coingecko_fetch_with_retry,
+        rest_source,
+    )
+
+    calls = {"n": 0}
+
+    def net_flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ConnectionResetError("peer reset")
+        return [{"symbol": "eth", "current_price": 2000.0}]
+
+    df = rest_source(
+        spark, fetch=lambda: coingecko_fetch_with_retry(get=net_flaky, sleep=lambda _: None)
+    )
+    got = df.collect()
+    assert [r["symbol"] for r in got] == ["eth"]
+    assert got[0]["current_price"] == 2000.0
+
+
 def test_available_now_processes_only_new_files(spark, tmp_path):
     """Exactly-once incremental cadence: a second availableNow run with
     the same checkpoint ingests only files that arrived in between —
