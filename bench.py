@@ -59,6 +59,16 @@ HEADLINE = [
     "histogram_quantile_rollup",
     "text_bigram_lm_score",
     "rolling_wau",
+    # round-3 ops that have never landed in the driver's correctness
+    # sample — keep them headline so the sample is likelier to hit them
+    "decontaminate_eval_overlap",
+    "stream_sketch_quantiles",
+    "pack_training_sequences",
+    "corpus_source_stats",
+    "inverted_index_postings",
+    # round-4 surface
+    "dedup_incremental_new_docs",
+    "ann_lsh_bucketed_topk",
 ]
 
 

@@ -895,21 +895,37 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two longs shuffles ~16 B/row instead of two strings, and the
     # int-pair -> string-pair mapping is injective so the result set is
     # identical to the oracle's DISTINCT over concatenated labels.
+    # The iteration runs on LONG node ids (2*custkey for customers,
+    # 2*suppkey+1 for suppliers — injective, disjoint): every join and
+    # aggregation in the power iterations hashes 8-byte longs instead
+    # of strings. The 'C{k}'/'S{k}' labels the oracle compares exist
+    # only in the final 16.5k-row projection before the top-20 cut
+    # (where the oracle's lexicographic label tie-break also applies).
     pairs = (
         li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")), li.l_orderkey == F.col("o_orderkey"))
         .select("o_custkey", "l_suppkey")
         .distinct()
         .select(
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    ranks = pagerank(edges, iters=2, every_node_has_in_edges=True)
+    # broadcast_ranks: the node set (customers + suppliers) is
+    # dimension-sized while the edge set is fact-sized, so degree and
+    # per-iteration ranks broadcast — the edge table never shuffles or
+    # window-sorts (see operators/graph.py strategy note).
+    ranks = pagerank(edges, iters=2, every_node_has_in_edges=True, broadcast_ranks=True)
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("C"), (F.col("node") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("S"), ((F.col("node") - 1) / 2).cast("long").cast("string"))
+    )
     return (
-        ranks.select("node", F.round("rank", 6).alias("rank"))
+        ranks.select(label.alias("node"), F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
     )

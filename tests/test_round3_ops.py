@@ -141,6 +141,31 @@ def test_pagerank_sums_preserved_on_regular_graph(spark):
         assert r["rank"] == pytest.approx(1.0, abs=1e-12)
 
 
+def test_pagerank_broadcast_strategy_matches_shuffle_strategy(spark):
+    """The broadcast-ranks physical strategy (dimension-sized node set)
+    must produce the same ranks as the repartition-and-reuse strategy —
+    on both the bidirectional fast path and the general directed path
+    (dangling node included)."""
+    from crypto_etl_pipeline_spark.operators.graph import pagerank
+
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 0), (1, 3)]
+    bidir = spark.createDataFrame(pairs + [(b, a) for a, b in pairs], "src long, dst long")
+    a = {(r["node"], round(r["rank"], 9))
+         for r in pagerank(bidir, iters=2, every_node_has_in_edges=True).collect()}
+    b = {(r["node"], round(r["rank"], 9))
+         for r in pagerank(bidir, iters=2, every_node_has_in_edges=True,
+                           broadcast_ranks=True).collect()}
+    assert a == b
+
+    directed = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "src long, dst long")
+    c = {(r["node"], round(r["rank"], 9)) for r in pagerank(directed, iters=3).collect()}
+    d = {(r["node"], round(r["rank"], 9))
+         for r in pagerank(directed, iters=3, broadcast_ranks=True).collect()}
+    assert c == d
+    assert {n for n, _ in c} == {0, 1, 2}  # dangling-source node kept
+    assert dict(c)[0] == pytest.approx(0.15, abs=1e-12)  # no in-edges -> (1-d)
+
+
 def test_histogram_quantile_within_one_bin_of_exact(spark):
     """The sketch's interpolated p50/p95 must land within one bin width
     of the exact NEAREST-RANK quantile (smallest value with CDF >= p) —
