@@ -69,6 +69,9 @@ HEADLINE = [
     # round-4 surface
     "dedup_incremental_new_docs",
     "ann_lsh_bucketed_topk",
+    "text_heavy_hitter_tokens",
+    "graph_triangle_count",
+    "stream_static_enrich",
 ]
 
 

@@ -127,3 +127,104 @@ def pagerank(
                 "node", base.alias("rank")
             )
     return ranks
+
+
+def triangle_stats(
+    edges: DataFrame,
+    u: str = "u",
+    v: str = "v",
+    broadcast_degrees: bool = True,
+) -> DataFrame:
+    """Exact triangle count + global clustering coefficient, one row:
+    (n_nodes, n_edges, n_wedges, n_triangles, global_clustering).
+
+    Input: undirected edges. Normalized here to canonical (min, max)
+    distinct pairs with self-loops dropped, so callers can pass raw
+    pair streams.
+
+    Algorithm: degree-ordered orientation (the MapReduce formulation of
+    Suri & Vassilvitskii, WWW'11). Each undirected edge is oriented
+    from its LOWER-(degree, id) endpoint to its higher one; wedges are
+    enumerated only at their lowest-ranked vertex, then closed by one
+    join back against the oriented edge set. Orientation bounds the
+    per-vertex wedge fan-out by O(sqrt(m)) regardless of raw degree —
+    a star's hub generates ZERO wedges because all its edges point
+    inward — so total intermediate size is O(m^1.5) instead of
+    sum(deg^2), the difference between feasible and not on skewed
+    100 TB graphs.
+
+    Physical plan: the degree table is node-sized; with
+    ``broadcast_degrees`` both orientation joins broadcast it and the
+    edge table shuffles only for the wedge self-join (on the wedge
+    apex) and the closing join (on the (b, c) pair). For graphs whose
+    node table outgrows broadcast, pass False and the same plan runs
+    with shuffle joins. Wedge totals (sum over nodes of C(deg, 2))
+    come straight off the degree aggregate — no extra pass.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(u), F.col(v)).alias("a"),
+            F.greatest(F.col(u), F.col(v)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    maybe_bc = F.broadcast if broadcast_degrees else (lambda x: x)
+    da = maybe_bc(deg.select(F.col("node").alias("a"), F.col("d").alias("da")))
+    db = maybe_bc(deg.select(F.col("node").alias("b"), F.col("d").alias("db")))
+    # Orient low-(degree, id) -> high-(degree, id): src/dst plus the
+    # dst's rank key, carried so wedge legs can be ordered without
+    # another degree join.
+    ann = e.join(da, "a").join(db, "b")
+    fwd = F.col("da") < F.col("db")
+    tie = (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    oriented = ann.select(
+        F.when(fwd | tie, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd | tie, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(fwd | tie, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    ).localCheckpoint(eager=False)
+    # Wedges at the apex: unordered leg pairs, ordered by the same
+    # (degree, id) rank so the closing edge — which is oriented from
+    # the lower-ranked leg to the higher — matches exactly once.
+    o1 = oriented.select(
+        F.col("src").alias("apex"), F.col("dst").alias("p"), F.col("dd").alias("pd")
+    )
+    o2 = oriented.select(
+        F.col("src").alias("apex"), F.col("dst").alias("q"), F.col("dd").alias("qd")
+    )
+    leg_order = (F.col("pd") < F.col("qd")) | (
+        (F.col("pd") == F.col("qd")) & (F.col("p") < F.col("q"))
+    )
+    wedges = o1.join(o2, "apex").where(leg_order).select("p", "q")
+    closing = oriented.select(F.col("src").alias("p"), F.col("dst").alias("q"))
+    tri = wedges.join(closing, ["p", "q"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.sum("d") / F.lit(2)).cast("long").alias("n_edges"),
+        F.sum(F.col("d") * (F.col("d") - 1) / F.lit(2)).cast("long").alias("n_wedges"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("global_clustering"),
+        )
+    )

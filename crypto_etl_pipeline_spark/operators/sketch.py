@@ -117,3 +117,104 @@ def quantile_from_sketch(
         F.col("total").cast("long").alias("n_rows"),
         *[name for name in ps],
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent items: distributed Misra-Gries with an exact verify pass.
+#
+# The reference has no frequency sketching (its only distribution stat
+# is the eager describe(), C:210); this is the heavy-hitter surface a
+# 100 TB pipeline needs where an exact GROUP BY over the item domain
+# would itself be a giant shuffle (e.g. token frequencies across a web
+# corpus). Design follows the mergeable-summaries formulation (Agarwal
+# et al., PODS'12): Misra-Gries summaries merge by adding weights and
+# re-pruning, so per-partition summaries combine associatively — the
+# same property that makes the histogram sketch above stream-safe.
+# ---------------------------------------------------------------------------
+
+
+def misra_gries_partials(df: DataFrame, term_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries(k) summaries -> (term, w) rows.
+
+    One Arrow-batched pass per partition (mapInPandas): each batch is
+    first collapsed with a vectorized ``value_counts`` — the Python
+    loop runs over the batch's DISTINCT terms, not its rows — and
+    folded into the running summary with the mergeable-summaries rule
+    (add weights; if more than k-1 counters survive, subtract the k-th
+    largest weight from all and drop the non-positive). Each summary
+    is at most k-1 rows, so the operator emits <= partitions*(k-1)
+    rows no matter the input size.
+
+    Guarantees carried to the caller:
+    - weight lower bound: w(t) >= count_p(t) - n_p/k per partition;
+    - superset: any term with GLOBAL count > n/k appears in at least
+      one partition's summary (pigeonhole over count_p > n_p/k), so
+      the union of partials is a candidate superset for global heavy
+      hitters — the contract ``heavy_hitters_exact`` verifies against.
+    """
+    import pandas as pd
+
+    if k < 2:
+        raise ValueError("misra_gries_partials needs k >= 2")
+    cap = k - 1
+
+    def run(batches):
+        counts: dict = {}
+        for pdf in batches:
+            vc = pdf[term_col].value_counts()
+            for t, c in vc.items():
+                counts[t] = counts.get(t, 0) + int(c)
+            if len(counts) > cap:
+                ws = sorted(counts.values(), reverse=True)
+                thresh = ws[cap]
+                counts = {t: w - thresh for t, w in counts.items() if w > thresh}
+        yield pd.DataFrame(
+            {"term": list(counts.keys()), "w": [counts[t] for t in counts]}
+        )
+
+    return df.select(F.col(term_col).alias(term_col)).mapInPandas(
+        run, schema="term string, w long"
+    )
+
+
+def heavy_hitters_exact(df: DataFrame, term_col: str, k: int) -> DataFrame:
+    """Exact frequent items (count*k > n) via candidate-verify.
+
+    Two passes over the term stream, never a full-domain shuffle:
+
+    1. sketch pass — ``misra_gries_partials`` reduces each partition
+       to <= k-1 candidate rows; the union of partials (a few hundred
+       rows at any scale) is a proven superset of the true heavy
+       hitters, so nothing outside it needs counting.
+    2. verify pass — candidates broadcast back onto the stream; terms
+       outside the candidate set collapse into a single NULL bucket
+       (they only contribute to the total), so the exact aggregation
+       shuffles at most k distinct keys + 1 regardless of domain size.
+
+    Output: (term, n_occurrences, share) for terms with strictly
+    count*k > n — strict, because the Misra-Gries superset guarantee
+    only covers counts strictly above n/k.
+    """
+    partials = misra_gries_partials(df, term_col, k)
+    cand = (
+        partials.select(F.col("term").alias("_cand_term"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    flagged = df.join(
+        F.broadcast(cand), df[term_col] == cand["_cand_term"], "left"
+    )
+    counts = flagged.groupBy(
+        F.when(F.col("_hit") == 1, F.col(term_col)).alias("term")
+    ).agg(F.count(F.lit(1)).alias("n_occurrences"))
+    total = counts.agg(F.sum("n_occurrences").alias("_n"))
+    return (
+        counts.where(F.col("term").isNotNull())
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n_occurrences") * k > F.col("_n"))
+        .select(
+            "term",
+            "n_occurrences",
+            F.round(F.col("n_occurrences") / F.col("_n"), 6).alias("share"),
+        )
+    )

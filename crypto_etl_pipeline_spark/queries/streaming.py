@@ -438,3 +438,55 @@ def stream_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo=F.lit(0.0),
         width=F.lit(5.0),
     )
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           c.c_mktsegment       AS segment,
+           count(*)             AS n_events,
+           round(sum(e.value), 4) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    description="Stream-static broadcast enrichment: event stream joined to the customer dimension, watermarked hourly rollup per market segment",
+    tags=("streaming", "join"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical streaming-ETL enrichment shape: a fact stream
+    joined against a STATIC dimension (stream-static joins are
+    stateless — each micro-batch joins the dim as of that batch, no
+    watermark state). The dimension is broadcast, so the stream side
+    never shuffles for the join; the only stateful operator is the
+    downstream watermarked window aggregate. At 100 TB/day the same
+    plan holds as long as the dim is broadcast-sized; a fact-sized dim
+    would move this to the foreachBatch CDC path
+    (streaming/incremental.py) instead."""
+    from crypto_etl_pipeline_spark.streaming.incremental import (
+        read_event_stream,
+        run_available_now,
+    )
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    events = read_event_stream(spark, _stage_dir(sf_dir, copies=1))
+    enriched = events.join(F.broadcast(dim), events.user_id == dim.c_custkey)
+    rolled = (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("c_mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_available_now(
+        rolled, f"enrich_{uuid.uuid4().hex[:8]}", _checkpoint(), output_mode="complete"
+    )

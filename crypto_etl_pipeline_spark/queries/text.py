@@ -1221,3 +1221,43 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hit_grams") / F.col("n_grams"), 6).alias("contamination"),
         )
     )
+
+
+@register(
+    "text_heavy_hitter_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT term,
+           count(*) AS n_occurrences,
+           round(count(*) / (SELECT n FROM tot), 6) AS share
+    FROM toks
+    GROUP BY term
+    HAVING count(*) * 30 > (SELECT n FROM tot)
+    """,
+    description="Exact frequent tokens (share > 1/30) via distributed Misra-Gries candidates + broadcast verify",
+    tags=("text", "sketch", "heavy-hitters", "mapInPandas"),
+)
+def text_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide frequent tokens without a full-vocabulary shuffle.
+
+    The naive plan — explode + groupBy(term) — shuffles one key per
+    DISTINCT term; on a web-scale corpus that vocabulary is billions of
+    keys, nearly all of them long-tail singletons that the query will
+    immediately discard. The sketch plan caps the shuffle at k keys:
+    a per-partition Misra-Gries(30) pass (operators/sketch.py) reduces
+    each partition to <= 29 candidate rows with a proven heavy-hitter
+    superset guarantee, then one verify pass counts ONLY candidate
+    terms exactly (everything else folds into a single total bucket).
+    The result is exact — identical to the naive GROUP BY the oracle
+    runs — but the Spark plan's aggregation state is O(k), not
+    O(vocabulary)."""
+    from crypto_etl_pipeline_spark.operators.sketch import heavy_hitters_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("term")
+    )
+    return heavy_hitters_exact(toks, "term", k=30)

@@ -1,0 +1,157 @@
+"""Invariant tests for the round-4 operators, beyond oracle parity.
+
+Misra-Gries: the sketch must stay exact END-TO-END (candidate superset
++ verify pass) under adversarial partition layouts the sf-data never
+produces; triangle counting must match brute force on graphs with
+known counts and on seeded random graphs, under raw (duplicated,
+reversed, self-looped) edge input, with both physical strategies.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+
+def _exact_counts(rows):
+    out = {}
+    for t in rows:
+        out[t] = out.get(t, 0) + 1
+    return out
+
+
+def _exact_heavy_hitters(rows, k):
+    n = len(rows)
+    return {
+        t: c for t, c in _exact_counts(rows).items() if c * k > n
+    }
+
+
+class TestMisraGries:
+    def test_partial_summary_is_bounded(self, spark):
+        from crypto_etl_pipeline_spark.operators.sketch import misra_gries_partials
+
+        rows = [(f"t{i % 97}",) for i in range(5000)]
+        df = spark.createDataFrame(rows, "term string").repartition(8)
+        k = 10
+        partials = misra_gries_partials(df, "term", k).collect()
+        # <= k-1 counters per partition, positive weights only.
+        assert len(partials) <= 8 * (k - 1)
+        assert all(r["w"] > 0 for r in partials)
+
+    def test_exact_on_adversarial_partition_layout(self, spark):
+        """One true heavy hitter diluted across every partition, each
+        partition dominated by partition-local decoys — the layout
+        where a naive 'top terms per partition' heuristic misses the
+        global answer but the MG superset guarantee cannot."""
+        from crypto_etl_pipeline_spark.operators.sketch import heavy_hitters_exact
+
+        rows = []
+        for p in range(8):
+            rows += [(f"decoy_{p}_{i}",) for i in range(300) for _ in range(2)]
+            rows += [("needle",) for _ in range(80)]
+        random.Random(7).shuffle(rows)
+        k = 9  # threshold n/9 ~ 622; needle count = 640 qualifies
+        expected = _exact_heavy_hitters([r[0] for r in rows], k)
+        assert "needle" in expected  # fixture sanity
+        df = spark.createDataFrame(rows, "term string").repartition(8)
+        got = {
+            r["term"]: r["n_occurrences"]
+            for r in heavy_hitters_exact(df, "term", k).collect()
+        }
+        assert got == expected
+
+    def test_matches_naive_groupby_across_thresholds(self, spark):
+        """Zipf-ish skew: end-to-end result must equal the naive GROUP
+        BY + HAVING for several k, including k where nothing
+        qualifies."""
+        from crypto_etl_pipeline_spark.operators.sketch import heavy_hitters_exact
+
+        rng = random.Random(11)
+        terms = [f"w{i}" for i in range(50)]
+        rows = [(terms[min(int(rng.paretovariate(1.0)), 49)],) for _ in range(4000)]
+        df = spark.createDataFrame(rows, "term string").repartition(6)
+        for k in (3, 10, 40):
+            expected = _exact_heavy_hitters([r[0] for r in rows], k)
+            got = {
+                r["term"]: r["n_occurrences"]
+                for r in heavy_hitters_exact(df, "term", k).collect()
+            }
+            assert got == expected, f"k={k}"
+
+    def test_candidate_superset_guarantee(self, spark):
+        from crypto_etl_pipeline_spark.operators.sketch import misra_gries_partials
+
+        rng = random.Random(3)
+        rows = [(f"t{rng.randrange(200)}",) for _ in range(6000)]
+        rows += [("hot",)] * 400
+        rng.shuffle(rows)
+        k = 12
+        df = spark.createDataFrame(rows, "term string").repartition(8)
+        cand = {r["term"] for r in misra_gries_partials(df, "term", k).collect()}
+        for t in _exact_heavy_hitters([r[0] for r in rows], k):
+            assert t in cand
+
+
+def _brute_triangles(edges):
+    """Exact triangle count over canonical (a<b) edge set, python-side."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = 0
+    for a, b in es:
+        tri += len(adj[a] & adj[b])
+    return len(adj), len(es), tri // 3
+
+
+class TestTriangleStats:
+    def _run(self, spark, pairs, **kw):
+        from crypto_etl_pipeline_spark.operators.graph import triangle_stats
+
+        df = spark.createDataFrame(pairs, "u long, v long")
+        return triangle_stats(df, "u", "v", **kw).collect()[0]
+
+    def test_k4_is_fully_clustered(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        r = self._run(spark, k4)
+        assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
+        assert r.global_clustering == 1.0
+
+    def test_star_has_no_triangles(self, spark):
+        star = [(0, i) for i in range(1, 6)]
+        r = self._run(spark, star)
+        assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (6, 5, 10, 0)
+        assert r.global_clustering == 0.0
+
+    def test_raw_input_is_normalized(self, spark):
+        """Reversed duplicates + self-loops must collapse to the same
+        canonical edge set."""
+        tri = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (3, 3), (1, 3)]
+        r = self._run(spark, tri)
+        assert (r.n_nodes, r.n_edges, r.n_triangles) == (3, 3, 1)
+
+    def test_random_graph_matches_brute_force_both_strategies(self, spark):
+        rng = random.Random(42)
+        pairs = list(
+            {
+                (rng.randrange(40), rng.randrange(40))
+                for _ in range(300)
+            }
+        )
+        nodes, edges, tri = _brute_triangles(pairs)
+        for bc in (True, False):
+            r = self._run(spark, pairs, broadcast_degrees=bc)
+            assert (r.n_nodes, r.n_edges, r.n_triangles) == (nodes, edges, tri), bc
+
+    def test_skewed_hub_graph(self, spark):
+        """Hub of degree 60 + a few rim edges: orientation must point
+        hub edges INWARD (hub is highest degree), so the hub generates
+        no wedge fan-out and the count stays exact."""
+        pairs = [(0, i) for i in range(1, 61)] + [(1, 2), (2, 3), (3, 4), (4, 1)]
+        nodes, edges, tri = _brute_triangles(pairs)
+        assert tri == 4  # hub closes rim edges: (0,1,2),(0,2,3),(0,3,4),(0,4,1)
+        r = self._run(spark, pairs)
+        assert (r.n_nodes, r.n_edges, r.n_triangles) == (nodes, edges, tri)
