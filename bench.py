@@ -72,6 +72,7 @@ HEADLINE = [
     "text_heavy_hitter_tokens",
     "graph_triangle_count",
     "stream_static_enrich",
+    "text_kl_source_drift",
 ]
 
 

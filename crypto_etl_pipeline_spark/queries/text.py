@@ -1261,3 +1261,96 @@ def text_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.col("text"), r"\s+")).alias("term")
     )
     return heavy_hitters_exact(toks, "term", k=30)
+
+
+@register(
+    "text_kl_source_drift",
+    oracle="""
+    WITH st AS (
+      SELECT source, unnest(regexp_split_to_array(text, '\\s+')) AS term
+      FROM documents
+    ),
+    stc AS (SELECT source, term, count(*) AS c FROM st GROUP BY source, term),
+    tc AS (SELECT term, sum(c)::BIGINT AS tc FROM stc GROUP BY term),
+    n AS (SELECT sum(c)::BIGINT AS n FROM stc),
+    sc AS (SELECT source, sum(c)::BIGINT AS sc FROM stc GROUP BY source),
+    contrib AS (
+      SELECT stc.source, stc.term,
+             (stc.c * 1.0 / sc.sc) * ln((stc.c * 1.0 / sc.sc) / (tc.tc * 1.0 / n.n))
+               AS kl_part,
+             (stc.c * 1.0 / sc.sc) / (tc.tc * 1.0 / n.n) AS ratio
+      FROM stc JOIN tc USING (term) JOIN sc USING (source) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT source, term, ratio,
+             row_number() OVER (PARTITION BY source ORDER BY ratio DESC, term) AS rn
+      FROM contrib
+    )
+    SELECT c.source,
+           sc.sc                 AS n_tokens,
+           round(sum(c.kl_part), 6) AS kl_nats,
+           min(r.term)           AS top_term
+    FROM contrib c
+    JOIN sc ON sc.source = c.source
+    JOIN ranked r ON r.source = c.source AND r.rn = 1
+    GROUP BY c.source, sc.sc
+    """,
+    description="Per-source distribution drift: unigram KL divergence vs the corpus distribution + most over-represented term",
+    tags=("text", "provenance", "agg", "drift"),
+)
+def text_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix drift detection: KL(P_source || P_corpus) over
+    unigram distributions, plus each source's most over-represented
+    term (max P/Q ratio, term-asc tie-break). The scale shape: ONE
+    scan + one shuffle reduces the corpus to the (source, term, c)
+    sufficient statistic — every downstream quantity (corpus term
+    totals, per-source totals, KL contributions, the argmax term)
+    derives from that vocab-x-sources table, which is checkpointed so
+    its corpus scan runs exactly once. No smoothing is needed: every
+    source term is by construction inside the corpus distribution, so
+    Q(t) > 0 wherever P_s(t) > 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.select(
+        "source", F.explode(F.split(F.col("text"), r"\s+")).alias("term")
+    )
+    stc = (
+        st.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tc = stc.groupBy("term").agg(F.sum("c").alias("tc"))
+    n = stc.agg(F.sum("c").alias("n"))
+    sc = stc.groupBy("source").agg(F.sum("c").alias("sc"))
+    contrib = (
+        stc.join(F.broadcast(tc), "term")
+        .join(F.broadcast(sc), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "term",
+            "sc",
+            (
+                (F.col("c") / F.col("sc"))
+                * F.log((F.col("c") / F.col("sc")) / (F.col("tc") / F.col("n")))
+            ).alias("kl_part"),
+            ((F.col("c") / F.col("sc")) / (F.col("tc") / F.col("n"))).alias("ratio"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("ratio"), F.asc("term"))
+    ranked = contrib.withColumn("rn", F.row_number().over(w))
+    tops = ranked.where(F.col("rn") == 1).select(
+        "source", F.col("term").alias("top_term")
+    )
+    return (
+        contrib.groupBy("source", "sc")
+        .agg(F.round(F.sum("kl_part"), 6).alias("kl_nats"))
+        .join(F.broadcast(tops), "source")
+        .select(
+            "source",
+            F.col("sc").alias("n_tokens"),
+            "kl_nats",
+            "top_term",
+        )
+    )

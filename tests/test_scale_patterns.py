@@ -163,3 +163,53 @@ def test_python_grouped_stages_keep_parallelism(spark):
         assert "FlatMapGroupsInPandas" in plan
         # the user repartition survives into the physical plan
         assert "REPARTITION_BY_NUM" in plan, plan[:2000]
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """At 100 TB the cheapest row is the one the join never sees: with a
+    selective dimension filter and a non-broadcast join, the optimizer
+    must inject a runtime bloom filter (built from the filtered dim
+    keys) onto the fact side, so fact rows that cannot match are
+    dropped at the scan, before the shuffle. Thresholds are lowered to
+    make the sf0.001 fixture cross the size gates the feature is tuned
+    for — the assertion is about the rewrite, not the gates."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized, optimized[:2000]
+        assert "might_contain" in optimized, optimized[:2000]
+        # The filter must land on the FACT (lineitem) branch: the
+        # might_contain predicate references the fact join key.
+        assert any(
+            "might_contain" in line and "l_orderkey" in line
+            for line in optimized.splitlines()
+        ), optimized[:2000]
+        # And the rewrite must not change results.
+        n = j.collect()
+        for k, v in confs.items():
+            if k == "spark.sql.optimizer.runtime.bloomFilter.enabled":
+                spark.conf.set(k, "false")
+        assert j.collect() == n
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
