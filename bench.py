@@ -73,6 +73,8 @@ HEADLINE = [
     "graph_triangle_count",
     "stream_static_enrich",
     "text_kl_source_drift",
+    "tokenizer_pair_stats",
+    "bpe_train_merges",
 ]
 
 

@@ -1354,3 +1354,78 @@ def text_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_term",
         )
     )
+
+
+@register(
+    "tokenizer_pair_stats",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents
+    ),
+    wc AS (SELECT word, count(*) AS cnt FROM w WHERE length(word) >= 2 GROUP BY word),
+    p AS (
+      SELECT substring(word, i, 1) AS left_sym,
+             substring(word, i + 1, 1) AS right_sym,
+             cnt
+      FROM wc, LATERAL unnest(generate_series(1, length(word) - 1)) AS g(i)
+    )
+    SELECT left_sym, right_sym, sum(cnt)::BIGINT AS pair_count
+    FROM p GROUP BY 1, 2
+    ORDER BY pair_count DESC, left_sym, right_sym
+    LIMIT 10
+    """,
+    description="BPE training statistics: corpus-weighted adjacent character-pair counts, top-10 merge candidates",
+    tags=("text", "tokenizer", "agg"),
+)
+def tokenizer_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed half of BPE training, oracled end-to-end: corpus
+    -> word-frequency table (one scan + one shuffle) -> character-pair
+    counts weighted by word frequency (position explode over the
+    VOCABULARY, never the corpus) -> top-10 merge candidates with a
+    deterministic (count desc, pair asc) cut. The iterative merge loop
+    built on these statistics is `bpe_train_merges`."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = wc.select(
+        "cnt",
+        "word",
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("p"),
+    ).select(
+        F.expr("substring(word, p, 1)").alias("left_sym"),
+        F.expr("substring(word, p + 1, 1)").alias("right_sym"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("left_sym", "right_sym")
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym"))
+        .limit(10)
+    )
+
+
+@register(
+    "bpe_train_merges",
+    oracle=None,  # iterative greedy rewrite: each round's tokenization
+    # depends on the previous round's argmax — not SQL-expressible; the
+    # merge sequence is pinned against an independent pure-Python
+    # trainer on adversarial fixtures (tests/test_round4_ops.py), and
+    # round-1 statistics are oracled via tokenizer_pair_stats.
+    description="BPE merge training (8 rounds) over the corpus word-frequency table (differential-tested; rows-only by iterative design)",
+    tags=("text", "tokenizer", "iterative", "rows-only"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crypto_etl_pipeline_spark.operators.bpe import bpe_train_merges as train
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("word"))
+        .where(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return train(wc, n_merges=8)

@@ -155,3 +155,77 @@ class TestTriangleStats:
         assert tri == 4  # hub closes rim edges: (0,1,2),(0,2,3),(0,3,4),(0,4,1)
         r = self._run(spark, pairs)
         assert (r.n_nodes, r.n_edges, r.n_triangles) == (nodes, edges, tri)
+
+
+def _ref_bpe(wordcounts, n_merges):
+    """Independent pure-Python BPE trainer: same determinism contract
+    (count desc, pair asc tie-break; greedy left-to-right application)."""
+    state = {w: list(w) for w in wordcounts}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = {}
+        for w, syms in state.items():
+            c = wordcounts[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] = pc.get((syms[i], syms[i + 1]), 0) + c
+        if not pc:
+            break
+        (left, right), cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rank, left, right, left + right, cnt))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    return merges
+
+
+class TestBpeTrainer:
+    def _train(self, spark, wordcounts, n):
+        from crypto_etl_pipeline_spark.operators.bpe import bpe_train_merges
+
+        df = spark.createDataFrame(list(wordcounts.items()), "word string, cnt long")
+        rows = bpe_train_merges(df, n).collect()
+        return [
+            (r.merge_rank, r.left_sym, r.right_sym, r.merged_sym, r.pair_count)
+            for r in sorted(rows, key=lambda r: r.merge_rank)
+        ]
+
+    def test_overlapping_runs_merge_greedily(self, spark):
+        """'aaaa' x3: round 1 pair (a,a) counts 3 per occurrence (9),
+        greedy application leaves ['aa','aa'] — round 2 must see
+        (aa,aa), not (a,a)."""
+        wc = {"aaaa": 3, "aab": 1}
+        got = self._train(spark, wc, 3)
+        assert got == _ref_bpe(wc, 3)
+        assert got[0][1:4] == ("a", "a", "aa")
+        assert got[1][1:4] == ("aa", "aa", "aaaa")
+
+    def test_tie_break_is_lexicographic(self, spark):
+        wc = {"xy": 5, "ab": 5, "cd": 5}
+        got = self._train(spark, wc, 2)
+        assert got == _ref_bpe(wc, 2)
+        assert got[0][1:3] == ("a", "b")
+        assert got[1][1:3] == ("c", "d")
+
+    def test_early_stop_when_pairs_exhausted(self, spark):
+        wc = {"ab": 4, "c": 9}
+        got = self._train(spark, wc, 5)
+        # 'ab' merges to one symbol in round 1; no pairs remain.
+        assert got == _ref_bpe(wc, 5)
+        assert len(got) == 1
+
+    def test_matches_reference_on_random_corpus(self, spark):
+        rng = random.Random(19)
+        alphabet = "abcde"
+        wc = {}
+        for _ in range(120):
+            w = "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 9)))
+            wc[w] = wc.get(w, 0) + rng.randrange(1, 20)
+        got = self._train(spark, wc, 6)
+        assert got == _ref_bpe(wc, 6)
