@@ -75,6 +75,7 @@ HEADLINE = [
     "text_kl_source_drift",
     "tokenizer_pair_stats",
     "bpe_train_merges",
+    "dedup_prefix_filter_pairs",
 ]
 
 

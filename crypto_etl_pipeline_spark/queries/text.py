@@ -1429,3 +1429,42 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return train(wc, n_merges=8)
+
+
+@register(
+    "dedup_prefix_filter_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN len(regexp_split_to_array(text, '\\s+')) >= 3 THEN
+               list_distinct(list_transform(
+                 generate_series(1, len(regexp_split_to_array(text, '\\s+')) - 2),
+                 i -> regexp_split_to_array(text, '\\s+')[i] || '_' ||
+                      regexp_split_to_array(text, '\\s+')[i+1] || '_' ||
+                      regexp_split_to_array(text, '\\s+')[i+2]))
+             ELSE [] END AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s)) * 1.0
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 1.0
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+    """,
+    description="EXACT set-similarity join (Jaccard >= 0.5) via rarest-first prefix filtering — deterministic-recall complement to MinHash-LSH",
+    tags=("dedup", "join"),
+)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All shingle-Jaccard >= 0.5 pairs with PROVEN complete recall:
+    the prefix-filter theorem (any qualifying pair shares a shingle in
+    both docs' rarest-first prefixes) replaces the oracle's all-pairs
+    join with a join over short prefix postings. The oracle runs the
+    brute-force quadratic form — feasible only at oracle scale, which
+    is exactly the point of the prefix stage. See
+    operators/dedup.py prefix_filter_pairs for the candidate-volume
+    analysis and the LSH trade-off note."""
+    from crypto_etl_pipeline_spark.operators.dedup import prefix_filter_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5)
