@@ -76,6 +76,7 @@ HEADLINE = [
     "tokenizer_pair_stats",
     "bpe_train_merges",
     "dedup_prefix_filter_pairs",
+    "stream_heavy_hitters",
 ]
 
 

@@ -196,8 +196,19 @@ def heavy_hitters_exact(df: DataFrame, term_col: str, k: int) -> DataFrame:
     only covers counts strictly above n/k.
     """
     partials = misra_gries_partials(df, term_col, k)
+    return verify_heavy_hitters(df, term_col, partials.select("term"), k)
+
+
+def verify_heavy_hitters(
+    df: DataFrame, term_col: str, candidates: DataFrame, k: int
+) -> DataFrame:
+    """The exact verify pass: count ONLY candidate terms over ``df``
+    (everything else folds into one NULL bucket that feeds the total),
+    keep strictly count*k > n. ``candidates`` is any candidate-superset
+    table with a ``term`` column — batch MG partials or a streamed MG
+    store (streaming/incremental.run_mg_stream)."""
     cand = (
-        partials.select(F.col("term").alias("_cand_term"))
+        candidates.select(F.col("term").alias("_cand_term"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
@@ -217,4 +228,29 @@ def heavy_hitters_exact(df: DataFrame, term_col: str, k: int) -> DataFrame:
             "n_occurrences",
             F.round(F.col("n_occurrences") / F.col("_n"), 6).alias("share"),
         )
+    )
+
+
+def merge_mg_summaries(base: DataFrame, delta: DataFrame, k: int) -> DataFrame:
+    """Merge two Misra-Gries summaries (term, w) into one, pruned back
+    to <= k-1 rows: sum weights by term; if more than k-1 terms
+    survive, subtract the k-th largest weight from all and drop the
+    non-positive (Agarwal et al., PODS'12). Errors ADD across merges —
+    the merged summary of the whole stream still satisfies
+    w(t) >= count(t) - n/k, so any term with count > n/k keeps
+    positive weight. Every step is a tiny DataFrame op over
+    <= 2(k-1) rows; nothing reaches the driver."""
+    from pyspark.sql.window import Window
+
+    merged = base.unionByName(delta).groupBy("term").agg(F.sum("w").alias("w"))
+    ranked = merged.withColumn(
+        "_r", F.row_number().over(Window.orderBy(F.desc("w"), F.asc("term")))
+    )
+    kth = ranked.where(F.col("_r") >= k).agg(
+        F.coalesce(F.max("w"), F.lit(0)).alias("_t")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kth))
+        .select("term", (F.col("w") - F.col("_t")).alias("w"))
+        .where(F.col("w") > 0)
     )

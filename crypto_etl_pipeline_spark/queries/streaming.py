@@ -490,3 +490,47 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         rolled, f"enrich_{uuid.uuid4().hex[:8]}", _checkpoint(), output_mode="complete"
     )
+
+
+@register(
+    "stream_heavy_hitters",
+    oracle="""
+    WITH tot AS (SELECT count(*) AS n FROM events)
+    SELECT event_type AS term,
+           count(*)   AS n_occurrences,
+           round(count(*) / (SELECT n FROM tot), 6) AS share
+    FROM events
+    GROUP BY event_type
+    HAVING count(*) * 5 > (SELECT n FROM tot)
+    """,
+    description="Streaming Misra-Gries store (<= k-1 rows of state, mergeable across micro-batches) + exact read-side verify == batch GROUP BY HAVING",
+    tags=("streaming", "sketch", "heavy-hitters"),
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frequency-domain continuous aggregate, closed end to end:
+    the WRITE side folds each micro-batch's Misra-Gries summary into a
+    versioned <= k-1-row store (run_mg_stream — state bounded whatever
+    the stream length); the READ side verifies the streamed candidate
+    superset exactly against the events table and keeps strictly
+    count*k > n. k=5 over 5 event types forces real counter evictions
+    in every batch summary, so the result being exactly the oracle's
+    GROUP BY HAVING exercises the mergeable-summaries error bound, not
+    a trivially-complete counter set."""
+    import tempfile
+
+    from crypto_etl_pipeline_spark.operators.sketch import verify_heavy_hitters
+    from crypto_etl_pipeline_spark.streaming.incremental import (
+        read_event_stream,
+        run_mg_stream,
+    )
+
+    events = read_event_stream(spark, _stage_dir(sf_dir, copies=1))
+    store = run_mg_stream(
+        events,
+        store_dir=tempfile.mkdtemp(prefix="mgstore_"),
+        checkpoint_dir=_checkpoint(),
+        term_col="event_type",
+        k=5,
+    )
+    batch = load_table(spark, sf_dir, "events")
+    return verify_heavy_hitters(batch, "event_type", store.select("term"), k=5)

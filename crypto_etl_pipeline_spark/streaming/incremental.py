@@ -509,3 +509,71 @@ def run_sketch_rollup_stream(
     final = _latest()
     assert final is not None, "stream produced no batches"
     return final
+
+
+def run_mg_stream(
+    events: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    term_col: str = "event_type",
+    k: int = 5,
+    timeout_sec: int = 120,
+    retain_versions: int = 3,
+) -> DataFrame:
+    """Streaming frequent items via a MERGEABLE Misra-Gries store.
+
+    Each micro-batch reduces to its MG(k) summary (per-partition
+    partials summed and pruned); the running store merges summaries by
+    weight addition + prune-to-(k-1) — the Agarwal et al. mergeable-
+    summaries property, the frequency-domain sibling of the histogram
+    sketch rollup above. State is <= k-1 rows FOREVER, whatever the
+    stream length or key domain, and merge is associative, so replay
+    order cannot change the result. Versioned snapshots +
+    strictly-below-batch-id recovery + retention follow
+    run_sketch_rollup_stream exactly.
+
+    Returns the final merged summary: a candidate SUPERSET of every
+    term with global count > n/k (errors add across merges, so
+    w(t) >= count(t) - n/k end to end). The read side
+    (queries/streaming.stream_heavy_hitters) runs the exact verify
+    pass against the hypertable — the same candidate-verify discipline
+    as the batch operator (operators/sketch.heavy_hitters_exact).
+    """
+    import glob as _glob
+
+    from crypto_etl_pipeline_spark.operators.sketch import (
+        merge_mg_summaries,
+        misra_gries_partials,
+    )
+
+    spark = events.sparkSession
+
+    def _latest(below: int | None = None) -> DataFrame | None:
+        versions = sorted(
+            _glob.glob(f"{store_dir}/v*"), key=lambda p: int(p.rsplit("v", 1)[1])
+        )
+        if below is not None:
+            versions = [p for p in versions if int(p.rsplit("v", 1)[1]) < below]
+        return spark.read.parquet(versions[-1]) if versions else None
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        partials = misra_gries_partials(batch_df, term_col, k)
+        base = _latest(below=batch_id)
+        if base is None:
+            base = spark.createDataFrame([], "term string, w long")
+        merged = merge_mg_summaries(base, partials, k)
+        merged.write.mode("overwrite").parquet(f"{store_dir}/v{batch_id}")
+        _prune_versions(store_dir, retain_versions)
+
+    q = (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"MG stream did not drain within {timeout_sec}s")
+    final = _latest()
+    assert final is not None, "stream produced no batches"
+    return final

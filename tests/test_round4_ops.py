@@ -304,3 +304,69 @@ class TestPrefixFilter:
             F.col("_r") <= F.col("_sz") - F.ceil(F.lit(0.5) * F.col("_sz")) + 1
         ).count()
         assert kept < 0.6 * full
+
+
+class TestMergeableMgSummaries:
+    def test_merge_keeps_superset_and_bound(self, spark):
+        """Fold 6 adversarial 'micro-batches' through merge_mg_summaries
+        and check (a) the store never exceeds k-1 rows, (b) every term
+        with global count > n/k survives, (c) weights are within n/k of
+        true counts (the mergeable-summaries error bound)."""
+        from crypto_etl_pipeline_spark.operators.sketch import (
+            merge_mg_summaries,
+            misra_gries_partials,
+        )
+
+        rng = random.Random(31)
+        k = 6
+        batches = []
+        for b in range(6):
+            rows = [(f"noise_{b}_{i}",) for i in range(150) for _ in range(2)]
+            rows += [("hot",)] * 90 + [("warm",)] * 60
+            rng.shuffle(rows)
+            batches.append(rows)
+        store = spark.createDataFrame([], "term string, w long")
+        for rows in batches:
+            df = spark.createDataFrame(rows, "term string").repartition(4)
+            partials = misra_gries_partials(df, "term", k)
+            store = merge_mg_summaries(store, partials, k)
+            assert store.count() <= k - 1
+        all_rows = [t for rows in batches for (t,) in rows]
+        counts = _exact_counts(all_rows)
+        n = len(all_rows)
+        weights = {r["term"]: r["w"] for r in store.collect()}
+        for t, c in counts.items():
+            if c * k > n:
+                assert t in weights, t
+        for t, w in weights.items():
+            assert counts[t] - n / k <= w <= counts[t], t
+
+    def test_merge_is_order_insensitive_for_verify(self, spark):
+        """Replay order changes the summary's weights but never drops a
+        true heavy hitter: verify output is identical either way."""
+        from crypto_etl_pipeline_spark.operators.sketch import (
+            merge_mg_summaries,
+            misra_gries_partials,
+            verify_heavy_hitters,
+        )
+
+        k = 4
+        b1 = [("a",)] * 50 + [("b",)] * 30 + [(f"x{i}",) for i in range(40)]
+        b2 = [("a",)] * 40 + [("c",)] * 35 + [(f"y{i}",) for i in range(40)]
+        full = spark.createDataFrame(b1 + b2, "term string")
+        outs = []
+        for order in ([b1, b2], [b2, b1]):
+            store = spark.createDataFrame([], "term string, w long")
+            for rows in order:
+                df = spark.createDataFrame(rows, "term string").repartition(3)
+                store = merge_mg_summaries(
+                    store, misra_gries_partials(df, "term", k), k
+                )
+            out = {
+                (r["term"], r["n_occurrences"])
+                for r in verify_heavy_hitters(full, "term", store.select("term"), k).collect()
+            }
+            outs.append(out)
+        assert outs[0] == outs[1]
+        expected = _exact_heavy_hitters([r[0] for r in b1 + b2], k)
+        assert outs[0] == set(expected.items())
