@@ -185,6 +185,13 @@ def triangle_stats(
     ann = e.join(da, "a").join(db, "b")
     fwd = F.col("da") < F.col("db")
     tie = (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    # Checkpointed WITHOUT pre-partitioning on the wedge apex: the
+    # wedge self-join aliases src on both sides, and self-join
+    # attribute deduplication breaks alias-tracked partitioning reuse
+    # (verified in the sf0.1 plan — both sides re-shuffled anyway), so
+    # a repartition here would only add an exchange. The checkpoint
+    # still pins the orientation subtree to one execution across its
+    # three consumers (o1, o2, closing).
     oriented = ann.select(
         F.when(fwd | tie, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(fwd | tie, F.col("b")).otherwise(F.col("a")).alias("dst"),

@@ -215,9 +215,18 @@ def verify_heavy_hitters(
     flagged = df.join(
         F.broadcast(cand), df[term_col] == cand["_cand_term"], "left"
     )
-    counts = flagged.groupBy(
-        F.when(F.col("_hit") == 1, F.col(term_col)).alias("term")
-    ).agg(F.count(F.lit(1)).alias("n_occurrences"))
+    counts = (
+        flagged.groupBy(
+            F.when(F.col("_hit") == 1, F.col(term_col)).alias("term")
+        )
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        # <= k+1 rows, but TWO consumers (the total aggregate and the
+        # filtered output): without a checkpoint each branch re-embeds
+        # the whole verify subtree — including the term-stream SCAN and
+        # the sketch pass — doubling the query (observed in the sf0.1
+        # plan: two MapInPandas over two parquet scans).
+        .localCheckpoint(eager=False)
+    )
     total = counts.agg(F.sum("n_occurrences").alias("_n"))
     return (
         counts.where(F.col("term").isNotNull())
