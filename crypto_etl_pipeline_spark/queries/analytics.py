@@ -1479,3 +1479,189 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_stats(edges, "u", "v", broadcast_degrees=True)
+
+
+@register(
+    "ab_welch_t_test",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, count(*) AS n, avg(value) AS m, var_samp(value) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+      GROUP BY event_type
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           round(a.m, 6) AS mean_a, round(b.m, 6) AS mean_b,
+           round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
+           round(pow(a.v / a.n + b.v / b.n, 2)
+                 / (pow(a.v / a.n, 2) / (a.n - 1) + pow(b.v / b.n, 2) / (b.n - 1)),
+                 2) AS welch_df
+    FROM g a, g b
+    WHERE a.event_type = 'purchase' AND b.event_type = 'click'
+    """,
+    description="A/B hypothesis test: Welch's unequal-variance t statistic + Satterthwaite df between two event cohorts",
+    tags=("stats", "agg", "ab-test"),
+)
+def ab_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experimentation primitive: Welch's t between two cohorts,
+    computed entirely from ONE grouped aggregation pass (n, mean,
+    sample variance per cohort) — the sufficient statistics — then
+    pure scalar math over two broadcast 1-row branches. No second
+    scan, no per-row work beyond the agg; at 100 TB this is the same
+    single partial+final agg as any GROUP BY. df rounds to 2 and t to
+    4: both derive from variance ratios whose last-ulp association
+    differences across engines sit well below those precisions."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isin("purchase", "click")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = g.where(F.col("event_type") == "purchase").alias("a")
+    b = g.where(F.col("event_type") == "click").alias("b")
+    se2 = F.col("a.v") / F.col("a.n") + F.col("b.v") / F.col("b.n")
+    return (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.round(F.col("a.m"), 6).alias("mean_a"),
+            F.round(F.col("b.m"), 6).alias("mean_b"),
+            F.round((F.col("a.m") - F.col("b.m")) / F.sqrt(se2), 4).alias("t_stat"),
+            F.round(
+                F.pow(se2, F.lit(2))
+                / (
+                    F.pow(F.col("a.v") / F.col("a.n"), F.lit(2)) / (F.col("a.n") - 1)
+                    + F.pow(F.col("b.v") / F.col("b.n"), F.lit(2)) / (F.col("b.n") - 1)
+                ),
+                2,
+            ).alias("welch_df"),
+        )
+    )
+
+
+@register(
+    "window_ntile_quartiles",
+    oracle="""
+    WITH spend AS (
+      SELECT user_id, event_type, round(sum(value), 4) AS s
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id, event_type
+    ),
+    q AS (
+      SELECT event_type, s,
+             ntile(4)       OVER (PARTITION BY event_type ORDER BY s, user_id) AS quartile,
+             percent_rank() OVER (PARTITION BY event_type ORDER BY s, user_id) AS pr
+      FROM spend
+    )
+    SELECT event_type, quartile,
+           count(*)           AS n_users,
+           round(avg(s), 4)   AS avg_spend,
+           round(max(pr), 6)  AS max_pr
+    FROM q GROUP BY 1, 2
+    """,
+    description="ntile / percent_rank window coverage: per-type user-spend quartiles with deterministic tie-breaks",
+    tags=("window", "analytics"),
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing (ntile) + relative standing (percent_rank)
+    over per-user spend within each event type. Spend is rounded
+    BEFORE ranking so cross-engine last-ulp sum differences cannot
+    flip the sort; (s, user_id) makes the order total. The window
+    partitions by event_type — bounded partitions, map-side sort; the
+    quartile re-aggregation rides the same clustering."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    spend = ev.groupBy("user_id", "event_type").agg(
+        F.round(F.sum("value"), 4).alias("s")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.asc("s"), F.asc("user_id"))
+    q = spend.select(
+        "event_type",
+        "s",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return q.groupBy("event_type", "quartile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg("s"), 4).alias("avg_spend"),
+        F.round(F.max("pr"), 6).alias("max_pr"),
+    )
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    v AS (
+      SELECT user_id, ts AS start_ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS end_ts,
+             CASE WHEN cum >= 200 THEN 'gold'
+                  WHEN cum >= 50 THEN 'silver'
+                  ELSE 'bronze' END AS tier
+      FROM p
+    ),
+    c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT v.tier,
+           count(*)               AS n_clicks,
+           round(sum(c.value), 4) AS click_value
+    FROM c JOIN v
+      ON c.user_id = v.user_id
+     AND c.ts >= v.start_ts AND (c.ts < v.end_ts OR v.end_ts IS NULL)
+    GROUP BY v.tier
+    """,
+    description="SCD type-2 point-in-time join: facts matched to the dimension version valid at event time",
+    tags=("join", "timeseries", "scd2"),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The slowly-changing-dimension pattern end to end: build a
+    type-2 versioned dimension (each purchase opens a tier version;
+    validity [ts, next-purchase ts) via lead(); the cumulative-spend
+    tier is a deterministic left-to-right running sum, so both engines
+    bucket identically), then join click facts to the version valid AT
+    THE CLICK'S TIMESTAMP — equi on user_id with the interval
+    predicate as a post-join filter. The version table is per-entity
+    small (versions-per-user rows); at 100 TB both sides cluster on
+    user_id and the interval filter evaluates inside the joined
+    partition — never a cross of fact x all-versions."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wp = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    p = (
+        ev.where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.sum("value").over(wp.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        )
+    )
+    v = p.select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        F.lead("ts").over(wp).alias("end_ts"),
+        F.when(F.col("cum") >= 200, "gold")
+        .when(F.col("cum") >= 50, "silver")
+        .otherwise("bronze")
+        .alias("tier"),
+    )
+    c = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = c.alias("c").join(
+        v.alias("v"),
+        (F.col("c.user_id") == F.col("v.user_id"))
+        & (F.col("c.ts") >= F.col("v.start_ts"))
+        & ((F.col("c.ts") < F.col("v.end_ts")) | F.col("v.end_ts").isNull()),
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum(F.col("c.value")), 4).alias("click_value"),
+    )
