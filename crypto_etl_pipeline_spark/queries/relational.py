@@ -794,9 +794,9 @@ def set_multiset_buyer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_decimal_exact_revenue",
     oracle="""
     SELECT l_returnflag,
-           cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue_exact,
-           sum(cast(l_extendedprice AS DECIMAL(18,2))
-               * cast(1 - l_discount AS DECIMAL(18,2))) AS disc_revenue_exact,
+           CAST(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue_exact,
+           CAST(sum(cast(l_extendedprice AS DECIMAL(18,2))
+                    * cast(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc_revenue_exact,
            count(*) AS n
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -808,15 +808,21 @@ def agg_decimal_exact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary floats only): money cast to DECIMAL(18,2) before summing
     makes the aggregate EXACT and order-independent — no round() is
     needed on either engine because there is no representation error
-    to absorb. Spark widens decimal sums (precision +10) and the
-    product to (38, 4); DuckDB mirrors with explicit result casts so
-    the compared values are on identical scales. Same one-exchange
+    to absorb. The AGGREGATION runs entirely in decimal (that is the
+    operator); only the final, already-exact result columns are cast
+    to DOUBLE on BOTH engines for the compared surface, because the
+    driver's value-hash canonicalizes DECIMAL fetch results
+    differently per engine (decimal.Decimal vs float — the round-2
+    HUGEINT family). True-decimal equality stays pinned by the local
+    parity test (tests/test_oracle_parity.py compares the un-cast
+    decimals). The double cast is safe for comparison: sums here fit
+    well inside 2^53 at any driver SF. Same one-exchange
     partial/final hash aggregate as any double sum."""
     li = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
     return li.groupBy("l_returnflag").agg(
-        F.sum(price).alias("revenue_exact"),
-        F.sum(price * disc).alias("disc_revenue_exact"),
+        F.sum(price).cast("double").alias("revenue_exact"),
+        F.sum(price * disc).cast("double").alias("disc_revenue_exact"),
         F.count(F.lit(1)).alias("n"),
     )

@@ -78,41 +78,92 @@ def test_oracle_no_hugeint_columns(name, duck):
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_oracle_decimal_type_parity(name, spark, duck):
-    """Decimal-typing lint (round-3 postmortem, second result-typing red
-    in two rounds): Spark widens `sum(decimal(18,2))` to decimal(28,2)
-    (precision +10) while DuckDB widens to decimal(38,2) — bit-identical
-    values then hash differently in the driver's compare
-    (CORRECTNESS_r03 agg_decimal_exact_revenue). Generalizing the
-    round-2 HUGEINT lint: for every oracled query, any column that is
-    DECIMAL on either engine must be DECIMAL with the same
-    (precision, scale) on BOTH. Fix is an explicit result cast on the
-    oracle side matching Spark's widening rule. Spark-side schema comes
-    from analysis only (no job runs)."""
+def test_no_decimal_output_columns(name, spark, duck):
+    """DECIMAL-free-output lint (round-4 postmortem, THIRD decimal-family
+    red): even with judge-verified identical values AND identical result
+    types (Spark decimal(28,2) == DuckDB DECIMAL(28,2) at sf0.01), the
+    driver's value-hash canonicalizes DECIMAL fetch results differently
+    per engine (decimal.Decimal objects vs floats — the round-2 HUGEINT
+    family), so SQL-side typing cannot fix it. Contract: DECIMAL may be
+    used freely INSIDE a query (that is what the exact-money operators
+    demonstrate) but must never appear in a compared OUTPUT schema on
+    EITHER engine — cast final columns to DOUBLE on both sides. Exact
+    decimal semantics stay pinned by test_decimal_exact_internal_parity.
+    Spark-side schema comes from analysis only (no job runs)."""
     from pyspark.sql.types import DecimalType
 
     spec = REGISTRY[name]
-    spark_types = {f.name: f.dataType for f in spec.fn(spark, SF_ORACLE).schema.fields}
-    duck_types = {r[0]: str(r[1]).upper() for r in duck.execute(f"DESCRIBE {spec.oracle}").fetchall()}
-
-    import re
-
-    problems = []
-    for col, stype in spark_types.items():
-        dtype = duck_types.get(col, "")
-        s_dec = isinstance(stype, DecimalType)
-        m = re.match(r"DECIMAL\((\d+),\s*(\d+)\)", dtype)
-        if s_dec and m:
-            if (stype.precision, stype.scale) != (int(m.group(1)), int(m.group(2))):
-                problems.append(
-                    f"{col}: spark DECIMAL({stype.precision},{stype.scale}) vs duck {dtype}"
-                )
-        elif s_dec != bool(m):
-            problems.append(f"{col}: spark {stype.simpleString()} vs duck {dtype or 'missing'}")
-    assert not problems, (
-        f"{name}: decimal precision/scale mismatch (driver hash-red even on identical "
-        f"values): {problems}; add an explicit CAST on the oracle to match Spark's widening"
+    s_bad = [
+        f.name
+        for f in spec.fn(spark, SF_ORACLE).schema.fields
+        if isinstance(f.dataType, DecimalType)
+    ]
+    d_bad = [
+        r[0]
+        for r in duck.execute(f"DESCRIBE {spec.oracle}").fetchall()
+        if "DECIMAL" in str(r[1]).upper()
+    ]
+    assert not s_bad and not d_bad, (
+        f"{name}: DECIMAL-typed OUTPUT columns (spark={s_bad}, duck={d_bad}) — the "
+        f"driver hash-reds these even on identical values; cast to DOUBLE on both engines"
     )
+
+
+def test_decimal_exact_internal_parity(spark, duck):
+    """The compared surface of the two decimal queries is DOUBLE (see
+    lint above), but the operator's actual claim is EXACT decimal
+    aggregation — pin that here with true decimal.Decimal equality at
+    full precision: the internal Spark decimal sums must equal DuckDB's
+    decimal sums to the last digit, per group, with no tolerance."""
+    from pyspark.sql import functions as F
+
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    # lineitem: DECIMAL(18,2) revenue sums (agg_decimal_exact_revenue internals)
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    s_li = {
+        r["l_returnflag"]: (r["rev"], r["drev"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum(price).alias("rev"), F.sum(price * disc).alias("drev"))
+        .collect()
+    }
+    d_li = {
+        r[0]: (r[1], r[2])
+        for r in duck.execute(
+            """
+            SELECT l_returnflag,
+                   sum(cast(l_extendedprice AS DECIMAL(18,2))) AS rev,
+                   sum(cast(l_extendedprice AS DECIMAL(18,2))
+                       * cast(1 - l_discount AS DECIMAL(18,2))) AS drev
+            FROM lineitem GROUP BY l_returnflag
+            """
+        ).fetchall()
+    }
+    assert s_li == d_li, f"lineitem decimal sums diverge: {s_li} vs {d_li}"
+
+    # orders: DECIMAL(18,4) total/avg (decimal_exact_money_agg internals)
+    orders = load_table(spark, SF_ORACLE, "orders")
+    d = F.col("o_totalprice").cast("decimal(18,4)")
+    s_o = {
+        r["o_orderstatus"]: (r["tot"], r["avg4"])
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.sum(d).alias("tot"), F.avg(d).cast("decimal(18,4)").alias("avg4"))
+        .collect()
+    }
+    d_o = {
+        r[0]: (r[1], r[2])
+        for r in duck.execute(
+            """
+            SELECT o_orderstatus,
+                   sum(CAST(o_totalprice AS DECIMAL(18,4))) AS tot,
+                   CAST(avg(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS avg4
+            FROM orders GROUP BY o_orderstatus
+            """
+        ).fetchall()
+    }
+    assert s_o == d_o, f"orders decimal aggregates diverge: {s_o} vs {d_o}"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
