@@ -214,10 +214,20 @@ def triangle_stats(
     tri = wedges.join(closing, ["p", "q"], "left_semi").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+    # All-integral arithmetic: sum(d*(d-1)) on a skewed web-scale graph
+    # can exceed 2^53, where a double-division detour would silently
+    # round an otherwise exact statistic. Long sums + `div 2` keep it
+    # exact end to end (both d-sums are even, so div is lossless);
+    # ANSI mode turns a genuine >2^63 overflow into an error, not a
+    # wrong answer.
     stats = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
-        (F.sum("d") / F.lit(2)).cast("long").alias("n_edges"),
-        F.sum(F.col("d") * (F.col("d") - 1) / F.lit(2)).cast("long").alias("n_wedges"),
+        F.sum(F.col("d").cast("long")).alias("_dsum"),
+        F.sum(F.col("d").cast("long") * (F.col("d").cast("long") - 1)).alias("_wsum"),
+    ).select(
+        "n_nodes",
+        F.expr("_dsum div 2").alias("n_edges"),
+        F.expr("_wsum div 2").alias("n_wedges"),
     )
     return (
         stats.crossJoin(F.broadcast(tri))

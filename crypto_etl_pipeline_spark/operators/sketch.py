@@ -133,6 +133,24 @@ def quantile_from_sketch(
 # ---------------------------------------------------------------------------
 
 
+def _mg_add_and_prune(counts: dict, new_counts, cap: int) -> dict:
+    """The batched Misra-Gries fold rule, shared by the mapInPandas
+    partial pass and the property tests: fold ``(term, count)`` pairs
+    into the running summary; if more than ``cap`` (= k-1) counters
+    survive, subtract the (cap+1)-th largest weight from all and drop
+    the non-positive. Each prune removes >= k*thresh total weight, so
+    the summed thresholds — the max under-count of any term — are
+    bounded by n/k: w(t) >= count(t) - n/k (Misra-Gries'82 /
+    mergeable-summaries PODS'12)."""
+    for t, c in new_counts:
+        counts[t] = counts.get(t, 0) + int(c)
+    if len(counts) > cap:
+        ws = sorted(counts.values(), reverse=True)
+        thresh = ws[cap]
+        counts = {t: w - thresh for t, w in counts.items() if w > thresh}
+    return counts
+
+
 def misra_gries_partials(df: DataFrame, term_col: str, k: int) -> DataFrame:
     """Per-partition Misra-Gries(k) summaries -> (term, w) rows.
 
@@ -151,23 +169,28 @@ def misra_gries_partials(df: DataFrame, term_col: str, k: int) -> DataFrame:
       one partition's summary (pigeonhole over count_p > n_p/k), so
       the union of partials is a candidate superset for global heavy
       hitters — the contract ``heavy_hitters_exact`` verifies against.
+
+    NULL contract: NULL terms are EXCLUDED at the operator boundary
+    (filtered here, and again in ``verify_heavy_hitters`` so the total
+    n counts non-null terms only). A naive GROUP BY would report a
+    NULL group; this operator's domain is non-null terms by contract —
+    pandas value_counts drops NaN/None silently, so without the
+    explicit filter the exclusion would be an implementation accident
+    rather than a documented semantic.
     """
     import pandas as pd
 
     if k < 2:
         raise ValueError("misra_gries_partials needs k >= 2")
     cap = k - 1
+    df = df.where(F.col(term_col).isNotNull())
 
     def run(batches):
         counts: dict = {}
         for pdf in batches:
-            vc = pdf[term_col].value_counts()
-            for t, c in vc.items():
-                counts[t] = counts.get(t, 0) + int(c)
-            if len(counts) > cap:
-                ws = sorted(counts.values(), reverse=True)
-                thresh = ws[cap]
-                counts = {t: w - thresh for t, w in counts.items() if w > thresh}
+            counts = _mg_add_and_prune(
+                counts, pdf[term_col].value_counts().items(), cap
+            )
         yield pd.DataFrame(
             {"term": list(counts.keys()), "w": [counts[t] for t in counts]}
         )
@@ -206,7 +229,12 @@ def verify_heavy_hitters(
     (everything else folds into one NULL bucket that feeds the total),
     keep strictly count*k > n. ``candidates`` is any candidate-superset
     table with a ``term`` column — batch MG partials or a streamed MG
-    store (streaming/incremental.run_mg_stream)."""
+    store (streaming/incremental.run_mg_stream).
+
+    NULL contract (see ``misra_gries_partials``): NULL terms are
+    excluded up front, so n = count of NON-NULL terms and the
+    non-candidate fold bucket contains only real terms."""
+    df = df.where(F.col(term_col).isNotNull())
     cand = (
         candidates.select(F.col("term").alias("_cand_term"))
         .distinct()

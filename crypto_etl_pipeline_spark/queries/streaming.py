@@ -32,10 +32,24 @@ from crypto_etl_pipeline_spark.sources.tables import load_table
 SESSION_GAP_SECONDS = 6 * 3600  # ~median per-user gap is 7h at sf0.01
 
 
+def _tmpdir(prefix: str) -> str:
+    """mkdtemp + interpreter-exit cleanup. Every scratch dir a streaming
+    query creates (stage symlinks, checkpoints, sketch/MG snapshot
+    stores) goes through here so repeated bench/driver runs don't
+    accumulate orphaned state under /tmp — the MG store in particular
+    persists parquet snapshot data per run, not just metadata."""
+    import atexit
+    import shutil
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _stage_dir(sf_dir: str, copies: int) -> str:
     """Stage the events parquet into a fresh stream-input dir via
     symlinks (read-only source is never touched)."""
-    d = tempfile.mkdtemp(prefix="events_stream_")
+    d = _tmpdir("events_stream_")
     src = os.path.join(sf_dir, "events.parquet")
     for i in range(copies):
         os.symlink(src, os.path.join(d, f"events_{i}.parquet"))
@@ -43,7 +57,7 @@ def _stage_dir(sf_dir: str, copies: int) -> str:
 
 
 def _checkpoint() -> str:
-    return tempfile.mkdtemp(prefix="ckpt_")
+    return _tmpdir("ckpt_")
 
 
 @register(
@@ -356,8 +370,6 @@ def stream_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge is associative and commutative, the drained result must
     equal the single batch GROUP BY the oracle runs — THE defining
     property of a mergeable-sketch continuous aggregate."""
-    import tempfile
-
     from crypto_etl_pipeline_spark.streaming.incremental import (
         read_event_stream,
         run_sketch_rollup_stream,
@@ -366,7 +378,7 @@ def stream_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_event_stream(spark, _stage_dir(sf_dir, copies=1))
     return run_sketch_rollup_stream(
         events,
-        sketch_dir=tempfile.mkdtemp(prefix="sketch_"),
+        sketch_dir=_tmpdir("sketch_"),
         checkpoint_dir=_checkpoint(),
         bin_width=5.0,
         n_bins=100,
@@ -415,8 +427,6 @@ def stream_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     single batch GROUP BY, which is what the oracle computes. This is
     how a 100 TB hypertable serves percentile dashboards without ever
     re-touching raw history."""
-    import tempfile
-
     from crypto_etl_pipeline_spark.operators.sketch import quantile_from_sketch
     from crypto_etl_pipeline_spark.streaming.incremental import (
         read_event_stream,
@@ -426,7 +436,7 @@ def stream_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_event_stream(spark, _stage_dir(sf_dir, copies=1))
     merged = run_sketch_rollup_stream(
         events,
-        sketch_dir=tempfile.mkdtemp(prefix="sketchq_"),
+        sketch_dir=_tmpdir("sketchq_"),
         checkpoint_dir=_checkpoint(),
         bin_width=5.0,
         n_bins=100,
@@ -516,8 +526,6 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     in every batch summary, so the result being exactly the oracle's
     GROUP BY HAVING exercises the mergeable-summaries error bound, not
     a trivially-complete counter set."""
-    import tempfile
-
     from crypto_etl_pipeline_spark.operators.sketch import verify_heavy_hitters
     from crypto_etl_pipeline_spark.streaming.incremental import (
         read_event_stream,
@@ -527,7 +535,7 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_event_stream(spark, _stage_dir(sf_dir, copies=1))
     store = run_mg_stream(
         events,
-        store_dir=tempfile.mkdtemp(prefix="mgstore_"),
+        store_dir=_tmpdir("mgstore_"),
         checkpoint_dir=_checkpoint(),
         term_col="event_type",
         k=5,
