@@ -77,6 +77,8 @@ HEADLINE = [
     "bpe_train_merges",
     "dedup_prefix_filter_pairs",
     "stream_heavy_hitters",
+    # round-5 surface
+    "bpe_encode_token_counts",
 ]
 
 

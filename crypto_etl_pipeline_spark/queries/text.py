@@ -1432,6 +1432,78 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_encode_token_counts",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word
+      FROM documents
+    ),
+    enc AS (
+      SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(replace(replace(
+               word, 'at','A'), 'er','B'), 'in','C'), 'or','D'),
+                     'Aa','E'), 'st','F'), 'Ce','G'), 'th','H') AS e
+      FROM w WHERE word <> ''
+    )
+    SELECT doc_id,
+           count(*)               AS n_words,
+           sum(length(e))::BIGINT AS n_tokens,
+           round(avg(length(e)), 6) AS avg_tokens_per_word
+    FROM enc GROUP BY doc_id
+    """,
+    description="BPE ENCODER: apply a fixed 8-merge table (incl. cascaded merges) to the corpus, per-doc token counts — oracled via the sequential-replace equivalence",
+    tags=("text", "tokenizer"),
+)
+def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inference half of the tokenizer (round-4 VERDICT: 'a
+    tokenizer you can train but not apply is half a component').
+
+    Encoding semantics: merges applied in RANK ORDER, each greedily
+    left-to-right non-overlapping — equivalent to iterate-lowest-rank
+    because a merge only creates adjacencies involving its own new
+    symbol, so no earlier-rank occurrence can reappear. That same
+    property makes the op SQL-expressible for a FIXED merge table:
+    represent each merged symbol as a fresh single character and the
+    whole encode collapses to a chain of replace() calls (SQL replace
+    is exactly greedy left-to-right non-overlapping); the BPE token
+    count of a word is then length() of the rewritten string. The
+    merge table here is fixed (so the oracle exists); training-derived
+    tables go through the identical operator, differential-pinned in
+    tests/test_round5_ops.py.
+
+    Scale shape: the corpus explodes to (doc_id, word) once; the
+    ENCODER runs over the distinct vocabulary only (Arrow-batched,
+    per-batch cache) and broadcast-joins back — Python cost is bounded
+    by vocabulary size, corpus cost is one explode + one broadcast
+    join + one per-doc aggregation.
+    """
+    from crypto_etl_pipeline_spark.operators.bpe import bpe_encode_words
+
+    # Fixed rank-ordered merge table over the corpus alphabet; merges
+    # 5 and 7 consume earlier merged symbols (cascade: d,a,t,a ->
+    # d,at,a -> d,ata — 'data' encodes to 2 tokens).
+    merges = [
+        ("a", "t"), ("e", "r"), ("i", "n"), ("o", "r"),
+        ("at", "a"), ("s", "t"), ("in", "e"), ("t", "h"),
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    vocab = words.select("word").distinct()
+    encoded = bpe_encode_words(vocab, merges).select("word", "n_tokens")
+    return (
+        words.join(F.broadcast(encoded), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens_per_word"),
+        )
+    )
+
+
+@register(
     "dedup_prefix_filter_pairs",
     oracle="""
     WITH sh AS (

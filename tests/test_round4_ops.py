@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -185,50 +186,68 @@ def _ref_bpe(wordcounts, n_merges):
     return merges
 
 
+@pytest.mark.parametrize("strategy", ["local_vocab", "distributed"])
 class TestBpeTrainer:
-    def _train(self, spark, wordcounts, n):
+    """Both trainer strategies (single-task indexed loop / distributed
+    delta-maintained loop) must produce the identical merge sequence
+    AND counts as the independent full-recount reference trainer —
+    count equality pins the delta path's incremental pair table."""
+
+    def _train(self, spark, wordcounts, n, strategy):
         from crypto_etl_pipeline_spark.operators.bpe import bpe_train_merges
 
         df = spark.createDataFrame(list(wordcounts.items()), "word string, cnt long")
-        rows = bpe_train_merges(df, n).collect()
+        rows = bpe_train_merges(df, n, strategy=strategy).collect()
         return [
             (r.merge_rank, r.left_sym, r.right_sym, r.merged_sym, r.pair_count)
             for r in sorted(rows, key=lambda r: r.merge_rank)
         ]
 
-    def test_overlapping_runs_merge_greedily(self, spark):
+    def test_overlapping_runs_merge_greedily(self, spark, strategy):
         """'aaaa' x3: round 1 pair (a,a) counts 3 per occurrence (9),
         greedy application leaves ['aa','aa'] — round 2 must see
         (aa,aa), not (a,a)."""
         wc = {"aaaa": 3, "aab": 1}
-        got = self._train(spark, wc, 3)
+        got = self._train(spark, wc, 3, strategy)
         assert got == _ref_bpe(wc, 3)
         assert got[0][1:4] == ("a", "a", "aa")
         assert got[1][1:4] == ("aa", "aa", "aaaa")
 
-    def test_tie_break_is_lexicographic(self, spark):
+    def test_tie_break_is_lexicographic(self, spark, strategy):
         wc = {"xy": 5, "ab": 5, "cd": 5}
-        got = self._train(spark, wc, 2)
+        got = self._train(spark, wc, 2, strategy)
         assert got == _ref_bpe(wc, 2)
         assert got[0][1:3] == ("a", "b")
         assert got[1][1:3] == ("c", "d")
 
-    def test_early_stop_when_pairs_exhausted(self, spark):
+    def test_early_stop_when_pairs_exhausted(self, spark, strategy):
         wc = {"ab": 4, "c": 9}
-        got = self._train(spark, wc, 5)
+        got = self._train(spark, wc, 5, strategy)
         # 'ab' merges to one symbol in round 1; no pairs remain.
         assert got == _ref_bpe(wc, 5)
         assert len(got) == 1
 
-    def test_matches_reference_on_random_corpus(self, spark):
+    def test_matches_reference_on_random_corpus(self, spark, strategy):
         rng = random.Random(19)
         alphabet = "abcde"
         wc = {}
         for _ in range(120):
             w = "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 9)))
             wc[w] = wc.get(w, 0) + rng.randrange(1, 20)
-        got = self._train(spark, wc, 6)
+        got = self._train(spark, wc, 6, strategy)
         assert got == _ref_bpe(wc, 6)
+
+    def test_matches_reference_deep_merge_run(self, spark, strategy):
+        """24 merges on a dense 2-letter alphabet: every round's argmax
+        rides on counts perturbed by many earlier merges — a wrong
+        delta update diverges within a round or two."""
+        rng = random.Random(7)
+        wc = {}
+        for _ in range(80):
+            w = "".join(rng.choice("ab") for _ in range(rng.randrange(1, 12)))
+            wc[w] = wc.get(w, 0) + rng.randrange(1, 10)
+        got = self._train(spark, wc, 24, strategy)
+        assert got == _ref_bpe(wc, 24)
 
 
 class TestPrefixFilter:

@@ -1,0 +1,124 @@
+"""Round-5 operator invariants: the BPE ENCODER.
+
+The trainer half is differential-pinned in test_round4_ops.py; these
+tests pin the inference half: applying a merge table (rank order, each
+merge greedy left-to-right) must match an independent pure-Python
+encoder on adversarial fixtures, and encoding the training corpus with
+its own trained merges must reproduce the trainer's final symbol
+state — the round-trip property that makes train+encode one coherent
+tokenizer rather than two unrelated ops.
+"""
+
+from __future__ import annotations
+
+import random
+
+from tests.test_round4_ops import _ref_bpe
+
+
+def _ref_encode(word, merges):
+    """Independent reference encoder: merges in rank order, each
+    applied greedily left-to-right (Sennrich et al., ACL'16)."""
+    syms = list(word)
+    for left, right in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _apply(syms, left, right):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+class TestBpeEncoder:
+    def _encode(self, spark, words, merges):
+        from crypto_etl_pipeline_spark.operators.bpe import bpe_encode_words
+
+        df = spark.createDataFrame([(w,) for w in words], "word string")
+        return {
+            r["word"]: (list(r["tokens"]), r["n_tokens"])
+            for r in bpe_encode_words(df, merges).collect()
+        }
+
+    def test_overlapping_runs_encode_greedily(self, spark):
+        """'aaaa' with merges [(a,a), (aa,aa)]: greedy L2R gives
+        ['aa','aa'] after merge 1, then ['aaaa']; 'aaa' gives
+        ['aa','a'] and stays (no (aa,a) merge)."""
+        merges = [("a", "a"), ("aa", "aa")]
+        got = self._encode(spark, ["aaaa", "aaa", "aaaaa", "a"], merges)
+        assert got["aaaa"] == (["aaaa"], 1)
+        assert got["aaa"] == (["aa", "a"], 2)
+        assert got["aaaaa"] == (["aaaa", "a"], 2)
+        assert got["a"] == (["a"], 1)
+
+    def test_cascaded_merges(self, spark):
+        """Merges consuming earlier merged symbols: d,a,t,a -> d,at,a
+        -> d,ata ('data' encodes to 2 tokens)."""
+        merges = [("a", "t"), ("at", "a")]
+        got = self._encode(spark, ["data", "atta", "tat"], merges)
+        assert got["data"] == (["d", "ata"], 2)
+        # 'atta': (a,t) greedy -> [at, t, a]; (at,a) needs adjacency -> no
+        assert got["atta"] == (["at", "t", "a"], 3)
+        assert got["tat"] == (["t", "at"], 2)
+
+    def test_rank_order_not_recurrence(self, spark):
+        """A pair whose occurrence appears only AFTER a later merge must
+        NOT be merged: rank order is a single forward pass. Word 'abc'
+        with merges [(a,bc)? impossible] — use [(b,c),(a,b)]: after
+        (b,c) the word is [a,bc]; (a,b) no longer occurs."""
+        got = self._encode(spark, ["abc"], [("b", "c"), ("a", "b")])
+        assert got["abc"] == (["a", "bc"], 2)
+
+    def test_matches_reference_on_random_words_and_trained_merges(self, spark):
+        rng = random.Random(23)
+        wc = {}
+        for _ in range(100):
+            w = "".join(rng.choice("abcd") for _ in range(rng.randrange(1, 10)))
+            wc[w] = wc.get(w, 0) + rng.randrange(1, 15)
+        trained = _ref_bpe(wc, 12)
+        merges = [(m[1], m[2]) for m in trained]
+        extra = ["".join(rng.choice("abcd") for _ in range(rng.randrange(1, 12)))
+                 for _ in range(60)]
+        words = sorted(set(list(wc) + extra))
+        got = self._encode(spark, words, merges)
+        for w in words:
+            assert got[w][0] == _ref_encode(w, merges), w
+
+    def test_encode_reproduces_trainer_final_state(self, spark):
+        """Round-trip coherence: encoding the training vocabulary with
+        the TRAINED merge table (Spark trainer -> Spark encoder) must
+        reproduce the reference trainer's final symbolization exactly."""
+        from crypto_etl_pipeline_spark.operators.bpe import bpe_train_merges
+
+        rng = random.Random(31)
+        wc = {}
+        for _ in range(90):
+            w = "".join(rng.choice("abcde") for _ in range(rng.randrange(1, 9)))
+            wc[w] = wc.get(w, 0) + rng.randrange(1, 10)
+        df = spark.createDataFrame(list(wc.items()), "word string, cnt long")
+        trained = bpe_train_merges(df, 10).collect()
+        merges = [(r.left_sym, r.right_sym)
+                  for r in sorted(trained, key=lambda r: r.merge_rank)]
+
+        final = {w: list(w) for w in wc}
+        for left, right in merges:
+            final = {w: _apply(s, left, right) for w, s in final.items()}
+
+        got = self._encode(spark, sorted(wc), merges)
+        for w in wc:
+            assert got[w][0] == final[w], w
