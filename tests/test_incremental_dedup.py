@@ -59,14 +59,83 @@ def test_updated_store_matches_batch_rebuild(spark, tmp_path):
     updated.save(str(tmp_path / "store"))
     loaded = MinhashStore.load(spark, str(tmp_path / "store"))
 
+    # fingerprint CONTENT must equal a from-scratch rebuild; the
+    # ingest_batch provenance tag legitimately differs (base+delta vs
+    # all-base), so it is excluded from the comparison.
     rebuilt = build_minhash_store(docs)
-    assert {tuple(r) for r in loaded.sigs.collect()} == {
-        tuple(r) for r in rebuilt.sigs.collect()
+    assert {tuple(r) for r in loaded.sigs.drop("ingest_batch").collect()} == {
+        tuple(r) for r in rebuilt.sigs.drop("ingest_batch").collect()
     }
-    assert {tuple(r) for r in loaded.bands.collect()} == {
-        tuple(r) for r in rebuilt.bands.collect()
+    assert {tuple(r) for r in loaded.bands.drop("ingest_batch").collect()} == {
+        tuple(r) for r in rebuilt.bands.drop("ingest_batch").collect()
     }
     assert loaded.shingles.count() == rebuilt.shingles.count()
+
+
+def _partition_files(root):
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[p] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_append_batch_leaves_old_partitions_untouched(spark, tmp_path):
+    """The whole point of the incremental path is that corpus-side work
+    does not scale with corpus size — including PERSISTENCE. Appending
+    a new ingest batch must write only that batch's partition
+    directories; every pre-existing file stays byte-identical in place
+    (path + size + mtime), and the reloaded store equals a full
+    rebuild."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "store")
+
+    build_minhash_store(old, batch_id="b_old").save(path)
+    before = {
+        t: _partition_files(f"{path}/{t}/ingest_batch=b_old")
+        for t in ("sigs", "bands", "shingles")
+    }
+    assert all(before[t] for t in before), "bootstrap must have written files"
+
+    store = MinhashStore.load(spark, path)
+    pairs, updated = incremental_near_dups(
+        new, store, threshold=THRESHOLD, batch_id="b_new"
+    )
+    pairs.count()
+    updated.append_batch(path, "b_new")
+
+    after = {
+        t: _partition_files(f"{path}/{t}/ingest_batch=b_old")
+        for t in ("sigs", "bands", "shingles")
+    }
+    assert after == before, "old batch partition files must be untouched"
+    for t in ("sigs", "bands", "shingles"):
+        assert _partition_files(f"{path}/{t}/ingest_batch=b_new"), t
+
+    # append_batch is idempotent: re-running the same batch replaces its
+    # partition rather than doubling it
+    updated.append_batch(path, "b_new")
+    reloaded = MinhashStore.load(spark, path)
+    rebuilt = build_minhash_store(docs)
+    assert {tuple(r) for r in reloaded.sigs.drop("ingest_batch").collect()} == {
+        tuple(r) for r in rebuilt.sigs.drop("ingest_batch").collect()
+    }
+    assert {tuple(r) for r in reloaded.bands.drop("ingest_batch").collect()} == {
+        tuple(r) for r in rebuilt.bands.drop("ingest_batch").collect()
+    }
+    assert reloaded.shingles.count() == rebuilt.shingles.count()
+    assert set(
+        r["ingest_batch"]
+        for r in reloaded.sigs.select("ingest_batch").distinct().collect()
+    ) == {"b_old", "b_new"}
 
 
 def test_incremental_store_side_is_lookup_not_recompute(spark, tmp_path):
