@@ -63,7 +63,9 @@ _EVENT_FILE_SCHEMA = StructType(
 )
 
 
-def read_event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
     """File-source stream of event parquet files landing in a directory.
 
     New files are discovered per micro-batch; with AvailableNow the
@@ -92,7 +94,7 @@ def read_event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     )
     raw = (
         spark.readStream.schema(file_schema)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
     if ts_kind == "bigint":
@@ -273,12 +275,17 @@ def run_available_now(
     checkpoint_dir: str,
     output_mode: str = "complete",
     timeout_sec: int = 120,
+    progress_out: dict | None = None,
 ) -> DataFrame:
     """Drain the stream with Trigger.AvailableNow into a memory sink.
 
     Returns the sink table as a batch DataFrame. 'complete' mode emits
     every aggregate group (deterministic for a fully-drained source);
     'append' emits only watermark-finalized rows.
+
+    ``progress_out``: optional dict populated with the drained query's
+    ``lastProgress``/``recentProgress`` so callers (tests) can assert
+    state-store behavior (e.g. that a watermark swept the state empty).
 
     Raises TimeoutError if the drain does not finish within
     ``timeout_sec`` — a partially-drained sink is WRONG data, never
@@ -300,6 +307,9 @@ def run_available_now(
             f"stream {query_name!r} did not drain within {timeout_sec}s; "
             "sink is partial — refusing to return it"
         )
+    if progress_out is not None:
+        progress_out["lastProgress"] = q.lastProgress
+        progress_out["recentProgress"] = q.recentProgress
     return spark.table(query_name)
 
 

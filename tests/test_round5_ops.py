@@ -122,3 +122,76 @@ class TestBpeEncoder:
         got = self._encode(spark, sorted(wc), merges)
         for w in wc:
             assert got[w][0] == final[w], w
+
+
+class TestStreamStaticEnrichAppend:
+    def test_append_emits_every_window_once_and_sweeps_state(self, spark):
+        """VERDICT r4 #4: the enrich rollup must run in APPEND mode with
+        watermark-closed emission — every window emitted exactly once
+        (equal to the batch GROUP BY) and the window state store swept
+        EMPTY by the sentinel-advanced watermark (numRowsTotal == 0),
+        i.e. state is bounded end to end, unlike 'complete' mode which
+        retains every window forever."""
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        from crypto_etl_pipeline_spark.queries.streaming import (
+            _checkpoint,
+            _stage_dir,
+            _write_watermark_sentinels,
+        )
+        from crypto_etl_pipeline_spark.sources.tables import load_table
+        from crypto_etl_pipeline_spark.streaming.incremental import (
+            read_event_stream,
+            run_available_now,
+        )
+        from tests.conftest import SF_ORACLE
+
+        dim = load_table(spark, SF_ORACLE, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        stage = _stage_dir(SF_ORACLE, copies=1)
+        _write_watermark_sentinels(spark, SF_ORACLE, stage, n=2)
+        events = read_event_stream(spark, stage, max_files_per_trigger=1)
+        rolled = (
+            events.withWatermark("ts", "2 hours")
+            .join(F.broadcast(dim), events.user_id == dim.c_custkey)
+            .groupBy(F.window("ts", "1 hour").alias("win"), "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("win.start").alias("hour_start"),
+                F.col("c_mktsegment").alias("segment"),
+                "n_events",
+            )
+        )
+        progress: dict = {}
+        out = run_available_now(
+            rolled,
+            f"enrich_t_{uuid.uuid4().hex[:8]}",
+            _checkpoint(),
+            output_mode="append",
+            progress_out=progress,
+        )
+        got = {(r["hour_start"], r["segment"]): r["n_events"] for r in out.collect()}
+
+        ev = load_table(spark, SF_ORACLE, "events")
+        batch = (
+            ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+            .groupBy(
+                F.date_trunc("hour", "ts").alias("hour_start"), "c_mktsegment"
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        want = {
+            (r["hour_start"], r["c_mktsegment"]): r["n_events"]
+            for r in batch.collect()
+        }
+        assert len(got) == len(want) and got == want  # once each, no dupes
+
+        ops = progress["lastProgress"]["stateOperators"]
+        assert ops, "windowed aggregate must be a stateful operator"
+        assert ops[0]["numRowsTotal"] == 0, (
+            "append-mode watermark must have emitted AND dropped every "
+            f"window's state; leftover rows: {ops[0]['numRowsTotal']}"
+        )
