@@ -79,6 +79,7 @@ HEADLINE = [
     "stream_heavy_hitters",
     # round-5 surface
     "bpe_encode_token_counts",
+    "multimodal_real_decode_ppm",
 ]
 
 

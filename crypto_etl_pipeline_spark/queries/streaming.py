@@ -275,6 +275,63 @@ def multimodal_decode_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "multimodal_real_decode_ppm",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             octet_length(encode(text)) % 13 + 1 AS w,
+             octet_length(encode(text)) % 7 + 1  AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           w AS width,
+           h AS height,
+           (9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+              + w * h * 3)::BIGINT AS n_bytes
+    FROM dims
+    """,
+    description="REAL image decode: valid PPM(P6) payloads built per doc, parsed by the pure-Python codec via mapInPandas — header dims + exact byte count oracled",
+    tags=("multimodal",),
+)
+def multimodal_real_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real-codec twin of multimodal_decode_mapinpandas (round-4
+    VERDICT #5: the real decode path must execute, not sit flag-gated
+    behind an absent library). Each document becomes a VALID binary
+    PPM: header 'P6\\n{w} {h}\\n255\\n' + a raster of exactly w*h*3
+    bytes drawn from the text (rpad-extended) — built with pure JVM
+    expressions. The Arrow mapInPandas stage then runs the REAL
+    magic-byte codec (multimodal/binary._real_decode -> _ppm_decode):
+    the returned dimensions come from parsing the header out of the
+    payload bytes, and the oracle recomputes them independently from
+    the text length plus the exact header-size arithmetic
+    (9 fixed bytes 'P6\\n',' ','\\n','255\\n' + digit counts of w,h).
+    A stubbed decoder cannot pass this oracle — the stub's
+    length-derived dims diverge from the header dims for every doc."""
+    from crypto_etl_pipeline_spark.multimodal.binary import decode_image
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "text",
+        (F.octet_length(F.col("text")) % 13 + 1).alias("w"),
+        (F.octet_length(F.col("text")) % 7 + 1).alias("h"),
+    )
+    media = sized.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.format_string("P6\n%d %d\n255\n", F.col("w"), F.col("h")),
+                F.expr("rpad(substring(text, 1, w*h*3), w*h*3, 'x')"),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    return decode_image(media, codec="real").drop("checksum").select(
+        "doc_id", "width", "height", "n_bytes"
+    )
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id, f.i - 1 AS frame_no, (f.i - 1) * 256 AS "offset"
