@@ -595,16 +595,60 @@ def prefix_filter_pairs(
     as t -> 0 the prefix approaches the whole set and LSH becomes the
     better trade — which is why both paths exist here.
 
+    On top of the prefix cut, two further zero-recall-cost candidate
+    reductions from the ppjoin line of work (Xiao et al., WWW'08):
+
+    - LENGTH filter: J(x,y) >= t forces min(|x|,|y|) >= t*max(|x|,|y|)
+      (the intersection is at most the smaller set and at least
+      t*union >= t*max), so size-mismatched postings pairs drop before
+      the pair ever exists.
+    - POSITIONAL filter: a shared token at global-order ranks
+      (r_a, r_b) bounds the overlap by
+      min(r_a, r_b) + min(|x|-r_a, |y|-r_b) (common tokens split into
+      those <= t and those > t in the global order); J >= t needs
+      overlap >= t/(1+t) * (|x|+|y|), so a candidate survives only if
+      the TIGHTEST bound over its shared prefix tokens clears that
+      floor. This specifically attacks dense vocabularies, where the
+      plain prefix cut still generates heavy postings.
+
     Stages (all shuffle-keyed, nothing quadratic outside true
     candidates): shingle arrays (shared one-pass table) -> posting
     explode -> document-frequency agg -> per-doc rank window ->
-    prefix cut -> posting self-join -> distinct pairs -> exact
-    Jaccard verify by array rehydration (same pattern as the LSH
-    verify stage above).
+    prefix cut -> posting self-join + length/positional filters ->
+    per-pair tightest-bound aggregation -> exact Jaccard verify by
+    array rehydration (same pattern as the LSH verify stage above).
+    """
+    sh = _shingle_arrays(df, text_col, id_col, shingle_n)
+    cand = _prefix_candidates(sh, id_col, threshold)
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size("_sh_a") + F.size("_sh_b") - inter
+    jac = inter / union
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .where(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _prefix_candidates(
+    sh: DataFrame,
+    id_col: str,
+    threshold: float,
+    length_filter: bool = True,
+    positional_filter: bool = True,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs for :func:`prefix_filter_pairs`.
+
+    Exposed with filter toggles so tests can measure the candidate-set
+    reduction each ppjoin filter buys; production callers always run
+    with both on (each is a theorem — recall is unchanged, only the
+    candidate volume drops).
     """
     from pyspark.sql.window import Window
 
-    sh = _shingle_arrays(df, text_col, id_col, shingle_n)
     toks = sh.select(F.col(id_col), F.explode("_sh").alias("_t"))
     dfreq = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
     w_rank = Window.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("_t"))
@@ -616,21 +660,46 @@ def prefix_filter_pairs(
     )
     prefix = ranked.where(
         F.col("_r") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
-    ).select(F.col(id_col).alias("_id"), "_t")
+    ).select(F.col(id_col).alias("_id"), "_t", "_r", "_sz")
+
     a, b = prefix.alias("pa"), prefix.alias("pb")
-    cand = (
-        a.join(b, (F.col("pa._t") == F.col("pb._t")) & (F.col("pa._id") < F.col("pb._id")))
-        .select(F.col("pa._id").alias("id_a"), F.col("pb._id").alias("id_b"))
-        .distinct()
+    join_cond = (F.col("pa._t") == F.col("pb._t")) & (F.col("pa._id") < F.col("pb._id"))
+    if length_filter:
+        # pushed INTO the posting join so oversize-mismatch pairs never
+        # materialize out of a hot posting
+        join_cond = (
+            join_cond
+            & (F.col("pb._sz") >= F.lit(threshold) * F.col("pa._sz"))
+            & (F.col("pa._sz") >= F.lit(threshold) * F.col("pb._sz"))
+        )
+    matched = a.join(b, join_cond).select(
+        F.col("pa._id").alias("id_a"),
+        F.col("pb._id").alias("id_b"),
+        F.col("pa._r").alias("_ra"),
+        F.col("pb._r").alias("_rb"),
+        F.col("pa._sz").alias("_sza"),
+        F.col("pb._sz").alias("_szb"),
     )
-    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
-    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
-    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
-    union = F.size("_sh_a") + F.size("_sh_b") - inter
-    jac = inter / union
+    if not positional_filter:
+        return matched.select("id_a", "id_b").distinct()
+
+    # overlap upper bound from this shared token's ranks; the pair's
+    # tightest bound (min over its shared prefix tokens) must clear the
+    # Jaccard overlap floor t/(1+t) * (|x|+|y|).
+    ubound = F.least(F.col("_ra"), F.col("_rb")) + F.least(
+        F.col("_sza") - F.col("_ra"), F.col("_szb") - F.col("_rb")
+    )
     return (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .where(jac >= threshold)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        matched.select("id_a", "id_b", ubound.alias("_ub"), "_sza", "_szb")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min("_ub").alias("_ub"),
+            F.first("_sza").alias("_sza"),
+            F.first("_szb").alias("_szb"),
+        )
+        .where(
+            F.col("_ub")
+            >= F.lit(threshold / (1.0 + threshold)) * (F.col("_sza") + F.col("_szb"))
+        )
+        .select("id_a", "id_b")
     )

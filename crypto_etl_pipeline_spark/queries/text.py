@@ -1522,29 +1522,32 @@ def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE len(list_intersect(a.s, b.s)) * 1.0
-          / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
     """,
-    description="EXACT set-similarity join (Jaccard >= 0.8) via rarest-first prefix filtering — deterministic-recall complement to MinHash-LSH",
+    description="EXACT set-similarity join (Jaccard >= 0.7) via rarest-first prefix filtering + ppjoin length/positional filters — deterministic-recall complement to MinHash-LSH",
     tags=("dedup", "join"),
 )
 def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All shingle-Jaccard >= 0.8 pairs with PROVEN complete recall:
+    """All shingle-Jaccard >= 0.7 pairs with PROVEN complete recall:
     the prefix-filter theorem (any qualifying pair shares a shingle in
     both docs' rarest-first prefixes) replaces the oracle's all-pairs
-    join with a join over short (~20% at t=0.8) prefix postings. The oracle runs the
-    brute-force quadratic form — feasible only at oracle scale, which
-    is exactly the point of the prefix stage. See
-    operators/dedup.py prefix_filter_pairs for the candidate-volume
-    analysis and the LSH trade-off note."""
+    join with a join over short prefix postings, and the ppjoin
+    length + positional filters cut the surviving candidates further
+    (2-3x measured on this corpus, BASELINE.md §Round-5) at zero
+    recall cost. The oracle runs the brute-force quadratic form —
+    feasible only at oracle scale, which is exactly the point of the
+    candidate stages. See operators/dedup.py prefix_filter_pairs for
+    the candidate-volume analysis and the LSH trade-off note."""
     from crypto_etl_pipeline_spark.operators.dedup import prefix_filter_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    # Registered at t=0.8 — the prefix filter's home turf. This
-    # synthetic corpus has a ~31-word vocabulary, so every 3-gram
-    # shingle is COMMON (document frequencies in the hundreds): at
-    # t=0.5 the ~half-set prefixes turned the posting join into the
-    # densest query in the bench (6.4 s at sf0.1), while t=0.8 keeps
-    # ~20% prefixes (~25x fewer candidate-join rows) and the SAME
-    # result set (every near-dup clone pair here sits above J=0.9 —
+    # Re-registered at t=0.7 (round 4 sat at 0.8): this synthetic
+    # corpus has a ~31-word vocabulary, so every 3-gram shingle is
+    # COMMON (document frequencies in the hundreds) — the dense case
+    # the ppjoin filters specifically attack. Round-4 measurements:
+    # t=0.5 all-prefix join was the densest bench query (6.4 s at
+    # sf0.1). With the length+positional filters, t=0.7 runs 4.4 s at
+    # sf0.1 (2.0x candidate reduction; t=0.8: 3.0x, 2.5 s) with the
+    # same result set (every clone pair here sits above J=0.9 —
     # verified in both engines). Below ~0.5 the right tool is LSH.
-    return prefix_filter_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.8)
+    return prefix_filter_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.7)
