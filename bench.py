@@ -80,6 +80,8 @@ HEADLINE = [
     # round-5 surface
     "bpe_encode_token_counts",
     "multimodal_real_decode_ppm",
+    "reconcile_checksum_events",
+    "sample_pps_documents",
 ]
 
 

@@ -63,3 +63,59 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = (expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1]))
     return df.withColumn(split_col, expr)
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    strata: list[str] | None = None,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: ~``k``
+    rows per stratum with inclusion probability min(1, k*w/total) —
+    the weighted complement of ``hash_bernoulli_sample`` (which is
+    per-row i.i.d.) and ``stratified_fixed_k_sample`` (which is
+    unweighted). The corpus-mixing shape: sample documents
+    proportional to token count so the SAMPLE's token mass mirrors
+    the corpus's.
+
+    Classic systematic PPS over a deterministic pseudo-random order:
+    rows sort by their 60-bit md5 hash (a seedable shuffle both
+    engines reproduce bit-identically), weights accumulate, and a row
+    is selected iff its cumulative-weight interval crosses a multiple
+    of total/k — expressed in EXACT integer arithmetic
+    (``cum*k div total`` changes across the interval), so there is no
+    float boundary for engines to disagree on. Requires integer
+    weights; cum*k must fit int64 (fine until total_weight*k ~ 9e18 —
+    at larger scale, shard by stratum first).
+
+    Shuffle shape: one window sort per stratum (the same per-group
+    sort any top-k does) + a broadcast of per-stratum totals.
+    """
+    from pyspark.sql.window import Window
+
+    strata = strata or []
+    h = md5_long(F.col(id_col).cast("string"), 15)
+    order = [F.asc("_h"), F.asc(id_col)]  # id tiebreak: deterministic under hash ties
+    w_order = Window.partitionBy(*strata).orderBy(*order) if strata else Window.orderBy(*order)
+    base = df.withColumn("_h", h).withColumn(
+        "_w", F.col(weight_col).cast("long")
+    )
+    totals = (
+        base.groupBy(*strata).agg(F.sum("_w").alias("_total"))
+        if strata
+        else base.agg(F.sum("_w").alias("_total"))
+    )
+    cum = base.withColumn(
+        "_cum", F.sum("_w").over(w_order.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    joined = (
+        cum.join(F.broadcast(totals), strata) if strata else cum.crossJoin(F.broadcast(totals))
+    )
+    return (
+        joined.withColumn("_b", (F.col("_cum") - F.col("_w")) * F.lit(k))
+        .withColumn("_a", F.col("_cum") * F.lit(k))
+        .where(F.expr("_b div _total") < F.expr("_a div _total"))
+        .drop("_h", "_w", "_cum", "_b", "_a", "_total")
+    )

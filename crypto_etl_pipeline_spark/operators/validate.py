@@ -107,3 +107,41 @@ def fk_orphan_count(
         F.lit(rule).alias("rule"),
         F.count(F.lit(1)).alias("n_violations"),
     )
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: list[str],
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Order-insensitive content checksum for cheap table
+    reconciliation (drift detection between a table and its replica /
+    yesterday's snapshot / another engine's copy).
+
+    Per-row 60-bit hash from md5 of the canonical row string (the
+    ``cols`` joined with unit separators; caller pre-casts columns to
+    PORTABLE string forms — longs/strings directly, doubles via a
+    fixed-scale decimal — so both engines render identical bytes),
+    summed per group. Addition makes the checksum mergeable: one
+    partial/final hash aggregate, so reconciling two 100 TB tables
+    costs two scans and ships k group rows — no row-level join,
+    no sort. The sum runs in DECIMAL(38,0) (no overflow below ~1e19
+    rows) and is reduced mod 2^61 so the COMPARED output is a plain
+    BIGINT on both engines (DECIMAL/HUGEINT outputs are lint-banned).
+
+    A single changed/missing/extra row flips its group's checksum with
+    probability 1 - 2^-60 (tests plant a one-row perturbation).
+    """
+    from crypto_etl_pipeline_spark.operators.phash import md5_long
+
+    row = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    )
+    h = md5_long(row, 15)
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(h.cast("decimal(38,0)")) % F.lit(2**61))
+        .cast("long")
+        .alias("checksum"),
+    ]
+    return df.groupBy(*group_by).agg(*aggs) if group_by else df.agg(*aggs)

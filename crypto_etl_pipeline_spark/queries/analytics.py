@@ -1670,3 +1670,41 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clicks"),
         F.round(F.sum(F.col("c.value")), 4).alias("click_value"),
     )
+
+
+@register(
+    "reconcile_checksum_events",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_rows,
+           (sum(('0x' || substr(md5(
+                event_id::VARCHAR || chr(31) || user_id::VARCHAR || chr(31) ||
+                coalesce(CAST(round(value, 6) AS DECIMAL(18,6))::VARCHAR, chr(0))
+              ), 1, 15))::BIGINT)::HUGEINT % 2305843009213693952)::BIGINT AS checksum
+    FROM events
+    GROUP BY event_type
+    """,
+    description="Order-insensitive per-group content checksum (mergeable 60-bit row-hash sum mod 2^61) — two-scan table reconciliation, no row-level join",
+    tags=("quality", "agg"),
+)
+def reconcile_checksum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table reconciliation at 100 TB: comparing a table against its
+    replica / yesterday's snapshot by row-level join is a massive
+    shuffle; an addition-mergeable content checksum costs one
+    partial/final hash aggregate per side and ships k group rows.
+    Row hash = md5 of the canonical row string (portable fixed-scale
+    string forms, unit-separator joined, null sentinel); group
+    checksum = sum mod 2^61 (BIGINT output on both engines — the
+    DECIMAL/HUGEINT lint). The oracle match IS a cross-engine
+    reconciliation of the events table; the one-row-perturbation
+    sensitivity is pinned in tests/test_round5_ops.py."""
+    from crypto_etl_pipeline_spark.operators.validate import table_checksum
+
+    ev = load_table(spark, sf_dir, "events")
+    canon = ev.select(
+        "event_type",
+        F.col("event_id").cast("string").alias("k1"),
+        F.col("user_id").cast("string").alias("k2"),
+        F.round("value", 6).cast("decimal(18,6)").cast("string").alias("k3"),
+    )
+    return table_checksum(canon, ["k1", "k2", "k3"], group_by=["event_type"])

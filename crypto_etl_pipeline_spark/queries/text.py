@@ -1551,3 +1551,49 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same result set (every clone pair here sits above J=0.9 —
     # verified in both engines). Below ~0.5 the right tool is LSH.
     return prefix_filter_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.7)
+
+
+@register(
+    "sample_pps_documents",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(text, '\\s+'))::BIGINT AS weight,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, weight,
+             sum(weight) OVER (PARTITION BY lang ORDER BY h, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(weight) OVER (PARTITION BY lang) AS total
+      FROM w
+    )
+    SELECT doc_id, lang, weight
+    FROM c
+    WHERE ((cum - weight) * 20) // total < (cum * 20) // total
+    """,
+    description="Systematic PPS sample: ~20 docs per lang stratum with inclusion ∝ token count — exact integer boundary arithmetic, no float for engines to disagree on",
+    tags=("sampling", "text", "window"),
+)
+def sample_pps_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (probability-proportional-to-size) corpus sampling —
+    the missing member of the sampling family next to per-row
+    hash-Bernoulli (corpus_mix_sample) and unweighted exactly-k
+    (stratified_fixed_k_sample): sample documents proportional to
+    TOKEN COUNT so the sample's token mass mirrors the corpus's, the
+    way training-data subsamples are actually drawn. Systematic PPS
+    over a deterministic md5-hash order with integer-exact boundary
+    selection (cum*k div total changes across the row's weight
+    interval); see operators/sampling.py pps_systematic_sample for
+    the scale analysis."""
+    from crypto_etl_pipeline_spark.operators.sampling import pps_systematic_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("weight"),
+    )
+    return pps_systematic_sample(
+        docs, "weight", k=20, id_col="doc_id", strata=["lang"]
+    ).select("doc_id", "lang", "weight")

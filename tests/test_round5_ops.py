@@ -276,3 +276,89 @@ class TestPpjoinFilters:
             for r in prefix_filter_pairs(df, "text", "doc_id", 3, t).collect()
         }
         assert got == expected
+
+
+class TestTableChecksum:
+    def test_one_row_perturbation_flips_only_its_group(self, spark):
+        """The reconciliation contract: a single changed row flips its
+        group's checksum and ONLY its group's; row counts alone would
+        miss an in-place update."""
+        from pyspark.sql import functions as F
+
+        from crypto_etl_pipeline_spark.operators.validate import table_checksum
+
+        rows = [(i, f"g{i % 3}", f"v{i}") for i in range(300)]
+        df = spark.createDataFrame(rows, "id long, g string, v string")
+        base = {
+            r["g"]: (r["n_rows"], r["checksum"])
+            for r in table_checksum(
+                df.select("g", F.col("id").cast("string").alias("k1"), "v"),
+                ["k1", "v"],
+                group_by=["g"],
+            ).collect()
+        }
+        perturbed = df.withColumn(
+            "v", F.when(F.col("id") == 7, F.lit("TAMPERED")).otherwise(F.col("v"))
+        )
+        after = {
+            r["g"]: (r["n_rows"], r["checksum"])
+            for r in table_checksum(
+                perturbed.select("g", F.col("id").cast("string").alias("k1"), "v"),
+                ["k1", "v"],
+                group_by=["g"],
+            ).collect()
+        }
+        assert base["g1"][0] == after["g1"][0]  # same row count (id 7 -> g1)
+        assert base["g1"][1] != after["g1"][1]  # checksum catches the edit
+        for g in ("g0", "g2"):
+            assert base[g] == after[g]
+
+    def test_order_and_partitioning_insensitive(self, spark):
+        """Addition-mergeable: the checksum must not depend on row
+        order or partition layout."""
+        from pyspark.sql import functions as F
+
+        from crypto_etl_pipeline_spark.operators.validate import table_checksum
+
+        rows = [(i, f"v{i * 7 % 100}") for i in range(500)]
+        df = spark.createDataFrame(rows, "id long, v string").select(
+            F.col("id").cast("string").alias("k1"), "v"
+        )
+        a = table_checksum(df.repartition(1), ["k1", "v"]).collect()[0]
+        b = table_checksum(df.repartition(16, "v"), ["k1", "v"]).collect()[0]
+        assert (a["n_rows"], a["checksum"]) == (b["n_rows"], b["checksum"])
+
+
+class TestPpsSample:
+    def _docs(self, spark, weights):
+        rows = [(i, f"s{i % 2}", w) for i, w in enumerate(weights)]
+        return spark.createDataFrame(rows, "doc_id long, stratum string, w long")
+
+    def test_exactly_k_per_stratum_when_no_heavy_rows(self, spark):
+        """With every weight < total/k, systematic PPS selects exactly
+        k rows per stratum (each of the k boundaries falls in exactly
+        one row's cumulative interval)."""
+        from crypto_etl_pipeline_spark.operators.sampling import pps_systematic_sample
+
+        df = self._docs(spark, [1 + i % 5 for i in range(400)])
+        from pyspark.sql import functions as F
+
+        out = pps_systematic_sample(df, "w", k=10, id_col="doc_id", strata=["stratum"])
+        counts = {r["stratum"]: r["n"] for r in
+                  out.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts == {"s0": 10, "s1": 10}
+
+    def test_heavy_row_always_selected_and_deterministic(self, spark):
+        """A row with weight >= total/k spans a boundary no matter
+        where the hash order places it -> always selected; and the
+        whole sample is a pure function of the data (two runs agree)."""
+        from crypto_etl_pipeline_spark.operators.sampling import pps_systematic_sample
+
+        weights = [1] * 200 + [500]  # doc 200 carries >> total/k weight
+        df = self._docs(spark, weights)
+        sel1 = {r["doc_id"] for r in
+                pps_systematic_sample(df, "w", k=5, id_col="doc_id", strata=["stratum"]).collect()}
+        sel2 = {r["doc_id"] for r in
+                pps_systematic_sample(df, "w", k=5, id_col="doc_id", strata=["stratum"]).collect()}
+        assert 200 in sel1
+        assert sel1 == sel2
