@@ -60,6 +60,34 @@ def _checkpoint() -> str:
     return _tmpdir("ckpt_")
 
 
+def _footer_max_ts(path: str, ts_kind: str):
+    """Max event time from parquet FOOTER statistics — no data scan
+    (the sentinel only needs 'beyond max + watermark', so the footer's
+    us-truncated max is plenty). Returns None if stats are absent or
+    the path is a multi-file dataset; caller falls back to a scan."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    try:
+        pf = pq.ParquetFile(path)
+        i = pf.schema_arrow.get_field_index("ts")
+        mx = None
+        for rg in range(pf.num_row_groups):
+            st = pf.metadata.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mx = st.max if mx is None else max(mx, st.max)
+        if mx is None:
+            return None
+        if ts_kind == "bigint" and isinstance(mx, datetime.datetime):
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=mx.tzinfo)
+            return int((mx - epoch).total_seconds()) * 1_000_000_000 + mx.microsecond * 1_000
+        return mx
+    except Exception:  # pragma: no cover - any footer oddity -> scan path
+        return None
+
+
 def _write_watermark_sentinels(
     spark, sf_dir: str, stage_dir: str, n: int = 2, user_id: int = -1
 ) -> None:
@@ -89,9 +117,12 @@ def _write_watermark_sentinels(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    src = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(src)
     ts_kind = dict(batch.dtypes)["ts"]
-    max_ts = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    max_ts = _footer_max_ts(src, ts_kind)
+    if max_ts is None:  # pragma: no cover - stats-less parquet fallback
+        max_ts = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
 
     if ts_kind == "bigint":  # TIMESTAMP(NANOS) surfaced as ns-long
         ts_type = pa.int64()
@@ -627,7 +658,10 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stage = _stage_dir(sf_dir, copies=1)
     _write_watermark_sentinels(spark, sf_dir, stage, n=2)
-    events = read_event_stream(spark, stage, max_files_per_trigger=1)
+    # 2 micro-batches: {events, sentinel#1} then {sentinel#2} — the
+    # first advances the watermark past every real window, the second
+    # triggers their append emission (mtime ordering groups the files).
+    events = read_event_stream(spark, stage, max_files_per_trigger=2)
     enriched = events.withWatermark("ts", "2 hours").join(
         F.broadcast(dim), events.user_id == dim.c_custkey
     )

@@ -153,7 +153,7 @@ class TestStreamStaticEnrichAppend:
         )
         stage = _stage_dir(SF_ORACLE, copies=1)
         _write_watermark_sentinels(spark, SF_ORACLE, stage, n=2)
-        events = read_event_stream(spark, stage, max_files_per_trigger=1)
+        events = read_event_stream(spark, stage, max_files_per_trigger=2)
         rolled = (
             events.withWatermark("ts", "2 hours")
             .join(F.broadcast(dim), events.user_id == dim.c_custkey)
