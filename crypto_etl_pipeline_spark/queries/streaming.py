@@ -175,7 +175,7 @@ def _write_watermark_sentinels(
     FROM events
     GROUP BY 1, 2
     """,
-    description="Structured Streaming watermarked 1h tumbling rollup, availableNow drain",
+    description="Structured Streaming watermarked 1h tumbling rollup, append-mode watermark-closed emission, availableNow drain",
     tags=("streaming",),
 )
 def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,10 +185,23 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_available_now,
     )
 
-    events = read_event_stream(spark, _stage_dir(sf_dir, copies=1))
-    rolled = hourly_rollup_stream(events, watermark="2 hours")
+    # APPEND mode (round 5): each window emits exactly once when the
+    # watermark passes it, then its state drops — on a continuous
+    # stream, state is bounded by the watermark horizon, where
+    # 'complete' mode's grows with every window ever seen. Two
+    # far-future sentinel files force full emission under the
+    # AvailableNow drain (watermark advances past every real window in
+    # micro-batch 1; batch 2 triggers their emission); the sentinels
+    # are excluded DOWNSTREAM of the watermark node so they advance
+    # event time without ever creating window state.
+    stage = _stage_dir(sf_dir, copies=1)
+    _write_watermark_sentinels(spark, sf_dir, stage, n=2)
+    events = read_event_stream(spark, stage, max_files_per_trigger=2)
+    rolled = hourly_rollup_stream(
+        events, watermark="2 hours", exclude_event_types=("_sentinel",)
+    )
     return run_available_now(
-        rolled, f"rollup_{uuid.uuid4().hex[:8]}", _checkpoint(), output_mode="complete"
+        rolled, f"rollup_{uuid.uuid4().hex[:8]}", _checkpoint(), output_mode="append"
     )
 
 

@@ -108,14 +108,32 @@ def read_event_stream(
     return raw
 
 
-def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+def hourly_rollup_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    exclude_event_types: tuple = (),
+) -> DataFrame:
     """Watermarked tumbling 1-hour rollup by event type.
 
     The watermark bounds aggregation state: windows older than
     (max event time - watermark) are finalized and their state dropped.
+
+    ``exclude_event_types`` filters AFTER the watermark node, so the
+    excluded rows still advance event time but never create window
+    state — the hook watermark-sentinel files use.
     """
+    src = events.withWatermark("ts", watermark)
+    if exclude_event_types:
+        # The vacuous ts-null disjunct REFERENCES the watermark column,
+        # which pins this filter ABOVE the EventTimeWatermark node:
+        # Catalyst pushes ts-free deterministic predicates below it
+        # (PushPredicateThroughNonJoin), and a sentinel filtered below
+        # the node never advances the watermark (measured: the last
+        # 2 h of windows never emit).
+        keep = ~F.col("event_type").isin(*exclude_event_types) | F.col("ts").isNull()
+        src = src.filter(keep)
     return (
-        events.withWatermark("ts", watermark)
+        src
         .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(
@@ -273,15 +291,17 @@ def run_available_now(
     stream_df: DataFrame,
     query_name: str,
     checkpoint_dir: str,
-    output_mode: str = "complete",
+    output_mode: str = "append",
     timeout_sec: int = 120,
     progress_out: dict | None = None,
 ) -> DataFrame:
     """Drain the stream with Trigger.AvailableNow into a memory sink.
 
-    Returns the sink table as a batch DataFrame. 'complete' mode emits
-    every aggregate group (deterministic for a fully-drained source);
-    'append' emits only watermark-finalized rows.
+    Returns the sink table as a batch DataFrame. 'append' (the default
+    — every registered query uses it) emits only watermark-finalized
+    rows and drops their state; 'complete' re-emits every aggregate
+    group each batch and retains all state, so it is for bounded
+    debugging drains only, never a continuous pipeline.
 
     ``progress_out``: optional dict populated with the drained query's
     ``lastProgress``/``recentProgress`` so callers (tests) can assert

@@ -197,6 +197,78 @@ class TestStreamStaticEnrichAppend:
         )
 
 
+class TestHourlyRollupAppend:
+    def test_append_mode_sweeps_state_and_filter_stays_above_watermark(self, spark):
+        """stream_hourly_rollup's round-5 append conversion: every
+        window emitted exactly once (== batch GROUP BY), state swept
+        empty, AND the sentinel-exclusion filter must sit ABOVE the
+        EventTimeWatermark node — Catalyst pushes ts-free predicates
+        below it, and a sentinel filtered below the node never
+        advances the watermark (the last 2 h of windows would
+        silently never emit)."""
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        from crypto_etl_pipeline_spark.queries.streaming import (
+            _checkpoint,
+            _stage_dir,
+            _write_watermark_sentinels,
+        )
+        from crypto_etl_pipeline_spark.sources.tables import load_table
+        from crypto_etl_pipeline_spark.streaming.incremental import (
+            hourly_rollup_stream,
+            read_event_stream,
+            run_available_now,
+        )
+        from tests.conftest import SF_ORACLE
+
+        stage = _stage_dir(SF_ORACLE, copies=1)
+        _write_watermark_sentinels(spark, SF_ORACLE, stage, n=2)
+        events = read_event_stream(spark, stage, max_files_per_trigger=2)
+        rolled = hourly_rollup_stream(
+            events, watermark="2 hours", exclude_event_types=("_sentinel",)
+        )
+        progress: dict = {}
+        out = run_available_now(
+            rolled,
+            f"rollup_t_{uuid.uuid4().hex[:8]}",
+            _checkpoint(),
+            output_mode="append",
+            progress_out=progress,
+        )
+        got = {
+            (r["hour_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in out.collect()
+        }
+        assert not any(k[1] == "_sentinel" for k in got)
+
+        batch = (
+            load_table(spark, SF_ORACLE, "events")
+            .groupBy(
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "hour_start"
+                ),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+        )
+        want = {
+            (r["hour_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in batch.collect()
+        }
+        assert len(got) == len(want) and got == want  # every window, once
+
+        ops = progress["lastProgress"]["stateOperators"]
+        assert ops and ops[0]["numRowsTotal"] == 0, (
+            "watermark must emit and drop every window's state; "
+            f"got {ops and ops[0]['numRowsTotal']}"
+        )
+
+
 class TestPpjoinFilters:
     """Round-5 VERDICT #6: ppjoin length + positional filters on top of
     the prefix cut — candidate-set reductions with ZERO recall cost."""
