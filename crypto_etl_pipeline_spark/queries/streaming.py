@@ -5,7 +5,9 @@ watermark/state -> memory sink, Trigger.AvailableNow) and return the
 drained sink as a batch DataFrame, so the driver's oracle comparison
 exercises the streaming engine end-to-end:
 
-- 'complete'-mode windowed aggregation == the batch GROUP BY (oracle).
+- APPEND-mode windowed aggregation (watermark-closed emission, state
+  swept empty; sentinel-forced under the bounded drain) == the batch
+  GROUP BY (oracle).
 - Watermarked dedup over a doubled source == DISTINCT (oracle).
 - applyInPandasWithState sessionization == a SQL gaps-and-islands
   query EXCLUDING each user's last session (append mode only emits
@@ -201,7 +203,11 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, watermark="2 hours", exclude_event_types=("_sentinel",)
     )
     return run_available_now(
-        rolled, f"rollup_{uuid.uuid4().hex[:8]}", _checkpoint(), output_mode="append"
+        rolled,
+        f"rollup_{uuid.uuid4().hex[:8]}",
+        _checkpoint(),
+        output_mode="append",
+        state_partitions=8,  # ~3.4k window keys; sized to state, not batch shuffle
     )
 
 
@@ -692,7 +698,11 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(
-        rolled, f"enrich_{uuid.uuid4().hex[:8]}", _checkpoint(), output_mode="append"
+        rolled,
+        f"enrich_{uuid.uuid4().hex[:8]}",
+        _checkpoint(),
+        output_mode="append",
+        state_partitions=8,  # ~3.4k window keys; sized to state, not batch shuffle
     )
 
 
