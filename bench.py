@@ -82,6 +82,8 @@ HEADLINE = [
     "multimodal_real_decode_ppm",
     "reconcile_checksum_events",
     "sample_pps_documents",
+    "text_boilerplate_ngram_prune",
+    "cms_frequency_contract",
 ]
 
 

@@ -291,3 +291,61 @@ def merge_mg_summaries(base: DataFrame, delta: DataFrame, k: int) -> DataFrame:
         .select("term", (F.col("w") - F.col("_t")).alias("w"))
         .where(F.col("w") > 0)
     )
+
+
+def cms_frequency_contract(
+    df: DataFrame,
+    col: str,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 1,
+) -> DataFrame:
+    """Count-Min Sketch point-frequency estimates with the classic
+    one-sided error contract checked against exact counts (Cormode &
+    Muthukrishnan, J. Algorithms '05).
+
+    The sketch is the distributed half: ``F.count_min_sketch`` is a
+    DECLARATIVE aggregate — each partition builds and map-side-merges a
+    fixed ceil(2/eps) x ceil(ln(1/delta)) counter grid, so at 100 TB a
+    partition ships the grid, never its keys — the mergeable-by-addition
+    complement to Misra-Gries (which keeps k-1 exact-ish keys; CMS
+    answers point queries for ANY key at eps*n additive error). The
+    serialized grid deserializes through the JVM's
+    ``util.sketch.CountMinSketch`` (same UTF-8-byte hashing on both
+    write and read paths); the read side evaluates k = |distinct terms|
+    lookups on the driver — bounded by the column's domain, the same
+    driver-legitimacy class as the profiling report.
+
+    Output per term: exact count plus two contract booleans the oracle
+    asserts as literal true — ``est_ge_exact`` (CMS never
+    underestimates: counters only ever add) and ``est_within_eps``
+    (est <= exact + eps * n; holds with prob >= ``confidence`` per
+    query, deterministic once ``seed`` is fixed). The raw estimate is
+    engine-specific and deliberately excluded from the compared
+    surface (the approx_distinct_users pattern).
+    """
+    exact = df.groupBy(col).agg(F.count(F.lit(1)).alias("n_exact"))
+    sk = df.agg(
+        F.count_min_sketch(
+            F.col(col), F.lit(float(eps)), F.lit(float(confidence)), F.lit(seed)
+        ).alias("s")
+    ).first()["s"]
+    cms = df.sparkSession._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk)
+    )
+    rows = exact.collect()  # k distinct terms — bounded domain
+    n_total = sum(r["n_exact"] for r in rows)
+    data = []
+    for r in rows:
+        est = int(cms.estimateCount(r[col]))
+        data.append(
+            (
+                r[col],
+                r["n_exact"],
+                bool(est >= r["n_exact"]),
+                bool(est <= r["n_exact"] + eps * n_total),
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        data, "term string, n_exact long, est_ge_exact boolean, est_within_eps boolean"
+    )

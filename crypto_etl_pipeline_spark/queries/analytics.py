@@ -1708,3 +1708,31 @@ def reconcile_checksum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).cast("decimal(18,6)").cast("string").alias("k3"),
     )
     return table_checksum(canon, ["k1", "k2", "k3"], group_by=["event_type"])
+
+
+@register(
+    "cms_frequency_contract",
+    oracle="""
+    SELECT event_type AS term,
+           count(*)   AS n_exact,
+           true       AS est_ge_exact,
+           true       AS est_within_eps
+    FROM events GROUP BY event_type
+    """,
+    description="Count-Min Sketch point-frequency estimates with the one-sided error contract (never under, <= exact + eps*n) oracle-checked against exact counts",
+    tags=("approx", "sketch", "agg"),
+)
+def cms_frequency_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third mergeable frequency sketch beside HLL (distinct) and
+    Misra-Gries (heavy hitters): CMS answers point-frequency queries
+    for ANY key at eps*n additive one-sided error from a fixed
+    depth x width counter grid that merges by addition — at 100 TB
+    each partition ships the grid, never its keys. Estimates are
+    engine-specific, so the oracle checks the CONTRACT booleans plus
+    the exact counts (operators/sketch.py cms_frequency_contract)."""
+    from crypto_etl_pipeline_spark.operators.sketch import (
+        cms_frequency_contract as cms,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return cms(ev, "event_type", eps=0.001, confidence=0.99, seed=17)

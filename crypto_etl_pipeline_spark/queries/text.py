@@ -1597,3 +1597,94 @@ def sample_pps_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pps_systematic_sample(
         docs, "weight", k=20, id_col="doc_id", strata=["lang"]
     ).select("doc_id", "lang", "weight")
+
+
+@register(
+    "text_boilerplate_ngram_prune",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 5 THEN
+               list_distinct(list_transform(generate_series(1, len(t) - 4),
+                 i -> t[i] || '_' || t[i+1] || '_' || t[i+2] || '_'
+                      || t[i+3] || '_' || t[i+4]))
+             ELSE [] END AS g
+      FROM toks
+    ),
+    u AS (
+      SELECT doc_id, len(g) AS n_grams, uu.gram
+      FROM grams, LATERAL unnest(g) AS uu(gram)
+      WHERE len(g) > 0
+    ),
+    dfreq AS (SELECT gram, count(*) AS d FROM u GROUP BY gram),
+    boiler AS (SELECT gram FROM dfreq WHERE d >= 2)
+    SELECT u.doc_id,
+           u.n_grams,
+           count(b.gram)::BIGINT AS n_boiler,
+           round(count(b.gram) * 1.0 / u.n_grams, 6) AS boiler_frac,
+           count(b.gram) * 1.0 / u.n_grams < 0.3 AS keep
+    FROM u LEFT JOIN boiler b USING (gram)
+    GROUP BY u.doc_id, u.n_grams
+    """,
+    description="CCNet/RefinedWeb-style boilerplate pruning: per-doc fraction of 5-gram spans appearing verbatim in >= 2 documents; keep = frac < 0.3",
+    tags=("text", "dedup", "quality", "join"),
+)
+def text_boilerplate_ngram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus boilerplate detection — the CCNet/RefinedWeb
+    pipeline step that strips headers, navigation chrome, and license
+    blocks repeated verbatim across pages. A span's document frequency
+    is the boilerplate signal: per-doc DISTINCT 5-gram shingles ->
+    corpus df table (one hash agg; per-doc distinctness makes count(*)
+    the doc frequency) -> grams with df >= 2 are boilerplate -> each
+    doc scores the fraction of its spans that are boilerplate and a
+    keep flag (the planted near-dup clusters score 1.0).
+
+    Scale shape: cost is gram volume (same as decontamination); the
+    boilerplate gram set is a small filtered aggregate that AQE
+    broadcasts into the left-semi scoring join — never doc x doc. The
+    df >= 2 ABSOLUTE threshold is this corpus's calibration; a real
+    deployment thresholds on df/n_docs (the totals are a 1-row
+    broadcast away). The shingle table is checkpointed once and shared
+    by the df and scoring branches."""
+    from crypto_etl_pipeline_spark.operators.textops import shingles_of, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        docs.repartition(n_parts, F.col("doc_id"))
+        .select("doc_id", tokens(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id", F.array_distinct(shingles_of(F.col("_toks"), 5)).alias("_g")
+        )
+        .where(F.size("_g") > 0)
+        .localCheckpoint(eager=False)
+    )
+    u = grams.select(
+        "doc_id", F.size("_g").alias("n_grams"), F.explode("_g").alias("gram")
+    )
+    boiler = (
+        u.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .where(F.col("_d") >= 2)
+        .select("gram")
+    )
+    hits = (
+        u.join(boiler, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n_boiler"))
+    )
+    base = grams.select("doc_id", F.size("_g").alias("n_grams"))
+    n_boiler = F.coalesce(F.col("_n_boiler"), F.lit(0))
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            n_boiler.cast("long").alias("n_boiler"),
+            F.round(n_boiler / F.col("n_grams"), 6).alias("boiler_frac"),
+            (n_boiler / F.col("n_grams") < 0.3).alias("keep"),
+        )
+    )

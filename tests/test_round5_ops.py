@@ -434,3 +434,84 @@ class TestPpsSample:
                 pps_systematic_sample(df, "w", k=5, id_col="doc_id", strata=["stratum"]).collect()}
         assert 200 in sel1
         assert sel1 == sel2
+
+
+class TestCmsContract:
+    def test_estimates_never_underestimate_even_under_collisions(self, spark):
+        """CMS's one-sided guarantee is DETERMINISTIC (counters only
+        add): est >= exact for every key, even with a deliberately
+        tiny grid (eps=0.5 -> width 4) forcing heavy collisions on a
+        64-key skewed stream. The eps-bound column is probabilistic
+        per-query, so only the >= half is asserted under collisions."""
+        from crypto_etl_pipeline_spark.operators.sketch import cms_frequency_contract
+
+        rows = [(f"k{i % 64}",) for i in range(4000)] + [("hot",)] * 2000
+        df = spark.createDataFrame(rows, "term string").repartition(8)
+        out = cms_frequency_contract(df, "term", eps=0.5, confidence=0.9, seed=7)
+        got = out.collect()
+        assert len(got) == 65
+        assert all(r["est_ge_exact"] for r in got)
+
+    def test_contract_holds_at_registered_operating_point(self, spark):
+        from crypto_etl_pipeline_spark.operators.sketch import cms_frequency_contract
+
+        rows = [(f"k{i % 64}",) for i in range(4000)] + [("hot",)] * 2000
+        df = spark.createDataFrame(rows, "term string").repartition(8)
+        out = cms_frequency_contract(df, "term", eps=0.001, confidence=0.99, seed=17)
+        got = {r["term"]: r for r in out.collect()}
+        assert got["hot"]["n_exact"] == 2000
+        assert all(r["est_ge_exact"] and r["est_within_eps"] for r in got.values())
+
+
+class TestBoilerplatePrune:
+    def test_planted_boilerplate_scores_and_keep_flags(self, spark, tmp_path):
+        """3 docs share a verbatim 6-word chrome block (two 5-grams of
+        it each... actually every 5-gram inside it); 2 docs are unique
+        text. The shared block's grams have df=3 >= 2 -> boilerplate;
+        unique docs score 0.0 and keep; a doc that is MOSTLY chrome
+        crosses the 0.3 threshold and is dropped."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from crypto_etl_pipeline_spark.queries import REGISTRY
+
+        chrome = "home about contact terms privacy login"
+        docs = [
+            (0, chrome + " alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (1, chrome + " lambda mu nu xi omicron pi rho sigma tau upsilon"),
+            (2, chrome),  # pure chrome -> frac 1.0 -> dropped
+            (3, "one two three four five six seven eight nine ten"),
+            (4, "cold warm hot blue red green small large tiny huge"),
+        ]
+        sf = tmp_path / "sf_bp"
+        sf.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [d for d, _ in docs],
+                    "text": [t for _, t in docs],
+                    "lang": ["en"] * 5,
+                    "source": ["s"] * 5,
+                    "n_chars": [len(t) for _, t in docs],
+                }
+            ),
+            str(sf / "documents.parquet"),
+        )
+        out = {
+            r["doc_id"]: r
+            for r in REGISTRY["text_boilerplate_ngram_prune"]
+            .fn(spark, str(sf))
+            .collect()
+        }
+        assert len(out) == 5
+        # pure-chrome doc: every gram boilerplate
+        assert out[2]["boiler_frac"] == 1.0 and not out[2]["keep"]
+        # unique docs: zero boilerplate
+        for d in (3, 4):
+            assert out[d]["n_boiler"] == 0 and out[d]["keep"]
+        # chrome-prefixed docs: exactly the grams fully inside the
+        # 6-word chrome block are shared (2 grams each: positions 1-2),
+        # the chrome->content boundary grams are unique per doc
+        for d in (0, 1):
+            assert out[d]["n_boiler"] == 2
+            assert out[d]["keep"] == (2 / out[d]["n_grams"] < 0.3)
