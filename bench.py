@@ -84,6 +84,7 @@ HEADLINE = [
     "sample_pps_documents",
     "text_boilerplate_ngram_prune",
     "cms_frequency_contract",
+    "stream_interval_join_outer",
 ]
 
 

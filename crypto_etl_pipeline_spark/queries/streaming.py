@@ -450,6 +450,70 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts_s,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS c_ts_s,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS delay_sec,
+           round(p.value, 6) AS purchase_value
+    FROM events p LEFT JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 86400 SECOND AND p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+    description="Stream-stream LEFT OUTER interval join: unmatched purchases emit null-click rows only once the global watermark proves no in-bound click can arrive",
+    tags=("streaming", "join"),
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The outer attribution shape — the part a batch LEFT JOIN gets
+    for free but a stream must EARN from the watermark: a null-click
+    row is a claim about absence, emittable only when the global
+    watermark (min across both sides' nodes) passes the last instant
+    an in-bound click could still arrive. Far-future sentinels must
+    therefore pass BOTH sides' event-type pre-filters
+    (keep_sentinels=True) to advance both watermark nodes under the
+    bounded drain; their own join output is dropped by key sign
+    (sentinel event_ids are negative). Same state-eviction bounds as
+    the inner variant; matched rows still emit eagerly."""
+    from pyspark.sql import functions as F
+
+    from crypto_etl_pipeline_spark.streaming.incremental import (
+        interval_join_streams,
+        read_event_stream,
+        run_available_now,
+    )
+
+    d = _stage_dir(sf_dir, copies=1)
+    _write_watermark_sentinels(spark, sf_dir, d, n=2)
+    joined = interval_join_streams(
+        read_event_stream(spark, d, max_files_per_trigger=2),
+        read_event_stream(spark, d, max_files_per_trigger=2),
+        how="left_outer",
+        keep_sentinels=True,
+    )
+    out = run_available_now(
+        joined,
+        f"ijo_{uuid.uuid4().hex[:8]}",
+        _checkpoint(),
+        output_mode="append",
+        state_partitions=8,
+    )
+    return out.where(F.col("purchase_id") >= 0).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts_s"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("c_ts_s"),
+        F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000").alias("delay_sec"),
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )
+
+
+@register(
     "multimodal_resize",
     oracle="""
     WITH m AS (

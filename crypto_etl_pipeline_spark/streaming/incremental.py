@@ -358,6 +358,8 @@ def interval_join_streams(
     clicks: DataFrame,
     interval_seconds: int = 86_400,
     watermark: str = "35 days",
+    how: str = "inner",
+    keep_sentinels: bool = False,
 ) -> DataFrame:
     """Stream-stream interval join: each purchase joins the same user's
     clicks from the preceding ``interval_seconds``.
@@ -370,9 +372,26 @@ def interval_join_streams(
     pure function of the inputs (every in-bound match is emitted
     regardless of watermark pacing), which is what the batch oracle
     checks; the watermark only governs state eviction.
+
+    ``how="left_outer"``: unmatched purchases additionally emit with
+    null click columns — but only once the GLOBAL watermark (min over
+    both sides' nodes) proves no in-bound click can still arrive, the
+    same watermark-closed discipline as append-mode windows. A bounded
+    drain therefore needs far-future sentinels visible to BOTH sides'
+    watermark nodes: ``keep_sentinels`` lets '_sentinel' rows through
+    the event-type pre-filters (they advance event time; callers drop
+    their join output by key sign). Each side's filter ALSO keeps its
+    watermark column referenced upstream, so the per-side pre-filter
+    sits below its own watermark node harmlessly — the sentinel rows
+    themselves are what must survive to the node.
     """
+    p_keep = F.col("event_type") == "purchase"
+    c_keep = F.col("event_type") == "click"
+    if keep_sentinels:
+        p_keep = p_keep | (F.col("event_type") == "_sentinel")
+        c_keep = c_keep | (F.col("event_type") == "_sentinel")
     p = (
-        purchases.where(F.col("event_type") == "purchase")
+        purchases.where(p_keep)
         .select(
             F.col("event_id").alias("purchase_id"),
             F.col("ts").alias("p_ts"),
@@ -382,7 +401,7 @@ def interval_join_streams(
         .withWatermark("p_ts", watermark)
     )
     c = (
-        clicks.where(F.col("event_type") == "click")
+        clicks.where(c_keep)
         .select(
             F.col("event_id").alias("click_id"),
             F.col("ts").alias("c_ts"),
@@ -395,7 +414,7 @@ def interval_join_streams(
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {interval_seconds} SECOND"))
         & (F.col("c_ts") <= F.col("p_ts"))
     )
-    return p.join(c, cond, "inner").select(
+    return p.join(c, cond, how).select(
         "purchase_id", "click_id", "user_id", "p_ts", "c_ts", "purchase_value"
     )
 

@@ -515,3 +515,28 @@ class TestBoilerplatePrune:
         for d in (0, 1):
             assert out[d]["n_boiler"] == 2
             assert out[d]["keep"] == (2 / out[d]["n_grams"] < 0.3)
+
+
+class TestOuterIntervalJoin:
+    def test_null_click_rows_appear_only_after_watermark_proof(self, spark):
+        """The outer rows are a claim about ABSENCE: exactly the
+        purchases with no same-user click in the preceding 24 h, each
+        exactly once, with null click columns — and the matched subset
+        must equal the inner join's output."""
+        from crypto_etl_pipeline_spark.queries import REGISTRY
+        from tests.conftest import SF_ORACLE
+
+        outer = REGISTRY["stream_interval_join_outer"].fn(spark, SF_ORACLE).collect()
+        inner = REGISTRY["stream_interval_join"].fn(spark, SF_ORACLE).collect()
+
+        matched = [r for r in outer if r["click_id"] is not None]
+        unmatched = [r for r in outer if r["click_id"] is None]
+        assert unmatched, "fixture has purchases without prior-24h clicks"
+        for r in unmatched:  # absence rows carry no click-side values
+            assert r["c_ts_s"] is None and r["delay_sec"] is None
+
+        key = lambda r: (r["purchase_id"], r["click_id"])  # noqa: E731
+        assert sorted(map(key, matched)) == sorted(map(key, inner))
+        # every purchase appears: matched via pairs, unmatched exactly once
+        assert len({r["purchase_id"] for r in unmatched}) == len(unmatched)
+        assert {r["purchase_id"] for r in outer} >= {r["purchase_id"] for r in inner}
