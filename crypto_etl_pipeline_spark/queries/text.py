@@ -1653,14 +1653,20 @@ def text_boilerplate_ngram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    # The empty-doc filter sits AFTER the checkpoint, where _g is a
+    # plain attribute: a Filter directly on the aliased HOF shingle
+    # expression sends Catalyst constraint inference into the inlined
+    # lambda tree — measured 10-18 s of pure driver-side PLANNING at
+    # any SF (execution was never the cost; same hazard family as the
+    # HOF re-evaluation note in operators/dedup.py).
     grams = (
         docs.repartition(n_parts, F.col("doc_id"))
         .select("doc_id", tokens(F.col("text")).alias("_toks"))
         .select(
             "doc_id", F.array_distinct(shingles_of(F.col("_toks"), 5)).alias("_g")
         )
-        .where(F.size("_g") > 0)
         .localCheckpoint(eager=False)
+        .where(F.size("_g") > 0)
     )
     u = grams.select(
         "doc_id", F.size("_g").alias("n_grams"), F.explode("_g").alias("gram")
