@@ -235,7 +235,11 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     events = read_event_stream(spark, _stage_dir(sf_dir, copies=2))
     deduped = dedup_stream_within_watermark(events, watermark="45 days")
     out = run_available_now(
-        deduped, f"dedup_{uuid.uuid4().hex[:8]}", _checkpoint(), output_mode="append"
+        deduped,
+        f"dedup_{uuid.uuid4().hex[:8]}",
+        _checkpoint(),
+        output_mode="append",
+        state_partitions=8,  # ~10k event_id keys at the gate SF
     )
     return out.select(
         "event_id",
@@ -290,7 +294,11 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_event_stream(spark, _stage_dir(sf_dir, copies=1))
     sessions = sessionize_stream(events, gap_seconds=SESSION_GAP_SECONDS)
     out = run_available_now(
-        sessions, f"sess_{uuid.uuid4().hex[:8]}", _checkpoint(), output_mode="append"
+        sessions,
+        f"sess_{uuid.uuid4().hex[:8]}",
+        _checkpoint(),
+        output_mode="append",
+        state_partitions=8,  # ~1k user keys
     )
     return out.select(
         "user_id",
@@ -436,7 +444,11 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_event_stream(spark, d), read_event_stream(spark, d)
     )
     out = run_available_now(
-        joined, f"ij_{uuid.uuid4().hex[:8]}", _checkpoint(), output_mode="append"
+        joined,
+        f"ij_{uuid.uuid4().hex[:8]}",
+        _checkpoint(),
+        output_mode="append",
+        state_partitions=8,  # 4 join state stores/partition; measured 6.5 -> 2.8 s vs 32
     )
     return out.select(
         "purchase_id",
