@@ -540,3 +540,49 @@ class TestOuterIntervalJoin:
         # every purchase appears: matched via pairs, unmatched exactly once
         assert len({r["purchase_id"] for r in unmatched}) == len(unmatched)
         assert {r["purchase_id"] for r in outer} >= {r["purchase_id"] for r in inner}
+
+    def test_interval_join_state_is_watermark_evicted(self, spark):
+        """The join state stores must shrink as the watermark passes:
+        after the sentinel-advanced final batch, retained state is a
+        small residue (rows inside the final watermark horizon +
+        sentinels), never the full drained input."""
+        import uuid
+
+        from crypto_etl_pipeline_spark.queries.streaming import (
+            _checkpoint,
+            _stage_dir,
+            _write_watermark_sentinels,
+        )
+        from crypto_etl_pipeline_spark.streaming.incremental import (
+            interval_join_streams,
+            read_event_stream,
+            run_available_now,
+        )
+        from tests.conftest import SF_ORACLE
+
+        d = _stage_dir(SF_ORACLE, copies=1)
+        _write_watermark_sentinels(spark, SF_ORACLE, d, n=2)
+        joined = interval_join_streams(
+            read_event_stream(spark, d, max_files_per_trigger=2),
+            read_event_stream(spark, d, max_files_per_trigger=2),
+            how="left_outer",
+            keep_sentinels=True,
+        )
+        progress: dict = {}
+        out = run_available_now(
+            joined,
+            f"ijo_t_{uuid.uuid4().hex[:8]}",
+            _checkpoint(),
+            output_mode="append",
+            state_partitions=4,
+            progress_out=progress,
+        )
+        n_out = out.count()
+        ops = progress["lastProgress"]["stateOperators"]
+        assert ops, "stream-stream join must be stateful"
+        retained = ops[0]["numRowsTotal"]
+        removed = ops[0]["numRowsRemoved"]
+        # ~2.2k purchase+click rows entered state; eviction must have
+        # fired and the residue must be a tiny fraction of the input.
+        assert removed > 0, "watermark never evicted any join state"
+        assert retained < n_out / 10, (retained, n_out)
