@@ -85,6 +85,7 @@ HEADLINE = [
     "text_boilerplate_ngram_prune",
     "cms_frequency_contract",
     "stream_interval_join_outer",
+    "dedup_semantic_clusters",
 ]
 
 

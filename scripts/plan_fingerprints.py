@@ -47,7 +47,7 @@ def fingerprint(df) -> dict:
     }
 
 
-def collect() -> dict:
+def collect(only: set[str] | None = None) -> dict:
     from crypto_etl_pipeline_spark.queries import REGISTRY
     from crypto_etl_pipeline_spark.session import get_spark
 
@@ -55,6 +55,8 @@ def collect() -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     out = {}
     for name in sorted(REGISTRY):
+        if only is not None and name not in only:
+            continue
         try:
             out[name] = fingerprint(REGISTRY[name].fn(spark, SF))
         except Exception as ex:  # pragma: no cover - registry breakage
@@ -63,7 +65,21 @@ def collect() -> dict:
 
 
 def main() -> None:
-    got = collect()
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    got = collect(only)
+    if only:
+        # merge the named queries into the existing snapshot (the
+        # incremental path for newly registered queries — a full sweep
+        # re-validates everything and is the pre-commit check).
+        want = json.load(open(SNAPSHOT)) if os.path.exists(SNAPSHOT) else {}
+        want.update(got)
+        with open(SNAPSHOT, "w") as f:
+            json.dump(want, f, indent=1, sort_keys=True)
+        print(f"merged {sorted(got)} into {SNAPSHOT} ({len(want)} queries)")
+        return
     if "--update" in sys.argv or not os.path.exists(SNAPSHOT):
         with open(SNAPSHOT, "w") as f:
             json.dump(got, f, indent=1, sort_keys=True)

