@@ -86,6 +86,7 @@ HEADLINE = [
     "cms_frequency_contract",
     "stream_interval_join_outer",
     "dedup_semantic_clusters",
+    "text_duplicated_spans",
 ]
 
 

@@ -703,3 +703,64 @@ def _prefix_candidates(
         )
         .select("id_a", "id_b")
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 8,
+    min_run: int = 3,
+) -> DataFrame:
+    """EXACT shared-span extents per document pair (Lee et al. ACL'22):
+    (id_a, id_b, n_gram_matches, max_run_grams, max_span_tokens).
+
+    Two documents share a verbatim token run of length ``gram + r - 1``
+    iff ``r`` consecutive ``gram``-grams match at a constant position
+    offset — so the longest shared span is a gaps-and-islands pass over
+    the gram equi-join, grouped per (pair, diagonal). No suffix array,
+    no quadratic scan: non-duplicated content never survives the gram
+    join, and the diagonal window plus both collapse aggregations all
+    cluster on prefixes of (id_a, id_b, diag), so the post-join
+    pipeline rides one exchange. Worst-case fan-out is boilerplate
+    grams; prune those upstream (text_boilerplate_ngram_prune) or cap
+    posting df before the join at corpus scale.
+    """
+    from pyspark.sql.window import Window
+
+    from crypto_etl_pipeline_spark.operators.textops import shingles_of, tokens
+
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        docs.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks"))
+        .select("_id", shingles_of(F.col("_toks"), gram).alias("_g"))
+        .localCheckpoint(eager=False)
+    )
+    pos = grams.select("_id", F.posexplode("_g").alias("pos", "gram"))
+    a, b = pos.alias("a"), pos.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.gram") == F.col("b.gram")) & (F.col("a._id") < F.col("b._id")),
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = m.select(
+        "id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+    ).withColumn("grp", F.col("pa") - F.row_number().over(w))
+    rl = runs.groupBy("id_a", "id_b", "diag", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        rl.groupBy("id_a", "id_b")
+        .agg(
+            F.sum("run_len").alias("n_gram_matches"),
+            F.max("run_len").alias("max_run_grams"),
+            (F.max("run_len") + F.lit(gram - 1)).alias("max_span_tokens"),
+        )
+        .where(F.col("max_run_grams") >= min_run)
+    )

@@ -1694,3 +1694,76 @@ def text_boilerplate_ngram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_boiler / F.col("n_grams") < 0.3).alias("keep"),
         )
     )
+
+
+SPAN_GRAM = 8  #: gram width for duplicated-span detection
+SPAN_MIN_RUN = 3  #: >= 3 consecutive shared grams == a shared span of >= 10 tokens
+
+
+@register(
+    "text_duplicated_spans",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= {SPAN_GRAM} THEN
+               list_transform(generate_series(1, len(t) - {SPAN_GRAM - 1}),
+                 i -> t[i] || '_' || t[i+1] || '_' || t[i+2] || '_' || t[i+3] || '_'
+                      || t[i+4] || '_' || t[i+5] || '_' || t[i+6] || '_' || t[i+7])
+             ELSE [] END AS g
+      FROM toks
+    ),
+    pos AS (
+      SELECT doc_id, unnest(g) AS gram, generate_subscripts(g, 1) AS pos
+      FROM grams
+    ),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+      FROM pos a JOIN pos b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT id_a, id_b, pa - pb AS diag,
+             pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+                                     ORDER BY pa) AS grp
+      FROM m
+    ),
+    rl AS (
+      SELECT id_a, id_b, count(*) AS run_len
+      FROM runs GROUP BY id_a, id_b, diag, grp
+    )
+    SELECT id_a, id_b,
+           sum(run_len)                     AS n_gram_matches,
+           max(run_len)                     AS max_run_grams,
+           max(run_len) + {SPAN_GRAM - 1}   AS max_span_tokens
+    FROM rl GROUP BY id_a, id_b
+    HAVING max(run_len) >= {SPAN_MIN_RUN}
+    """,
+    description="Cross-doc duplicated-span extent: aligned shared 8-grams -> diagonal islands -> max shared token span per pair",
+    tags=("text", "dedup", "join", "window"),
+)
+def text_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shared-span extents between document pairs — the span-level
+    view of duplication (Lee et al., ACL'22 'Deduplicating Training
+    Data Makes Language Models Better'): instead of a per-pair
+    similarity score, report how LONG the longest verbatim token run
+    shared by each pair is, so policy can excise spans rather than
+    drop documents. Suffix-array-free formulation: two docs share a
+    k-token run of length k+r-1 iff r consecutive k-grams match at a
+    constant position offset, so the extent computation is a gram
+    equi-join followed by gaps-and-islands per (pair, diagonal) — all
+    shuffle-friendly primitives. Cost scales with MATCHED gram volume,
+    not corpus^2: non-duplicated content contributes nothing past the
+    (pushed-down) gram hash join. The diagonal window and both
+    collapse aggregations cluster on prefixes of (pair, diagonal), so
+    the whole post-join pipeline rides ONE exchange. At 100 TB the
+    gram posting table is the persisted artifact (same table the
+    decontamination query probes); df-capped gram postings bound
+    worst-case boilerplate fan-out (the documented
+    `text_boilerplate_ngram_prune` pass removes exactly that mass
+    upstream)."""
+    from crypto_etl_pipeline_spark.operators.dedup import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, gram=SPAN_GRAM, min_run=SPAN_MIN_RUN)

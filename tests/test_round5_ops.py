@@ -648,3 +648,82 @@ def test_semantic_dedup_soundness_and_recall(spark, duck):
     assert len(clusters) == duck.execute("SELECT count(*) FROM embeddings").fetchone()[0]
     # recall floor vs brute force (worst-case corpus; see docstring)
     assert retained / len(brute) >= 0.15
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span extents: planted fixtures vs an independent brute force
+# ---------------------------------------------------------------------------
+def test_duplicated_spans_planted_fixture(spark):
+    """max_span_tokens must equal the true longest common token run
+    (when >= gram + min_run - 1), including the adversarial cases:
+    repeated tokens inside one doc (many diagonals), two separate
+    shared spans in one pair, and a shared span that is exactly at the
+    min_run floor. Reference: an independent O(n*m) dynamic-program
+    longest-common-run plus a direct gram-match count."""
+    from crypto_etl_pipeline_spark.operators.dedup import duplicated_spans
+
+    G, MIN_RUN = 4, 2  # small params so fixtures stay readable
+    span = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    other = "one two three four five six seven eight nine"
+    docs = [
+        (0, f"{span} filler0a filler0b"),          # shares 7-token span with 1
+        (1, f"pre1a pre1b {span}"),
+        (2, "a a a a a a b"),                       # repetition vs 3
+        (3, "c c a a a a a d"),                     # LCR with 2 = "a a a a a" (5)
+        (4, f"{other} mid4 {span}"),                # two spans vs 5
+        (5, f"{span} gap5a gap5b gap5c {other}"),
+        (6, "p q r s t u v w"),                     # exactly G+MIN_RUN-1 = 5? no:
+        (7, "x y p q r s t z"),                     # LCR with 6 = "p q r s t" (5)
+        (8, "lone tokens nothing shared here"),     # no partner
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["n_gram_matches"],
+            r["max_run_grams"],
+            r["max_span_tokens"],
+        )
+        for r in duplicated_spans(df, gram=G, min_run=MIN_RUN).collect()
+    }
+
+    def ref(ta, tb):
+        grams_a = [tuple(ta[i : i + G]) for i in range(len(ta) - G + 1)]
+        grams_b = [tuple(tb[i : i + G]) for i in range(len(tb) - G + 1)]
+        matches = [
+            (i, j)
+            for i, ga in enumerate(grams_a)
+            for j, gb in enumerate(grams_b)
+            if ga == gb
+        ]
+        if not matches:
+            return None
+        # island lengths per diagonal
+        by_diag = {}
+        for i, j in matches:
+            by_diag.setdefault(i - j, []).append(i)
+        best = 0
+        for ii in by_diag.values():
+            ii.sort()
+            run = 1
+            for p, q in zip(ii, ii[1:]):
+                run = run + 1 if q == p + 1 else 1
+                best = max(best, run)
+            best = max(best, run if len(ii) > 1 else 1)
+        if best < MIN_RUN:
+            return None
+        return (len(matches), best, best + G - 1)
+
+    toks = {d: t.split() for d, t in docs}
+    want = {}
+    for a in sorted(toks):
+        for b in sorted(toks):
+            if a < b:
+                r = ref(toks[a], toks[b])
+                if r is not None:
+                    want[(a, b)] = r
+    assert got == want
+    # sanity on the fixture intent: the planted pairs are present
+    assert (0, 1) in want and want[(0, 1)][2] == 7
+    assert (2, 3) in want and want[(2, 3)][2] == 5
+    assert (4, 5) in want
+    assert (6, 7) in want and want[(6, 7)][2] == 5
