@@ -87,6 +87,7 @@ HEADLINE = [
     "stream_interval_join_outer",
     "dedup_semantic_clusters",
     "text_duplicated_spans",
+    "schema_evolution_merge_read",
 ]
 
 

@@ -1839,3 +1839,54 @@ def cms_frequency_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return cms(ev, "event_type", eps=0.001, confidence=0.99, seed=17)
+
+
+@register(
+    "schema_evolution_merge_read",
+    oracle="""
+    SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 2 END AS ingest_batch,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value,
+           count(CASE WHEN user_id % 2 = 1 THEN value END) AS n_value_eur,
+           round(coalesce(sum(CASE WHEN user_id % 2 = 1
+                                   THEN round(value * 0.9, 4) END), 0), 4)
+             AS sum_value_eur
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="Parquet schema evolution: two batches with drifted schemas -> one mergeSchema scan, per-batch null accounting",
+    tags=("source", "sink", "agg"),
+)
+def schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema DRIFT at the ingest boundary — the capability a long-lived
+    100 TB table needs: batch 1 lands with the original column set,
+    batch 2 adds a `value_eur` column, and ONE `mergeSchema` scan reads
+    both generations with the missing column null-filled for the old
+    files. The batches are written as `ingest_batch=N` partition
+    directories, so schema lineage rides the partition column and old
+    files are never rewritten (additive evolution — the only kind
+    plain parquet supports; renames/drops need a table format's
+    metadata log). Per-batch non-null accounting of the evolved column
+    is the compared surface: it proves the null-fill semantics, not
+    just that the read succeeded. The oracle replays both generations
+    arithmetically from the source table."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="schema_evo_") + "/events"
+    b1 = ev.where(F.col("user_id") % 2 == 0)
+    b2 = ev.where(F.col("user_id") % 2 == 1).withColumn(
+        "value_eur", F.round(F.col("value") * 0.9, 4)
+    )
+    b1.write.mode("overwrite").parquet(root + "/ingest_batch=1")
+    b2.write.mode("overwrite").parquet(root + "/ingest_batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return merged.groupBy("ingest_batch", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.count("value_eur").alias("n_value_eur"),
+        F.round(F.coalesce(F.sum("value_eur"), F.lit(0.0)), 4).alias("sum_value_eur"),
+    )
