@@ -88,6 +88,7 @@ HEADLINE = [
     "dedup_semantic_clusters",
     "text_duplicated_spans",
     "schema_evolution_merge_read",
+    "stream_interval_join_full",
 ]
 
 

@@ -526,6 +526,71 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join_full",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           coalesce(p.user_id, c.user_id) AS user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts_s,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS c_ts_s,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS delay_sec,
+           round(p.value, 6) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 86400 SECOND AND p.ts
+    """,
+    description="Stream-stream FULL OUTER interval join: absence rows in BOTH directions, each watermark-proven",
+    tags=("streaming", "join"),
+)
+def stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the stream-stream join family: clicks that attributed
+    no purchase emit null-purchase rows AND purchases with no prior
+    click emit null-click rows — both absence claims deferred until the
+    global watermark proves them, both sides' state still evicted on
+    the interval bound. The batch twin is a plain FULL JOIN with the
+    side filters INSIDE the subqueries (an ON-clause event-type filter
+    would instead null-extend the filtered-out rows). Sentinel rows can
+    surface from either side here, so the key-sign drop must be
+    null-safe on both ids."""
+    from pyspark.sql import functions as F
+
+    from crypto_etl_pipeline_spark.streaming.incremental import (
+        interval_join_streams,
+        read_event_stream,
+        run_available_now,
+    )
+
+    d = _stage_dir(sf_dir, copies=1)
+    _write_watermark_sentinels(spark, sf_dir, d, n=2)
+    joined = interval_join_streams(
+        read_event_stream(spark, d, max_files_per_trigger=2),
+        read_event_stream(spark, d, max_files_per_trigger=2),
+        how="full_outer",
+        keep_sentinels=True,
+    )
+    out = run_available_now(
+        joined,
+        f"ijf_{uuid.uuid4().hex[:8]}",
+        _checkpoint(),
+        output_mode="append",
+        state_partitions=4,  # same operating point as the left-outer twin
+    )
+    keep = (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0)) & (
+        F.col("click_id").isNull() | (F.col("click_id") >= 0)
+    )
+    return out.where(keep).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts_s"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("c_ts_s"),
+        F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000").alias("delay_sec"),
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )
+
+
+@register(
     "multimodal_resize",
     oracle="""
     WITH m AS (

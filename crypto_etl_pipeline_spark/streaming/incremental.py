@@ -384,6 +384,12 @@ def interval_join_streams(
     watermark column referenced upstream, so the per-side pre-filter
     sits below its own watermark node harmlessly — the sentinel rows
     themselves are what must survive to the node.
+
+    ``how="full_outer"``: BOTH directions of absence — unmatched clicks
+    additionally emit with null purchase columns under the identical
+    watermark proof. Same state bounds; the only structural delta is
+    that click-side eviction now emits the evicted row (with nulls)
+    instead of dropping it.
     """
     p_keep = F.col("event_type") == "purchase"
     c_keep = F.col("event_type") == "click"
@@ -415,7 +421,14 @@ def interval_join_streams(
         & (F.col("c_ts") <= F.col("p_ts"))
     )
     return p.join(c, cond, how).select(
-        "purchase_id", "click_id", "user_id", "p_ts", "c_ts", "purchase_value"
+        "purchase_id",
+        "click_id",
+        # full_outer emits click-only rows whose purchase-side user_id is
+        # null — surface whichever side is present (equal on matches).
+        F.coalesce(F.col("user_id"), F.col("c_user_id")).alias("user_id"),
+        "p_ts",
+        "c_ts",
+        "purchase_value",
     )
 
 
