@@ -89,6 +89,8 @@ HEADLINE = [
     "text_duplicated_spans",
     "schema_evolution_merge_read",
     "stream_interval_join_full",
+    "text_entropy_signals",
+    "dedup_containment_pairs",
 ]
 
 

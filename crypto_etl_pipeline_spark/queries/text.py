@@ -1767,3 +1767,148 @@ def text_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return duplicated_spans(docs, gram=SPAN_GRAM, min_run=SPAN_MIN_RUN)
+
+
+@register(
+    "text_entropy_signals",
+    oracle=r"""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+    ce AS (
+      SELECT doc_id, count(*) AS distinct_chars, sum(c) AS n_chars,
+             round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS char_entropy
+      FROM cc GROUP BY doc_id
+    ),
+    tk AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+      FROM documents
+    ),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY doc_id, tok),
+    te AS (
+      SELECT doc_id, count(*) AS distinct_tokens, sum(c) AS n_tokens,
+             round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS token_entropy
+      FROM tc GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars, distinct_chars, char_entropy,
+           n_tokens, distinct_tokens, token_entropy
+    FROM ce JOIN te USING (doc_id)
+    """,
+    description="Shannon entropy quality signals: character- and token-level bits per symbol, one shuffle each",
+    tags=("text", "quality"),
+)
+def text_entropy_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy-based quality filters (the C4/Gopher-family screens the
+    ratio heuristics miss): character entropy near 0 flags runs of one
+    symbol / binary junk, low token entropy flags loops and boilerplate
+    that a length or stopword ratio passes. Computed in the algebraic
+    one-pass form H = log2(n) - sum(c*log2(c))/n over per-symbol
+    counts — an explode -> two-level groupBy, the repo's standard
+    shuffle-based formulation (no HOF lambda re-evaluation, map-side
+    partial aggregation on (doc_id, symbol) takes the fan-out back down
+    before the exchange). Both symbol granularities ride the same
+    shape; the join on doc_id is a co-partitioned merge of two
+    already-aggregated sides."""
+    from pyspark.sql.functions import log2
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _entropy(sym_col, prefix):
+        counts = (
+            docs.select("doc_id", F.explode(sym_col).alias("_s"))
+            .groupBy("doc_id", "_s")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        n = F.sum("_c")
+        return counts.groupBy("doc_id").agg(
+            n.alias(f"n_{prefix}s"),
+            F.count(F.lit(1)).alias(f"distinct_{prefix}s"),
+            F.round(
+                log2(n) - F.sum(F.col("_c") * log2("_c")) / n, 6
+            ).alias(f"{prefix}_entropy"),
+        )
+    chars = _entropy(F.split("text", ""), "char")
+    toks = _entropy(F.split("text", r"\s+"), "token")
+    return chars.join(toks, "doc_id").select(
+        "doc_id", "n_chars", "distinct_chars", "char_entropy",
+        "n_tokens", "distinct_tokens", "token_entropy",
+    )
+
+
+CONTAIN_T = 0.5  #: max-containment threshold (exact integer ratios — no FP edge)
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(regexp_split_to_array(text, '\s+')) >= 3 THEN
+               list_distinct(list_transform(
+                 generate_series(1, len(regexp_split_to_array(text, '\s+')) - 2),
+                 i -> regexp_split_to_array(text, '\s+')[i] || '_' ||
+                      regexp_split_to_array(text, '\s+')[i+1] || '_' ||
+                      regexp_split_to_array(text, '\s+')[i+2]))
+             ELSE [] END AS s
+      FROM documents
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(a.s) AS size_a, len(b.s) AS size_b
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, inter, size_a, size_b,
+           round(inter * 1.0 / size_a, 6) AS cont_a_in_b,
+           round(inter * 1.0 / size_b, 6) AS cont_b_in_a
+    FROM p
+    WHERE greatest(inter * 1.0 / size_a, inter * 1.0 / size_b) >= {CONTAIN_T}
+    """,
+    description="Shingle CONTAINMENT pairs (asymmetric near-dup: quotes/supersets Jaccard under-scores)",
+    tags=("dedup",),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric duplication: a short document wholly quoted inside a
+    long one has Jaccard |A|/|B| (arbitrarily small) but containment
+    |A∩B|/|A| = 1 — the signal that catches quote-expansion and
+    append-edited copies that symmetric similarity misses (Broder's
+    resemblance-vs-containment distinction, 1997). Same blocked
+    broadcast self-join as the Jaccard twin (the oracle-checkable
+    small-scale form; at 100 TB candidates come from LSH or the prefix
+    join and THIS operator scores the survivors). Thresholding on
+    greatest(containment) is FP-edge-free: both ratios are exact
+    small-integer quotients, identical in either engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    sh = docs.repartition(n_parts, F.col("doc_id")).select(
+        "doc_id",
+        "lang",
+        F.array_distinct(textops.shingles(F.col("text"), 3)).alias("s"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            inter.alias("inter"),
+            F.size("a.s").alias("size_a"),
+            F.size("b.s").alias("size_b"),
+        )
+        .where(
+            F.greatest(
+                F.col("inter") / F.col("size_a"), F.col("inter") / F.col("size_b")
+            )
+            >= CONTAIN_T
+        )
+        .select(
+            "id_a", "id_b", "inter", "size_a", "size_b",
+            F.round(F.col("inter") / F.col("size_a"), 6).alias("cont_a_in_b"),
+            F.round(F.col("inter") / F.col("size_b"), 6).alias("cont_b_in_a"),
+        )
+    )
