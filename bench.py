@@ -91,6 +91,8 @@ HEADLINE = [
     "stream_interval_join_full",
     "text_entropy_signals",
     "dedup_containment_pairs",
+    "text_lr_score_fixed",
+    "text_lr_train_quality",
 ]
 
 

@@ -1,0 +1,155 @@
+"""Linear text classifier over hashed token features (fastText-style).
+
+The LLM-corpus quality-filter pattern: a linear model over feature-
+hashed token presence (Weinberger et al., ICML'09 feature hashing;
+Joulin et al., EACL'17 fastText) scores documents at scan speed. Two
+halves, mirroring the BPE train/encode split:
+
+- SCORING is pure expressions: hash each distinct token to a bucket,
+  look the bucket's weight up in a broadcast array literal, sigmoid the
+  sum. One codegen'd pass, no shuffle beyond the per-doc aggregation —
+  this is what runs over 100 TB.
+- TRAINING is distributed Newton-IRLS: per iteration, ONE pass over
+  the feature table computes the gradient (D+1 values) and the Fisher
+  Hessian ((D+1)^2 values) as plain aggregations; only those
+  sufficient statistics reach the driver, which solves the
+  (D+1)x(D+1) system in numpy (the "k centroids reach the driver"
+  budget, same as IVF). 2-3 iterations converge where first-order GD
+  needs hundreds of driver round-trips — the BPE merge-loop lesson
+  applied to ML. The Hessian pair fan-out is quadratic in DISTINCT
+  tokens per document (bounded by min(doc vocab, D)); for corpora with
+  wide per-doc vocabularies swap the Hessian for a driver-side L-BFGS
+  over the same distributed gradient (Spark MLlib's own strategy) —
+  the gradient job is shared by both.
+
+Hash parity: bucket = md5_long(token) % dim, the repo's portable
+md5+arithmetic contract, so a DuckDB oracle can replay scoring
+bit-for-bit (weights quantized to 1e-3; per-doc sums of <= vocab
+terms, round(6) absorbs addition-order noise).
+
+Reference repo has no ML surface at all (SURVEY §1.2) — extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crypto_etl_pipeline_spark.operators.phash import md5_long
+
+
+def hashed_presence_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+) -> DataFrame:
+    """(doc_id, feat) — one row per DISTINCT token bucket per document
+    (binary presence features; dedup before hashing keeps the fan-out
+    at distinct-token width). Bias is NOT included — trainers and
+    scorers add index `dim` themselves."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(F.split(F.col(text_col), r"\s+"))).alias("_tok"),
+        )
+        .select("doc_id", (md5_long(F.col("_tok"), 8) % dim).alias("feat"))
+        .distinct()
+    )
+
+
+def fixed_hash_weights(dim: int) -> list[float]:
+    """Deterministic stand-in weights: w[j] = ((j * 2654435761) % 2001
+    - 1000) / 1000 (Knuth multiplicative hash), quantized to 1e-3.
+    Exactly reproducible as integer arithmetic in any SQL engine —
+    the scoring-plumbing oracle uses these; real deployments pass
+    trained weights from :func:`lr_train_newton` instead."""
+    return [((j * 2654435761) % 2001 - 1000) / 1000.0 for j in range(dim + 1)]
+
+
+def lr_margin(feats: DataFrame, weights: list[float]) -> DataFrame:
+    """(doc_id, margin): bias + sum of the weights of present features.
+
+    The weight vector rides as an array LITERAL indexed per row —
+    broadcast by the plan itself, no join, fully codegen'd."""
+    dim = len(weights) - 1
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    return (
+        feats.select("doc_id", F.element_at(warr, F.col("feat").cast("int") + 1).alias("_w"))
+        .groupBy("doc_id")
+        .agg((F.sum("_w") + F.lit(float(weights[dim]))).alias("margin"))
+    )
+
+
+def sigmoid(c: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-c))
+
+
+def lr_train_newton(
+    feats: DataFrame,
+    labels: DataFrame,
+    dim: int,
+    iters: int = 3,
+    ridge: float = 1e-4,
+) -> list[float]:
+    """Distributed Newton-IRLS for L2-logistic regression.
+
+    ``feats``: (doc_id, feat) binary presence rows. ``labels``:
+    (doc_id, y) with y in {0,1}. Returns the (dim+1) weight vector
+    (last entry = bias). Per iteration: margins via :func:`lr_margin`,
+    per-doc residual r = sigmoid(m) - y and curvature wd = p(1-p),
+    then gradient g_i = sum_docs-with-i r and Hessian H_ij =
+    sum_docs-with-both wd via a within-doc feature self-join — every
+    stage a hash aggregation on small keys. The (dim+1)^2 solve is
+    driver-side numpy.
+    """
+    import numpy as np
+
+    # bias as a synthetic always-on feature `dim`: one union, after
+    # which gradient and Hessian need no special-casing.
+    fb = feats.unionByName(
+        labels.select("doc_id", F.lit(dim).alias("feat"))
+    ).localCheckpoint(eager=False)
+    w = np.zeros(dim + 1)
+    n = labels.count()
+    for _ in range(iters):
+        m = lr_margin(fb.where(F.col("feat") < dim), list(w))
+        # right outer keeps feature-less docs (margin = bias only)
+        doc = (
+            labels.join(m, "doc_id", "left")
+            .select(
+                "doc_id",
+                "y",
+                F.coalesce(F.col("margin"), F.lit(float(w[dim]))).alias("margin"),
+            )
+            .select(
+                "doc_id",
+                (sigmoid(F.col("margin")) - F.col("y")).alias("r"),
+                (sigmoid(F.col("margin")) * (1 - sigmoid(F.col("margin")))).alias("wd"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        g_rows = (
+            fb.join(doc, "doc_id")
+            .groupBy("feat")
+            .agg(F.sum("r").alias("g"))
+            .collect()
+        )
+        h_rows = (
+            fb.alias("a")
+            .join(fb.alias("b"), "doc_id")
+            .join(doc, "doc_id")
+            .groupBy(F.col("a.feat").alias("i"), F.col("b.feat").alias("j"))
+            .agg(F.sum("wd").alias("h"))
+            .collect()
+        )
+        g = np.zeros(dim + 1)
+        for row in g_rows:
+            g[row["feat"]] = row["g"]
+        H = np.zeros((dim + 1, dim + 1))
+        for row in h_rows:
+            H[row["i"], row["j"]] = row["h"]
+        g = g / n + ridge * w
+        H = H / n + ridge * np.eye(dim + 1)
+        w = w - np.linalg.solve(H, g)
+    return [float(x) for x in w]

