@@ -93,6 +93,8 @@ HEADLINE = [
     "dedup_containment_pairs",
     "text_lr_score_fixed",
     "text_lr_train_quality",
+    "consistent_universe_sample",
+    "global_sequence_ids",
 ]
 
 

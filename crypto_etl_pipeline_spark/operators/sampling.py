@@ -119,3 +119,45 @@ def pps_systematic_sample(
         .where(F.expr("_b div _total") < F.expr("_a div _total"))
         .drop("_h", "_w", "_cum", "_b", "_a", "_total")
     )
+
+
+def global_ordinals(
+    df: DataFrame,
+    order_cols: list[str],
+    n_ranges: int | None = None,
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Dense 1-based global sequence numbers by ``order_cols`` WITHOUT a
+    global single-partition sort — the declarative zipWithIndex.
+
+    The naive `row_number() OVER (ORDER BY ...)` funnels the whole
+    table through ONE task; this formulation range-partitions on the
+    order key (boundaries respect key order by construction), numbers
+    within each range partition in parallel, and shifts each partition
+    by the cumulative count of the partitions before it. The only
+    driver-sized object is the per-partition count table (n_ranges
+    rows); the final number is INVARIANT to where the sampled range
+    boundaries happen to fall, because any split of a globally sorted
+    order assigns the same rank to every row. Requires the order key to
+    be unique (ties could straddle a boundary and break density).
+    """
+    from pyspark.sql.window import Window
+
+    n_ranges = n_ranges or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(n_ranges, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # pin the sampled boundaries for both passes
+    )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).cast("long")
+    ).select("_pid", "_off")  # n_ranges rows — the single-partition window is dim-sized
+    w_in = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(seq_col, (F.row_number().over(w_in) + F.col("_off")).cast("long"))
+        .drop("_pid", "_off")
+    )

@@ -1890,3 +1890,106 @@ def schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("value_eur").alias("n_value_eur"),
         F.round(F.coalesce(F.sum("value_eur"), F.lit(0.0)), 4).alias("sum_value_eur"),
     )
+
+
+UNIVERSE_RATE = 0.2
+UNIVERSE_SALT = "universe-v1"
+
+
+@register(
+    "consistent_universe_sample",
+    oracle=f"""
+    WITH s AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE ('0x' || substr(md5(c_custkey::VARCHAR || '{UNIVERSE_SALT}'), 1, 15))::BIGINT
+            % 1000000 < {int(UNIVERSE_RATE * 1_000_000)}
+    ),
+    o AS (
+      SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spend
+      FROM orders
+      WHERE ('0x' || substr(md5(o_custkey::VARCHAR || '{UNIVERSE_SALT}'), 1, 15))::BIGINT
+            % 1000000 < {int(UNIVERSE_RATE * 1_000_000)}
+      GROUP BY o_custkey
+    ),
+    e AS (
+      SELECT user_id, count(*) AS n_events
+      FROM events
+      WHERE ('0x' || substr(md5(user_id::VARCHAR || '{UNIVERSE_SALT}'), 1, 15))::BIGINT
+            % 1000000 < {int(UNIVERSE_RATE * 1_000_000)}
+      GROUP BY user_id
+    )
+    SELECT s.c_mktsegment AS segment,
+           count(*) AS n_customers,
+           coalesce(sum(o.n_orders), 0) AS n_orders,
+           round(coalesce(sum(o.spend), 0), 4) AS sum_spend,
+           coalesce(sum(e.n_events), 0) AS n_events
+    FROM s
+    LEFT JOIN o ON o.o_custkey = s.c_custkey
+    LEFT JOIN e ON e.user_id = s.c_custkey
+    GROUP BY s.c_mktsegment
+    """,
+    description="Universe sampling: one hash gate on the shared key, applied independently per table, preserves joins in the sample",
+    tags=("sampling", "join"),
+)
+def consistent_universe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIVERSE sampling (the Quickr/VerdictDB family's join-preserving
+    sample): gating every table on the SAME hash of the shared key
+    selects a consistent 20% sub-universe of customers — a sampled
+    customer keeps ALL its orders and events, so join structure and
+    per-entity statistics survive, where independent row-Bernoulli samples of two
+    fact tables would retain rate^2 of the join pairs. The gate is a
+    pure expression evaluated INSIDE each scan (no coordination, no
+    shuffle, no sampled-key broadcast needed); at 100 TB this is how a
+    dev-scale consistent slice of a whole warehouse is cut in one pass
+    per table. Gate arithmetic is the repo's portable md5 contract, so
+    the oracle replays each per-table gate bit-for-bit."""
+    from crypto_etl_pipeline_spark.operators.sampling import hash_bernoulli_sample
+
+    cust = hash_bernoulli_sample(
+        load_table(spark, sf_dir, "customer"), "c_custkey", UNIVERSE_RATE, UNIVERSE_SALT
+    ).select("c_custkey", "c_mktsegment")
+    orders = hash_bernoulli_sample(
+        load_table(spark, sf_dir, "orders"), "o_custkey", UNIVERSE_RATE, UNIVERSE_SALT
+    )
+    events = hash_bernoulli_sample(
+        load_table(spark, sf_dir, "events"), "user_id", UNIVERSE_RATE, UNIVERSE_SALT
+    )
+    o = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("spend")
+    )
+    e = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    joined = cust.join(o, cust.c_custkey == o.o_custkey, "left").join(
+        e, cust.c_custkey == e.user_id, "left"
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.coalesce(F.sum("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+        F.round(F.coalesce(F.sum("spend"), F.lit(0.0)), 4).alias("sum_spend"),
+        F.coalesce(F.sum("n_events"), F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "global_sequence_ids",
+    oracle="""
+    SELECT doc_id, lang,
+           row_number() OVER (ORDER BY lang, doc_id) AS seq
+    FROM documents
+    """,
+    description="Dense global sequence numbers without a single-partition sort (range partitions + offset shift)",
+    tags=("window", "ids"),
+)
+def global_sequence_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ordinals are the canonical scale trap: the oracle's
+    `row_number() OVER (ORDER BY ...)` is correct SQL but plans as ONE
+    task holding the whole table. The operator instead range-partitions
+    on the order key, numbers each range in parallel, and shifts by
+    broadcast cumulative partition counts — same answer, full
+    parallelism, and the only global object is an n_partitions-row
+    count table (operators/sampling.py `global_ordinals`). The driver
+    uses this shape for sharded training-data manifests (sample ids,
+    sequence ids, pack offsets)."""
+    from crypto_etl_pipeline_spark.operators.sampling import global_ordinals
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return global_ordinals(docs, ["lang", "doc_id"]).select("doc_id", "lang", "seq")
