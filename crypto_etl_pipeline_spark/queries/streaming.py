@@ -309,6 +309,51 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME sessionization contract as stream_sessionize_stateful,
+    re-expressed on Spark 4's transformWithState v2 API: named typed
+    state variables on a StatefulProcessor, RocksDB state store
+    (mandated by the operator — scoped via extra_confs), timeMode
+    'none' for the replay-deterministic oracle mode. Both APIs share
+    one _fold_sessions kernel, so the v1 query's gaps-and-islands
+    oracle pins this one too.
+
+    DELIBERATELY NOT @register'ed: Spark's TWS Python runner hard-
+    requires the protobuf>=5.27 runtime (its state-server protocol —
+    StateMessage_pb2 imports google.protobuf.runtime_version), which
+    this container does not ship and the environment contract forbids
+    installing. The registered surface must stay runnable everywhere;
+    this path is exercised by tests/test_round5_ops.py, which SKIPS
+    without protobuf and asserts v1==v2==oracle where it is available
+    (the PIL-codec precedent, multimodal/binary.py)."""
+    from pyspark.sql import functions as F
+
+    from crypto_etl_pipeline_spark.streaming.incremental import (
+        TWS_CONFS,
+        read_event_stream,
+        run_available_now,
+        sessionize_stream_tws,
+    )
+
+    events = read_event_stream(spark, _stage_dir(sf_dir, copies=1))
+    sessions = sessionize_stream_tws(events, gap_seconds=SESSION_GAP_SECONDS)
+    out = run_available_now(
+        sessions,
+        f"tws_{uuid.uuid4().hex[:8]}",
+        _checkpoint(),
+        output_mode="append",
+        state_partitions=8,  # ~1k user keys, matches the v1 operating point
+        extra_confs=TWS_CONFS,
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
 @register(
     "multimodal_decode_mapinpandas",
     oracle="""

@@ -175,6 +175,44 @@ _STATE_SCHEMA = StructType(
 )
 
 
+def _fold_sessions(pdfs, cur, gap_us: int):
+    """Shared per-key session fold: consume Arrow batches, return
+    (closed_sessions, open_state) where state is [start_us, end_us, n,
+    sum_value]. Used by BOTH stateful APIs (applyInPandasWithState and
+    transformWithStateInPandas) so their semantics cannot drift."""
+    if cur is not None:
+        start_us, end_us, n, sv = cur
+    else:
+        start_us = end_us = n = 0
+        sv = 0.0
+    closed: list[tuple[int, int, int, float]] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            t_us = ts.value // 1000
+            v = float(value) if pd.notna(value) else 0.0
+            if n == 0:
+                start_us, end_us, n, sv = t_us, t_us, 1, v
+            elif t_us - end_us > gap_us:
+                closed.append((start_us, end_us, n, sv))
+                start_us, end_us, n, sv = t_us, t_us, 1, v
+            else:
+                end_us, n, sv = max(end_us, t_us), n + 1, sv + v
+    return closed, [start_us, end_us, n, sv]
+
+
+def _session_frame(user_id, closed):
+    return pd.DataFrame(
+        {
+            "user_id": [user_id] * len(closed),
+            "session_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in closed],
+            "session_end": [pd.Timestamp(e, unit="us") for _, e, _, _ in closed],
+            "n_events": [c for _, _, c, _ in closed],
+            "sum_value": [v for _, _, _, v in closed],
+        }
+    )
+
+
 def _sessionize_fn(gap_seconds: int, timeout: str = "none"):
     gap_us = gap_seconds * 1_000_000
 
@@ -199,26 +237,9 @@ def _sessionize_fn(gap_seconds: int, timeout: str = "none"):
                 )
             return
 
-        closed: list[tuple[int, int, int, float]] = []
-        if state.exists:
-            start_us, end_us, n, sv = state.get
-        else:
-            start_us = end_us = n = 0
-            sv = 0.0
-
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts, value in zip(pdf["ts"], pdf["value"]):
-                t_us = ts.value // 1000
-                v = float(value) if pd.notna(value) else 0.0
-                if n == 0:
-                    start_us, end_us, n, sv = t_us, t_us, 1, v
-                elif t_us - end_us > gap_us:
-                    closed.append((start_us, end_us, n, sv))
-                    start_us, end_us, n, sv = t_us, t_us, 1, v
-                else:
-                    end_us, n, sv = max(end_us, t_us), n + 1, sv + v
-
+        cur = tuple(state.get) if state.exists else None
+        closed, new_state = _fold_sessions(pdfs, cur, gap_us)
+        start_us, end_us, n, sv = new_state
         state.update((start_us, end_us, n, sv))
         if timeout == "event":
             # Flush when the WATERMARK (not wall clock) passes the end
@@ -230,15 +251,7 @@ def _sessionize_fn(gap_seconds: int, timeout: str = "none"):
                 max(end_us // 1000 + gap_seconds * 1000, state.getCurrentWatermarkMs() + 1)
             )
         if closed:
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id] * len(closed),
-                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in closed],
-                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _, _ in closed],
-                    "n_events": [c for _, _, c, _ in closed],
-                    "sum_value": [v for _, _, _, v in closed],
-                }
-            )
+            yield _session_frame(user_id, closed)
 
     return fn
 
@@ -287,6 +300,60 @@ def sessionize_stream(
     )
 
 
+def sessionize_stream_tws(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Gap sessionization on ``transformWithStateInPandas`` — Spark 4's
+    successor to applyInPandasWithState (SPARK-46815, arbitrary
+    stateful processing v2): state is a NAMED typed variable on a
+    StatefulProcessor handle instead of one opaque per-key tuple, the
+    processor can hold several independent state variables with
+    per-variable TTL, and the operator REQUIRES the RocksDB state-store
+    provider (callers pass it via run_available_now(extra_confs=...)).
+
+    Registered in the deterministic no-timer mode (timeMode="none"),
+    the same contract as the applyInPandasWithState oracle mode: output
+    is a pure function of the input, final open sessions stay in state.
+    The per-key accumulation is the SAME _fold_sessions kernel the v1
+    operator uses, so the two APIs are differential twins by
+    construction — one oracle pins both.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_seconds * 1_000_000
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._session = handle.getValueState("session", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            cur = self._session.get() if self._session.exists() else None
+            closed, cur = _fold_sessions(rows, cur, gap_us)
+            self._session.update(tuple(cur))
+            if closed:
+                yield _session_frame(user_id, closed)
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        SessionProcessor(),
+        outputStructType=SESSION_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+#: conf the TWS operator needs: transformWithState mandates RocksDB.
+TWS_CONFS = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+}
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,
@@ -295,6 +362,7 @@ def run_available_now(
     timeout_sec: int = 120,
     progress_out: dict | None = None,
     state_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
 ) -> DataFrame:
     """Drain the stream with Trigger.AvailableNow into a memory sink.
 
@@ -328,6 +396,13 @@ def run_available_now(
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    restore: dict[str, str | None] = {}
+    for k, v in (extra_confs or {}).items():
+        try:
+            restore[k] = spark.conf.get(k)
+        except Exception:
+            restore[k] = None
+        spark.conf.set(k, v)
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -347,6 +422,11 @@ def run_available_now(
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        for k, v in restore.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     if progress_out is not None:
         progress_out["lastProgress"] = q.lastProgress
         progress_out["recentProgress"] = q.recentProgress

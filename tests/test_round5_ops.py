@@ -783,3 +783,62 @@ def test_lr_train_newton_matches_dense_reference(spark):
     got = np.array([m.get(d, w[D]) for d in ids])
     want = X @ w
     assert np.allclose(got, want, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas sessionizer (Spark 4 stateful v2)
+# ---------------------------------------------------------------------------
+def test_fold_sessions_kernel_fixture():
+    """The shared per-key session fold (used by BOTH stateful APIs) on
+    a hand-computed fixture: two batches, a gap split inside batch 2,
+    resumed open state, and a null value folded as 0."""
+    import pandas as pd
+
+    from crypto_etl_pipeline_spark.streaming.incremental import _fold_sessions
+
+    gap_us = 10 * 1_000_000  # 10 s
+
+    def batch(rows):
+        return pd.DataFrame(
+            {
+                "ts": [pd.Timestamp(t * 1_000_000, unit="us") for t, _ in rows],
+                "value": [v for _, v in rows],
+            }
+        )
+
+    closed, state = _fold_sessions([batch([(0, 1.0), (5, 2.0)])], None, gap_us)
+    assert closed == [] and state == [0, 5_000_000, 2, 3.0]
+    closed, state = _fold_sessions(
+        [batch([(12, None), (40, 4.0), (45, 1.5)])], tuple(state), gap_us
+    )
+    assert closed == [(0, 12_000_000, 3, 3.0)]  # null folded as 0
+    assert state == [40_000_000, 45_000_000, 2, 5.5]
+
+
+def _has_tws_runtime() -> bool:
+    try:
+        from google.protobuf import runtime_version  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def test_tws_sessionize_matches_v1(spark):
+    """transformWithStateInPandas twin == applyInPandasWithState ==
+    oracle. Skips where Spark's TWS protobuf runtime is absent (this
+    container); the kernel itself is pinned by the fixture test above
+    and the v1 oracle row either way."""
+    import pytest
+
+    if not _has_tws_runtime():
+        pytest.skip("protobuf>=5.27 runtime absent: TWS state server cannot start")
+    from crypto_etl_pipeline_spark.queries.streaming import (
+        stream_sessionize_stateful,
+        stream_sessionize_tws,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    v1 = {tuple(r) for r in stream_sessionize_stateful(spark, sf).collect()}
+    v2 = {tuple(r) for r in stream_sessionize_tws(spark, sf).collect()}
+    assert v1 == v2 and v1
