@@ -95,6 +95,8 @@ HEADLINE = [
     "text_lr_train_quality",
     "consistent_universe_sample",
     "global_sequence_ids",
+    "text_chi2_source_quality",
+    "dpp_partitioned_star_probe",
 ]
 
 

@@ -1993,3 +1993,55 @@ def global_sequence_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return global_ordinals(docs, ["lang", "doc_id"]).select("doc_id", "lang", "seq")
+
+
+@register(
+    "dpp_partitioned_star_probe",
+    oracle="""
+    SELECT l_linestatus,
+           count(*) AS n,
+           round(sum(l_extendedprice), 4) AS sum_price
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+    description="Dynamic partition pruning: dim filter prunes fact partitions at RUNTIME through the join key",
+    tags=("source", "join", "agg"),
+)
+def dpp_partitioned_star_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The star-schema scan-reduction Catalyst performs at RUNTIME:
+    the fact lands partitioned by join key, the dimension carries the
+    selective filter, and DPP turns the dim's broadcast into a
+    partition filter on the fact scan (`dynamicpruningexpression` in
+    PartitionFilters) — the fact directories for non-matching keys are
+    never listed, let alone read. Distinct from
+    partitioned_write_prune_read, where the literal predicate prunes
+    at PLAN time: here the pruning value only exists after the dim is
+    filtered, which is exactly the shape of a 100 TB fact joined to a
+    curated dim slice. The plan property (dynamicpruningexpression
+    present, static pruning absent) is asserted in
+    tests/test_scale_patterns.py."""
+    import tempfile
+
+    from crypto_etl_pipeline_spark.sources.sinks import write_parquet
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    root = tempfile.mkdtemp(prefix="dpp_star_")
+    write_parquet(li, root + "/fact", partition_by=["l_returnflag"])
+    dim = li.select(F.col("l_returnflag").alias("flag")).distinct().withColumn(
+        "flag_class",
+        F.when(F.col("flag") == "R", "returned").otherwise("kept"),
+    )
+    write_parquet(dim, root + "/dim")
+    fact = spark.read.parquet(root + "/fact")
+    dim_r = spark.read.parquet(root + "/dim").where(F.col("flag_class") == "returned")
+    return (
+        fact.join(F.broadcast(dim_r), fact.l_returnflag == dim_r.flag)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+    )

@@ -2034,3 +2034,77 @@ def text_lr_train_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_acc") >= F.col("_maj") + 0.02).alias("beats_majority"),
         F.lit(LR_ITERS).alias("n_iters"),
     )
+
+
+@register(
+    "text_chi2_source_quality",
+    oracle=f"""
+    WITH feat AS (
+      SELECT source,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok,
+             len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS n_uniq,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             t -> t IN ({_EN}))) AS n_stop
+      FROM documents
+    ),
+    cells AS (
+      SELECT source,
+             CASE WHEN n_tok < 10 THEN 'too_short'
+                  WHEN n_uniq * 1.0 / n_tok < 0.3 THEN 'repetitive'
+                  WHEN n_stop = 0 THEN 'no_stopwords'
+                  ELSE 'ok' END AS quality,
+             count(*) AS o
+      FROM feat GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(o) AS n FROM cells),
+    rm AS (SELECT source, sum(o) AS rt FROM cells GROUP BY source),
+    cm AS (SELECT quality, sum(o) AS ct FROM cells GROUP BY quality)
+    SELECT (SELECT count(*) FROM rm) AS n_sources,
+           (SELECT count(*) FROM cm) AS n_buckets,
+           ((SELECT count(*) FROM rm) - 1) * ((SELECT count(*) FROM cm) - 1) AS dof,
+           (SELECT n FROM tot) AS n_docs,
+           round(sum(pow(c.o - rm.rt * cm.ct * 1.0 / tot.n, 2)
+                     / (rm.rt * cm.ct * 1.0 / tot.n)), 6) AS chi2
+    FROM cells c JOIN rm USING (source) JOIN cm USING (quality) CROSS JOIN tot
+    """,
+    description="Chi-square independence test of (source, quality bucket): the categorical drift detector next to KL",
+    tags=("text", "quality", "stats"),
+)
+def text_chi2_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence of source vs quality bucket —
+    the categorical complement to text_kl_source_drift: a large chi2
+    says some sources are producing systematically different quality
+    mixes (ingest regression, scraper rot). The whole statistic reduces
+    to ONE (source, bucket) contingency aggregation; marginals are
+    dimension-sized re-aggregations of it (broadcast joins), and the
+    observed-vs-expected sum is a second tiny aggregation over the
+    cell table — at 100 TB the only corpus-sized pass is the first
+    groupBy. Note chi2 sums only over OBSERVED cells: absent (source,
+    bucket) combinations have O=0 and contribute E, a constant
+    absorbed identically in both engines because both iterate the
+    same observed cell set."""
+    from crypto_etl_pipeline_spark.operators.textops import quality_label
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select("source", quality_label(F.col("text")).alias("quality"))
+        .groupBy("source", "quality")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    rm = cells.groupBy("source").agg(F.sum("o").alias("rt"))
+    cm = cells.groupBy("quality").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    joined = (
+        cells.join(F.broadcast(rm), "source")
+        .join(F.broadcast(cm), "quality")
+        .crossJoin(F.broadcast(tot))
+    )
+    return joined.agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("quality").alias("n_buckets"),
+        ((F.countDistinct("source") - 1) * (F.countDistinct("quality") - 1)).alias("dof"),
+        F.first("n").alias("n_docs"),
+        F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2"),
+    )

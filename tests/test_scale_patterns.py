@@ -244,3 +244,17 @@ def test_plan_fingerprints_no_regression(spark):
         if got != want.get(name):
             drift.append(f"{name}: {want.get(name)} -> {got}")
     assert not drift, "plan-shape drift (run scripts/plan_fingerprints.py --update if deliberate):\n" + "\n".join(drift)
+
+
+def test_dpp_probe_prunes_at_runtime(spark):
+    """dpp_partitioned_star_probe must carry a DYNAMIC pruning
+    expression on the fact scan (runtime partition pruning through the
+    dim join) — and no static partition literal, since the pruning
+    value only exists after the dim filter runs."""
+    from crypto_etl_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["dpp_partitioned_star_probe"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # static pruning would read 'PartitionFilters: [... (l_returnflag = R)]'
+    assert "(l_returnflag = R)" not in plan.replace("#", " ")
