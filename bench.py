@@ -97,6 +97,7 @@ HEADLINE = [
     "global_sequence_ids",
     "text_chi2_source_quality",
     "dpp_partitioned_star_probe",
+    "ann_mmr_diversified_topk",
 ]
 
 

@@ -438,3 +438,150 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
     )
     return dedup_clusters(emb.select("vec_id"), pairs, id_col="vec_id")
+
+
+MMR_K = 3  #: diversified selections per query
+MMR_LAMBDA = 0.7  #: relevance weight; 1-MMR_LAMBDA penalizes redundancy
+_DUCK_COS = "round(cast(list_cosine_similarity({a}, {b}) AS DOUBLE), 4)"
+
+
+def _mmr_oracle(k: int) -> str:
+    """Unrolled k-step MMR in SQL: each step is an argmax CTE over the
+    previous selections. All similarities round to the 4-decimal grid
+    BEFORE the argmax, so both engines rank identical values (the ANN
+    queries' discipline); ties break on candidate id."""
+    lam, mu = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    ctes = [
+        f"""sims AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid, c.embedding AS cemb,
+             {_DUCK_COS.format(a='q.embedding', b='c.embedding')} AS rel
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )""",
+        """s1 AS (
+      SELECT qid, cid, cemb, rel, 0.0 AS maxdiv
+      FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+            FROM sims) WHERE rn = 1
+    )""",
+    ]
+    for i in range(2, k + 1):
+        prev = [f"s{j}" for j in range(1, i)]
+        joins = " ".join(f"JOIN {p} ON {p}.qid = s.qid" for p in prev)
+        notin = " AND ".join(f"s.cid != {p}.cid" for p in prev)
+        div_exprs = [_DUCK_COS.format(a="s.cemb", b=f"{p}.cemb") for p in prev]
+        gdiv = div_exprs[0] if len(div_exprs) == 1 else f"greatest({', '.join(div_exprs)})"
+        ctes.append(
+            f"""s{i} AS (
+      SELECT qid, cid, cemb, rel, maxdiv
+      FROM (SELECT s.qid, s.cid, s.cemb, s.rel, {gdiv} AS maxdiv,
+                   row_number() OVER (PARTITION BY s.qid
+                                      ORDER BY {lam} * s.rel - {mu} * {gdiv} DESC, s.cid) AS rn
+            FROM sims s {joins}
+            WHERE {notin})
+      WHERE rn = 1
+    )"""
+        )
+    steps = "\n    UNION ALL\n    ".join(
+        f"SELECT qid AS query_id, {i} AS step, cid AS neighbor_id, rel,"
+        f" round({lam} * rel - {mu} * maxdiv, 6) AS mmr_score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + steps
+
+
+@register(
+    "ann_mmr_diversified_topk",
+    oracle=_mmr_oracle(MMR_K),
+    description="MMR diversified retrieval: k greedy selections trading relevance vs redundancy to the already-picked set",
+    tags=("similarity", "topk"),
+)
+def ann_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98) —
+    the retrieval-diversity op a RAG/few-shot curation pipeline runs so
+    k near-identical passages don't fill the context window: each step
+    picks argmax of lambda*rel(q,d) - (1-lambda)*max_sim(d, selected).
+    The loop is UNROLLED into the lazy plan (k is small by definition):
+    no driver round-trips, no collect — each step broadcast-joins the
+    10-row previous selections back onto the slim (qid, cid, rel, emb)
+    candidate table and takes a per-query WindowGroupLimit argmax. At
+    100 TB the candidate table is an ANN shortlist (ann_ivf_topk /
+    lsh), never the corpus; the same plan applies unchanged. All sims
+    round to the 4-decimal grid before every argmax, so both engines
+    rank the same values with id tie-breaks."""
+    lam, mu = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    from pyspark.sql.window import Window
+
+    emb = _spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("_n")
+    )
+    q, c = emb.alias("q"), emb.alias("c")
+    rel = dot(F.col("q.embedding"), F.col("c.embedding")) / (
+        F.col("q._n") * F.col("c._n")
+    )
+    sims = (
+        q.where(F.col("q.vec_id") < N_QUERIES)
+        .join(c, F.col("c.vec_id") != F.col("q.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("qid"),
+            F.col("c.vec_id").alias("cid"),
+            F.col("c.embedding").alias("cemb"),
+            F.col("c._n").alias("cn"),
+            F.round(rel, 4).alias("rel"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    picks = []  # per-step DataFrames of (qid, cid, cemb, cn, rel, maxdiv)
+    w = Window.partitionBy("qid")
+    for step in range(1, MMR_K + 1):
+        if not picks:
+            scored = sims.select("qid", "cid", "cemb", "cn", "rel", F.lit(0.0).alias("maxdiv"))
+            order = [F.desc("rel"), F.asc("cid")]
+        else:
+            cur = sims
+            div_cols = []
+            for j, p in enumerate(picks):
+                pj = F.broadcast(
+                    p.select(
+                        F.col("qid").alias(f"_q{j}"),
+                        F.col("cid").alias(f"_c{j}"),
+                        F.col("cemb").alias(f"_e{j}"),
+                        F.col("cn").alias(f"_n{j}"),
+                    )
+                )
+                cur = cur.join(pj, cur.qid == F.col(f"_q{j}"))
+                div_cols.append(
+                    F.round(
+                        dot(F.col("cemb"), F.col(f"_e{j}")) / (F.col("cn") * F.col(f"_n{j}")), 4
+                    )
+                )
+            keep = None
+            for j in range(len(picks)):
+                cond = F.col("cid") != F.col(f"_c{j}")
+                keep = cond if keep is None else (keep & cond)
+            maxdiv = div_cols[0] if len(div_cols) == 1 else F.greatest(*div_cols)
+            scored = cur.where(keep).select(
+                "qid", "cid", "cemb", "cn", "rel", maxdiv.alias("maxdiv")
+            )
+            order = [
+                F.desc(F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("maxdiv")),
+                F.asc("cid"),
+            ]
+        top = (
+            scored.withColumn("_rn", F.row_number().over(w.orderBy(*order)))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        picks.append(top)
+    out = None
+    for i, p in enumerate(picks, start=1):
+        step_df = p.select(
+            F.col("qid").alias("query_id"),
+            F.lit(i).alias("step"),
+            F.col("cid").alias("neighbor_id"),
+            "rel",
+            F.round(F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("maxdiv"), 6).alias(
+                "mmr_score"
+            ),
+        )
+        out = step_df if out is None else out.unionByName(step_df)
+    return out
