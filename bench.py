@@ -98,6 +98,7 @@ HEADLINE = [
     "text_chi2_source_quality",
     "dpp_partitioned_star_probe",
     "ann_mmr_diversified_topk",
+    "text_excise_duplicated_spans",
 ]
 
 

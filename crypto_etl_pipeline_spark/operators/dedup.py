@@ -764,3 +764,102 @@ def duplicated_spans(
         )
         .where(F.col("max_run_grams") >= min_run)
     )
+
+
+def excise_duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 8,
+    min_run: int = 3,
+) -> DataFrame:
+    """Apply the span-dedup POLICY (Lee et al. ACL'22): first occurrence
+    wins — every maximal shared run of >= ``gram + min_run - 1`` tokens
+    is removed from the HIGHER-id document of each pair; the lower-id
+    copy stays intact. Returns one row per document: (doc_id, n_tokens,
+    n_removed, clean_text) with whitespace normalized to single spaces.
+
+    Pipeline: the same gram-join + diagonal-islands pass as
+    :func:`duplicated_spans` but keeping EVERY qualifying run (not the
+    per-pair max), converted to token intervals on the b side, merged
+    per document (second gaps-and-islands: running-max-end over starts
+    — overlapping excisions from different partners collapse), then
+    excised with an index-aware HOF filter against the per-doc interval
+    array — the excision itself is a zero-shuffle map over the corpus;
+    only the interval table (duplicated mass, tiny relative to the
+    corpus) ever shuffles. Interval positions are engine-local (0- or
+    1-based) but used only against the same engine's token positions,
+    so the removed token SET is representation-independent.
+    """
+    from pyspark.sql.window import Window
+
+    from crypto_etl_pipeline_spark.operators.textops import shingles_of, tokens
+
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    base = (
+        docs.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks"))
+        .localCheckpoint(eager=False)
+    )
+    pos = base.select(
+        "_id", F.posexplode(shingles_of(F.col("_toks"), gram)).alias("pos", "gram")
+    )
+    a, b = pos.alias("a"), pos.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.gram") == F.col("b.gram")) & (F.col("a._id") < F.col("b._id")),
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = (
+        m.select("id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+        .withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"), F.min("pb").alias("b_start"))
+        .where(F.col("run_len") >= min_run)
+    )
+    # token intervals to excise on the b side; merge overlaps per doc
+    iv = runs.select(
+        F.col("id_b").alias("_id"),
+        F.col("b_start").alias("s"),
+        (F.col("b_start") + F.col("run_len") + F.lit(gram - 2)).alias("e"),
+    ).distinct()
+    w_iv = Window.partitionBy("_id").orderBy("s", "e")
+    merged = (
+        iv.withColumn(
+            "_pmax",
+            F.max("e").over(w_iv.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "_isl",
+            F.sum(
+                F.when(F.col("_pmax").isNull() | (F.col("s") > F.col("_pmax")), 1).otherwise(0)
+            ).over(w_iv.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("_id", "_isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "e"))).alias("_iv"))
+    )
+    joined = base.join(merged, "_id", "left").select(
+        "_id",
+        "_toks",
+        # project the null-coalesced interval array to a plain ATTRIBUTE
+        # before the HOF references it (lambdas re-evaluate their
+        # operand expression per element — operators/dedup.py header)
+        F.coalesce(F.col("_iv"), F.array()).alias("_ivn"),
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda x, i: ~F.exists(F.col("_ivn"), lambda v: (i >= v.s) & (i <= v.e)),
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.size("_toks").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

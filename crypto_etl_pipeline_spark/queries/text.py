@@ -2108,3 +2108,91 @@ def text_chi2_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("n").alias("n_docs"),
         F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2"),
     )
+
+
+@register(
+    "text_excise_duplicated_spans",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= {SPAN_GRAM} THEN
+               list_transform(generate_series(1, len(t) - {SPAN_GRAM - 1}),
+                 i -> t[i] || '_' || t[i+1] || '_' || t[i+2] || '_' || t[i+3] || '_'
+                      || t[i+4] || '_' || t[i+5] || '_' || t[i+6] || '_' || t[i+7])
+             ELSE [] END AS g
+      FROM toks
+    ),
+    pos AS (
+      SELECT doc_id, unnest(g) AS gram, generate_subscripts(g, 1) AS pos FROM grams
+    ),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+      FROM pos a JOIN pos b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT id_a, id_b, pa - pb AS diag, pb,
+             pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS grp
+      FROM m
+    ),
+    rl AS (
+      SELECT id_b AS did, min(pb) AS s,
+             min(pb) + count(*) + {SPAN_GRAM - 2} AS e
+      FROM runs GROUP BY id_a, id_b, diag, grp
+      HAVING count(*) >= {SPAN_MIN_RUN}
+    ),
+    iv AS (SELECT DISTINCT did, s, e FROM rl),
+    mrg AS (
+      SELECT did, s, e,
+             CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w THEN 1 ELSE 0 END AS isnew
+      FROM iv
+      WINDOW w AS (PARTITION BY did ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl AS (
+      SELECT did, s, e,
+             sum(isnew) OVER (PARTITION BY did ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS g
+      FROM mrg
+    ),
+    mi AS (SELECT did, g, min(s) AS s, max(e) AS e FROM isl GROUP BY did, g),
+    tp AS (
+      SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p, len(t) AS n
+      FROM toks
+    ),
+    dropped AS (
+      SELECT DISTINCT tp.doc_id, tp.p
+      FROM tp JOIN mi ON mi.did = tp.doc_id AND tp.p BETWEEN mi.s AND mi.e
+    ),
+    keep AS (
+      SELECT tp.doc_id, count(*) AS n_kept,
+             string_agg(tp.tok, ' ' ORDER BY tp.p) AS txt
+      FROM tp LEFT JOIN dropped d ON d.doc_id = tp.doc_id AND d.p = tp.p
+      WHERE d.p IS NULL
+      GROUP BY tp.doc_id
+    )
+    SELECT t.doc_id,
+           len(t.t) AS n_tokens,
+           len(t.t) - coalesce(k.n_kept, 0) AS n_removed,
+           coalesce(k.txt, '') AS clean_text
+    FROM toks t LEFT JOIN keep k USING (doc_id)
+    """,
+    description="Span-dedup POLICY: excise every shared >=10-token run from the later document (first occurrence wins)",
+    tags=("text", "dedup", "join", "window"),
+)
+def text_excise_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION half of text_duplicated_spans — detection without a
+    rewrite is a report, not a pipeline: every maximal shared run
+    (>= SPAN_GRAM + SPAN_MIN_RUN - 1 verbatim tokens) is removed from
+    the higher-id member of its pair, overlapping excisions from
+    different partners are interval-merged per document (a second
+    gaps-and-islands over the tiny interval table), and the rewrite
+    itself is a zero-shuffle index-aware HOF filter against each doc's
+    merged interval array. Compared surface is the full cleaned text
+    plus exact removal accounting, so the oracle pins byte-for-byte
+    rewrites, not just counts."""
+    from crypto_etl_pipeline_spark.operators.dedup import excise_duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return excise_duplicated_spans(docs, gram=SPAN_GRAM, min_run=SPAN_MIN_RUN)

@@ -842,3 +842,37 @@ def test_tws_sessionize_matches_v1(spark):
     v1 = {tuple(r) for r in stream_sessionize_stateful(spark, sf).collect()}
     v2 = {tuple(r) for r in stream_sessionize_tws(spark, sf).collect()}
     assert v1 == v2 and v1
+
+
+def test_excise_duplicated_spans_fixture(spark):
+    """First-occurrence-wins excision on hand-checked fixtures: the
+    lower-id doc keeps its text, the higher-id doc loses exactly the
+    shared run; overlapping runs from two partners merge into one
+    interval; non-duplicated docs pass through untouched (with
+    whitespace normalized by reconstruction)."""
+    from crypto_etl_pipeline_spark.operators.dedup import excise_duplicated_spans
+
+    G, MIN_RUN = 4, 2  # spans >= 5 tokens qualify
+    span = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    docs = [
+        (0, f"{span} tail0a tail0b"),
+        (1, f"pre1a pre1b {span}"),          # loses the 7-token span
+        (2, "solo doc nothing shared here"),
+        # overlapping excisions: 3 shares t1..t6 with 4; 5 shares t3..t8 with 4
+        (3, "t1 t2 t3 t4 t5 t6"),
+        (5, "t3 t4 t5 t6 t7 t8"),
+        (4, "x1 t1 t2 t3 t4 t5 t6 t7 t8 x2"),  # id 4 > 3, but < 5
+    ]
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in excise_duplicated_spans(
+            spark.createDataFrame(docs, ["doc_id", "text"]), gram=G, min_run=MIN_RUN
+        ).collect()
+    }
+    assert got[0] == (9, 0, f"{span} tail0a tail0b")
+    assert got[1] == (9, 7, "pre1a pre1b")
+    assert got[2] == (5, 0, "solo doc nothing shared here")
+    assert got[3] == (6, 0, docs[3][1])
+    # doc 4: loses t1..t6 (vs 3); doc 5 (higher than 4) loses t3..t8
+    assert got[4] == (10, 6, "x1 t7 t8 x2")
+    assert got[5] == (6, 6, "")
