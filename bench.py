@@ -99,6 +99,8 @@ HEADLINE = [
     "dpp_partitioned_star_probe",
     "ann_mmr_diversified_topk",
     "text_excise_duplicated_spans",
+    "seasonal_anomaly_hour_profile",
+    "impute_grouped_median_by_user_bucket",
 ]
 
 

@@ -301,3 +301,54 @@ def iqr_outlier_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~c.between(F.col("q1") - 1.5 * iqr, F.col("q3") + 1.5 * iqr)).alias("is_outlier"),
         )
     )
+
+
+@register(
+    "impute_grouped_median_by_user_bucket",
+    oracle="""
+    WITH holey AS (
+      SELECT event_id, event_type, user_id % 10 AS bucket,
+             CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, bucket, quantile_cont(v, 0.5) AS m
+      FROM holey GROUP BY event_type, bucket
+    )
+    SELECT h.event_id,
+           round(coalesce(h.v, med.m), 6) AS value_filled,
+           h.v IS NULL AND med.m IS NOT NULL AS was_imputed
+    FROM holey h LEFT JOIN med USING (event_type, bucket)
+    """,
+    description="Per-group exact-median imputation: stratum medians broadcast back over the fact (conditional-mean imputation family)",
+    tags=("cleaning", "stats"),
+)
+def impute_grouped_median_by_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified imputation — the global-median variant's realistic
+    big sibling: filling a click's missing value with the GLOBAL median
+    ignores that purchase values and view values live on different
+    scales, so the fill comes from the row's own (event_type,
+    user-bucket) stratum. The stratum median table is
+    groups-cardinality-sized (exact `percentile` per group, one hash
+    agg), broadcast back over the fact — same two-pass agg+broadcast
+    discipline as the global variant, never an unpartitioned window.
+    Strata that are entirely null (every click bucket) fill nothing
+    and report was_imputed=false, surfacing coverage honestly instead
+    of silently zero-filling."""
+    ev = load_table(spark, sf_dir, "events")
+    holey = ev.select(
+        "event_id",
+        "event_type",
+        (F.col("user_id") % 10).alias("bucket"),
+        F.when(F.col("event_type") == "click", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    med = holey.groupBy("event_type", "bucket").agg(
+        F.percentile(F.col("v"), F.lit(0.5)).alias("m")
+    )
+    return holey.join(F.broadcast(med), ["event_type", "bucket"], "left").select(
+        "event_id",
+        F.round(F.coalesce(F.col("v"), F.col("m")), 6).alias("value_filled"),
+        (F.col("v").isNull() & F.col("m").isNotNull()).alias("was_imputed"),
+    )

@@ -431,3 +431,64 @@ def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.round(F.sum("wv"), 4).alias("decayed_value"),
     )
+
+
+@register(
+    "seasonal_anomaly_hour_profile",
+    oracle="""
+    WITH prof AS (
+      SELECT event_type, extract(hour FROM ts) AS hod,
+             avg(value)         AS mu,
+             stddev_samp(value) AS sd,
+             count(value)       AS n
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT e.event_type, e.event_id, p.hod, p.n AS n_profile,
+           round((e.value - p.mu) / p.sd, 4) AS z,
+           abs(round((e.value - p.mu) / p.sd, 4)) > 3 AS is_anomaly
+    FROM events e
+    JOIN prof p ON p.event_type = e.event_type
+                AND p.hod = extract(hour FROM e.ts)
+    WHERE e.value IS NOT NULL AND p.sd IS NOT NULL AND p.sd > 0
+    """,
+    description="Seasonal anomaly: each event scored against its (type, hour-of-day) profile — the periodic baseline the trailing window misses",
+    tags=("market", "timeseries", "quality"),
+)
+def seasonal_anomaly_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERIODIC-baseline anomaly scoring, the complement to
+    rolling_zscore_anomaly's trailing window: a value normal at 14:00
+    may be anomalous at 03:00, and a trailing frame spanning the
+    boundary blurs exactly that. The (type, hour-of-day) profile is a
+    24 x n_types-row aggregate — dimension-sized at ANY corpus scale —
+    broadcast back over the fact scan, so the whole operator is one
+    corpus pass plus a map-side join: cheaper than the windowed
+    variant (no per-partition sort), and the profile table is the
+    natural persisted artifact refreshed on a rollup cadence. Flags
+    compare the ROUNDED z (both engines decide on the same 4-decimal
+    grid)."""
+    ev = load_table(spark, sf_dir, "events")
+    hod = F.hour("ts")
+    prof = (
+        ev.groupBy("event_type", hod.alias("hod"))
+        .agg(
+            F.avg("value").alias("mu"),
+            F.stddev_samp("value").alias("sd"),
+            F.count("value").alias("n_profile"),
+        )
+        .where(F.col("sd").isNotNull() & (F.col("sd") > 0))
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        ev.where(F.col("value").isNotNull())
+        .withColumn("hod", hod)
+        .join(F.broadcast(prof), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "event_id",
+            "hod",
+            "n_profile",
+            z.alias("z"),
+            (F.abs(z) > 3).alias("is_anomaly"),
+        )
+    )
