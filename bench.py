@@ -101,6 +101,7 @@ HEADLINE = [
     "text_excise_duplicated_spans",
     "seasonal_anomaly_hour_profile",
     "impute_grouped_median_by_user_bucket",
+    "rolling_wau_hll",
 ]
 
 

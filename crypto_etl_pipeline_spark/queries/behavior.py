@@ -203,3 +203,72 @@ def semistructured_props_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k_map).alias("sum_k_map"),
         F.count("props").alias("n_parsed"),
     )
+
+
+@register(
+    "rolling_wau_hll",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    fan AS (
+      SELECT DISTINCT g.report_day, du.user_id
+      FROM du, LATERAL unnest(generate_series(du.day, du.day + INTERVAL 6 DAY,
+                                              INTERVAL 1 DAY)) AS g(report_day)
+    ),
+    bounds AS (SELECT min(date_trunc('day', ts)) AS d0,
+                      max(date_trunc('day', ts)) AS d1 FROM events)
+    SELECT strftime(f.report_day, '%Y-%m-%d') AS day,
+           count(*) AS wau_exact,
+           true AS within_5pct
+    FROM fan f, bounds b
+    WHERE f.report_day BETWEEN b.d0 AND b.d1
+    GROUP BY f.report_day
+    """,
+    description="Rolling 7-day WAU via HLL sketch UNION over a window frame (mergeable-sketch window aggregate, 5% contract)",
+    tags=("behavior", "window", "sketch", "agg"),
+)
+def rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKETCH path for windowed distinct counting: rolling_wau's
+    exact fan-out costs O(active-pairs x window-days); at a 90-day
+    window that multiplier bites, and the mergeable alternative is one
+    HLL sketch PER DAY union-merged across the frame —
+    `hll_union_agg OVER (ROWS 6 PRECEDING)` — so cost is
+    O(active-pairs) + days x window sketch merges on a DIM-SIZED day
+    table (the unpartitioned window is over ~tens of day rows, not the
+    fact). The estimate is engine-specific, so the compared surface is
+    the exact count (same fan-out oracle as rolling_wau) plus the
+    'within 5%' accuracy-contract boolean (HLL lgK=12 ~1.6% typical
+    error; 5% is a >3-sigma bound) — the hll_sketch_mergeable_rollup
+    discipline applied to window frames."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.date_trunc("day", "ts").alias("day"), "user_id").distinct()
+    daily = du.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    est = daily.select(
+        "day", F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("wau_est")
+    )
+    exact = (
+        du.select(
+            F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("report_day"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("report_day")
+        .agg(F.count(F.lit(1)).alias("wau_exact"))
+    )
+    bounds = du.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    joined = (
+        exact.join(F.broadcast(bounds))
+        .where(F.col("report_day").between(F.col("d0"), F.col("d1")))
+        .join(est, est.day == F.col("report_day").cast("timestamp"))
+    )
+    return joined.select(
+        F.date_format("report_day", "yyyy-MM-dd").alias("day"),
+        "wau_exact",
+        (
+            F.abs(F.col("wau_est") - F.col("wau_exact")) / F.col("wau_exact") <= 0.05
+        ).alias("within_5pct"),
+    )
