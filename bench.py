@@ -102,6 +102,8 @@ HEADLINE = [
     "seasonal_anomaly_hour_profile",
     "impute_grouped_median_by_user_bucket",
     "rolling_wau_hll",
+    "quality_referential_audit",
+    "join_cardinality_estimate",
 ]
 
 

@@ -251,3 +251,135 @@ def ndjson_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.sum(md5_long(F.col("text"), 11)).alias("text_checksum"),
     )
+
+
+_FK_PAIRS = [
+    # (fact, fk, dim, pk) — the full schema's referential surface
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@register(
+    "quality_referential_audit",
+    oracle="\n    UNION ALL\n    ".join(
+        f"""SELECT '{fact}.{fk}' AS fk_edge,
+           (SELECT count(*) FROM {fact}) AS n_rows,
+           (SELECT count(*) FROM {fact} WHERE {fk} IS NULL) AS n_null_fk,
+           (SELECT count(*) FROM {fact} f
+             WHERE {fk} IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM {dim} d WHERE d.{pk} = f.{fk}))
+             AS n_orphans"""
+        for fact, fk, dim, pk in _FK_PAIRS
+    ),
+    description="Whole-schema referential-integrity audit: every FK edge's null and orphan counts in one report",
+    tags=("quality", "join"),
+)
+def quality_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The integrity dashboard a warehouse runs after every load: for
+    EVERY foreign-key edge in the schema, how many rows, how many null
+    keys, how many orphans (non-null key with no dimension partner).
+    Each edge is a LEFT ANTI join of the fact's DISTINCT key set
+    against the dimension — at 100 TB the distinct-key projection
+    collapses the fact before any join, and each dim side broadcasts;
+    per-edge results are one-row aggregates unioned into the report.
+    Flag, never drop: counts make the violation rate visible, policy
+    decides downstream (same discipline as `violations`)."""
+    rows = []
+    for fact, fk, dim, pk in _FK_PAIRS:
+        f = load_table(spark, sf_dir, fact)
+        d = load_table(spark, sf_dir, dim).select(F.col(pk).alias("_pk")).distinct()
+        keys = f.select(F.col(fk).alias("_fk"))
+        # orphan keys: distinct non-null fks absent from the dim,
+        # weighted back by their fact multiplicity
+        key_counts = (
+            keys.where(F.col("_fk").isNotNull())
+            .groupBy("_fk")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        orphans = key_counts.join(
+            F.broadcast(d), key_counts._fk == d._pk, "left_anti"
+        ).agg(F.coalesce(F.sum("_n"), F.lit(0)).alias("n_orphans"))
+        stats = keys.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("_fk").isNull().cast("long")).alias("n_null_fk"),
+        )
+        rows.append(
+            stats.crossJoin(F.broadcast(orphans)).select(
+                F.lit(f"{fact}.{fk}").alias("fk_edge"),
+                "n_rows",
+                "n_null_fk",
+                F.col("n_orphans").cast("long").alias("n_orphans"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
+    "join_cardinality_estimate",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders),
+         b AS (SELECT DISTINCT user_id  AS k FROM events)
+    SELECT (SELECT count(*) FROM a) AS n_left,
+           (SELECT count(*) FROM b) AS n_right,
+           (SELECT count(*) FROM a JOIN b USING (k)) AS n_overlap_exact,
+           true AS within_10pct
+    """,
+    description="Pre-join key-overlap estimation from per-side HLL sketches (inclusion-exclusion, 10% contract)",
+    tags=("quality", "sketch", "join"),
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a planner wants BEFORE committing to a 100 TB join: the key
+    overlap |A∩B| estimated as |A| + |B| − |A∪B| from three HLL
+    sketches — each side is ONE scan producing a few-KB sketch, the
+    union is a driver-side merge, and no shuffle of either table
+    happens at all (the sketches are the kind of per-partition/daily
+    stats a warehouse maintains anyway). Registered over the
+    orders-customer-activity pair (order keys vs event users). The
+    estimate itself is engine-specific, so the compared surface is the
+    exact counts plus a 10% accuracy-contract boolean — with ~1.6%
+    typical HLL error per term and three terms, inclusion-exclusion
+    stays well inside 10% when the overlap is a non-trivial fraction
+    of the union, which the fixture guarantees (user ids are a subset
+    of customer keys)."""
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    events = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    ska = orders.agg(
+        F.hll_sketch_agg("k").alias("sk"), F.countDistinct("k").alias("n_left")
+    )
+    skb = events.agg(
+        F.hll_sketch_agg("k").alias("sk"), F.countDistinct("k").alias("n_right")
+    )
+    both = ska.crossJoin(
+        skb.select(F.col("sk").alias("skb"), "n_right")
+    ).select(
+        "n_left",
+        "n_right",
+        F.hll_sketch_estimate("sk").alias("ea"),
+        F.hll_sketch_estimate("skb").alias("eb"),
+        F.hll_sketch_estimate(
+            F.hll_union("sk", "skb")
+        ).alias("eu"),
+    )
+    exact = (
+        orders.distinct()
+        .join(events.distinct(), "k")
+        .agg(F.count(F.lit(1)).alias("n_overlap_exact"))
+    )
+    est = F.col("ea") + F.col("eb") - F.col("eu")
+    return both.crossJoin(F.broadcast(exact)).select(
+        "n_left",
+        "n_right",
+        "n_overlap_exact",
+        (
+            F.abs(est - F.col("n_overlap_exact")) / F.col("n_overlap_exact") <= 0.10
+        ).alias("within_10pct"),
+    )
