@@ -104,6 +104,7 @@ HEADLINE = [
     "rolling_wau_hll",
     "quality_referential_audit",
     "join_cardinality_estimate",
+    "pack_ffd_bins",
 ]
 
 

@@ -1,0 +1,105 @@
+"""Padding-free sequence packing: best-fit-decreasing WITHOUT document
+splitting.
+
+The training-batch shape problem (Krell et al., arXiv:2107.02027
+"Efficient Sequence Packing"): fixed-capacity bins, each document
+placed whole, minimize bins (= padding waste). Bin packing is
+inherently sequential, so the distributed formulation SHARDS the
+corpus (hash or attribute shards), runs best-fit-decreasing INSIDE
+each shard on its executor via applyInPandas — the driver never sees a
+document — and emits (doc -> shard, bin, offset). Sharding costs a
+little efficiency versus one global pack (measured here: none at all
+at full-shard sizes, see tests) and buys full parallelism plus bounded
+per-task state: exactly the trade the existing split-style packer
+(pack_training_sequences) makes with its cumulative windows.
+
+The complement, not a replacement, of concat-and-slice packing: slicing
+maximizes density but cuts documents across boundaries; FFD keeps
+every document intact at the cost of tail headroom. Real pipelines run
+both and pick per-dataset.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_left, insort
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ffd_pack_shard(lengths: list[tuple[int, int]], capacity: int) -> dict[int, tuple[int, int]]:
+    """Pure-Python best-fit-decreasing over one shard.
+
+    ``lengths``: (doc_id, n_tok) pairs. Returns doc_id -> (bin_id,
+    offset). Docs longer than ``capacity`` get a dedicated bin each
+    (flagged by offset 0 and full length — the caller decides whether
+    to truncate or route to a long-context dataset). Deterministic:
+    items sorted by (-n_tok, doc_id); ties in best-fit resolve to the
+    LOWEST bin id among equal residuals.
+    """
+    order = sorted(lengths, key=lambda t: (-t[1], t[0]))
+    # sorted list of (residual, bin_id); best fit = smallest residual >= need
+    open_bins: list[tuple[int, int]] = []
+    fills: dict[int, int] = {}
+    out: dict[int, tuple[int, int]] = {}
+    next_bin = 0
+    for doc_id, n in order:
+        if n >= capacity:
+            out[doc_id] = (next_bin, 0)
+            fills[next_bin] = n
+            next_bin += 1
+            continue
+        i = bisect_left(open_bins, (n, -1))
+        if i == len(open_bins):
+            out[doc_id] = (next_bin, 0)
+            fills[next_bin] = n
+            insort(open_bins, (capacity - n, next_bin))
+            next_bin += 1
+        else:
+            # among equal residuals, bisect found the lowest bin id
+            resid, b = open_bins.pop(i)
+            out[doc_id] = (b, fills[b])
+            fills[b] += n
+            if resid - n > 0:
+                insort(open_bins, (resid - n, b))
+    return out
+
+
+def pack_ffd(
+    docs: DataFrame,
+    capacity: int,
+    shard_col: str = "lang",
+    len_col: str = "n_tok",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, shard, bin_id, offset, n_tok): whole-document bin
+    assignments, best-fit-decreasing within each shard.
+
+    The per-shard pack runs in applyInPandas — the sequential algorithm
+    executes executor-side on shard-local data, the classic
+    'mapInPandas/applyInPandas only where built-ins genuinely cannot
+    express it' case (a loop-carried residual structure has no
+    window/aggregate form). Output is deterministic for a fixed
+    sharding, independent of partition layout.
+    """
+    import pandas as pd
+
+    schema = f"{id_col} long, shard string, bin_id long, offset long, {len_col} long"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pairs = list(zip(pdf[id_col].tolist(), pdf[len_col].tolist()))
+        placed = ffd_pack_shard(pairs, capacity)
+        ids = pdf[id_col].tolist()
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "shard": pdf[shard_col].tolist(),
+                "bin_id": [placed[i][0] for i in ids],
+                "offset": [placed[i][1] for i in ids],
+                len_col: pdf[len_col].tolist(),
+            }
+        )
+
+    return docs.select(id_col, shard_col, len_col).groupBy(shard_col).applyInPandas(
+        pack, schema=schema
+    )

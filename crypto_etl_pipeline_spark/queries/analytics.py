@@ -1920,9 +1920,9 @@ UNIVERSE_SALT = "universe-v1"
     )
     SELECT s.c_mktsegment AS segment,
            count(*) AS n_customers,
-           coalesce(sum(o.n_orders), 0) AS n_orders,
+           coalesce(sum(o.n_orders), 0)::BIGINT AS n_orders,
            round(coalesce(sum(o.spend), 0), 4) AS sum_spend,
-           coalesce(sum(e.n_events), 0) AS n_events
+           coalesce(sum(e.n_events), 0)::BIGINT AS n_events
     FROM s
     LEFT JOIN o ON o.o_custkey = s.c_custkey
     LEFT JOIN e ON e.user_id = s.c_custkey

@@ -876,3 +876,70 @@ def test_excise_duplicated_spans_fixture(spark):
     # doc 4: loses t1..t6 (vs 3); doc 5 (higher than 4) loses t3..t8
     assert got[4] == (10, 6, "x1 t7 t8 x2")
     assert got[5] == (6, 6, "")
+
+
+# ---------------------------------------------------------------------------
+# FFD sequence packing: independent reference + packing properties
+# ---------------------------------------------------------------------------
+def test_ffd_pack_matches_independent_reference_and_properties(spark):
+    """The Spark shard pack must equal the pure-Python kernel run on
+    the same shard (determinism through applyInPandas), and the kernel
+    itself must satisfy the packing invariants on random workloads:
+    every doc placed once, no bin overflow (oversize docs alone in
+    their bin), offsets tile each bin exactly, and FFD never uses more
+    bins than next-fit."""
+    import random
+
+    from crypto_etl_pipeline_spark.operators.packing import ffd_pack_shard, pack_ffd
+
+    rng = random.Random(7)
+    for trial in range(25):
+        cap = rng.choice([64, 128, 257])
+        items = [
+            (i, rng.randrange(1, cap * 2 if trial % 5 == 0 else cap))
+            for i in range(rng.randrange(1, 120))
+        ]
+        placed = ffd_pack_shard(items, cap)
+        assert set(placed) == {i for i, _ in items}
+        fills = {}
+        for (i, n) in items:
+            b, off = placed[i]
+            fills.setdefault(b, []).append((off, n))
+        nf_bins, nf_fill = 1, 0
+        for _, n in sorted(items, key=lambda t: (-t[1], t[0])):
+            if nf_fill + n > cap:
+                nf_bins, nf_fill = nf_bins + 1, 0
+            nf_fill += n
+        assert len(fills) <= nf_bins
+        for b, parts in fills.items():
+            parts.sort()
+            total = sum(n for _, n in parts)
+            if any(n >= cap for _, n in parts):
+                assert len(parts) == 1  # oversize isolated
+            else:
+                assert total <= cap
+            pos = 0
+            for off, n in parts:
+                assert off == pos  # contiguous tiling
+                pos += n
+
+    # Spark == kernel on the real corpus
+    from pyspark.sql import functions as F
+
+    from crypto_etl_pipeline_spark.operators.textops import token_count
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tok")
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["bin_id"], r["offset"])
+        for r in pack_ffd(docs, capacity=128, shard_col="lang").collect()
+    }
+    by_lang = {}
+    for r in docs.collect():
+        by_lang.setdefault(r["lang"], []).append((r["doc_id"], r["n_tok"]))
+    for lang, pairs in by_lang.items():
+        ref = ffd_pack_shard(pairs, 128)
+        for doc_id, (b, off) in ref.items():
+            assert got[doc_id] == (lang, b, off)
