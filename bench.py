@@ -105,6 +105,7 @@ HEADLINE = [
     "quality_referential_audit",
     "join_cardinality_estimate",
     "pack_ffd_bins",
+    "ann_ivf_persisted_probe",
 ]
 
 

@@ -585,3 +585,42 @@ def ann_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = step_df if out is None else out.unionByName(step_df)
     return out
+
+
+@register(
+    "ann_ivf_persisted_probe",
+    oracle=None,  # set below: identical contract to ann_ivf_topk
+    description="IVF probe against the PERSISTED cell-partitioned index: broadcast probe triggers dynamic partition pruning",
+    tags=("similarity",),
+)
+def ann_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-rest half of the IVF story made executable: the assigned
+    corpus is WRITTEN partitioned by cell id (the 100 TB layout every
+    IVF docstring in operators/similarity.py promises), read back, and
+    probed — the nprobe cell ids arrive through the broadcast probe
+    join, so the parquet read prunes to the probed partitions via
+    DYNAMIC partition pruning (dynamicpruningexpression on the index
+    scan, plan-asserted in tests/test_scale_patterns.py). Results are
+    bit-identical to ann_ivf_topk (same seeded centroids, same
+    quantized distances), so it shares that query's full oracle."""
+    import tempfile
+
+    from crypto_etl_pipeline_spark.operators.similarity import (
+        ivf_assign_cells,
+        ivf_build_centroids,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_build_centroids(emb, k=IVF_K, iters=0)
+    path = tempfile.mkdtemp(prefix="ivf_index_") + "/cells"
+    ivf_assign_cells(emb, cents).write.mode("overwrite").partitionBy("_cell").parquet(path)
+    index = spark.read.parquet(path)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return ivf_topk(emb, queries, cents, k=TOP_K, nprobe=IVF_NPROBE, cells=index)
+
+
+# share the oracle with ann_ivf_topk (identical result contract)
+from crypto_etl_pipeline_spark.queries.base import REGISTRY as _REG  # noqa: E402
+
+_REG["ann_ivf_persisted_probe"].oracle = _REG["ann_ivf_topk"].oracle

@@ -258,3 +258,15 @@ def test_dpp_probe_prunes_at_runtime(spark):
     assert "dynamicpruning" in plan.lower()
     # static pruning would read 'PartitionFilters: [... (l_returnflag = R)]'
     assert "(l_returnflag = R)" not in plan.replace("#", " ")
+
+
+def test_ivf_persisted_probe_uses_dpp(spark):
+    """The persisted cell-partitioned IVF index must be probed through
+    DYNAMIC partition pruning: the nprobe cell ids come from the
+    broadcast probe join, so the index scan's PartitionFilters carry a
+    dynamicpruningexpression — the at-rest ANN layout claim, enforced."""
+    from crypto_etl_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["ann_ivf_persisted_probe"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
