@@ -601,14 +601,14 @@ def roundtrip_jsonl_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     column stays out of the projection: JSON timestamp serialization is
     format-lossy by design (micros -> text), which is a property of the
     format, not this engine."""
-    import tempfile
+    from crypto_etl_pipeline_spark.sources.sinks import scratch_dir
 
     from crypto_etl_pipeline_spark.sources.sinks import read_jsonl, write_jsonl
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    path = tempfile.mkdtemp(prefix="events_jsonl_") + "/events"
+    path = scratch_dir("events_jsonl_") + "/events"
     write_jsonl(ev, path)
     back = read_jsonl(
         spark, path, "event_id long, user_id long, event_type string, value double"
@@ -643,14 +643,12 @@ def partitioned_write_prune_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly. Value-checks the partitioned-layout path end to end —
     the plan-level PartitionFilters assertion lives in
     tests/test_scale_patterns.py."""
-    import tempfile
-
-    from crypto_etl_pipeline_spark.sources.sinks import write_parquet
+    from crypto_etl_pipeline_spark.sources.sinks import scratch_dir, write_parquet
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", "l_extendedprice"
     )
-    path = tempfile.mkdtemp(prefix="li_part_") + "/lineitem"
+    path = scratch_dir("li_part_") + "/lineitem"
     write_parquet(li, path, partition_by=["l_returnflag"])
     back = spark.read.parquet(path).where(F.col("l_returnflag") == "R")
     return (
@@ -1102,7 +1100,7 @@ def csv_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     none invented. FAILFAST/DROPMALFORMED are the strict alternatives;
     a 100 TB ingest almost always wants this audit-then-quarantine
     shape instead."""
-    import tempfile
+    from crypto_etl_pipeline_spark.sources.sinks import scratch_dir
 
     orders = load_table(spark, sf_dir, "orders")
     dirty = orders.select(
@@ -1112,7 +1110,7 @@ def csv_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_totalprice").cast("string"))
         .alias("o_totalprice"),
     )
-    path = tempfile.mkdtemp(prefix="orders_dirty_") + "/orders_csv"
+    path = scratch_dir("orders_dirty_") + "/orders_csv"
     dirty.write.mode("overwrite").option("header", True).csv(path)
     back = (
         spark.read.schema("o_orderkey long, o_orderstatus string, o_totalprice double")
@@ -1871,12 +1869,12 @@ def schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the compared surface: it proves the null-fill semantics, not
     just that the read succeeded. The oracle replays both generations
     arithmetically from the source table."""
-    import tempfile
+    from crypto_etl_pipeline_spark.sources.sinks import scratch_dir
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    root = tempfile.mkdtemp(prefix="schema_evo_") + "/events"
+    root = scratch_dir("schema_evo_") + "/events"
     b1 = ev.where(F.col("user_id") % 2 == 0)
     b2 = ev.where(F.col("user_id") % 2 == 1).withColumn(
         "value_eur", F.round(F.col("value") * 0.9, 4)
@@ -2021,14 +2019,12 @@ def dpp_partitioned_star_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     curated dim slice. The plan property (dynamicpruningexpression
     present, static pruning absent) is asserted in
     tests/test_scale_patterns.py."""
-    import tempfile
-
-    from crypto_etl_pipeline_spark.sources.sinks import write_parquet
+    from crypto_etl_pipeline_spark.sources.sinks import scratch_dir, write_parquet
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", "l_extendedprice"
     )
-    root = tempfile.mkdtemp(prefix="dpp_star_")
+    root = scratch_dir("dpp_star_")
     write_parquet(li, root + "/fact", partition_by=["l_returnflag"])
     dim = li.select(F.col("l_returnflag").alias("flag")).distinct().withColumn(
         "flag_class",

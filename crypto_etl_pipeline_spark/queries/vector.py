@@ -603,17 +603,16 @@ def ann_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, plan-asserted in tests/test_scale_patterns.py). Results are
     bit-identical to ann_ivf_topk (same seeded centroids, same
     quantized distances), so it shares that query's full oracle."""
-    import tempfile
-
     from crypto_etl_pipeline_spark.operators.similarity import (
         ivf_assign_cells,
         ivf_build_centroids,
         ivf_topk,
     )
+    from crypto_etl_pipeline_spark.sources.sinks import scratch_dir
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ivf_build_centroids(emb, k=IVF_K, iters=0)
-    path = tempfile.mkdtemp(prefix="ivf_index_") + "/cells"
+    path = scratch_dir("ivf_index_") + "/cells"
     ivf_assign_cells(emb, cents).write.mode("overwrite").partitionBy("_cell").parquet(path)
     index = spark.read.parquet(path)
     queries = emb.where(F.col("vec_id") < N_QUERIES)

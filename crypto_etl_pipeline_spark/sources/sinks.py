@@ -120,3 +120,19 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp + interpreter-exit cleanup, for queries that materialize
+    intermediate parquet (partitioned layouts, persisted indexes,
+    schema-evolution generations). The streaming module keeps its own
+    identical helper for checkpoints/stores; both exist so repeated
+    bench/driver runs never accumulate orphaned scratch data under
+    /tmp (the round-4 advisor finding, generalized)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
