@@ -65,18 +65,49 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     prev_sum = None
+    converged = False
 
-    for _ in range(max_iter):
+    for r in range(max_iter):
         msgs = (
             sym.join(labels, sym.a == labels.id)
             .select(F.col("b").alias("id"), F.col("component"))
         )
-        new_labels = (
+        prop = (
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=False)
         )
+        if r < 2:
+            # Shallow near-dup graphs (tight clusters) converge in 1-2
+            # plain rounds; don't pay the jump join for them.
+            new_labels = prop.localCheckpoint(eager=False)
+        else:
+            # Pointer jump (path compression): from round 3 on, each
+            # label also adopts its LABEL's label — propagation distance
+            # doubles per round, so chain-shaped graphs (exactly what
+            # mid-threshold similarity pair sets produce) converge in
+            # O(log diameter) rounds instead of exhausting max_iter.
+            # Silently returning unconverged labels is the failure mode
+            # this replaces — non-convergence now RAISES below. prop is
+            # referenced on both sides of the join: checkpoint so the
+            # propagation agg runs once. Every component value is itself
+            # an endpoint id, so the self-join is total (left join
+            # guards the invariant anyway).
+            prop = prop.localCheckpoint(eager=False)
+            jump = prop.select(
+                F.col("id").alias("_jid"), F.col("component").alias("_jcomp")
+            )
+            new_labels = (
+                prop.join(jump, prop.component == F.col("_jid"), "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("_jcomp"), F.col("component")),
+                    ).alias("component"),
+                )
+                .localCheckpoint(eager=False)
+            )
         # Converged when no label decreased: labels only ever decrease,
         # so an unchanged sum == identical assignment. This agg is the
         # single action of the round — it both materializes new_labels'
@@ -86,8 +117,14 @@ def connected_components(
         new_sum = new_labels.agg(F.sum("component")).first()[0]
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(doubled propagation covers diameter 2^rounds — raise max_iter)"
+        )
     # Singletons (no incident edges) rejoin with component = own id.
     # The label table is collision-density-sized, so AQE will broadcast
     # it against a large node table on a real cluster.

@@ -943,3 +943,24 @@ def test_ffd_pack_matches_independent_reference_and_properties(spark):
         ref = ffd_pack_shard(pairs, 128)
         for doc_id, (b, off) in ref.items():
             assert got[doc_id] == (lang, b, off)
+
+
+def test_connected_components_converges_on_deep_chain(spark):
+    """Regression for the silent-truncation bug: a 40-node path graph
+    has diameter 39 — plain min-label propagation cannot finish in
+    max_iter=10 rounds, but pointer-jumped propagation covers distance
+    2^(rounds-2) and must (a) converge and (b) label every node with
+    the chain head. The sf0.1 semantic-dedup graph is exactly this
+    shape (long tau-chains), which is how the bug was found."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from crypto_etl_pipeline_spark.operators.cluster import connected_components
+
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges, max_iter=10).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
