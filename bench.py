@@ -106,6 +106,7 @@ HEADLINE = [
     "join_cardinality_estimate",
     "pack_ffd_bins",
     "ann_ivf_persisted_probe",
+    "join_skew_profile",
 ]
 
 

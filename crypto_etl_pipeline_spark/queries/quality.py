@@ -383,3 +383,99 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est - F.col("n_overlap_exact")) / F.col("n_overlap_exact") <= 0.10
         ).alias("within_10pct"),
     )
+
+
+SKEW_TOP_K = 10
+
+
+@register(
+    "join_skew_profile",
+    oracle=f"""
+    WITH la AS (
+      SELECT o_custkey AS k, count(*) AS n_left FROM orders GROUP BY 1
+    ),
+    rb AS (
+      SELECT user_id AS k, count(*) AS n_right FROM events GROUP BY 1
+    ),
+    ta AS (
+      SELECT k, n_left FROM (
+        SELECT k, n_left, row_number() OVER (ORDER BY n_left DESC, k) AS rn FROM la
+      ) WHERE rn <= {SKEW_TOP_K}
+    ),
+    tb AS (
+      SELECT k, n_right FROM (
+        SELECT k, n_right, row_number() OVER (ORDER BY n_right DESC, k) AS rn FROM rb
+      ) WHERE rn <= {SKEW_TOP_K}
+    ),
+    tot AS (
+      SELECT (SELECT sum(la.n_left * rb.n_right)
+              FROM la JOIN rb USING (k))::BIGINT AS total_pairs
+    ),
+    heavy AS (SELECT k FROM ta UNION SELECT k FROM tb)
+    SELECT h.k AS key,
+           coalesce(la.n_left, 0)::BIGINT  AS n_left,
+           coalesce(rb.n_right, 0)::BIGINT AS n_right,
+           (coalesce(la.n_left, 0) * coalesce(rb.n_right, 0))::BIGINT AS est_pairs,
+           round(coalesce(la.n_left, 0) * coalesce(rb.n_right, 0) * 1.0
+                 / tot.total_pairs, 6) AS pair_share
+    FROM heavy h
+    LEFT JOIN la ON la.k = h.k
+    LEFT JOIN rb ON rb.k = h.k
+    CROSS JOIN tot
+    """,
+    description="Pre-join skew profile: heavy keys on both sides and their share of the join's output pairs",
+    tags=("quality", "join", "topk"),
+)
+def join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew reconnaissance a planner (or an engineer choosing a
+    salting factor) runs BEFORE a big join: per-side key histograms
+    are two scans' worth of hash aggregation, the top-k cut is a
+    TakeOrderedAndProject on each dim-sized histogram, and a heavy
+    key's contribution to the join output is exactly n_left*n_right —
+    so 'these 10 keys produce X% of all output pairs' falls out of
+    arithmetic on two tiny tables. The exact total-pair denominator
+    joins the two HISTOGRAMS (distinct-key-sized), never the facts.
+    AQE's skew-join split handles the execution side at runtime;
+    this is the observability side that says whether to pre-salt."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    events = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    la = orders.groupBy("k").agg(F.count(F.lit(1)).alias("n_left"))
+    rb = events.groupBy("k").agg(F.count(F.lit(1)).alias("n_right"))
+
+    def topk(df, col):
+        w = Window.orderBy(F.desc(col), F.asc("k"))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= SKEW_TOP_K)
+            .drop("_rn")
+        )
+
+    tot = (
+        la.join(rb, "k")
+        .agg(F.sum(F.col("n_left") * F.col("n_right")).cast("long").alias("total_pairs"))
+    )
+    # a key heavy on EITHER side already skews the join: report the
+    # union of both top-k sets, with the other side's count (0 when
+    # the key is absent there — est_pairs 0 says "heavy but harmless")
+    heavy = (
+        topk(la, "n_left")
+        .select("k")
+        .unionByName(topk(rb, "n_right").select("k"))
+        .distinct()
+    )
+    nl = F.coalesce(F.col("n_left"), F.lit(0)).cast("long")
+    nr = F.coalesce(F.col("n_right"), F.lit(0)).cast("long")
+    return (
+        heavy.join(la, "k", "left")
+        .join(rb, "k", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").alias("key"),
+            nl.alias("n_left"),
+            nr.alias("n_right"),
+            (nl * nr).cast("long").alias("est_pairs"),
+            F.round(nl * nr / F.col("total_pairs"), 6).alias("pair_share"),
+        )
+    )
