@@ -107,6 +107,7 @@ HEADLINE = [
     "pack_ffd_bins",
     "ann_ivf_persisted_probe",
     "join_skew_profile",
+    "pipeline_curation_v2",
 ]
 
 

@@ -2274,3 +2274,126 @@ def pack_ffd_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_tokens") / (F.col("n_bins") * PACK_CAPACITY) >= 0.85
         ).alias("efficiency_ge_085"),
     )
+
+
+ENTROPY_FLOOR = 3.95  #: bits/token; nearest doc values are >=2e-3 away at
+#: both compared SFs (measured), so the cut is FP-noise-proof.
+
+
+@register(
+    "pipeline_curation_v2",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, lang, text,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok,
+             len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS n_uniq,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             t -> t IN ({_EN}))) AS n_stop
+      FROM documents
+    ),
+    tk AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+           FROM documents),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+    te AS (SELECT doc_id, round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS h
+           FROM tc GROUP BY 1),
+    gated AS (
+      SELECT f.doc_id, f.lang, f.text, f.n_tok,
+             (CASE WHEN f.n_tok >= 10 AND f.n_uniq * 1.0 / f.n_tok >= 0.3
+                        AND f.n_stop > 0 THEN 1 ELSE 0 END = 1
+              AND te.h >= {ENTROPY_FLOOR}) AS keep_q
+      FROM feat f JOIN te USING (doc_id)
+    ),
+    kept AS (
+      SELECT doc_id, lang, n_tok,
+             doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+      FROM gated WHERE keep_q
+    )
+    SELECT g.lang,
+           count(*) AS n_candidates,
+           sum(CASE WHEN g.keep_q THEN 1 ELSE 0 END)::BIGINT AS n_quality,
+           (SELECT count(*) FROM kept k WHERE k.lang = g.lang AND k.canonical)
+             AS n_kept,
+           (SELECT coalesce(sum(k.n_tok), 0)::BIGINT FROM kept k
+             WHERE k.lang = g.lang AND k.canonical) AS tokens_kept,
+           round((SELECT count(*) FROM kept k WHERE k.lang = g.lang AND k.canonical)
+                 * 1.0 / count(*), 6) AS yield_rate
+    FROM gated g GROUP BY g.lang
+    """,
+    description="Curation pipeline v2: quality-rule + entropy gate -> exact dedup (canonical keep) -> per-lang yield",
+    tags=("text", "pipeline", "dedup", "quality"),
+)
+def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the session's quality surface into the standard curation
+    funnel: heuristic quality rule AND token-entropy floor (the
+    signals disagree on different junk classes — the rule catches
+    short/stopword-free docs, entropy catches loops the rule passes),
+    then exact dedup keeping the min-id canonical per md5 fingerprint,
+    reported as per-language funnel counts + token yield. One fused
+    plan: the entropy aggregation joins back per doc, every gate is an
+    expression, the dedup canonical flag is one fingerprint-partitioned
+    window — two corpus-sized exchanges total (entropy grams, dedup
+    fingerprints). The funnel-report shape (candidates -> quality ->
+    deduped -> tokens) is what a 100 TB ingest run logs per batch."""
+    from pyspark.sql.window import Window
+
+    from crypto_etl_pipeline_spark.operators.textops import (
+        fingerprint_md5,
+        quality_label,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc_counts = (
+        docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("_t"))
+        .groupBy("doc_id", "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    n = F.sum("_c")
+    ent = tc_counts.groupBy("doc_id").agg(
+        F.round(
+            F.log2(n) - F.sum(F.col("_c") * F.log2("_c")) / n, 6
+        ).alias("_h")
+    )
+    gated = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "text",
+            token_count(F.col("text")).alias("n_tok"),
+            (quality_label(F.col("text")) == "ok").alias("_q"),
+        )
+        .join(ent, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "text",
+            "n_tok",
+            (F.col("_q") & (F.col("_h") >= ENTROPY_FLOOR)).alias("keep_q"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy(fingerprint_md5(F.col("text")))
+    kept = gated.where("keep_q").withColumn(
+        "canonical", F.col("doc_id") == F.min("doc_id").over(w)
+    )
+    funnel = gated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.col("keep_q").cast("long")).alias("n_quality"),
+    )
+    dedup = kept.where("canonical").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tok").cast("long").alias("tokens_kept"),
+    )
+    return (
+        funnel.join(dedup, "lang", "left")
+        .select(
+            "lang",
+            "n_candidates",
+            "n_quality",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).cast("long").alias("tokens_kept"),
+            F.round(
+                F.coalesce("n_kept", F.lit(0)) / F.col("n_candidates"), 6
+            ).alias("yield_rate"),
+        )
+    )
