@@ -108,6 +108,8 @@ HEADLINE = [
     "ann_ivf_persisted_probe",
     "join_skew_profile",
     "pipeline_curation_v2",
+    "late_data_profile",
+    "model_eval_suite",
 ]
 
 

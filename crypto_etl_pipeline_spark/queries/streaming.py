@@ -932,3 +932,66 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = load_table(spark, sf_dir, "events")
     return verify_heavy_hitters(batch, "event_type", store.select("term"), k=5)
+
+
+@register(
+    "late_data_profile",
+    oracle="""
+    WITH arr AS (
+      SELECT event_id, ts,
+             max(ts) OVER (ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS frontier
+      FROM events
+    ),
+    lat AS (
+      SELECT (epoch_us(frontier) - epoch_us(ts)) / 1000000.0 AS late_s
+      FROM arr
+    )
+    SELECT count(*) AS n_events,
+           sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late,
+           round(quantile_cont(late_s, 0.5), 3)  AS late_p50_s,
+           round(quantile_cont(late_s, 0.95), 3) AS late_p95_s,
+           round(quantile_cont(late_s, 0.99), 3) AS late_p99_s,
+           round(max(late_s), 3) AS late_max_s,
+           sum(CASE WHEN late_s > 3600 THEN 1 ELSE 0 END)::BIGINT
+             AS n_beyond_1h,
+           sum(CASE WHEN late_s > 7200 THEN 1 ELSE 0 END)::BIGINT
+             AS n_beyond_2h
+    FROM lat
+    """,
+    description="Event-time lateness profile vs the arrival frontier: the measurement that SIZES a watermark",
+    tags=("streaming", "window", "quality"),
+)
+def late_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarks are chosen, not guessed — this is the measurement
+    they are chosen FROM: each event's lateness is the gap between its
+    event time and the running event-time frontier at its arrival
+    (arrival order = event_id in this corpus — the generator's append
+    order). The p95/p99/max lateness quantiles map directly onto the
+    withWatermark delay that keeps (1 - p) of data, and the
+    beyond-1h/2h counts are exactly the rows the registered 1-2 h
+    watermarks would drop. One ordered-frontier window (running max
+    over arrival order — at scale, per arrival shard + shard offsets,
+    the global_sequence_ids pattern) plus a single exact-quantile
+    aggregate."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    late = ev.select(
+        (
+            (F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts")))
+            / 1_000_000.0
+        ).alias("late_s")
+    )
+    q = F.percentile(F.col("late_s"), F.lit([0.5, 0.95, 0.99]))
+    return late.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("late_s") > 0).cast("long")).alias("n_late"),
+        F.round(q.getItem(0), 3).alias("late_p50_s"),
+        F.round(q.getItem(1), 3).alias("late_p95_s"),
+        F.round(q.getItem(2), 3).alias("late_p99_s"),
+        F.round(F.max("late_s"), 3).alias("late_max_s"),
+        F.sum((F.col("late_s") > 3600).cast("long")).alias("n_beyond_1h"),
+        F.sum((F.col("late_s") > 7200).cast("long")).alias("n_beyond_2h"),
+    )

@@ -2397,3 +2397,130 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("yield_rate"),
         )
     )
+
+
+EVAL_T = 0.1  #: confusion-matrix operating threshold on the score
+#: (an exact integer quotient in both engines — no FP edge)
+
+
+@register(
+    "model_eval_suite",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok,
+             len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS n_uniq,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             t -> t IN ({_EN}))) AS n_stop
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id,
+             n_stop * 1.0 / n_tok AS score,
+             CASE WHEN n_tok >= 10 AND n_uniq * 1.0 / n_tok >= 0.3 AND n_stop > 0
+                  THEN 1 ELSE 0 END AS y
+      FROM feat
+    ),
+    rk AS (
+      SELECT doc_id, score, y,
+             avg(rn) OVER (PARTITION BY score) AS tie_rank
+      FROM (SELECT *, row_number() OVER (ORDER BY score, doc_id) * 1.0 AS rn
+            FROM sc)
+    ),
+    auc AS (
+      SELECT (sum(CASE WHEN y = 1 THEN tie_rank END)
+              - sum(y) * (sum(y) + 1) / 2.0)
+             / (sum(y) * (count(*) - sum(y))) AS v
+      FROM rk
+    ),
+    dec AS (
+      SELECT ntile(10) OVER (ORDER BY score, doc_id) AS b, score, y FROM sc
+    ),
+    cal AS (
+      SELECT b, count(*) AS nb, avg(score) AS ms, avg(y * 1.0) AS rate
+      FROM dec GROUP BY b
+    )
+    SELECT count(*) AS n_docs,
+           sum(y)::BIGINT AS n_pos,
+           (SELECT round(v, 6) FROM auc) AS auc,
+           sum(CASE WHEN score >= {EVAL_T} AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+           sum(CASE WHEN score >= {EVAL_T} AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+           sum(CASE WHEN score <  {EVAL_T} AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS fn,
+           sum(CASE WHEN score <  {EVAL_T} AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS tn,
+           (SELECT round(sum(nb * abs(ms - rate)) / sum(nb), 6) FROM cal) AS ece
+    FROM sc
+    """,
+    description="Distributed model evaluation: tie-aware Mann-Whitney AUC, confusion matrix, decile-calibration ECE",
+    tags=("text", "quality", "ml", "window"),
+)
+def model_eval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation half of the classifier story: given per-doc
+    scores (here the stopword-ratio feature — a real, monotone signal
+    for the 'ok' label) and labels, compute AUC as the tie-aware
+    Mann-Whitney rank statistic (positives' mean tied-rank sum — an
+    ORDER BY window plus two aggregates, no pairwise comparison ever
+    materializes), the exact confusion matrix at an integer-quotient
+    threshold, and expected calibration error over ntile deciles. At
+    100 TB the global rank is the one ordered window — replace with
+    the range-partitioned rank (global_sequence_ids pattern) and
+    everything downstream is unchanged. All counts exact; AUC/ECE
+    rounded on the same grid in both engines."""
+    from pyspark.sql.window import Window
+
+    from crypto_etl_pipeline_spark.operators.textops import (
+        quality_label,
+        stopword_ratio,
+        STOPWORDS,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sc = docs.select(
+        "doc_id",
+        stopword_ratio(F.col("text"), STOPWORDS["en"]).alias("score"),
+        (quality_label(F.col("text")) == "ok").cast("long").alias("y"),
+    ).localCheckpoint(eager=False)
+    rn = F.row_number().over(Window.orderBy("score", "doc_id")).cast("double")
+    rk = sc.withColumn("_rn", rn).withColumn(
+        "tie_rank", F.avg("_rn").over(Window.partitionBy("score"))
+    )
+    auc = rk.agg(
+        (
+            (
+                F.sum(F.when(F.col("y") == 1, F.col("tie_rank")))
+                - F.sum("y") * (F.sum("y") + 1) / 2.0
+            )
+            / (F.sum("y") * (F.count(F.lit(1)) - F.sum("y")))
+        ).alias("v")
+    )
+    dec = sc.withColumn("b", F.ntile(10).over(Window.orderBy("score", "doc_id")))
+    cal = dec.groupBy("b").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.avg("score").alias("ms"),
+        F.avg(F.col("y").cast("double")).alias("rate"),
+    )
+    ece = cal.agg(
+        (F.sum(F.col("nb") * F.abs(F.col("ms") - F.col("rate"))) / F.sum("nb")).alias("e")
+    )
+    pred = F.col("score") >= EVAL_T
+    base = sc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("y").alias("n_pos"),
+        F.sum((pred & (F.col("y") == 1)).cast("long")).alias("tp"),
+        F.sum((pred & (F.col("y") == 0)).cast("long")).alias("fp"),
+        F.sum((~pred & (F.col("y") == 1)).cast("long")).alias("fn"),
+        F.sum((~pred & (F.col("y") == 0)).cast("long")).alias("tn"),
+    )
+    return (
+        base.crossJoin(F.broadcast(auc))
+        .crossJoin(F.broadcast(ece))
+        .select(
+            "n_docs",
+            "n_pos",
+            F.round("v", 6).alias("auc"),
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            F.round("e", 6).alias("ece"),
+        )
+    )
