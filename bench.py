@@ -110,6 +110,8 @@ HEADLINE = [
     "pipeline_curation_v2",
     "late_data_profile",
     "model_eval_suite",
+    "text_cdc_chunks",
+    "winsorize_event_values",
 ]
 
 

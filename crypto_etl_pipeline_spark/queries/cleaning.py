@@ -352,3 +352,53 @@ def impute_grouped_median_by_user_bucket(spark: SparkSession, sf_dir: str) -> Da
         F.round(F.coalesce(F.col("v"), F.col("m")), 6).alias("value_filled"),
         (F.col("v").isNull() & F.col("m").isNotNull()).alias("was_imputed"),
     )
+
+
+@register(
+    "winsorize_event_values",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id,
+           round(CASE WHEN e.value < b.lo THEN b.lo
+                      WHEN e.value > b.hi THEN b.hi
+                      ELSE e.value END, 6) AS value_w,
+           e.value < b.lo AS capped_low,
+           e.value > b.hi AS capped_high
+    FROM events e JOIN b USING (event_type)
+    WHERE e.value IS NOT NULL
+    """,
+    description="Per-group percentile winsorization (p05/p95 caps): bounded-influence cleaning next to the IQR flag",
+    tags=("cleaning", "stats"),
+)
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — cap, don't drop: outliers get clamped to their
+    stratum's exact p05/p95 so downstream means/regressions keep every
+    row with bounded influence (the complement of iqr_outlier_flag,
+    which only FLAGS). Per-type exact quantiles are one hash-agg pass
+    (groups-cardinality output) broadcast back over the fact — the
+    same two-pass agg+broadcast discipline as every scalar-stats
+    operator here; never a global sort or window. Cap decisions
+    compare raw values against exact-arithmetic quantile bounds
+    identically in both engines; only the emitted value rounds."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.05)).alias("lo"),
+        F.percentile(F.col("value"), F.lit(0.95)).alias("hi"),
+    )
+    j = ev.join(F.broadcast(b), "event_type")
+    w = (
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+    )
+    return j.select(
+        "event_id",
+        F.round(w, 6).alias("value_w"),
+        (F.col("value") < F.col("lo")).alias("capped_low"),
+        (F.col("value") > F.col("hi")).alias("capped_high"),
+    )

@@ -2524,3 +2524,107 @@ def model_eval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("e", 6).alias("ece"),
         )
     )
+
+
+CDC_MOD = 8  #: expected chunk length ~= CDC_MOD tokens + gram width
+
+
+@register(
+    "text_cdc_chunks",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
+    ),
+    cuts AS (
+      SELECT doc_id, t,
+             list_sort(list_filter(
+               list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                 i -> CASE WHEN ('0x' || substr(md5(t[i] || '_' || t[i+1] || '_' || t[i+2]), 1, 8))::BIGINT
+                                % {CDC_MOD} = 0 THEN i ELSE NULL END),
+               x -> x IS NOT NULL)) AS c
+      FROM toks
+    ),
+    tp AS (
+      SELECT doc_id, c, unnest(t) AS tok, generate_subscripts(t, 1) AS p
+      FROM cuts
+    ),
+    assigned AS (
+      SELECT doc_id, tok, p,
+             len(list_filter(c, x -> x <= p)) AS chunk_idx
+      FROM tp
+    ),
+    ch AS (
+      SELECT doc_id, chunk_idx,
+             count(*) AS n_tok_chunk,
+             md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_md5
+      FROM assigned GROUP BY doc_id, chunk_idx
+    )
+    SELECT doc_id, chunk_idx, n_tok_chunk, chunk_md5,
+           count(*) OVER (PARTITION BY chunk_md5) AS n_copies
+    FROM ch
+    """,
+    description="Content-defined chunking: hash-gated cut points -> stable chunk ids -> cross-corpus duplicate-chunk counts",
+    tags=("text", "dedup", "chunking"),
+)
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-DEFINED chunking (the storage-dedup family: cut where a
+    rolling window's hash clears a gate, so an insertion early in a
+    document shifts ONE chunk instead of re-slicing everything — the
+    property fixed-stride chunking lacks). Cut points are the gram
+    positions whose md5 clears `% CDC_MOD == 0`; a token's chunk is
+    the count of cuts at-or-before it — one HOF over the per-doc cut
+    array, no joins — and chunk identity is the md5 of its token text,
+    so `n_copies` counts verbatim chunk duplication ACROSS the corpus
+    (chunk-level dedup, robust to document-level edits). Engine-local
+    token positions cancel (uniform 0/1-base shift on both cuts and
+    tokens), and chunk content is representation-independent — the
+    oracle pins the chunking byte-for-byte."""
+    from pyspark.sql.window import Window
+
+    from crypto_etl_pipeline_spark.operators.phash import md5_long
+    from crypto_etl_pipeline_spark.operators.textops import shingles_of, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    base = (
+        docs.repartition(n_parts, F.col("doc_id"))
+        .select("doc_id", tokens(F.col("text")).alias("_toks"))
+        .localCheckpoint(eager=False)
+    )
+    gpos = base.select(
+        "doc_id", F.posexplode(shingles_of(F.col("_toks"), 3)).alias("p", "g")
+    )
+    cuts = (
+        gpos.where(md5_long(F.col("g"), 8) % CDC_MOD == 0)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("p")).alias("c"))
+    )
+    assigned = (
+        base.join(cuts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("c"), F.array()).alias("_c"),
+            F.posexplode("_toks").alias("p", "tok"),
+        )
+        .select(
+            "doc_id",
+            "p",
+            "tok",
+            F.size(F.filter(F.col("_c"), lambda x: x <= F.col("p"))).alias("chunk_idx"),
+        )
+    )
+    ch = assigned.groupBy("doc_id", "chunk_idx").agg(
+        F.count(F.lit(1)).alias("n_tok_chunk"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s.getField("tok"),
+                ),
+                " ",
+            )
+        ).alias("chunk_md5"),
+    )
+    return ch.withColumn(
+        "n_copies", F.count(F.lit(1)).over(Window.partitionBy("chunk_md5"))
+    )
