@@ -112,6 +112,8 @@ HEADLINE = [
     "model_eval_suite",
     "text_cdc_chunks",
     "winsorize_event_values",
+    "model_pr_curve",
+    "rfm_segmentation",
 ]
 
 

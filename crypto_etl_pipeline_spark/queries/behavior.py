@@ -272,3 +272,64 @@ def rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("wau_est") - F.col("wau_exact")) / F.col("wau_exact") <= 0.05
         ).alias("within_5pct"),
     )
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             max(o_orderdate)             AS last_order,
+             count(*)                     AS frequency,
+             round(sum(o_totalprice), 4)  AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT custkey,
+             ntile(4) OVER (ORDER BY last_order DESC, custkey) AS r,
+             ntile(4) OVER (ORDER BY frequency DESC, custkey)  AS f,
+             ntile(4) OVER (ORDER BY monetary DESC, custkey)   AS m,
+             frequency, monetary
+      FROM rfm
+    )
+    SELECT r, f, m,
+           count(*) AS n_customers,
+           sum(frequency)::BIGINT AS n_orders,
+           round(sum(monetary), 4) AS total_spend
+    FROM scored GROUP BY r, f, m
+    """,
+    description="RFM segmentation: recency/frequency/monetary quartile grid over per-customer order aggregates",
+    tags=("behavior", "window", "agg"),
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic customer-value grid: per-customer
+    recency/frequency/monetary reduce the fact table once
+    (customer-cardinality output), then three ntile(4) ranks cut the
+    quartile grid and the 4x4x4 cells aggregate. Ordering keys are
+    exact (dates, counts, a 4-rounded sum) with custkey tie-breaks, so
+    quartile boundaries are engine-stable. The unpartitioned ntile
+    windows run over the CUSTOMER table, not the fact — dimension-
+    sized at any corpus scale (and the global_sequence_ids range-rank
+    pattern substitutes if the customer table itself outgrows one
+    task)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 4).alias("monetary"),
+    )
+    scored = rfm.select(
+        "custkey",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(Window.orderBy(F.desc("last_order"), F.asc("custkey"))).alias("r"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("custkey"))).alias("f"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("custkey"))).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("frequency").cast("long").alias("n_orders"),
+        F.round(F.sum("monetary"), 4).alias("total_spend"),
+    )

@@ -2628,3 +2628,73 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch.withColumn(
         "n_copies", F.count(F.lit(1)).over(Window.partitionBy("chunk_md5"))
     )
+
+
+@register(
+    "model_pr_curve",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok,
+             len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS n_uniq,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             t -> t IN ({_EN}))) AS n_stop
+      FROM documents
+    ),
+    sc AS (
+      SELECT n_stop * 1.0 / n_tok AS score,
+             CASE WHEN n_tok >= 10 AND n_uniq * 1.0 / n_tok >= 0.3 AND n_stop > 0
+                  THEN 1 ELSE 0 END AS y
+      FROM feat
+    ),
+    th AS (SELECT unnest([0.02, 0.04, 0.06, 0.08, 0.10, 0.12, 0.16, 0.20]) AS t)
+    SELECT th.t AS threshold,
+           sum(CASE WHEN sc.score >= th.t AND sc.y = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+           sum(CASE WHEN sc.score >= th.t AND sc.y = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+           sum(CASE WHEN sc.score <  th.t AND sc.y = 1 THEN 1 ELSE 0 END)::BIGINT AS fn,
+           round(sum(CASE WHEN sc.score >= th.t AND sc.y = 1 THEN 1 ELSE 0 END) * 1.0
+                 / greatest(sum(CASE WHEN sc.score >= th.t THEN 1 ELSE 0 END), 1), 6)
+             AS precision,
+           round(sum(CASE WHEN sc.score >= th.t AND sc.y = 1 THEN 1 ELSE 0 END) * 1.0
+                 / greatest(sum(sc.y), 1), 6) AS recall
+    FROM sc CROSS JOIN th
+    GROUP BY th.t
+    """,
+    description="Precision/recall threshold sweep in ONE pass (threshold dimension broadcast against the scored scan)",
+    tags=("text", "quality", "ml"),
+)
+def model_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection for the quality scorer: the full PR
+    table for 8 candidate thresholds from ONE scan — the thresholds
+    ride as a broadcast 8-row dimension crossed against the scored
+    corpus, so the sweep costs the same as a single confusion matrix
+    (contrast: a per-threshold loop re-scans 8x). Counts exact;
+    precision/recall round on the same grid in both engines; the
+    integer-quotient score makes every >= comparison FP-edge-free."""
+    from crypto_etl_pipeline_spark.operators.textops import (
+        STOPWORDS,
+        quality_label,
+        stopword_ratio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sc = docs.select(
+        stopword_ratio(F.col("text"), STOPWORDS["en"]).alias("score"),
+        (quality_label(F.col("text")) == "ok").cast("long").alias("y"),
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in (0.02, 0.04, 0.06, 0.08, 0.10, 0.12, 0.16, 0.20)],
+        ["threshold"],
+    )
+    j = sc.crossJoin(F.broadcast(th))
+    hit = F.col("score") >= F.col("threshold")
+    tp = F.sum((hit & (F.col("y") == 1)).cast("long"))
+    fp = F.sum((hit & (F.col("y") == 0)).cast("long"))
+    fn = F.sum((~hit & (F.col("y") == 1)).cast("long"))
+    return j.groupBy("threshold").agg(
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        F.round(tp / F.greatest(F.sum(hit.cast("long")), F.lit(1)), 6).alias("precision"),
+        F.round(tp / F.greatest(F.sum("y"), F.lit(1)), 6).alias("recall"),
+    )
