@@ -2647,7 +2647,7 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS y
       FROM feat
     ),
-    th AS (SELECT unnest([0.02, 0.04, 0.06, 0.08, 0.10, 0.12, 0.16, 0.20]) AS t)
+    th AS (SELECT unnest([0.02, 0.04, 0.06, 0.08, 0.10, 0.12, 0.16, 0.20]::DOUBLE[]) AS t)
     SELECT th.t AS threshold,
            sum(CASE WHEN sc.score >= th.t AND sc.y = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
            sum(CASE WHEN sc.score >= th.t AND sc.y = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
