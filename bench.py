@@ -114,6 +114,9 @@ HEADLINE = [
     "winsorize_event_values",
     "model_pr_curve",
     "rfm_segmentation",
+    "robust_zscore_mad",
+    "benford_first_digit_audit",
+    "event_transition_matrix",
 ]
 
 

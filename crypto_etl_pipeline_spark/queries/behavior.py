@@ -333,3 +333,50 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("frequency").cast("long").alias("n_orders"),
         F.round(F.sum("monetary"), 4).alias("total_spend"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    r AS (SELECT from_type, sum(n)::BIGINT AS row_n FROM c GROUP BY from_type)
+    SELECT c.from_type, c.to_type, c.n,
+           round(c.n * 1.0 / r.row_n, 6) AS p
+    FROM c JOIN r USING (from_type)
+    """,
+    description="First-order behavior Markov chain: per-user event-type transition counts and probabilities",
+    tags=("behavior", "window", "agg"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What users do NEXT: the first-order Markov transition matrix
+    over per-user event sequences — the model behind funnel
+    leak-detection and next-action features. One per-user lead window
+    (partitioned, never global) collapses the fact table to an
+    n_types^2 count matrix; row-normalized probabilities are
+    arithmetic on that dimension-sized table. The same shape serves
+    session-path mining at 100 TB because everything after the window
+    is tiny."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    c = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    r = c.groupBy("from_type").agg(F.sum("n").cast("long").alias("row_n"))
+    return (
+        c.join(F.broadcast(r), "from_type")
+        .select("from_type", "to_type", "n", F.round(F.col("n") / F.col("row_n"), 6).alias("p"))
+    )

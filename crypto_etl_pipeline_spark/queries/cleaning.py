@@ -402,3 +402,53 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") < F.col("lo")).alias("capped_low"),
         (F.col("value") > F.col("hi")).alias("capped_high"),
     )
+
+
+@register(
+    "robust_zscore_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, med.m,
+             quantile_cont(abs(e.value - med.m), 0.5) AS mad
+      FROM events e JOIN med USING (event_type)
+      WHERE e.value IS NOT NULL
+      GROUP BY e.event_type, med.m
+    )
+    SELECT e.event_id,
+           round((e.value - mad.m) / (1.4826 * mad.mad), 4) AS rz,
+           abs(round((e.value - mad.m) / (1.4826 * mad.mad), 4)) > 3.5
+             AS is_outlier
+    FROM events e JOIN mad USING (event_type)
+    WHERE e.value IS NOT NULL AND mad.mad > 0
+    """,
+    description="Median/MAD robust z-score per group: outlier scoring that outliers themselves cannot corrupt",
+    tags=("cleaning", "stats", "quality"),
+)
+def robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robust sibling of mean/stddev z-scores: median and MAD have
+    a 50% breakdown point, so a contaminated stratum still scores its
+    own contamination correctly (a heavy outlier inflates stddev and
+    hides itself; it cannot move the median). Two grouped
+    exact-percentile passes — medians, then median absolute deviation
+    against the broadcast medians — each a groups-cardinality
+    aggregate broadcast back over the fact; 1.4826 rescales MAD to
+    sigma under normality. Flags compare the ROUNDED score (both
+    engines decide on the same 4-decimal grid)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("m")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "m")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("m")), F.lit(0.5)).alias("mad"))
+        .where(F.col("mad") > 0)
+    )
+    rz = F.round((F.col("value") - F.col("m")) / (1.4826 * F.col("mad")), 4)
+    return ev.join(F.broadcast(mad), "event_type").select(
+        "event_id", rz.alias("rz"), (F.abs(rz) > 3.5).alias("is_outlier")
+    )

@@ -479,3 +479,57 @@ def join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(nl * nr / F.col("total_pairs"), 6).alias("pair_share"),
         )
     )
+
+
+@register(
+    "benford_first_digit_audit",
+    oracle="""
+    WITH d AS (
+      SELECT substr(cast(abs(o_totalprice) AS VARCHAR), 1, 1)::BIGINT AS digit
+      FROM orders WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) >= 1
+    ),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n)::BIGINT AS total FROM c)
+    SELECT c.digit,
+           c.n,
+           round(c.n * 1.0 / t.total, 6) AS observed,
+           round(log10(1.0 + 1.0 / c.digit), 6) AS benford,
+           round(pow(c.n * 1.0 / t.total - log10(1.0 + 1.0 / c.digit), 2)
+                 / log10(1.0 + 1.0 / c.digit) * t.total, 4)
+             AS chi2_term
+    FROM c CROSS JOIN t
+    """,
+    description="Benford first-significant-digit audit: fabricated or truncated money columns diverge from log10(1+1/d)",
+    tags=("quality", "stats"),
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The forensic-accounting screen applied as a data-quality gate:
+    naturally-occurring multiplicative quantities put digit d first
+    with probability log10(1+1/d); synthetic, truncated, or
+    unit-mangled money columns don't, and a per-digit chi-square term
+    points at WHICH digits carry the deviation (a spike at 1 after a
+    unit change, flat after fabrication). First digits come from the
+    string form of |x| >= 1 — exact in both engines — so the whole
+    audit is one 9-row group table; the chi2 decomposition is
+    arithmetic on it. The synthetic TPC-H-ish prices here are
+    near-uniform (NOT Benford-shaped) and the audit says so —
+    that is the point of an audit."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull() & (F.abs("o_totalprice") >= 1)
+    )
+    d = orders.select(
+        F.substring(F.abs(F.col("o_totalprice")).cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").cast("long").alias("total"))
+    obs = F.col("n") / F.col("total")
+    ben = F.log10(1.0 + 1.0 / F.col("digit"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed"),
+        F.round(ben, 6).alias("benford"),
+        F.round(F.pow(obs - ben, 2) / ben * F.col("total"), 4).alias("chi2_term"),
+    )
