@@ -117,6 +117,8 @@ HEADLINE = [
     "robust_zscore_mad",
     "benford_first_digit_audit",
     "event_transition_matrix",
+    "weekly_rollup_calendar",
+    "sample_weighted_ares",
 ]
 
 

@@ -161,3 +161,34 @@ def global_ordinals(
         .withColumn(seq_col, (F.row_number().over(w_in) + F.col("_off")).cast("long"))
         .drop("_pid", "_off")
     )
+
+
+def ares_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "ares-v1",
+) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling WITHOUT replacement
+    (Inf. Process. Lett. 2006): each row draws u ~ U(0,1] from the
+    md5 hash contract and keeps key = ln(u)/w; the k LARGEST keys are
+    the sample, with inclusion probability proportional to weight and
+    no replacement by construction. Fully distributed: one expression
+    per row plus a TakeOrderedAndProject top-k — no per-stratum sort,
+    no rejection loop — and deterministic across runs/engines because
+    u derives from the row key, not an RNG. The PPS systematic sampler
+    targets exact per-stratum token MASS; A-ES targets fixed SIZE k
+    with weight-proportional inclusion — different contracts, both
+    needed."""
+    u = (hash_gate(F.col(key_col), salt) + 1) / float(GATE)
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.select(
+            F.col(key_col),
+            F.col(weight_col).alias("weight"),
+            key.alias("_key"),
+        )
+        .orderBy(F.desc("_key"), F.asc(key_col))
+        .limit(k)
+    )

@@ -2041,3 +2041,47 @@ def dpp_partitioned_star_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
         )
     )
+
+
+ARES_K = 50
+
+
+@register(
+    "sample_weighted_ares",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars AS weight,
+             ln((('0x' || substr(md5(doc_id::VARCHAR || 'ares-v1'), 1, 15))::BIGINT
+                 % 1000000 + 1) / 1000000.0) / n_chars AS k
+      FROM documents
+    )
+    SELECT doc_id, weight, round(k, 9) AS sample_key,
+           row_number() OVER (ORDER BY k DESC, doc_id) AS rank
+    FROM keyed ORDER BY k DESC, doc_id LIMIT {ARES_K}
+    """,
+    description="Efraimidis-Spirakis weighted sampling without replacement: top-k of ln(u)/w with hash-derived u",
+    tags=("sampling", "topk"),
+)
+def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE weight-proportional sampling (A-ES): the complement
+    of pps_systematic_sample's exact-MASS contract — here exactly k
+    rows come back, heavier rows proportionally more likely, no
+    replacement, and the result is a pure function of (row key, salt)
+    so re-runs and engines agree. Plans as one scan + TopK. The 1-ulp
+    libm-vs-JVM ln() divergence could in principle flip an ordering of
+    two keys within ~1e-16 of each other — with 500 keys spread over
+    ~0.1 the collision probability is ~1e-13, and the compared key
+    itself rounds at 9 decimals."""
+    from pyspark.sql.window import Window
+
+    from crypto_etl_pipeline_spark.operators.sampling import ares_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = ares_sample(docs, "doc_id", "n_chars", ARES_K)
+    w = Window.orderBy(F.desc("_key"), F.asc("doc_id"))
+    return s.select(
+        "doc_id",
+        "weight",
+        F.round("_key", 9).alias("sample_key"),
+        F.row_number().over(w).alias("rank"),
+    )

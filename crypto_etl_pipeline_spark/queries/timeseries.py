@@ -323,3 +323,57 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "weekly_rollup_calendar",
+    oracle="""
+    WITH b AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events)
+    SELECT strftime(date_trunc('week', e.ts), '%Y-%m-%d') AS week_start,
+           count(*) AS n_events,
+           round(sum(e.value), 4) AS sum_value,
+           (date_trunc('week', e.ts) >= date_trunc('week', b.lo + INTERVAL 7 DAY)
+            OR date_trunc('week', b.lo) = b.lo)
+           AND date_trunc('week', e.ts) + INTERVAL 7 DAY <= b.hi + INTERVAL 1 MICROSECOND
+             AS is_complete
+    FROM events e CROSS JOIN b
+    GROUP BY date_trunc('week', e.ts),
+             (date_trunc('week', e.ts) >= date_trunc('week', b.lo + INTERVAL 7 DAY)
+              OR date_trunc('week', b.lo) = b.lo)
+             AND date_trunc('week', e.ts) + INTERVAL 7 DAY <= b.hi + INTERVAL 1 MICROSECOND
+    """,
+    description="CALENDAR (ISO Monday-anchored) week rollup with completeness flags — boundary semantics F.window's epoch-anchored durations miss",
+    tags=("timeseries", "agg"),
+)
+def weekly_rollup_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar buckets are anchored to the calendar, not the epoch:
+    `F.window('7 days')` starts its weeks at 1970-01-01 (a Thursday)
+    unless hand-offset, while reporting weeks are ISO Monday-anchored
+    — date_trunc('week') grouping gets that for free in BOTH engines.
+    Each week carries an is_complete flag: edge weeks truncated by the
+    data range are marked, because a dashboard that plots a partial
+    period as a collapse is the classic self-inflicted incident (the
+    corpus's last week ends mid-Tuesday and flags accordingly). Range
+    bounds broadcast from a two-value aggregate; the rollup is one
+    hash aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    w = F.date_trunc("week", F.col("ts"))
+    complete = (
+        (w >= F.date_trunc("week", F.col("lo") + F.expr("INTERVAL 7 DAY")))
+        | (F.date_trunc("week", F.col("lo")) == F.col("lo"))
+    ) & (w + F.expr("INTERVAL 7 DAY") <= F.col("hi") + F.expr("INTERVAL 1 MICROSECOND"))
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(w.alias("_w"), complete.alias("is_complete"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("_w", "yyyy-MM-dd").alias("week_start"),
+            "n_events",
+            "sum_value",
+            "is_complete",
+        )
+    )
