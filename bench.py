@@ -119,6 +119,8 @@ HEADLINE = [
     "event_transition_matrix",
     "weekly_rollup_calendar",
     "sample_weighted_ares",
+    "inter_event_gap_profile",
+    "trend_regression_by_type",
 ]
 
 

@@ -2085,3 +2085,40 @@ def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_key", 9).alias("sample_key"),
         F.row_number().over(w).alias("rank"),
     )
+
+
+@register(
+    "trend_regression_by_type",
+    oracle="""
+    SELECT event_type,
+           count(value) AS n,
+           round(regr_slope(value, epoch_us(ts) / 3600000000.0), 6)
+             AS slope_per_hour,
+           round(regr_intercept(value, epoch_us(ts) / 3600000000.0), 4)
+             AS intercept,
+           round(regr_r2(value, epoch_us(ts) / 3600000000.0), 6) AS r2
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+    description="Per-group OLS trend via SQL regression aggregates (regr_slope/intercept/r2) — one pass, no ML library",
+    tags=("timeseries", "agg", "ml"),
+)
+def trend_regression_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is this metric drifting? — answered with the ANSI regression
+    AGGREGATES: per event type, the OLS slope of value against
+    hours-since-epoch, plus intercept and r2, all from ONE hash
+    aggregation pass (the engines maintain the co-moment sufficient
+    statistics internally — the same mergeable-moments machinery as
+    stddev/covar, so it scales exactly like any sum). The near-zero r2
+    on this synthetic corpus is itself the correct reading: value has
+    no time trend, and the regression says so with a number rather
+    than a shrug. Both engines accumulate co-moments in double and
+    round on the same grid."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = F.unix_micros(F.col("ts")) / 3_600_000_000.0
+    return ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.round(F.regr_slope(F.col("value"), x), 6).alias("slope_per_hour"),
+        F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+    )

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from crypto_etl_pipeline_spark.queries.base import register
 from crypto_etl_pipeline_spark.sources.tables import load_table
 
+from crypto_etl_pipeline_spark.queries.streaming import SESSION_GAP_SECONDS
+
 
 @register(
     "cohort_weekly_retention",
@@ -379,4 +381,60 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(F.broadcast(r), "from_type")
         .select("from_type", "to_type", "n", F.round(F.col("n") / F.col("row_n"), 6).alias("p"))
+    )
+
+
+@register(
+    "inter_event_gap_profile",
+    oracle=f"""
+    WITH g AS (
+      SELECT (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id)))
+             / 1000000.0 AS gap_s
+      FROM events
+    )
+    SELECT count(*) AS n_gaps,
+           round(quantile_cont(gap_s, 0.5), 3)  AS gap_p50_s,
+           round(quantile_cont(gap_s, 0.9), 3)  AS gap_p90_s,
+           round(quantile_cont(gap_s, 0.99), 3) AS gap_p99_s,
+           sum(CASE WHEN gap_s > {SESSION_GAP_SECONDS} THEN 1 ELSE 0 END)::BIGINT
+             AS n_above_gap,
+           round(sum(CASE WHEN gap_s > {SESSION_GAP_SECONDS} THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS session_break_rate
+    FROM g WHERE gap_s IS NOT NULL
+    """,
+    description="Per-user inter-event gap distribution: the measurement the sessionization gap is chosen from",
+    tags=("behavior", "window", "quality"),
+)
+def inter_event_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session gaps are chosen the way watermarks are (see
+    late_data_profile) — from the gap distribution itself: one
+    per-user lag window produces every consecutive-event gap, and the
+    quantiles say where 'same visit' ends and 'new session' begins.
+    The registered SESSION_GAP_SECONDS (6h) sits between p50 and p90
+    here, and session_break_rate is exactly the fraction of events
+    that will open a new session under it — the knob and its
+    consequence in one row. Partitioned window, never global; the
+    quantile aggregate runs over the gap column only."""
+    from pyspark.sql.window import Window
+
+    from crypto_etl_pipeline_spark.queries.streaming import SESSION_GAP_SECONDS as GAP
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        (
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)))
+            / 1_000_000.0
+        ).alias("gap_s")
+    ).where(F.col("gap_s").isNotNull())
+    q = F.percentile(F.col("gap_s"), F.lit([0.5, 0.9, 0.99]))
+    above = F.sum((F.col("gap_s") > GAP).cast("long"))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(q.getItem(0), 3).alias("gap_p50_s"),
+        F.round(q.getItem(1), 3).alias("gap_p90_s"),
+        F.round(q.getItem(2), 3).alias("gap_p99_s"),
+        above.alias("n_above_gap"),
+        F.round(above / F.count(F.lit(1)), 6).alias("session_break_rate"),
     )
