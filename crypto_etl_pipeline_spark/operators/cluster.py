@@ -28,12 +28,21 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 10,
+    strict: bool = True,
 ) -> DataFrame:
     """(id, component) — component = min node id reachable from id.
 
     ``nodes``: one row per vertex; singletons keep their own id.
     ``edges``: undirected pairs (each edge propagates both ways).
-    """
+
+    BEHAVIOR CHANGE (round 5): non-convergence within ``max_iter``
+    RAISES RuntimeError instead of silently returning partial labels —
+    unconverged labels split real components, which corrupted dedup
+    clusters at sf0.1 before the fix. Callers that prefer the old
+    best-effort degraded output over a hard failure (e.g. exploratory
+    runs with a deliberately small iteration budget) pass
+    ``strict=False``; the returned labels are then possibly
+    UNCONVERGED (one component may carry several labels)."""
     # Iterative jobs MUST materialize between rounds: a lazy loop would
     # re-derive the whole upstream plan (here: the similarity self-join
     # producing the edges) once per iteration, and the lineage would
@@ -120,10 +129,11 @@ def connected_components(
             converged = True
             break
         prev_sum = new_sum
-    if not converged:
+    if not converged and strict:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            "(doubled propagation covers diameter 2^rounds — raise max_iter)"
+            "(doubled propagation covers diameter 2^rounds — raise max_iter, "
+            "or pass strict=False to accept best-effort labels)"
         )
     # Singletons (no incident edges) rejoin with component = own id.
     # The label table is collision-density-sized, so AQE will broadcast
@@ -142,15 +152,20 @@ def dedup_clusters(
     pair_a: str = "id_a",
     pair_b: str = "id_b",
     max_iter: int = 10,
+    strict: bool = True,
 ) -> DataFrame:
     """(doc_id, cluster_id, is_canonical) from near-dup pairs.
 
     cluster_id = min doc id in the component; the canonical row is the
     one to KEEP when deduplicating a corpus.
+
+    Since round 5 this RAISES on non-convergence (previously returned
+    best-effort labels, which silently split clusters); pass
+    ``strict=False`` to opt back into tolerant degraded output.
     """
     comp = connected_components(
         docs.select(id_col), pairs, id_col=id_col, src_col=pair_a, dst_col=pair_b,
-        max_iter=max_iter,
+        max_iter=max_iter, strict=strict,
     )
     return comp.select(
         F.col("id").alias(id_col),

@@ -91,6 +91,8 @@ def lr_train_newton(
     dim: int,
     iters: int = 3,
     ridge: float = 1e-4,
+    max_doc_feats: int | None = None,
+    hessian_row_budget: int = 50_000_000,
 ) -> list[float]:
     """Distributed Newton-IRLS for L2-logistic regression.
 
@@ -102,14 +104,57 @@ def lr_train_newton(
     sum_docs-with-both wd via a within-doc feature self-join — every
     stage a hash aggregation on small keys. The (dim+1)^2 solve is
     driver-side numpy.
+
+    Scale guard (ADVICE_r5): the Hessian self-join fans out
+    QUADRATICALLY in per-doc distinct features — f features in one doc
+    emit f² pair rows per iteration, so a wide-vocabulary corpus can
+    make the curvature stage dominate unexpectedly. Before iterating,
+    the exact pair-row count is measured with one cheap aggregation;
+    if it exceeds ``hessian_row_budget`` the call RAISES with the
+    measured fan-out unless ``max_doc_feats`` is set. With
+    ``max_doc_feats=f``, each doc contributes only its f
+    lowest-hash features (bias always kept, selection deterministic)
+    to the HESSIAN join — the gradient stays exact, so this is a
+    curvature-subsampled quasi-Newton step: still a descent direction
+    (H stays SPD under the ridge), trading per-step contraction for a
+    bounded O(n·f²) pair stage.
     """
     import numpy as np
+    from pyspark.sql.window import Window
 
     # bias as a synthetic always-on feature `dim`: one union, after
     # which gradient and Hessian need no special-casing.
     fb = feats.unionByName(
         labels.select("doc_id", F.lit(dim).alias("feat"))
     ).localCheckpoint(eager=False)
+    if max_doc_feats is not None:
+        # Deterministic per-doc cap for the curvature join: bias first,
+        # then lowest-xxhash features — layout-independent, and the
+        # same subset every iteration so the quasi-Newton H is stable.
+        w_feat = Window.partitionBy("doc_id").orderBy(
+            (F.col("feat") != dim).cast("int"), F.xxhash64("feat"), "feat"
+        )
+        fb_h = (
+            fb.withColumn("_rn", F.row_number().over(w_feat))
+            .where(F.col("_rn") <= max_doc_feats + 1)  # +1: the bias row
+            .drop("_rn")
+            .localCheckpoint(eager=False)
+        )
+    else:
+        fb_h = fb
+        pair_rows = (
+            fb.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .agg(F.sum(F.col("f") * F.col("f")).alias("p"))
+            .first()["p"]
+        )
+        if pair_rows is not None and pair_rows > hessian_row_budget:
+            raise RuntimeError(
+                f"lr_train_newton: Hessian self-join would emit {pair_rows} "
+                f"pair rows per iteration (budget {hessian_row_budget}) — "
+                "set max_doc_feats to cap per-doc curvature features, or "
+                "raise hessian_row_budget explicitly"
+            )
     w = np.zeros(dim + 1)
     n = labels.count()
     for _ in range(iters):
@@ -136,8 +181,8 @@ def lr_train_newton(
             .collect()
         )
         h_rows = (
-            fb.alias("a")
-            .join(fb.alias("b"), "doc_id")
+            fb_h.alias("a")
+            .join(fb_h.alias("b"), "doc_id")
             .join(doc, "doc_id")
             .groupBy(F.col("a.feat").alias("i"), F.col("b.feat").alias("j"))
             .agg(F.sum("wd").alias("h"))

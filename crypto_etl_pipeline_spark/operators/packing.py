@@ -14,7 +14,7 @@ per-task state: exactly the trade the existing split-style packer
 (pack_training_sequences) makes with its cumulative windows.
 
 The complement, not a replacement, of concat-and-slice packing: slicing
-maximizes density but cuts documents across boundaries; FFD keeps
+maximizes density but cuts documents across boundaries; BFD keeps
 every document intact at the cost of tail headroom. Real pipelines run
 both and pick per-dataset.
 """
@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def ffd_pack_shard(lengths: list[tuple[int, int]], capacity: int) -> dict[int, tuple[int, int]]:
+def bfd_pack_shard(lengths: list[tuple[int, int]], capacity: int) -> dict[int, tuple[int, int]]:
     """Pure-Python best-fit-decreasing over one shard.
 
     ``lengths``: (doc_id, n_tok) pairs. Returns doc_id -> (bin_id,
@@ -65,7 +65,7 @@ def ffd_pack_shard(lengths: list[tuple[int, int]], capacity: int) -> dict[int, t
     return out
 
 
-def pack_ffd(
+def pack_bfd(
     docs: DataFrame,
     capacity: int,
     shard_col: str = "lang",
@@ -88,7 +88,7 @@ def pack_ffd(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pairs = list(zip(pdf[id_col].tolist(), pdf[len_col].tolist()))
-        placed = ffd_pack_shard(pairs, capacity)
+        placed = bfd_pack_shard(pairs, capacity)
         ids = pdf[id_col].tolist()
         return pd.DataFrame(
             {
@@ -103,3 +103,12 @@ def pack_ffd(
     return docs.select(id_col, shard_col, len_col).groupBy(shard_col).applyInPandas(
         pack, schema=schema
     )
+
+
+# Back-compat aliases: rounds 4-5 shipped these under an "ffd" name even
+# though the bisect-on-smallest-sufficient-residual placement is
+# BEST-fit-decreasing (first-fit would take the lowest-indexed bin that
+# fits, not the tightest). The algorithm is pinned by differential
+# tests; only the names changed (ADVICE_r5).
+ffd_pack_shard = bfd_pack_shard
+pack_ffd = pack_bfd

@@ -180,9 +180,24 @@ def ares_sample(
     u derives from the row key, not an RNG. The PPS systematic sampler
     targets exact per-stratum token MASS; A-ES targets fixed SIZE k
     with weight-proportional inclusion — different contracts, both
-    needed."""
+    needed.
+
+    Contract: weights must be strictly positive (Efraimidis-Spirakis
+    requirement). w=0 would put ln(u)/w at ±Inf/null and w<0 inverts
+    the key ordering — both silently corrupt the sample — so any
+    non-positive weight RAISES via an assert expression evaluated
+    executor-side (no extra pass over the data)."""
     u = (hash_gate(F.col(key_col), salt) + 1) / float(GATE)
-    key = F.log(u) / F.col(weight_col)
+    w_checked = F.when(F.col(weight_col) > 0, F.col(weight_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("ares_sample: non-positive weight "),
+                F.col(weight_col).cast("string"),
+                F.lit(f" in column '{weight_col}' — weights must be strictly positive"),
+            )
+        )
+    )
+    key = F.log(u) / w_checked
     return (
         df.select(
             F.col(key_col),

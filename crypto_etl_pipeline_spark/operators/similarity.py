@@ -459,3 +459,74 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def cap_hot_cells(
+    assignments: DataFrame,
+    max_cell_size: int,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Bound the within-cell pair explosion: SPLIT any cell larger than
+    ``max_cell_size`` into exact-size sub-cells.
+
+    The IVF-cell twin of :func:`~crypto_etl_pipeline_spark.operators.
+    dedup.cap_hot_buckets`: semantic dedup's within-cell all-pairs
+    stage is quadratic in cell size, and with a FIXED cell count k one
+    degenerate embedding cluster (boilerplate pages, templated docs)
+    grows ~quadratically with the corpus while every other stage grows
+    linearly. Unlike the LSH cap — which DROPS oversized buckets,
+    because a pair lost in one band usually survives in another — a
+    doc dropped from its IVF cell has no second chance, so this guard
+    keeps every row and instead re-labels ``cell_col`` with
+    deterministic sub-cells of AT MOST ``max_cell_size`` members:
+    within-sub-cell pair count is bounded by cap²/2 regardless of how
+    hot the parent cell gets. Recall semantics (documented, not
+    hidden): pairs split across sub-cells are not compared — the
+    SemDeDup trade, identical in kind to raising k; connected
+    components can still merge sub-cells through surviving edges.
+
+    Cost shape: one window over the SAME per-cell partitioning the
+    downstream self-join shuffles on (no extra exchange). The per-cell
+    sort that numbers rows is O(n log n) in the hot cell — versus the
+    O(n²) join it prevents; row order is decorrelated from id locality
+    by sorting on xxhash64 of the row's non-cell columns. Output
+    ``cell_col`` is a string ("<cell>#<sub>", sub 0 for cells under
+    the cap) so hot and cold cells stay uniformly typed.
+    """
+    from pyspark.sql.window import Window
+
+    others = [c for c in assignments.columns if c != cell_col]
+    w = Window.partitionBy(cell_col).orderBy(
+        F.xxhash64(*[F.col(c) for c in others]), *[F.col(c) for c in others]
+    )
+    sub = F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(max_cell_size))
+    return assignments.withColumn(
+        cell_col,
+        F.concat_ws("#", F.col(cell_col).cast("string"), sub.cast("string")),
+    )
+
+
+def ivf_hot_cells(
+    assignments: DataFrame,
+    max_cell_size: int,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """The observability half of :func:`cap_hot_cells` (mirrors
+    ``lsh_hot_buckets``): (cell, n_ids, skipped_comparisons) for every
+    cell a cap would split, where skipped_comparisons counts the
+    cross-sub-cell pairs the split stops comparing — a silent cap
+    would read as full coverage."""
+    n_sub = F.ceil(F.col("n_ids") / F.lit(max_cell_size))
+    per_sub = F.floor(F.col("n_ids") / n_sub)
+    return (
+        assignments.groupBy(cell_col)
+        .agg(F.count(F.lit(1)).alias("n_ids"))
+        .where(F.col("n_ids") > max_cell_size)
+        .withColumn(
+            "skipped_comparisons",
+            (
+                (F.col("n_ids") * (F.col("n_ids") - 1) / 2)
+                - n_sub * (per_sub * (per_sub - 1) / 2)
+            ).cast("long"),
+        )
+    )

@@ -248,8 +248,21 @@ def rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     du = ev.select(F.date_trunc("day", "ts").alias("day"), "user_id").distinct()
     daily = du.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    bounds = du.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    # Contiguous calendar-day spine: with day GAPS in the activity data a
+    # ROWS(-6,0) frame over active-day rows spans MORE than 7 calendar
+    # days (inflating the union) and report days with no same-day
+    # activity vanish from the sketch side while the exact fan-out still
+    # emits them.  Left-joining the per-day sketches onto sequence(d0,d1)
+    # makes row-frame == calendar-frame and keeps every report day.
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    spined = spine.join(daily, "day", "left")
     w = Window.orderBy("day").rowsBetween(-6, 0)
-    est = daily.select(
+    est = spined.select(
         "day", F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("wau_est")
     )
     exact = (
@@ -261,7 +274,6 @@ def rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("report_day")
         .agg(F.count(F.lit(1)).alias("wau_exact"))
     )
-    bounds = du.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     joined = (
         exact.join(F.broadcast(bounds))
         .where(F.col("report_day").between(F.col("d0"), F.col("d1")))

@@ -2225,30 +2225,33 @@ PACK_CAPACITY = 128  #: tokens per bin for whole-document packing
            true AS efficiency_ge_085
     FROM documents GROUP BY lang
     """,
-    description="Whole-document FFD sequence packing per shard (padding-free batching; accounting + packing contracts)",
+    description="Whole-document BFD sequence packing per shard (padding-free batching; accounting + packing contracts)",
     tags=("text", "packing", "ml"),
 )
 def pack_ffd_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whole-document sequence packing (Krell et al. 2021): best-fit-
+    """Whole-document sequence packing (Krell et al. 2021): BEST-fit-
     decreasing inside each lang shard via applyInPandas — the
     loop-carried bin state lives executor-side, the driver never sees
     a document, and the output is layout-independent for a fixed
-    sharding. Complements pack_training_sequences (which maximizes
-    density by SLICING docs): FFD keeps documents intact at the cost
-    of tail headroom, measured here at 92-99.7% fill. The bin
+    sharding. (The registered id keeps its historical 'ffd' spelling
+    for band continuity; the algorithm was always best-fit-decreasing
+    and the operator is now named pack_bfd — ADVICE_r5.) Complements
+    pack_training_sequences (which maximizes density by SLICING docs):
+    BFD keeps documents intact at the cost of tail headroom, measured
+    here at 92-99.7% fill. The bin
     assignment itself is algorithm-defined rather than
     SQL-expressible, so the compared surface is exact accounting
     (docs, tokens — SQL-replayed) plus three packing contracts: no bin
     overflows capacity, every bin's offsets tile contiguously, and
     fill efficiency >= 0.85; the assignment is differential-pinned
     against an independent reference in tests/test_round5_ops.py."""
-    from crypto_etl_pipeline_spark.operators.packing import pack_ffd
+    from crypto_etl_pipeline_spark.operators.packing import pack_bfd
     from crypto_etl_pipeline_spark.operators.textops import token_count
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", token_count(F.col("text")).alias("n_tok")
     )
-    packed = pack_ffd(docs, capacity=PACK_CAPACITY, shard_col="lang")
+    packed = pack_bfd(docs, capacity=PACK_CAPACITY, shard_col="lang")
     per_bin = packed.groupBy("shard", "bin_id").agg(
         F.sum("n_tok").alias("fill"),
         F.max(F.col("offset") + F.col("n_tok")).alias("extent"),

@@ -348,6 +348,12 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEM_K = 16  #: semantic-dedup cell count (seeded, quantized — SQL-reproducible)
+SEM_CELL_CAP = 512  #: max members per cell before deterministic sub-cell split
+#: (cap_hot_cells). With fixed SEM_K the within-cell pair stage grows
+#: quadratically in corpus size; the cap bounds it at cap²/2 per sub-cell.
+#: 512 is a strict no-op at every tested SF (max cell ~200 at sf0.1), so the
+#: recursive-CTE oracle replays exactly; the guard mechanism itself is pinned
+#: on a skewed fixture in tests/test_round6_ops.py.
 SEM_TAU = 0.35  #: within-cell cosine threshold (margins measured: nearest pair
 #: values at the compared SFs are 0.34964/0.35054 (sf0.01) and
 #: 0.34985/0.35067 (sf0.001) — ~4e-4 from the cut, 100x the float32-vs-double
@@ -414,6 +420,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding surface at all (SURVEY §1.2) — extension."""
     from crypto_etl_pipeline_spark.operators.cluster import dedup_clusters
     from crypto_etl_pipeline_spark.operators.similarity import (
+        cap_hot_cells,
         ivf_assign_cells,
         ivf_build_centroids,
     )
@@ -422,8 +429,17 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ivf_build_centroids(emb, k=SEM_K, iters=0)
-    cells = ivf_assign_cells(emb, cents).select(
-        F.col("neighbor_id").alias("vec_id"), "_cell", "_cvec"
+    # cap_hot_cells bounds the quadratic within-cell stage: any cell
+    # over SEM_CELL_CAP splits into deterministic sub-cells (the IVF
+    # twin of the LSH bucket cap) — with fixed SEM_K this is the guard
+    # that keeps one degenerate embedding cluster from dominating at
+    # 100× corpus. No-op at tested SFs, so the SQL oracle replays.
+    cells = cap_hot_cells(
+        ivf_assign_cells(emb, cents).select(
+            F.col("neighbor_id").alias("vec_id"), "_cell", "_cvec"
+        ),
+        max_cell_size=SEM_CELL_CAP,
+        cell_col="_cell",
     ).localCheckpoint(eager=False)
     a, b = cells.alias("a"), cells.alias("b")
     # Arrow-batched numpy cosine per surviving pair (the IVF probe's

@@ -36,3 +36,64 @@ def duck():
         )
     yield con
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# Quick tier (`pytest -m quick`): the full suite parametrizes 200+ oracled
+# queries x 3 checks and no longer fits a 10-minute budget; this tier keeps
+# the registry lints, the cleaning/operator edge cases, the reference golden
+# parity, and ONE oracle-parity query per operator family — a <5-minute
+# smoke that still exercises every code path family. The full sweep stays
+# the default (no -m) and remains the driver-contract gate.
+# ---------------------------------------------------------------------------
+
+_QUICK_MODULES = {
+    "test_registry_lint",
+    "test_cleaning_edges",
+    "test_operator_edges",
+    "test_golden_parity",
+    "test_property_parsers",
+    "test_lsh_bucket_cap",
+    "test_round6_ops",
+}
+
+# one oracled query per family: tpch-agg, join, window, setop, topk,
+# cleaning, classify, pipeline, stats, dedup (exact/lsh/semantic),
+# similarity, timeseries, text, packing, sampling, streaming-adjacent
+_QUICK_ORACLE = {
+    "q1_pricing_summary",
+    "q5_nation_revenue",
+    "window_top3_orders_per_customer",
+    "set_union_active_buyers",
+    "topk_orders_by_totalprice",
+    "clean_unit_suffix_supply",
+    "classify_trend_lineitem",
+    "pipeline_historical_clean",
+    "agg_stats_extendedprice",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_semantic_clusters",
+    "ann_ivf_topk",
+    "asof_join_purchase_click",
+    "events_hourly_rollup",
+    "text_stats",
+    "rolling_wau_hll",
+    "pack_ffd_bins",
+    "sample_weighted_ares",
+    "profile_events_table",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
+        elif mod == "test_oracle_parity":
+            callspec = getattr(item, "callspec", None)
+            if (
+                callspec is not None
+                and item.function.__name__ == "test_oracle_parity"
+                and callspec.params.get("name") in _QUICK_ORACLE
+            ):
+                item.add_marker(pytest.mark.quick)
