@@ -121,6 +121,10 @@ HEADLINE = [
     "sample_weighted_ares",
     "inter_event_gap_profile",
     "trend_regression_by_type",
+    # round-6 surface
+    "vocab_coverage_curve",
+    "sample_stratified_exact",
+    "dedup_canonical_by_quality",
 ]
 
 

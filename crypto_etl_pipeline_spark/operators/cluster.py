@@ -27,7 +27,7 @@ def connected_components(
     id_col: str = "id",
     src_col: str = "src",
     dst_col: str = "dst",
-    max_iter: int = 10,
+    max_iter: int = 20,
     strict: bool = True,
 ) -> DataFrame:
     """(id, component) — component = min node id reachable from id.
@@ -151,7 +151,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     pair_a: str = "id_a",
     pair_b: str = "id_b",
-    max_iter: int = 10,
+    max_iter: int = 20,
     strict: bool = True,
 ) -> DataFrame:
     """(doc_id, cluster_id, is_canonical) from near-dup pairs.

@@ -2122,3 +2122,105 @@ def trend_regression_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
         F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
     )
+
+
+STRAT_N = 120  #: global sample size allocated across lang strata
+STRAT_SALT = "strat-v1"
+
+
+@register(
+    "sample_stratified_exact",
+    oracle=f"""
+    WITH sz AS (
+      SELECT lang, count(*)::BIGINT AS n_s FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(n_s)::BIGINT AS n FROM sz),
+    quota AS (
+      SELECT lang, n_s,
+             ({STRAT_N} * n_s) // t.n AS base,
+             ({STRAT_N} * n_s) % t.n  AS rem
+      FROM sz, tot t
+    ),
+    alloc AS (
+      SELECT lang, n_s,
+             base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang ASC)
+                         <= {STRAT_N} - (SELECT sum(base) FROM quota)
+                    THEN 1 ELSE 0 END AS quota
+      FROM quota
+    ),
+    gated AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(doc_id::VARCHAR || '{STRAT_SALT}'), 1, 15))::BIGINT
+               % 1000000 AS g
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, g,
+             row_number() OVER (PARTITION BY lang ORDER BY g, doc_id) AS strat_rank
+      FROM gated
+    )
+    SELECT r.doc_id, r.lang, r.strat_rank, a.quota
+    FROM ranked r JOIN alloc a USING (lang)
+    WHERE r.strat_rank <= a.quota
+    """,
+    description="Stratified exact-size sampling: largest-remainder quota allocation per lang, deterministic hash-ranked selection within stratum",
+    tags=("sampling", "window"),
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional stratified sampling with an EXACT global size — the
+    eval-set construction contract (hash_bernoulli gives expected
+    size, A-ES gives exact size but global weighting; evaluation sets
+    need exact size AND per-stratum proportionality). Quotas use
+    integer largest-remainder (Hamilton) apportionment: base =
+    (N*n_s) div n, the N - sum(base) leftovers go to the largest
+    (N*n_s) mod n remainders — all integer arithmetic, so both engines
+    agree without an FP edge. Selection ranks within each stratum by
+    the md5 hash gate (reproducible across runs/engines/partitionings,
+    unlike df.sample) — a per-stratum window, never a global sort; the
+    quota table is stratum-cardinality-sized and broadcasts. At 100 TB
+    the per-stratum TopK (quota rows each) replaces the full window
+    sort via WindowGroupLimit pushdown — rank filter <= quota is
+    exactly the pattern Spark rewrites to a per-partition bounded
+    heap."""
+    from pyspark.sql.window import Window
+
+    from crypto_etl_pipeline_spark.operators.sampling import hash_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    sz = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = sz.agg(F.sum("n_s").alias("n"))
+    quota = (
+        sz.join(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_s",
+            # integer `div`, not `/`+cast: float division of big longs
+            # jitters low bits at corpus scale (the load_table ns note)
+            F.expr(f"({STRAT_N} * n_s) div n").alias("base"),
+            ((F.lit(STRAT_N) * F.col("n_s")) % F.col("n")).alias("rem"),
+        )
+    )
+    w_rem = Window.orderBy(F.desc("rem"), F.asc("lang"))
+    w_base = Window.partitionBy()
+    alloc = quota.select(
+        "lang",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(w_rem)
+                <= F.lit(STRAT_N) - F.sum("base").over(w_base),
+                1,
+            ).otherwise(0)
+        ).alias("quota"),
+    )
+    w_lang = Window.partitionBy("lang").orderBy(
+        hash_gate(F.col("doc_id"), STRAT_SALT).asc(), F.asc("doc_id")
+    )
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w_lang).alias("strat_rank"),
+    )
+    return ranked.join(F.broadcast(alloc), "lang").where(
+        F.col("strat_rank") <= F.col("quota")
+    ).select("doc_id", "lang", "strat_rank", "quota")

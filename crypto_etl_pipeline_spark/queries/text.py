@@ -1408,15 +1408,77 @@ def tokenizer_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_train_oracle(n_merges: int) -> str:
+    """Fully-oracled BPE training (VERDICT_r5 #7): for a FIXED merge
+    count the iterative trainer unrolls into SQL — each round k is
+    (pair-count over the round-(k-1) vocabulary) → (argmax CTE m{k}) →
+    (vocabulary rewrite via replace()). Two representation tricks make
+    the unroll exact:
+
+    - each learned merge becomes a fresh private-use single CHARACTER
+      (U+E001...), so SQL replace() — greedy left-to-right
+      non-overlapping, exactly the trainer's application order — IS
+      the merge rewrite, and adjacent-SYMBOL pairs stay adjacent-CHAR
+      substrings countable by position enumeration;
+    - argmax tie-breaks compare TRUE symbol strings, so each round
+      translates fresh chars back through the accumulated merge table
+      (the CASE chain) before ordering — (count desc, left asc,
+      right asc), the trainer's contract.
+
+    CTEs are AS MATERIALIZED: the w0→w1→...→w{n} chain is referenced
+    multiply and DuckDB's default inlining re-evaluates the whole
+    upstream chain per reference (exponential parquet re-scans —
+    observed as fd exhaustion at depth 8)."""
+
+    def fresh(j: int) -> str:
+        return chr(0xE000 + j)
+
+    def trans(k: int, var: str) -> str:
+        if k == 1:
+            return var
+        whens = " ".join(
+            f"WHEN '{fresh(j)}' THEN (SELECT ls || rs FROM m{j})" for j in range(1, k)
+        )
+        return f"CASE {var} {whens} ELSE {var} END"
+
+    ctes = [
+        r"""w0 AS MATERIALIZED (
+      SELECT word AS w, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+      WHERE length(word) >= 1 GROUP BY word
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(f"""p{k} AS MATERIALIZED (
+      SELECT substring(w, g.i, 1) AS lc, substring(w, g.i + 1, 1) AS rc,
+             sum(cnt) AS c
+      FROM w{k - 1}, LATERAL unnest(generate_series(1, length(w) - 1)) AS g(i)
+      GROUP BY 1, 2
+    )""")
+        ctes.append(f"""m{k} AS MATERIALIZED (
+      SELECT lc, rc, c, {trans(k, 'lc')} AS ls, {trans(k, 'rc')} AS rs
+      FROM p{k}
+      ORDER BY c DESC, ls ASC, rs ASC
+      LIMIT 1
+    )""")
+        if k < n_merges:
+            ctes.append(f"""w{k} AS MATERIALIZED (
+      SELECT replace(w, (SELECT lc || rc FROM m{k}), '{fresh(k)}') AS w, cnt
+      FROM w{k - 1}
+    )""")
+    selects = "\n    UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, ls AS left_sym, rs AS right_sym, "
+        f"ls || rs AS merged_sym, c::BIGINT AS pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + selects
+
+
 @register(
     "bpe_train_merges",
-    oracle=None,  # iterative greedy rewrite: each round's tokenization
-    # depends on the previous round's argmax — not SQL-expressible; the
-    # merge sequence is pinned against an independent pure-Python
-    # trainer on adversarial fixtures (tests/test_round4_ops.py), and
-    # round-1 statistics are oracled via tokenizer_pair_stats.
-    description="BPE merge training (8 rounds) over the corpus word-frequency table (differential-tested; rows-only by iterative design)",
-    tags=("text", "tokenizer", "iterative", "rows-only"),
+    oracle=_bpe_train_oracle(8),
+    description="BPE merge training (8 rounds) over the corpus word-frequency table — fully oracled via an unrolled fresh-char replace chain",
+    tags=("text", "tokenizer", "iterative"),
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_etl_pipeline_spark.operators.bpe import bpe_train_merges as train
@@ -2700,4 +2762,147 @@ def model_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         fn.alias("fn"),
         F.round(tp / F.greatest(F.sum(hit.cast("long")), F.lit(1)), 6).alias("precision"),
         F.round(tp / F.greatest(F.sum("y"), F.lit(1)), 6).alias("recall"),
+    )
+
+
+VOCAB_KS = (100, 500, 1000, 5000)  #: coverage checkpoints (vocab sizes)
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH wc AS (
+      SELECT word, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents)
+      WHERE length(word) >= 1 GROUP BY word
+    ),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word ASC) AS rnk FROM wc
+    ),
+    tot AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS vocab FROM ranked)
+    SELECT k.vocab_k, t.vocab AS vocab_size, t.total AS total_tokens,
+           (SELECT coalesce(sum(cnt), 0)::BIGINT FROM ranked WHERE rnk <= k.vocab_k)
+             AS covered_tokens,
+           round((SELECT coalesce(sum(cnt), 0) FROM ranked WHERE rnk <= k.vocab_k)
+                 * 1.0 / t.total, 6) AS coverage
+    FROM (VALUES {", ".join(f"({k})" for k in VOCAB_KS)}) AS k(vocab_k), tot t
+    """,
+    description="Vocabulary coverage curve: fraction of corpus tokens covered by the top-k vocabulary, at k checkpoints",
+    tags=("text", "tokenizer", "agg"),
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design diagnostic: what corpus token mass does a
+    k-entry vocabulary capture? Drives vocab-size choices (the knee of
+    this curve is where BPE merges stop paying) and OOV-rate estimates.
+
+    One corpus scan reduces to the word-frequency table; ranks come
+    from a row_number over the VOCABULARY (never the corpus; same
+    dim-table window discipline as rfm_segmentation — if the vocab
+    itself outgrows one task, the global_sequence_ids range-rank
+    substitutes); all four checkpoints then ride ONE conditional
+    aggregation pass (sum(cnt) FILTER rank<=k per k) and unpivot via
+    stack — no per-k rescan, no crossJoin fan-out of the vocab."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("word"))
+        .where(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = wc.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("word")))
+        .alias("rnk"),
+    )
+    agg = ranked.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("vocab"),
+        *[
+            F.sum(F.when(F.col("rnk") <= k, F.col("cnt")).otherwise(0)).alias(f"c{k}")
+            for k in VOCAB_KS
+        ],
+    )
+    stack_expr = ", ".join(f"{k}, c{k}" for k in VOCAB_KS)
+    return agg.select(
+        F.expr(f"stack({len(VOCAB_KS)}, {stack_expr}) AS (vocab_k, covered_tokens)"),
+        F.col("vocab").alias("vocab_size"),
+        F.col("total").alias("total_tokens"),
+    ).select(
+        "vocab_k",
+        "vocab_size",
+        "total_tokens",
+        "covered_tokens",
+        F.round(F.col("covered_tokens") / F.col("total_tokens"), 6).alias("coverage"),
+    )
+
+
+@register(
+    "dedup_canonical_by_quality",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_PAIR_SQL}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+    scored AS (
+      SELECT c.doc_id, c.cluster_id, d.n_chars
+      FROM comp c JOIN documents d USING (doc_id)
+    ),
+    best AS (
+      SELECT cluster_id, doc_id AS canonical_id
+      FROM (SELECT cluster_id, doc_id,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM scored)
+      WHERE rn = 1
+    )
+    SELECT s.doc_id, s.cluster_id, b.canonical_id,
+           s.doc_id = b.canonical_id AS keep
+    FROM scored s JOIN best b USING (cluster_id)
+    """,
+    description="Quality-aware canonical keep: near-dup clusters keep the HIGHEST-QUALITY member (longest doc, id tie-break), not the min-id",
+    tags=("dedup", "iterative", "window"),
+)
+def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production dedup keeps the BEST document of each near-dup
+    cluster, not an arbitrary one: min-id canonicals (dedup_clusters)
+    systematically prefer whichever shard was ingested first, which on
+    real corpora means older, often truncated variants win. Here the
+    cluster representative is argmax(quality, tie min doc_id) with
+    n_chars as the quality key — swap any scored column in; the shape
+    is unchanged. Built as: oracle-able n-gram Jaccard pairs → the
+    iterative CC operator → one per-cluster argmax window. The window
+    partitions by cluster_id (near-dup clusters are tiny — bounded by
+    collision structure, not corpus size) and the rank<=1 filter is
+    the WindowGroupLimit bounded-heap pattern, so no stage scales
+    worse than the pair generation that feeds it."""
+    from pyspark.sql.window import Window
+
+    from crypto_etl_pipeline_spark.operators.cluster import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    scored = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("canonical_id"))
+    )
+    return scored.join(best, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
     )
