@@ -195,35 +195,49 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Blocking on lang leaves ~5 distinct join keys: a hash/sort-merge
-    # join would funnel each language's full n^2 pair set through ONE
-    # task. Repartition the streamed side by doc_id (parallel shingle
-    # computation + parallel pair evaluation) and broadcast the build
-    # side — every task then handles its slice of `a` against the
-    # broadcast `b`. (This n^2-within-block variant exists as the
-    # oracle-checkable small-scale twin of MinHash-LSH, which is the
-    # actual 100 TB path.)
+    # Reformulated round 6 from the lang-blocked broadcast n^2
+    # intersect to a shingle POSTING join (the dedup_containment_pairs
+    # shape, r5): distinct shingles explode to (shingle, doc)
+    # postings, the self-join on (lang, shingle) counts |A∩B| as a
+    # hash aggregation, and |A∪B| = size_a + size_b - inter needs only
+    # the per-doc set sizes joined back. EXACT — a pair sharing zero
+    # shingles has Jaccard 0 and can never pass t > 0, so skipping it
+    # loses nothing — and cost scales with matched posting volume, not
+    # docs² per block: the 3x-scale fixture measured the n² form at
+    # 6.7x growth (SCALE.md r6) where posting volume grows ~linearly.
+    # The n² formulation survives only in the DuckDB oracle.
     docs = load_table(spark, sf_dir, "documents")
     n_parts = spark.sparkContext.defaultParallelism
-    sh = docs.repartition(n_parts, F.col("doc_id")).select(
-        "doc_id",
-        "lang",
-        F.array_distinct(textops.shingles(F.col("text"), 3)).alias("shingle_set"),
-    )
-    a, b = sh.alias("a"), sh.alias("b")
-    jac = textops.jaccard(F.col("a.shingle_set"), F.col("b.shingle_set"))
-    return (
-        a.join(
-            F.broadcast(b),
-            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .withColumn("jaccard_raw", jac)
-        .where(F.col("jaccard_raw") >= 0.05)
+    sh = (
+        docs.repartition(n_parts, F.col("doc_id"))
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.round(F.col("jaccard_raw"), 6).alias("jaccard"),
+            "doc_id",
+            "lang",
+            F.array_distinct(textops.shingles(F.col("text"), 3)).alias("s"),
         )
+        .localCheckpoint(eager=False)
+    )
+    sizes = sh.select("doc_id", F.size("s").alias("sz"))
+    post = sh.select("doc_id", "lang", F.explode("s").alias("sh"))
+    a, b = post.alias("a"), post.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = F.broadcast(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("size_a")))
+    sb = F.broadcast(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("size_b")))
+    jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(jac >= 0.05)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
