@@ -275,3 +275,97 @@ class TestBfdPackingName:
         assert hasattr(packing, "bfd_pack_shard")
         # back-compat alias points at the same implementation
         assert packing.pack_ffd is packing.pack_bfd
+
+
+class TestPostingJoinJaccard:
+    """Round-6 reformulation: the posting-join Jaccard must equal the
+    direct set-intersect definition on adversarial fixtures — repeated
+    shingles inside a doc (distinct-set semantics), sub-shingle-length
+    docs (empty sets), and cross-lang lookalikes (blocking)."""
+
+    def _run(self, spark, tmp_path, rows):
+        import pyspark.sql.functions as F
+
+        from crypto_etl_pipeline_spark.queries.text import dedup_ngram_jaccard_pairs
+
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        ).select(
+            "doc_id", "text", "lang", F.lit("t").alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        sf_dir = str(tmp_path)
+        df.coalesce(1).write.mode("overwrite").parquet(sf_dir + "/documents.parquet")
+        return {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup_ngram_jaccard_pairs(spark, sf_dir).collect()
+        }
+
+    def test_repeated_shingles_count_once(self, spark, tmp_path):
+        # "a b c a b c a b c": distinct shingle set has 3 elements
+        # (abc, bca, cab); a posting join that forgot distinct would
+        # count multiplicities and overshoot jaccard
+        rows = [
+            (1, "a b c a b c a b c", "en"),
+            (2, "a b c x y z", "en"),  # shares exactly {a_b_c}
+        ]
+        got = self._run(spark, tmp_path, rows)
+        # doc1 set = {abc,bca,cab,cba? ...} enumerate: trigrams of 9 toks
+        # = 7 windows -> distinct {abc,bca,cab}; doc2 = {abc,bcx,cxy,xyz}
+        # inter=1, union=6 -> 1/6
+        assert got == {(1, 2): round(1 / 6, 6)}
+
+    def test_short_docs_never_pair(self, spark, tmp_path):
+        rows = [(1, "one two", "en"), (2, "one two", "en"), (3, "x", "en")]
+        assert self._run(spark, tmp_path, rows) == {}
+
+    def test_lang_blocking_respected(self, spark, tmp_path):
+        rows = [(1, "p q r s", "en"), (2, "p q r s", "de"), (3, "p q r s", "en")]
+        got = self._run(spark, tmp_path, rows)
+        assert set(got) == {(1, 3)}
+        assert got[(1, 3)] == 1.0
+
+
+class TestStratifiedQuotaInvariants:
+    def _docs(self, spark, tmp_path, counts):
+        import pyspark.sql.functions as F
+
+        rows, nid = [], 0
+        for lang, n in counts.items():
+            for _ in range(n):
+                rows.append((nid, f"text {nid}", lang))
+                nid += 1
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string").select(
+            "doc_id", "text", "lang", F.lit("t").alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        sf_dir = str(tmp_path)
+        df.coalesce(1).write.mode("overwrite").parquet(sf_dir + "/documents.parquet")
+        return sf_dir
+
+    def test_exact_global_size_and_proportionality(self, spark, tmp_path):
+        from crypto_etl_pipeline_spark.queries.analytics import (
+            STRAT_N,
+            sample_stratified_exact,
+        )
+
+        counts = {"en": 300, "de": 120, "fr": 47, "zh": 33}
+        sf_dir = self._docs(spark, tmp_path, counts)
+        rows = sample_stratified_exact(spark, sf_dir).collect()
+        assert len(rows) == STRAT_N  # exact global size despite rounding
+        per = {}
+        for r in rows:
+            per[r["lang"]] = per.get(r["lang"], 0) + 1
+        n = sum(counts.values())
+        for lang, n_s in counts.items():
+            expect = STRAT_N * n_s / n
+            # largest-remainder: within 1 of the exact proportional share
+            assert abs(per[lang] - expect) < 1, (lang, per[lang], expect)
+
+    def test_layout_independent(self, spark, tmp_path):
+        from crypto_etl_pipeline_spark.queries.analytics import sample_stratified_exact
+
+        sf_dir = self._docs(spark, tmp_path, {"en": 40, "de": 25, "fr": 15})
+        a = sorted(r["doc_id"] for r in sample_stratified_exact(spark, sf_dir).collect())
+        b = sorted(r["doc_id"] for r in sample_stratified_exact(spark, sf_dir).collect())
+        assert a == b
