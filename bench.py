@@ -125,6 +125,7 @@ HEADLINE = [
     "vocab_coverage_curve",
     "sample_stratified_exact",
     "dedup_canonical_by_quality",
+    "corpus_mix_temperature",
 ]
 
 

@@ -2920,3 +2920,85 @@ def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_id",
         (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
     )
+
+
+MIX_ALPHA = 0.3  #: temperature exponent (mT5's alpha: flattens share^alpha)
+MIX_BUDGET = 200  #: target sampled docs across the whole mix
+
+
+@register(
+    "corpus_mix_temperature",
+    oracle=f"""
+    WITH sz AS (SELECT lang, count(*)::BIGINT AS n_s FROM documents GROUP BY lang),
+    tot AS (SELECT sum(n_s)::BIGINT AS n FROM sz),
+    tq AS (
+      SELECT lang, n_s, pow(n_s * 1.0 / t.n, {MIX_ALPHA}) AS q_raw
+      FROM sz, tot t
+    ),
+    qn AS (
+      SELECT lang, n_s,
+             round(q_raw / (SELECT sum(q_raw) FROM tq), 6) AS temp_share,
+             round(least(1.0, {MIX_BUDGET} * (q_raw / (SELECT sum(q_raw) FROM tq))
+                              / n_s), 6) AS rate
+      FROM tq
+    ),
+    g AS (
+      SELECT d.lang, q.n_s, q.temp_share, q.rate,
+             ('0x' || substr(md5(d.doc_id::VARCHAR || 'mixtemp-v1'), 1, 15))::BIGINT
+               % 1000000 AS gate
+      FROM documents d JOIN qn q USING (lang)
+    )
+    SELECT lang, n_s, temp_share, rate,
+           sum(CASE WHEN gate < floor(rate * 1000000)::BIGINT THEN 1 ELSE 0 END)::BIGINT
+             AS n_sampled
+    FROM g GROUP BY lang, n_s, temp_share, rate
+    """,
+    description="Temperature-scaled corpus mixing (share^alpha renormalized, mT5-style): low-resource langs up-weighted, rates hash-gated",
+    tags=("sampling", "text"),
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard multilingual rebalancer (mT5, arXiv:2010.11934
+    §3.1): sampling shares q_s ∝ p_s^alpha flatten the corpus
+    distribution — alpha=1 keeps natural proportions, alpha=0 is
+    uniform — so low-resource languages stop drowning. Shares and
+    per-lang Bernoulli rates (budget*q_s/n_s, capped at 1 — Bernoulli
+    cannot upsample; production mixers repeat epochs for capped langs,
+    and the cap makes that visible here) are computed wholly on the
+    LANG DIM TABLE (stratum-cardinality rows), broadcast back, and
+    applied through the md5 hash gate — deterministic across
+    runs/engines/layouts. Rates round to the 1e-6 gate grid in both
+    engines before the cut, so the only FP surface is pow() itself
+    (1-ulp libm-vs-JVM divergence would need a value within 5e-13 of
+    a grid boundary to flip — the sample_weighted_ares argument)."""
+    from crypto_etl_pipeline_spark.operators.sampling import GATE, hash_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    sz = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = sz.agg(F.sum("n_s").alias("n"))
+    tq = sz.join(F.broadcast(tot)).select(
+        "lang", "n_s", F.pow(F.col("n_s") / F.col("n"), F.lit(MIX_ALPHA)).alias("q_raw")
+    )
+    qsum = tq.agg(F.sum("q_raw").alias("qs"))
+    qn = tq.join(F.broadcast(qsum)).select(
+        "lang",
+        "n_s",
+        F.round(F.col("q_raw") / F.col("qs"), 6).alias("temp_share"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(MIX_BUDGET) * (F.col("q_raw") / F.col("qs")) / F.col("n_s"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    g = docs.join(F.broadcast(qn), "lang").select(
+        "lang",
+        "n_s",
+        "temp_share",
+        "rate",
+        hash_gate(F.col("doc_id"), "mixtemp-v1").alias("_gate"),
+        F.floor(F.col("rate") * GATE).cast("long").alias("_cut"),
+    )
+    return g.groupBy("lang", "n_s", "temp_share", "rate").agg(
+        F.sum(F.when(F.col("_gate") < F.col("_cut"), 1).otherwise(0)).alias("n_sampled")
+    )
