@@ -126,6 +126,8 @@ HEADLINE = [
     "sample_stratified_exact",
     "dedup_canonical_by_quality",
     "corpus_mix_temperature",
+    "cap_docs_per_source",
+    "quality_percentile_normalize",
 ]
 
 

@@ -3002,3 +3002,113 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.groupBy("lang", "n_s", "temp_share", "rate").agg(
         F.sum(F.when(F.col("_gate") < F.col("_cut"), 1).otherwise(0)).alias("n_sampled")
     )
+
+
+SOURCE_CAP = 15  #: max docs retained per source (C4-style domain cap)
+
+
+@register(
+    "cap_docs_per_source",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || 'srccap-v1'), 1, 15))::BIGINT
+                          % 1000000, doc_id) AS src_rank,
+             count(*) OVER (PARTITION BY source) AS n_source
+      FROM documents
+    )
+    SELECT doc_id, source, src_rank, n_source,
+           n_source > {SOURCE_CAP} AS cap_applied
+    FROM ranked WHERE src_rank <= {SOURCE_CAP}
+    """,
+    description="Per-source document cap (C4-style domain cap): hash-ranked keep of at most N docs per source",
+    tags=("sampling", "text", "window"),
+)
+def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source contribution capping (C4, arXiv:1910.10683 kept
+    max-3 pages per URL; every production corpus caps hot domains so
+    one crawler-friendly site cannot dominate training): keep at most
+    SOURCE_CAP docs per source, chosen by the md5 hash rank —
+    deterministic across runs/engines/layouts, and unbiased within the
+    source (the hash is uniform). The per-source window's
+    rank <= cap filter is the WindowGroupLimit bounded-heap pattern:
+    each task keeps a cap-sized heap per source, so the op never
+    shuffles more than it must and never sorts a whole partition at
+    100 TB. cap_applied makes the truncation observable (the silent-cap
+    lint from SCALE.md: a cap that reads as full coverage is a bug)."""
+    from pyspark.sql.window import Window
+
+    from crypto_etl_pipeline_spark.operators.sampling import hash_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        hash_gate(F.col("doc_id"), "srccap-v1").asc(), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("source")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).alias("src_rank"),
+            F.count(F.lit(1)).over(wc).alias("n_source"),
+        )
+        .where(F.col("src_rank") <= SOURCE_CAP)
+        .select(
+            "doc_id", "source", "src_rank", "n_source",
+            (F.col("n_source") > SOURCE_CAP).alias("cap_applied"),
+        )
+    )
+
+
+@register(
+    "quality_percentile_normalize",
+    oracle="""
+    WITH sc AS (SELECT doc_id, n_chars AS score FROM documents),
+    dist AS (SELECT score, count(*)::BIGINT AS cnt FROM sc GROUP BY score),
+    cum AS (
+      SELECT score, cnt,
+             coalesce(sum(cnt) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM dist
+    ),
+    tot AS (SELECT sum(cnt)::BIGINT AS n FROM dist)
+    SELECT s.doc_id, s.score,
+           round((c.below + 0.5 * c.cnt) / t.n, 6) AS pct_rank
+    FROM sc s JOIN cum c USING (score), tot t
+    """,
+    description="Percentile-rank (mid-rank ECDF) normalization of a quality score — threshold-free filtering scale, no global sort",
+    tags=("text", "window", "agg"),
+)
+def quality_percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scores from different scorers live on incomparable
+    scales; percentile-rank normalization (mid-rank ECDF: (#below +
+    half the ties)/n) makes 'keep the top 30%' meaningful across them.
+    The naive formulation is percent_rank() over an UNPARTITIONED
+    corpus-sized window — a global sort, banned here. Instead the
+    corpus reduces to the DISTINCT-SCORE table (bounded by score
+    cardinality, not corpus size), one cumulative window runs over that
+    dim-sized table, and the (score -> pct_rank) map broadcasts back
+    onto the corpus — the impute_grouped_median shape applied to
+    ranking. For genuinely continuous scores, round to a fixed grid
+    first (the histogram_quantile_rollup discipline) and the same plan
+    holds with grid-resolution accuracy."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sc = docs.select("doc_id", F.col("n_chars").alias("score"))
+    dist = sc.groupBy("score").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = dist.select(
+        "score",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("below"),
+    )
+    tot = dist.agg(F.sum("cnt").alias("n"))
+    lut = F.broadcast(cum.join(F.broadcast(tot)))
+    return sc.join(lut, "score").select(
+        "doc_id",
+        "score",
+        F.round((F.col("below") + 0.5 * F.col("cnt")) / F.col("n"), 6).alias("pct_rank"),
+    )
