@@ -58,6 +58,17 @@ SPOT_QUERIES = [
     "window_dense_rank_lead",
     "histogram_quantile_rollup",
     "pack_training_sequences",
+    # round-6 rotation: the new sampling/normalization ops. The
+    # posting-join Jaccard family is deliberately NOT here: its
+    # exactness is pinned at sf0.01, and at sf0.1 the DUCKDB side (the
+    # n² list-intersect oracle, the form the Spark plan no longer has)
+    # needs ~20+ min for one query — the oracle is the bottleneck, not
+    # the engine (Spark side measured 2.2 s; SCALE.md r6).
+    "sample_stratified_exact",
+    "vocab_coverage_curve",
+    "corpus_mix_temperature",
+    "cap_docs_per_source",
+    "quality_percentile_normalize",
 ]
 
 
