@@ -52,6 +52,14 @@ HEAVY = [
     "inverted_index_postings",
     "q9_product_profit",
     "events_hourly_rollup",
+    # round-6 additions
+    "dedup_ngram_jaccard_pairs",
+    "dedup_canonical_by_quality",
+    "sample_stratified_exact",
+    "vocab_coverage_curve",
+    "corpus_mix_temperature",
+    "cap_docs_per_source",
+    "quality_percentile_normalize",
 ]
 
 

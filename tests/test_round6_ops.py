@@ -369,3 +369,70 @@ class TestStratifiedQuotaInvariants:
         a = sorted(r["doc_id"] for r in sample_stratified_exact(spark, sf_dir).collect())
         b = sorted(r["doc_id"] for r in sample_stratified_exact(spark, sf_dir).collect())
         assert a == b
+
+
+class TestTemperatureMixInvariants:
+    """corpus_mix_temperature: alpha<1 must UP-weight low-resource
+    strata relative to natural shares, rates cap at 1, and the realized
+    sample tracks the budget within Bernoulli noise."""
+
+    def test_mix_properties_on_driver_fixture(self, spark):
+        from crypto_etl_pipeline_spark.queries.text import (
+            MIX_BUDGET,
+            corpus_mix_temperature,
+        )
+
+        rows = corpus_mix_temperature(spark, "/root/testdata/sf0.01").collect()
+        by = {r["lang"]: r for r in rows}
+        n = sum(r["n_s"] for r in rows)
+        # temperature flattening: smallest stratum's temp share exceeds
+        # its natural share; largest stratum's is below
+        smallest = min(by.values(), key=lambda r: r["n_s"])
+        largest = max(by.values(), key=lambda r: r["n_s"])
+        assert smallest["temp_share"] > smallest["n_s"] / n
+        assert largest["temp_share"] < largest["n_s"] / n
+        # rates are probabilities
+        assert all(0 < r["rate"] <= 1.0 for r in rows)
+        # realized total near budget (hash-Bernoulli noise; 3 sigma of
+        # binomial with p<=0.6 over ~500 docs is well under 40%)
+        total = sum(r["n_sampled"] for r in rows)
+        assert 0.6 * MIX_BUDGET <= total <= 1.4 * MIX_BUDGET
+
+    def test_deterministic_across_layouts(self, spark):
+        from crypto_etl_pipeline_spark.queries.text import corpus_mix_temperature
+
+        a = sorted(map(tuple, corpus_mix_temperature(spark, "/root/testdata/sf0.001").collect()))
+        b = sorted(map(tuple, corpus_mix_temperature(spark, "/root/testdata/sf0.001").collect()))
+        assert a == b
+
+
+class TestSourceCapInvariants:
+    def test_cap_bounds_and_flag(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from crypto_etl_pipeline_spark.queries.text import (
+            SOURCE_CAP,
+            cap_docs_per_source,
+        )
+
+        rows = []
+        nid = 0
+        for src, n in (("hot", 100), ("ok", SOURCE_CAP), ("tiny", 3)):
+            for _ in range(n):
+                rows.append((nid, f"t {nid}", "en", src))
+                nid += 1
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        ).withColumn("n_chars", F.length("text").cast("long"))
+        sf_dir = str(tmp_path)
+        df.coalesce(1).write.mode("overwrite").parquet(sf_dir + "/documents.parquet")
+        got = cap_docs_per_source(spark, sf_dir).collect()
+        per = {}
+        for r in got:
+            per.setdefault(r["source"], []).append(r)
+        assert len(per["hot"]) == SOURCE_CAP
+        assert all(r["cap_applied"] for r in per["hot"])
+        assert len(per["ok"]) == SOURCE_CAP
+        assert not any(r["cap_applied"] for r in per["ok"])
+        assert len(per["tiny"]) == 3
+        assert not any(r["cap_applied"] for r in per["tiny"])
