@@ -215,14 +215,104 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, cents, k=TOP_K, nprobe=IVF_NPROBE)
 
 
+def _lloyd_ivf_oracle(iters: int) -> str:
+    """Unrolled Lloyd k-means + IVF probe as SQL (round 6 — this was
+    the registry's last rows-only entry). Each iteration is an
+    (assignment CTE, per-dimension-mean CTE, centroid-update CTE)
+    triple; the final probe is the ann_ivf_topk oracle verbatim over
+    the refined centroids. Why cross-engine FP is safe: assignments
+    always use FLOOR-QUANTIZED coordinates (exact float64 integers —
+    the _nearest_centroid contract), so the only FP surface is whether
+    floor(mean * 2^20) flips between the engines' avg() sum orders.
+    Mean divergence is ~1e-16 relative against a ~1e-6 absolute floor
+    grid: a flip needs a mean within 1e-10 of a grid boundary, ~1e-7
+    across all (cell, dim, iter) floors here — and the three tested
+    SFs all MATCH. CTEs are AS MATERIALIZED (the bpe_train_merges
+    lesson: DuckDB inlining re-evaluates chained CTE references
+    exponentially). Empty cells keep their previous centroid, matching
+    ivf_build_centroids."""
+    ctes = [
+        f"""qv AS MATERIALIZED (
+      SELECT vec_id, embedding, {_DUCK_QV} AS q FROM embeddings
+    )""",
+        f"""cent0 AS MATERIALIZED (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS idx, {_DUCK_QV} AS qc
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {IVF_K})
+    )""",
+    ]
+    scale = float(LSH_SCALE)
+    for i in range(1, iters + 1):
+        prev = f"cent{i - 1}"
+        ctes.append(f"""assign{i} AS MATERIALIZED (
+      SELECT vec_id, idx AS cell FROM (
+        SELECT v.vec_id, c.idx,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 -2 * list_dot_product(v.q, c.qc) + list_dot_product(c.qc, c.qc), c.idx) AS rn
+        FROM qv v CROSS JOIN {prev} c)
+      WHERE rn = 1
+    )""")
+        ctes.append(f"""mean{i} AS MATERIALIZED (
+      SELECT cell AS idx,
+             list_transform(list(m ORDER BY pos), m -> floor(m * {scale})) AS qc
+      FROM (
+        SELECT a.cell, u.pos, avg(u.x::DOUBLE) AS m
+        FROM assign{i} a JOIN qv e USING (vec_id),
+             LATERAL (SELECT unnest(e.embedding) AS x,
+                             generate_subscripts(e.embedding, 1) AS pos) u
+        GROUP BY a.cell, u.pos)
+      GROUP BY cell
+    )""")
+        ctes.append(f"""cent{i} AS MATERIALIZED (
+      SELECT p.idx, coalesce(m.qc, p.qc) AS qc
+      FROM {prev} p LEFT JOIN mean{i} m USING (idx)
+    )""")
+    tail = f""",
+    adist AS MATERIALIZED (
+      SELECT v.vec_id, c.idx,
+             -2 * list_dot_product(v.q, c.qc) + list_dot_product(c.qc, c.qc) AS d
+      FROM qv v CROSS JOIN cent{iters} c
+    ),
+    ranked_cells AS MATERIALIZED (
+      SELECT vec_id, idx,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, idx) AS rn
+      FROM adist
+    ),
+    cells AS (SELECT vec_id AS neighbor_id, idx AS cell FROM ranked_cells WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS query_id, idx AS cell
+               FROM ranked_cells WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}),
+    sims AS (
+      SELECT p.query_id, c.neighbor_id,
+             round(cast(list_cosine_similarity(qe.embedding, ne.embedding) AS DOUBLE), 4) AS cos_sim
+      FROM qprobe p JOIN cells c USING (cell)
+      JOIN embeddings qe ON qe.vec_id = p.query_id
+      JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+      WHERE p.query_id != c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}"""
+    return "WITH " + ",\n    ".join(ctes) + tail
+
+
 @register(
     "ann_ivf_refined_topk",
-    oracle=None,  # Lloyd-refined centroids: distributed avg() FP association
-    # is engine-specific, so no SQL oracle; recall vs brute force is pytest-gated
-    description="IVF with Lloyd-refined centroids (recall-tested; rows-only by FP design)",
-    tags=("similarity", "rows-only"),
+    oracle=_lloyd_ivf_oracle(2),
+    description="IVF with Lloyd-refined centroids — fully oracled via an unrolled assignment/mean/update SQL chain (recall-tested too)",
+    tags=("similarity", "iterative"),
 )
 def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd-refined IVF (2 k-means steps over the seeded cells). The
+    refinement loop is distributed (assignment pass + per-dimension
+    mean; only k centroid vectors reach the driver), and since round 6
+    it is ALSO fully oracled: the floor-quantized assignment contract
+    makes each Lloyd step SQL-replayable, so the unrolled chain in
+    _lloyd_ivf_oracle replays training AND probe (verified MATCH at
+    sf0.001/0.01/0.1). Recall vs brute force stays pytest-gated
+    (>= 0.8 at nprobe=4)."""
     from crypto_etl_pipeline_spark.operators.similarity import ivf_build_centroids, ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
