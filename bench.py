@@ -128,6 +128,10 @@ HEADLINE = [
     "corpus_mix_temperature",
     "cap_docs_per_source",
     "quality_percentile_normalize",
+    "text_gopher_filters",
+    "embedding_random_projection",
+    "sql_recursive_hierarchy_rollup",
+    "variant_props_shred",
 ]
 
 

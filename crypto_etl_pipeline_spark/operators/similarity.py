@@ -530,3 +530,68 @@ def ivf_hot_cells(
             ).cast("long"),
         )
     )
+
+
+def rademacher_matrix(in_dim: int, out_dim: int, prefix: str = "") -> np.ndarray:
+    """Deterministic Rademacher (±1) projection matrix from md5 parity.
+
+    Entry (i, j) is +1 when the first hex character of
+    ``md5(f"{prefix}{i}_{j}")`` has even ASCII code, else -1 — a
+    formula any engine with md5 can reproduce exactly (the DuckDB
+    oracle regenerates the same matrix in SQL), so the projection is
+    a portable contract, not a seed hidden inside one RNG
+    implementation. Built once on the driver (in_dim x out_dim
+    entries, e.g. 64x16 = 1 KiB) and shipped in the serialized UDF
+    closure — never a shuffle-side object.
+    """
+    import hashlib
+
+    m = np.empty((in_dim, out_dim), dtype=np.float64)
+    for i in range(in_dim):
+        for j in range(out_dim):
+            h = hashlib.md5(f"{prefix}{i}_{j}".encode()).hexdigest()
+            m[i, j] = 1.0 if ord(h[0]) % 2 == 0 else -1.0
+    return m
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Achlioptas ±1 variant,
+    "Database-friendly random projections", PODS'01): map D-dim
+    embeddings to d-dim sketches that preserve pairwise distances to
+    within (1±eps) — the standard pre-ANN dimensionality cut when D is
+    large. Dense matmul over Arrow batches (``mapInPandas`` + numpy):
+    one narrow map-only pass, O(n*D*d) flops executor-side, no
+    shuffle, no driver round-trip. Long-form output (id, out_pos,
+    proj) so downstream bucketing/aggregation sees flat columns.
+
+    Per-partition cost is independent of corpus size — at 100 TB this
+    is embarrassingly parallel and Arrow-batch bound; the matrix is a
+    driver-built constant (see :func:`rademacher_matrix`), so every
+    executor projects with bit-identical signs.
+    """
+    mat = rademacher_matrix(in_dim, out_dim)
+    schema = f"{id_col} long, out_pos int, proj double"
+
+    def _project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            proj = np.round(vecs @ mat, round_to)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), out_dim),
+                    "out_pos": np.tile(np.arange(out_dim, dtype=np.int32), n),
+                    "proj": proj.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_project, schema=schema)

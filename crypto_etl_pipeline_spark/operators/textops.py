@@ -233,3 +233,68 @@ def redact_pii(text: Column | str) -> Column:
     for name in PII_ORDER:
         out = F.regexp_replace(out, PII_PATTERNS[name], PII_TOKENS[name])
     return out
+
+
+# Gopher-style document-quality screen (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", Appendix A: MassiveWeb filters) —
+# the standard pre-training corpus gate the reference's quality
+# heuristics approximate. Bounds are the published defaults except
+# the word-count floor, which is a parameter (the paper uses 50).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MIN_DISTINCT_RATIO = 0.2
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_SYMBOL_FRAC = 0.1
+
+
+def gopher_signals(text: Column | str, min_words: int = GOPHER_MIN_WORDS) -> dict[str, Column]:
+    """All Gopher screen signals in ONE zero-shuffle pass.
+
+    Every signal is a higher-order function over the split-once token
+    array (transform/filter/aggregate on the same array expression):
+    codegen'd, map-only, no explode, no shuffle — per-row cost is
+    O(words), independent of corpus size, so the screen is a narrow
+    stage at any scale. Returns named Columns so callers can select
+    any subset without recomputation (Catalyst CSE collapses the
+    shared ``split``).
+    """
+    t = _as_col(text)
+    ws = tokens(t)
+    n = F.size(ws)
+    nd = n.cast("double")
+    total_len = F.aggregate(
+        F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda a, v: a + v
+    )
+    mean_len = F.round(total_len.cast("double") / nd, 6)
+    distinct_ratio = F.round(F.size(F.array_distinct(ws)).cast("double") / nd, 6)
+    stop_n = stopword_hits(t, STOPWORDS["en"])
+    alpha_frac = F.round(
+        F.size(F.filter(ws, lambda w: w.rlike("^[A-Za-z]+$"))).cast("double") / nd, 6
+    )
+    symbol_frac = F.round(
+        F.size(
+            F.filter(ws, lambda w: w.contains("#") | w.contains("..."))
+        ).cast("double")
+        / nd,
+        6,
+    )
+    keep = (
+        n.between(min_words, GOPHER_MAX_WORDS)
+        & mean_len.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (stop_n >= GOPHER_MIN_STOPWORDS)
+        & (distinct_ratio >= GOPHER_MIN_DISTINCT_RATIO)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (symbol_frac <= GOPHER_MAX_SYMBOL_FRAC)
+    )
+    return {
+        "n_words": n,
+        "mean_word_len": mean_len,
+        "distinct_ratio": distinct_ratio,
+        "stopword_count": stop_n,
+        "alpha_frac": alpha_frac,
+        "symbol_frac": symbol_frac,
+        "gopher_keep": keep,
+    }

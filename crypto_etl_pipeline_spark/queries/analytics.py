@@ -2224,3 +2224,50 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(F.broadcast(alloc), "lang").where(
         F.col("strat_rank") <= F.col("quota")
     ).select("doc_id", "lang", "strat_rank", "quota")
+
+
+@register(
+    "variant_props_shred",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(k / 10.0) AS BIGINT) AS k_bucket,
+           count(*) AS n,
+           min(k) AS min_k, max(k) AS max_k,
+           round(avg(value), 6) AS avg_value
+    FROM (SELECT event_type, value,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    WHERE k IS NOT NULL
+    GROUP BY event_type, CAST(floor(k / 10.0) AS BIGINT)
+    """,
+    description="Spark 4 VARIANT type: parse_json + variant_get typed path shred, bucketed histogram per event type",
+    tags=("json", "variant", "agg"),
+)
+def variant_props_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured shredding through the VARIANT type (new in
+    Spark 4.0) rather than from_json-with-schema: ``parse_json`` builds
+    the binary variant once, ``variant_get`` extracts a typed path.
+    At scale this is the right default for ragged/evolving JSON —
+    variant parsing is a codegen'd expression and, on variant-shredded
+    parquet, path extraction prunes to the shredded subcolumn instead
+    of re-parsing text. The sibling ``json_extract_props_stats`` pins
+    the schema-full ``from_json`` form; this pins the schemaless
+    VARIANT form over the same column, so both parse paths are under
+    oracle. Output is a (event_type x k-decade) histogram with a
+    value-average join-back — one shuffle on the composite group key."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", "value", k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.col("k") / 10.0).cast("long").alias("k_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )

@@ -533,3 +533,48 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ben, 6).alias("benford"),
         F.round(F.pow(obs - ben, 2) / ben * F.col("total"), 4).alias("chi2_term"),
     )
+
+
+_RECURSIVE_TREE_SQL = """
+WITH RECURSIVE tree(doc_id, depth, path_chars) AS (
+  SELECT doc_id, 0 AS depth, CAST(n_chars AS BIGINT) AS path_chars
+  FROM documents WHERE doc_id = 0
+  UNION ALL
+  SELECT d.doc_id, t.depth + 1, t.path_chars + d.n_chars
+  FROM documents d
+  JOIN tree t ON CAST(floor((d.doc_id - 1) / 2.0) AS BIGINT) = t.doc_id
+  WHERE d.doc_id >= 1
+)
+SELECT depth,
+       count(*) AS n_docs,
+       CAST(sum(path_chars) AS BIGINT) AS total_path_chars,
+       min(path_chars) AS min_path_chars,
+       max(path_chars) AS max_path_chars
+FROM tree GROUP BY depth
+"""
+
+
+@register(
+    "sql_recursive_hierarchy_rollup",
+    oracle=_RECURSIVE_TREE_SQL,
+    description="Spark 4 WITH RECURSIVE: ancestor-chain rollup over an implicit binary-heap hierarchy on documents",
+    tags=("sql", "hierarchy", "iterative"),
+)
+def sql_recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (org-chart / BOM-style) traversal — the operator
+    family recursive CTEs exist for, new in Spark 4.0. The hierarchy
+    is the implicit binary-heap parent edge parent(d) = floor((d-1)/2)
+    over doc_id, so the recursion depth is log2(n) (~9 at the gate SF,
+    ~13 at sf0.1) — comfortably inside Spark's default 100-level
+    recursion limit, and each iteration is a hash join of the frontier
+    (level l has ~2^l rows) against the base table, so the total work
+    is O(n log n) joins with a frontier that fans out, never the whole
+    table squared. The IDENTICAL SQL text runs on both engines —
+    recursive CTE syntax is the portable contract here (the repo's
+    driver-loop twin for unbounded iteration is
+    operators/cluster.py:connected_components; this is the in-plan
+    bounded-depth form)."""
+    from crypto_etl_pipeline_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir, ("documents",))
+    return spark.sql(_RECURSIVE_TREE_SQL)

@@ -3112,3 +3112,45 @@ def quality_percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.round((F.col("below") + 0.5 * F.col("cnt")) / F.col("n"), 6).alias("pct_rank"),
     )
+
+
+@register(
+    "text_gopher_filters",
+    oracle=rf"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents
+    )
+    SELECT doc_id,
+           len(ws) AS n_words,
+           round(list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws), 6) AS mean_word_len,
+           round(len(list_distinct(ws))::DOUBLE / len(ws), 6) AS distinct_ratio,
+           len(list_filter(ws, x -> x IN ({_EN}))) AS stopword_count,
+           round(len(list_filter(ws, x -> regexp_full_match(x, '[A-Za-z]+')))::DOUBLE / len(ws), 6) AS alpha_frac,
+           round(len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...')))::DOUBLE / len(ws), 6) AS symbol_frac,
+           (len(ws) BETWEEN 50 AND 100000
+            AND round(list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws), 6) BETWEEN 3.0 AND 10.0
+            AND len(list_filter(ws, x -> x IN ({_EN}))) >= 2
+            AND round(len(list_distinct(ws))::DOUBLE / len(ws), 6) >= 0.2
+            AND round(len(list_filter(ws, x -> regexp_full_match(x, '[A-Za-z]+')))::DOUBLE / len(ws), 6) >= 0.8
+            AND round(len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...')))::DOUBLE / len(ws), 6) <= 0.1
+           ) AS gopher_keep
+    FROM w
+    """,
+    description="Gopher (MassiveWeb) quality screen: 6 signals + keep flag, one zero-shuffle HOF pass",
+    tags=("text", "quality", "filter"),
+)
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher corpus screen (Rae et al. 2021, App. A) as a single
+    narrow stage: word-count bounds, mean word length, type-token
+    (repetition) ratio, stopword floor, alphabetic-word fraction and
+    symbol-word ceiling, plus the conjunction ``gopher_keep``. The
+    reference's quality heuristics (crypto_etl_pipeline.py:137-210
+    range/null screens) are row-level predicates of the same family;
+    this is the published-filter version a pre-training pipeline
+    actually runs. All signals are HOFs over ONE split() array —
+    Catalyst CSE keeps it one tokenization, zero shuffles, so at
+    100 TB the screen is scan-bound (and the keep flag makes the
+    downstream filter a pushable predicate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = textops.gopher_signals(F.col("text"))
+    return docs.select("doc_id", *[c.alias(k) for k, c in sig.items()])

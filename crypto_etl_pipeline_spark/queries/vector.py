@@ -736,3 +736,48 @@ def ann_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 from crypto_etl_pipeline_spark.queries.base import REGISTRY as _REG  # noqa: E402
 
 _REG["ann_ivf_persisted_probe"].oracle = _REG["ann_ivf_topk"].oracle
+
+
+JL_OUT_DIM = 16
+JL_IN_DIM = 64
+
+
+@register(
+    "embedding_random_projection",
+    oracle=f"""
+    WITH sign AS (
+      SELECT i.i AS i, j.j AS j,
+             CASE WHEN ascii(substr(md5(CAST(i.i AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)), 1, 1)) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM generate_series(0, {JL_IN_DIM - 1}) i(i)
+      CROSS JOIN generate_series(0, {JL_OUT_DIM - 1}) j(j)
+    ),
+    el AS (
+      SELECT e.vec_id, u.pos - 1 AS i, u.x::DOUBLE AS x
+      FROM embeddings e,
+           LATERAL (SELECT unnest(e.embedding) AS x,
+                           generate_subscripts(e.embedding, 1) AS pos) u
+    )
+    SELECT el.vec_id, s.j AS out_pos, round(sum(el.x * s.s), 6) AS proj
+    FROM el JOIN sign s ON el.i = s.i
+    GROUP BY el.vec_id, s.j
+    """,
+    description="Johnson-Lindenstrauss Rademacher projection 64->16: Arrow-batched matmul, md5-parity sign matrix shared with the oracle",
+    tags=("vector", "pandas-udf", "projection"),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL dimensionality reduction as the pre-ANN scale lever: at 100 TB
+    with wide embeddings (1k-4k dims), projecting to O(log n / eps^2)
+    dims before LSH/IVF cuts every downstream distance computation and
+    shuffle byte count by D/d while preserving pairwise geometry
+    (Achlioptas ±1 JL variant). The sign matrix derives from md5
+    parity — portable across engines — so the DuckDB twin regenerates
+    it in SQL and checks the projected values exactly (round 6; the
+    only cross-engine slack is double summation order, ~1e-13).
+    Spark side is a single mapInPandas matmul: map-only, no shuffle;
+    the oracle's unnest-join-groupBy n*D*d shape survives only on the
+    DuckDB side."""
+    from crypto_etl_pipeline_spark.operators.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_projection(emb, "vec_id", "embedding", JL_IN_DIM, JL_OUT_DIM)

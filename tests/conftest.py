@@ -55,6 +55,7 @@ _QUICK_MODULES = {
     "test_property_parsers",
     "test_lsh_bucket_cap",
     "test_round6_ops",
+    "test_round6b_ops",
 }
 
 # one oracled query per family: tpch-agg, join, window, setop, topk,

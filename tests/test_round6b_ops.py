@@ -1,0 +1,201 @@
+"""Round-6 second-wave operator invariants.
+
+Pins the four new operator families added after the full-sweep
+checkpoint: the Gopher quality screen (keep-flag logic on crafted
+failure modes), the Johnson-Lindenstrauss Rademacher projection
+(matrix determinism + norm preservation + map-only plan), the Spark 4
+recursive-CTE hierarchy rollup (tree-shape invariants), and the
+VARIANT shred (differential against the from_json twin).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# Gopher screen
+# ---------------------------------------------------------------------------
+
+
+class TestGopherSignals:
+    DOCS = [
+        # 0: passes every gate (>=50 words, stopwords, diverse, alpha)
+        (0, " ".join(f"the quick brown fox jump{chr(97 + i)}" for i in range(12))),
+        # 1: too short (8 words)
+        (1, "the quick brown fox jumps over a dog"),
+        # 2: long enough but zero stopwords
+        (2, " ".join(f"w{i} token word item" for i in range(15))),
+        # 3: long enough, stopwords present, but one word repeated
+        #    (distinct_ratio < 0.2)
+        (3, "the a " + " ".join(["spam"] * 58)),
+    ]
+
+    @pytest.fixture()
+    def signals(self, spark):
+        import pyspark.sql.functions as F
+
+        from crypto_etl_pipeline_spark.operators.textops import gopher_signals
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        sig = gopher_signals(F.col("text"))
+        rows = df.select("doc_id", *[c.alias(k) for k, c in sig.items()]).collect()
+        return {r["doc_id"]: r for r in rows}
+
+    def test_clean_doc_keeps(self, signals):
+        assert signals[0]["gopher_keep"] is True
+        assert signals[0]["n_words"] == 60
+        assert signals[0]["alpha_frac"] == 1.0
+
+    def test_too_short_drops(self, signals):
+        assert signals[1]["gopher_keep"] is False
+        assert signals[1]["n_words"] == 8
+
+    def test_no_stopwords_drops(self, signals):
+        assert signals[2]["gopher_keep"] is False
+        assert signals[2]["stopword_count"] == 0
+
+    def test_repetitive_drops(self, signals):
+        r = signals[3]
+        assert r["gopher_keep"] is False
+        assert r["distinct_ratio"] < 0.2
+        # fails ONLY the repetition gate: length and stopword gates pass
+        assert r["n_words"] == 60 and r["stopword_count"] >= 2
+
+    def test_zero_shuffle_plan(self, spark):
+        """The whole screen must stay a narrow map-only stage."""
+        import pyspark.sql.functions as F
+
+        from crypto_etl_pipeline_spark.operators.textops import gopher_signals
+
+        docs = spark.read.parquet(SF + "/documents.parquet")
+        sig = gopher_signals(F.col("text"))
+        plan = docs.select("doc_id", *[c.alias(k) for k, c in sig.items()])._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# JL Rademacher projection
+# ---------------------------------------------------------------------------
+
+
+class TestRandomProjection:
+    def test_matrix_matches_md5_parity(self):
+        import hashlib
+
+        from crypto_etl_pipeline_spark.operators.similarity import rademacher_matrix
+
+        m = rademacher_matrix(3, 3)
+        for i in range(3):
+            for j in range(3):
+                h = hashlib.md5(f"{i}_{j}".encode()).hexdigest()
+                want = 1.0 if ord(h[0]) % 2 == 0 else -1.0
+                assert m[i, j] == want
+
+    def test_long_form_shape_and_norm_preservation(self, spark):
+        """E[||Rx||^2] = d_out * ||x||^2 for Rademacher projections; the
+        per-vector ratio concentrates, and the corpus mean must sit
+        close to 1."""
+        import numpy as np
+
+        from crypto_etl_pipeline_spark.operators.similarity import random_projection
+
+        emb = spark.read.parquet(SF + "/embeddings.parquet")
+        n = emb.count()
+        out = random_projection(emb, "vec_id", "embedding", 64, 16)
+        pdf = out.toPandas()
+        assert len(pdf) == n * 16
+        proj_sq = pdf.groupby("vec_id")["proj"].apply(lambda s: float((s**2).sum()))
+        orig = {
+            r["vec_id"]: sum(float(x) ** 2 for x in r["embedding"])
+            for r in emb.collect()
+        }
+        ratios = [proj_sq[v] / (16.0 * orig[v]) for v in proj_sq.index if orig[v] > 0]
+        mean_ratio = sum(ratios) / len(ratios)
+        assert 0.85 < mean_ratio < 1.15, mean_ratio
+
+    def test_map_only_plan(self, spark):
+        from crypto_etl_pipeline_spark.operators.similarity import random_projection
+
+        emb = spark.read.parquet(SF + "/embeddings.parquet")
+        plan = random_projection(emb, "vec_id", "embedding", 64, 16)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE hierarchy
+# ---------------------------------------------------------------------------
+
+
+class TestRecursiveHierarchy:
+    def test_tree_shape(self, spark):
+        from crypto_etl_pipeline_spark.queries.quality import (
+            sql_recursive_hierarchy_rollup,
+        )
+
+        n = spark.read.parquet(SF + "/documents.parquet").count()
+        rows = {r["depth"]: r for r in sql_recursive_hierarchy_rollup(spark, SF).collect()}
+        # every document lands at exactly one depth
+        assert sum(r["n_docs"] for r in rows.values()) == n
+        # binary-heap level widths: 2^d full levels, remainder on the last
+        max_depth = max(rows)
+        assert max_depth == int(math.floor(math.log2(n)))
+        for d in range(max_depth):
+            assert rows[d]["n_docs"] == 2**d
+        assert rows[max_depth]["n_docs"] == n - (2**max_depth - 1)
+
+    def test_path_chars_accumulate(self, spark):
+        """Root level's path_chars equals the root doc's n_chars, and
+        every level's min path is strictly above the previous level's
+        min (chains only add)."""
+        from crypto_etl_pipeline_spark.queries.quality import (
+            sql_recursive_hierarchy_rollup,
+        )
+
+        docs = spark.read.parquet(SF + "/documents.parquet")
+        root_chars = docs.where("doc_id = 0").collect()[0]["n_chars"]
+        rows = {r["depth"]: r for r in sql_recursive_hierarchy_rollup(spark, SF).collect()}
+        assert rows[0]["min_path_chars"] == rows[0]["max_path_chars"] == root_chars
+        for d in range(1, max(rows) + 1):
+            assert rows[d]["min_path_chars"] > rows[d - 1]["min_path_chars"]
+
+
+# ---------------------------------------------------------------------------
+# VARIANT shred
+# ---------------------------------------------------------------------------
+
+
+class TestVariantShred:
+    def test_matches_from_json_twin(self, spark):
+        """variant_get('$.k') must agree row-for-row with the schema-full
+        from_json extraction on the same column."""
+        import pyspark.sql.functions as F
+
+        from crypto_etl_pipeline_spark.queries.analytics import variant_props_shred
+
+        got = {
+            (r["event_type"], r["k_bucket"]): (r["n"], r["min_k"], r["max_k"], r["avg_value"])
+            for r in variant_props_shred(spark, SF).collect()
+        }
+        ev = spark.read.parquet(SF + "/events.parquet")
+        k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+        twin = (
+            ev.select("event_type", "value", k.alias("k"))
+            .where(F.col("k").isNotNull())
+            .groupBy("event_type", F.floor(F.col("k") / 10.0).cast("long").alias("k_bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("k").alias("min_k"),
+                F.max("k").alias("max_k"),
+                F.round(F.avg("value"), 6).alias("avg_value"),
+            )
+        )
+        want = {
+            (r["event_type"], r["k_bucket"]): (r["n"], r["min_k"], r["max_k"], r["avg_value"])
+            for r in twin.collect()
+        }
+        assert got == want and len(got) > 0
