@@ -595,3 +595,34 @@ def random_projection(
             )
 
     return df.select(id_col, vec_col).mapInPandas(_project, schema=schema)
+
+
+def random_projection_vec(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int,
+    out_col: str = "jl_vec",
+    round_to: int = 6,
+) -> DataFrame:
+    """Wide-form twin of :func:`random_projection`: (id, array<double>)
+    so the projected frame drops straight into the ANN operators
+    (``brute_force_topk``/LSH take any vector column). Same md5-parity
+    Rademacher matrix, same Arrow-batched matmul, same rounding — the
+    two forms agree element-for-element, so an oracle written against
+    the long form certifies this one too."""
+    mat = rademacher_matrix(in_dim, out_dim)
+    schema = f"{id_col} long, {out_col} array<double>"
+
+    def _project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            proj = np.round(vecs @ mat, round_to)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), out_col: list(proj)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_project, schema=schema)

@@ -781,3 +781,75 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return random_projection(emb, "vec_id", "embedding", JL_IN_DIM, JL_OUT_DIM)
+
+
+@register(
+    "ann_jl_projected_topk",
+    oracle=f"""
+    WITH sign AS (
+      SELECT i.i AS i, j.j AS j,
+             CASE WHEN ascii(substr(md5(CAST(i.i AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)), 1, 1)) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM generate_series(0, {JL_IN_DIM - 1}) i(i)
+      CROSS JOIN generate_series(0, {JL_OUT_DIM - 1}) j(j)
+    ),
+    el AS (
+      SELECT e.vec_id, u.pos - 1 AS i, u.x::DOUBLE AS x
+      FROM embeddings e,
+           LATERAL (SELECT unnest(e.embedding) AS x,
+                           generate_subscripts(e.embedding, 1) AS pos) u
+    ),
+    proj AS (
+      SELECT el.vec_id,
+             list(round(p, 6) ORDER BY j) AS jl_vec
+      FROM (
+        SELECT el.vec_id, s.j, sum(el.x * s.s) AS p
+        FROM el JOIN sign s ON el.i = s.i
+        GROUP BY el.vec_id, s.j
+      ) el GROUP BY el.vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, jl_vec AS qv FROM proj WHERE vec_id < {N_QUERIES}),
+    sims AS (
+      SELECT q.query_id, p.vec_id AS neighbor_id,
+             round(cast(list_cosine_similarity(q.qv, p.jl_vec) AS DOUBLE), 4) AS cos_sim
+      FROM q JOIN proj p ON p.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+    description="ANN in JL-projected 16-dim space: project once (map-only), then exact top-k over 4x-cheaper vectors",
+    tags=("similarity", "projection"),
+)
+def ann_jl_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JL -> ANN composition: search runs entirely in the 16-dim
+    sketch space, so every distance costs D/d = 4x less and — the part
+    that matters at 100 TB — the vectors shuffled/broadcast are 4x
+    smaller in bytes. Exactness is deliberately defined IN the
+    projected space (top-k by projected cosine, round-4 + id
+    tie-break), which makes the whole composition deterministic and
+    fully oracle-able. Honest fidelity note: JL guarantees pairwise
+    DISTANCE preservation (gated in tests/test_round6b_ops.py), not
+    rank preservation — on this corpus the true top-10 cosine margins
+    (~0.02) sit far below JL@16 distortion, so measured top-10 overlap
+    vs full space is 0.15 (chance 0.02; sanity-floored in pytest, not
+    claimed as high-recall ANN). The production use of the sketch
+    space is distance-THRESHOLD work (near-dup cuts, radius filters,
+    clustering) where eps-distortion is the right contract; for fine
+    ranking, use it as a bytes-reduction stage before exact re-rank.
+    Plan: one map-only projection pass feeding the brute_force_topk
+    broadcast-window shape — no extra shuffle beyond the k-survivor
+    window."""
+    from crypto_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        random_projection_vec,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = random_projection_vec(emb, "vec_id", "embedding", JL_IN_DIM, JL_OUT_DIM)
+    queries = proj.where(F.col("vec_id") < N_QUERIES)
+    return brute_force_topk(proj, queries, k=TOP_K, vec_col="jl_vec")

@@ -69,6 +69,11 @@ SPOT_QUERIES = [
     "corpus_mix_temperature",
     "cap_docs_per_source",
     "quality_percentile_normalize",
+    # round-6 second wave
+    "text_gopher_filters",
+    "embedding_random_projection",
+    "sql_recursive_hierarchy_rollup",
+    "variant_props_shred",
 ]
 
 
