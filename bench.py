@@ -132,6 +132,8 @@ HEADLINE = [
     "embedding_random_projection",
     "sql_recursive_hierarchy_rollup",
     "variant_props_shred",
+    "ann_jl_projected_topk",
+    "embedding_pca_top_component",
 ]
 
 

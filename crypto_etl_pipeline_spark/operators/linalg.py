@@ -1,0 +1,120 @@
+"""Distributed linear algebra over embedding columns.
+
+The sufficient-statistics pattern (the same discipline as
+operators/lrmodel.py's Newton-IRLS trainer): executors reduce the
+corpus to O(dim^2) moment rows — X^T X partial products, per-dimension
+sums, and a count — with Arrow-batched numpy, Spark aggregates them in
+one shuffle of dim^2 rows, and ONLY that bounded statistic reaches the
+driver. Corpus size never appears driver-side, so the operators are
+correct at any scale for the moderate dims (<= ~1k) where a dense
+dim x dim Gram matrix is a few MB.
+
+Reference parity: the reference has no linear algebra at all (its
+numeric surface is pandas describe/median, crypto_etl_pipeline.py:
+137-210); this module is extension surface (SURVEY §2.13) for the
+embedding-curation north star.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def moment_rows(df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
+    """Reduce (id, vector) rows to long-form second-moment partials.
+
+    Emits (i, j, v) rows per Arrow batch: ``i>=0, j>=0`` carry the
+    X^T X partial product, ``(i, -1)`` the per-dimension sum, and
+    ``(-1, -1)`` the row count; a single groupBy(i, j).sum() then
+    merges partials across partitions (map-side combine keeps the
+    exchange at dim^2 + dim + 1 rows regardless of corpus size).
+    """
+    from pyspark.sql import functions as F
+
+    def _partial(batches):
+        acc = np.zeros((dim, dim), dtype=np.float64)
+        s = np.zeros(dim, dtype=np.float64)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            acc += x.T @ x
+            s += x.sum(axis=0)
+            n += len(x)
+        if n == 0:
+            return
+        ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([ii.reshape(-1), np.arange(dim), [-1]]),
+                "j": np.concatenate([jj.reshape(-1), np.full(dim, -1), [-1]]),
+                "v": np.concatenate([acc.reshape(-1), s, [float(n)]]),
+            }
+        )
+
+    parts = df.select(id_col, vec_col).mapInPandas(_partial, schema="i int, j int, v double")
+    return parts.groupBy("i", "j").agg(F.sum("v").alias("v"))
+
+
+def covariance_from_moments(rows, dim: int) -> tuple[np.ndarray, np.ndarray, float]:
+    """(population covariance, mean, n) from collected moment rows."""
+    xtx = np.zeros((dim, dim), dtype=np.float64)
+    s = np.zeros(dim, dtype=np.float64)
+    n = 0.0
+    for r in rows:
+        i, j, v = r["i"], r["j"], r["v"]
+        if i == -1:
+            n = v
+        elif j == -1:
+            s[i] = v
+        else:
+            xtx[i, j] = v
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    return cov, mean, n
+
+
+def power_iteration(cov: np.ndarray, iters: int) -> tuple[np.ndarray, float]:
+    """Top eigenvector by fixed-iteration power method from the
+    all-positive uniform start (deterministic sign as long as the
+    dominant eigenvector is not orthogonal to the ones vector).
+    Returns (unit eigenvector, Rayleigh quotient)."""
+    dim = cov.shape[0]
+    v = np.full(dim, 1.0 / np.sqrt(dim))
+    for _ in range(iters):
+        w = cov @ v
+        v = w / np.linalg.norm(w)
+    ray = float(v @ (cov @ v))
+    return v, ray
+
+
+def pca_top_component(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    iters: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top principal component of an embedding corpus.
+
+    Distributed part: one moment-reduction pass (see
+    :func:`moment_rows`) — the only shuffle is dim^2 rows. Driver
+    part: an O(dim^2 * iters) power iteration on the collected Gram
+    matrix — microseconds at dim=64, and still trivial at dim=1024.
+    ``iters`` is fixed (not convergence-tested) so the DuckDB oracle
+    can unroll the same number of matvecs; convergence quality vs a
+    full eigendecomposition is pinned separately in pytest.
+
+    Returns (pos, loading, eigenvalue): the unit eigenvector entry per
+    dimension plus the Rayleigh-quotient variance estimate.
+    """
+    spark = df.sparkSession
+    rows = moment_rows(df, id_col, vec_col, dim).collect()
+    cov, _, _ = covariance_from_moments(rows, dim)
+    v, ray = power_iteration(cov, iters)
+    out = [(int(i), round(float(v[i]), round_to), round(ray, round_to)) for i in range(dim)]
+    return spark.createDataFrame(out, "pos int, loading double, eigenvalue double")

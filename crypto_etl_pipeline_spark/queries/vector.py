@@ -853,3 +853,61 @@ def ann_jl_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = random_projection_vec(emb, "vec_id", "embedding", JL_IN_DIM, JL_OUT_DIM)
     queries = proj.where(F.col("vec_id") < N_QUERIES)
     return brute_force_topk(proj, queries, k=TOP_K, vec_col="jl_vec")
+
+
+PCA_ITERS = 2
+
+
+@register(
+    "embedding_pca_top_component",
+    oracle=f"""
+    WITH el AS (
+      SELECT e.vec_id, u.pos - 1 AS i, u.x::DOUBLE AS x
+      FROM embeddings e,
+           LATERAL (SELECT unnest(e.embedding) AS x,
+                           generate_subscripts(e.embedding, 1) AS pos) u
+    ),
+    cnt AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+    m AS (SELECT i, sum(x) / (SELECT n FROM cnt) AS mi FROM el GROUP BY i),
+    xtx AS (
+      SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS s
+      FROM el a JOIN el b USING (vec_id) GROUP BY a.i, b.i
+    ),
+    cov AS (
+      SELECT x.i, x.j, x.s / (SELECT n FROM cnt) - ma.mi * mb.mi AS c
+      FROM xtx x JOIN m ma ON ma.i = x.i JOIN m mb ON mb.i = x.j
+    ),
+    v0 AS (SELECT t.i AS i, 1.0 / sqrt({JL_IN_DIM}) AS v
+           FROM generate_series(0, {JL_IN_DIM - 1}) t(i)),
+    w1 AS (SELECT cov.i AS i, sum(cov.c * v0.v) AS w
+           FROM cov JOIN v0 ON v0.i = cov.j GROUP BY cov.i),
+    v1 AS (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w1) AS v FROM w1),
+    w2 AS (SELECT cov.i AS i, sum(cov.c * v1.v) AS w
+           FROM cov JOIN v1 ON v1.i = cov.j GROUP BY cov.i),
+    v2 AS (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w2) AS v FROM w2),
+    cv AS (SELECT cov.i AS i, sum(cov.c * v2.v) AS w
+           FROM cov JOIN v2 ON v2.i = cov.j GROUP BY cov.i),
+    ray AS (SELECT sum(v2.v * cv.w) AS r FROM v2 JOIN cv USING (i))
+    SELECT v2.i AS pos, round(v2.v, 6) AS loading,
+           round((SELECT r FROM ray), 6) AS eigenvalue
+    FROM v2
+    """,
+    description="PCA top component: one dim^2 moment shuffle + driver power iteration (2 matvecs, oracle-unrolled)",
+    tags=("vector", "linalg", "iterative"),
+)
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA by sufficient statistics: executors reduce the
+    corpus to X^T X + mean + count partials (Arrow numpy, map-side
+    combined), ONE shuffle of dim^2 = 4096 rows merges them, and the
+    driver runs a fixed-2-step power iteration on the 64x64 Gram
+    matrix — the lrmodel.py discipline applied to eigen-analysis, so
+    the driver-side cost is corpus-size-free and the plan is identical
+    at 100 TB (the moment pass is embarrassingly parallel over
+    splits). The DuckDB twin recomputes the covariance via an
+    el-x-el self-join and unrolls the same two matvecs in CTEs;
+    convergence to the true eigenvector (vs fixed iteration count) is
+    gated in pytest against numpy.linalg.eigh at 20 iterations."""
+    from crypto_etl_pipeline_spark.operators.linalg import pca_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_top_component(emb, "vec_id", "embedding", JL_IN_DIM, iters=PCA_ITERS)

@@ -245,3 +245,38 @@ class TestJlProjectedAnn:
         sketch = {(r["query_id"], r["neighbor_id"]) for r in ann_jl_projected_topk(spark, SF).collect()}
         recall = len(exact & sketch) / len(exact)
         assert recall >= 0.06, recall
+
+
+class TestPcaTopComponent:
+    def test_converges_to_numpy_eigh(self, spark):
+        """With enough iterations the power method must align with the
+        exact dominant eigenvector of the (numpy-computed) covariance:
+        |cos| >= 0.999, eigenvalue within 0.5%. The synthetic corpus is
+        near-isotropic (lambda2/lambda1 = 0.93), so convergence needs
+        ~300 matvecs — still microseconds driver-side at dim=64; the
+        registered query pins iters=2 as the oracle-unrolled contract,
+        this test pins that the operator actually converges."""
+        import numpy as np
+
+        from crypto_etl_pipeline_spark.operators.linalg import pca_top_component
+
+        emb = spark.read.parquet(SF + "/embeddings.parquet")
+        out = pca_top_component(emb, "vec_id", "embedding", 64, iters=300)
+        rows = sorted(out.collect(), key=lambda r: r["pos"])
+        v = np.array([r["loading"] for r in rows])
+        ray = rows[0]["eigenvalue"]
+        X = np.array([list(r["embedding"]) for r in emb.collect()], dtype=np.float64)
+        C = np.cov(X, rowvar=False, bias=True)
+        evals, evecs = np.linalg.eigh(C)
+        top = evecs[:, -1]
+        assert abs(float(v @ top)) > 0.999
+        assert abs(ray - float(evals[-1])) / float(evals[-1]) < 0.005
+
+    def test_moment_reduction_is_bounded(self, spark):
+        """The shuffle payload is dim^2 + dim + 1 rows — corpus-size
+        free (the 100 TB posture)."""
+        from crypto_etl_pipeline_spark.operators.linalg import moment_rows
+
+        emb = spark.read.parquet(SF + "/embeddings.parquet")
+        n = moment_rows(emb, "vec_id", "embedding", 64).count()
+        assert n == 64 * 64 + 64 + 1
