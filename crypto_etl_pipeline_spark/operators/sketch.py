@@ -349,3 +349,93 @@ def cms_frequency_contract(
     return df.sparkSession.createDataFrame(
         data, "term string, n_exact long, est_ge_exact boolean, est_within_eps boolean"
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values) distinct sketch — Beyer et al., SIGMOD'07
+# ---------------------------------------------------------------------------
+
+#: hash domain for the 15-hex-digit md5 prefix: 16^15 = 2^60.
+KMV_DOMAIN = float(1 << 60)
+
+
+def kmv_sketch(df: DataFrame, group_col: str, key_col: str, k: int) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest distinct portable md5
+    hashes of ``key_col`` (phash.md5_long, 15 hex digits — the same
+    cross-engine hash the MinHash oracle rides).
+
+    Plan: distinct (group, hash) — one shuffle with map-side combine —
+    then a per-group rank<=k filter, which Spark executes as
+    WindowGroupLimit: a bounded k-heap per partition BEFORE the window
+    sort, so the post-distinct cost is O(n log k) and the output is
+    groups x k rows no matter the corpus. The sketch is mergeable by
+    construction (k smallest of a union == k smallest of the merged
+    row sets), which is what makes it the right distinct-cardinality /
+    set-overlap summary to ship between corpus shards at 100 TB.
+    """
+    from pyspark.sql.window import Window
+
+    from crypto_etl_pipeline_spark.operators.phash import md5_long
+
+    hashed = (
+        df.select(F.col(group_col).alias("grp"), F.col(key_col).cast("string").alias("_key"))
+        .select("grp", md5_long(F.col("_key"), 15).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    return hashed.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") <= k).drop("_rk")
+
+
+def kmv_pair_overlap(sketches: DataFrame, k: int, round_to: int = 6) -> DataFrame:
+    """Pairwise union / intersection / Jaccard ESTIMATES from per-group
+    KMV sketches alone — the corpus is never rescanned per pair.
+
+    For each group pair (a < b): merge the two k-row sketches, keep the
+    k smallest distinct hashes (the KMV of the union), and apply the
+    standard estimators: union D_hat = (k-1)/U_(k) when the merged
+    sketch is full, else the exact count of distinct hashes seen;
+    Jaccard rho = |{h in merged sketch present in BOTH sketches}| / k'
+    (k' = merged sketch size); intersection = rho * D_hat. Every
+    quantity is integer/hash-deterministic, so the whole estimator is
+    exactly reproducible by the DuckDB oracle (identical md5 prefixes,
+    identical division operands).
+
+    Pair-stage cost is groups^2 * k sketch rows — a dim-table compute,
+    independent of corpus size.
+    """
+    from pyspark.sql.window import Window
+
+    grps = sketches.select(F.col("grp")).distinct()
+    pairs = (
+        grps.select(F.col("grp").alias("grp_a"))
+        .join(F.broadcast(grps.select(F.col("grp").alias("grp_b"))), F.col("grp_a") < F.col("grp_b"))
+    )
+    side_a = pairs.join(
+        sketches.select(F.col("grp").alias("grp_a"), "h"), "grp_a"
+    ).select("grp_a", "grp_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    side_b = pairs.join(
+        sketches.select(F.col("grp").alias("grp_b"), "h"), "grp_b"
+    ).select("grp_a", "grp_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("grp_a", "grp_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy("h")
+    top = merged.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") <= k)
+    agg = top.groupBy("grp_a", "grp_b").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.max("h").alias("_hk"),
+        F.sum((F.col("in_a") * F.col("in_b"))).alias("_both"),
+    )
+    union_est = F.when(
+        F.col("_cnt") < k, F.col("_cnt").cast("double")
+    ).otherwise((F.lit(float(k - 1))) / (F.col("_hk").cast("double") / F.lit(KMV_DOMAIN)))
+    jacc = F.col("_both").cast("double") / F.col("_cnt").cast("double")
+    return agg.select(
+        "grp_a",
+        "grp_b",
+        F.round(union_est, round_to).alias("union_est"),
+        F.round(jacc, round_to).alias("jaccard_est"),
+        F.round(jacc * union_est, round_to).alias("intersect_est"),
+    )

@@ -2271,3 +2271,169 @@ def variant_props_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 6).alias("avg_value"),
         )
     )
+
+
+KMV_K = 64
+_KMV_DOMAIN_SQL = "1152921504606846976.0"  # 16^15 = 2^60, the md5-prefix domain
+
+
+@register(
+    "sketch_kmv_audience_overlap",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (SELECT DISTINCT event_type AS grp,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM events),
+    sk AS (SELECT grp, h FROM (
+             SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk FROM h)
+           WHERE rk <= {KMV_K}),
+    grps AS (SELECT DISTINCT grp FROM sk),
+    pairs AS (SELECT a.grp AS ga, b.grp AS gb FROM grps a JOIN grps b ON a.grp < b.grp),
+    sides AS (
+      SELECT p.ga, p.gb, s.h, 1 AS in_a, 0 AS in_b FROM pairs p JOIN sk s ON s.grp = p.ga
+      UNION ALL
+      SELECT p.ga, p.gb, s.h, 0, 1 FROM pairs p JOIN sk s ON s.grp = p.gb
+    ),
+    merged AS (SELECT ga, gb, h, max(in_a) AS ia, max(in_b) AS ib
+               FROM sides GROUP BY ga, gb, h),
+    top AS (SELECT * FROM (
+              SELECT ga, gb, h, ia, ib,
+                     row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+              FROM merged) WHERE rk <= {KMV_K}),
+    est AS (SELECT ga, gb, count(*) AS cnt, max(h) AS hk,
+                   sum(ia * ib)::BIGINT AS nboth
+            FROM top GROUP BY ga, gb),
+    ex AS (SELECT a.event_type AS ga, b.event_type AS gb, count(*) AS inter
+           FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+           GROUP BY a.event_type, b.event_type),
+    nsz AS (SELECT event_type, count(*) AS n FROM u GROUP BY event_type)
+    SELECT e.ga AS grp_a, e.gb AS grp_b,
+           round(CASE WHEN e.cnt < {KMV_K} THEN e.cnt::DOUBLE
+                      ELSE {KMV_K - 1}.0 / (e.hk::DOUBLE / {_KMV_DOMAIN_SQL}) END, 6) AS union_est,
+           (na.n + nb.n - coalesce(ex.inter, 0)) AS exact_union,
+           round(e.nboth::DOUBLE / e.cnt::DOUBLE, 6) AS jaccard_est,
+           round(coalesce(ex.inter, 0)::DOUBLE
+                 / (na.n + nb.n - coalesce(ex.inter, 0)), 6) AS exact_jaccard,
+           round((e.nboth::DOUBLE / e.cnt::DOUBLE)
+                 * CASE WHEN e.cnt < {KMV_K} THEN e.cnt::DOUBLE
+                        ELSE {KMV_K - 1}.0 / (e.hk::DOUBLE / {_KMV_DOMAIN_SQL}) END, 6) AS intersect_est,
+           coalesce(ex.inter, 0) AS exact_intersect
+    FROM est e
+    JOIN nsz na ON na.event_type = e.ga
+    JOIN nsz nb ON nb.event_type = e.gb
+    LEFT JOIN ex ON ex.ga = e.ga AND ex.gb = e.gb
+    """,
+    description="KMV distinct sketches per audience + pairwise union/intersect/Jaccard estimates vs exact, hash-deterministic",
+    tags=("sketch", "agg", "approx"),
+)
+def sketch_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from mergeable KMV sketches (Beyer
+    et al., SIGMOD'07) — the set-operation counterpart to the HLL
+    rollup: HLL unions, KMV also INTERSECTS (rho * D_union), which is
+    what corpus-overlap / cross-segment dedup planning actually needs.
+    Per-group sketch = k smallest portable md5 hashes (one distinct
+    shuffle + WindowGroupLimit bounded heap); every pairwise estimate
+    is computed from the groups^2 x k sketch rows alone — the corpus
+    is never rescanned per pair, so at 100 TB the pair stage is a
+    dim-table job. Exact union/intersection/Jaccard ride alongside so
+    the estimator error is visible in the result (and the whole thing
+    is hash-deterministic: the DuckDB twin reproduces every estimate
+    bit-for-bit, same md5 prefixes, same division operands)."""
+    from crypto_etl_pipeline_spark.operators.sketch import kmv_pair_overlap, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = kmv_sketch(ev, "event_type", "user_id", KMV_K)
+    est = kmv_pair_overlap(sk, KMV_K)
+
+    u = ev.distinct()
+    a, b = u.alias("a"), u.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("grp_a"), F.col("b.event_type").alias("grp_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    nsz = u.groupBy(F.col("event_type")).agg(F.count(F.lit(1)).alias("n"))
+    na = nsz.select(F.col("event_type").alias("grp_a"), F.col("n").alias("n_a"))
+    nb = nsz.select(F.col("event_type").alias("grp_b"), F.col("n").alias("n_b"))
+    exact_inter = F.coalesce(F.col("inter"), F.lit(0))
+    exact_union = F.col("n_a") + F.col("n_b") - exact_inter
+    return (
+        est.join(F.broadcast(na), "grp_a")
+        .join(F.broadcast(nb), "grp_b")
+        .join(F.broadcast(inter), ["grp_a", "grp_b"], "left")
+        .select(
+            "grp_a",
+            "grp_b",
+            "union_est",
+            exact_union.alias("exact_union"),
+            "jaccard_est",
+            F.round(exact_inter.cast("double") / exact_union, 6).alias("exact_jaccard"),
+            "intersect_est",
+            exact_inter.alias("exact_intersect"),
+        )
+    )
+
+
+@register(
+    "bucketed_join_colocated",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+    description="Bucketed co-located join: bucketBy(8, custkey) both sides -> SortMergeJoin with ZERO join-side exchanges",
+    tags=("join", "layout", "bucketing"),
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE bucketing story for repeated big joins at 100 TB: pay the
+    shuffle once at write time (bucketBy + sortBy on the join key,
+    same bucket count both sides), then every subsequent join on that
+    key is exchange-free — each task merge-joins bucket i of both
+    tables in place. The plan this produces has a SortMergeJoin with
+    NO Exchange under either side (asserted in
+    tests/test_round6b_ops.py; the only exchange left is the tiny
+    post-join segment rollup). The layout sibling queries pin the
+    other two write-time levers: partitioned-write pruning
+    (partitioned_write_prune_read) and z-order clustering
+    (zorder_layout_events); this one pins co-location. Bucket count 8
+    is the test-scale stand-in for the production rule: buckets ~=
+    cluster cores, chosen once per table family."""
+    from crypto_etl_pipeline_spark.sources.sinks import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    root = scratch_dir("bucketed_join_")
+    (
+        orders.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", root + "/orders_b")
+        .saveAsTable("orders_bucketed")
+    )
+    (
+        customer.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", root + "/customer_b")
+        .saveAsTable("customer_bucketed")
+    )
+    o = spark.table("orders_bucketed")
+    c = spark.table("customer_bucketed")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

@@ -280,3 +280,66 @@ class TestPcaTopComponent:
         emb = spark.read.parquet(SF + "/embeddings.parquet")
         n = moment_rows(emb, "vec_id", "embedding", 64).count()
         assert n == 64 * 64 + 64 + 1
+
+
+class TestKmvSketch:
+    def test_sketch_is_k_smallest_and_mergeable(self, spark):
+        """Merging two groups' sketches and re-truncating must equal the
+        sketch computed over the concatenated rows (the mergeability
+        that lets shards ship sketches instead of keys)."""
+        from crypto_etl_pipeline_spark.operators.sketch import kmv_sketch
+
+        rows = [("a", i) for i in range(200)] + [("b", i) for i in range(100, 300)]
+        df = spark.createDataFrame(rows, "grp string, user_id long")
+        k = 32
+        sk = kmv_sketch(df, "grp", "user_id", k)
+        per = {g: sorted(r["h"] for r in sk.where(f"grp = '{g}'").collect()) for g in ("a", "b")}
+        assert len(per["a"]) == k and len(per["b"]) == k
+        both = kmv_sketch(
+            spark.createDataFrame([("u", i) for i in range(300)], "grp string, user_id long"),
+            "grp", "user_id", k,
+        )
+        union_sketch = sorted(r["h"] for r in both.collect())
+        merged = sorted(set(per["a"]) | set(per["b"]))[:k]
+        assert merged == union_sketch
+
+    def test_estimates_within_tolerance(self, spark):
+        """KMV relative error concentrates around 1/sqrt(k-1) ~ 12.6%
+        at k=64; assert every pair's union estimate is within 3x that
+        and Jaccard estimates within 0.2 absolute on sf0.01-sized
+        audiences (150 distinct per group)."""
+        from crypto_etl_pipeline_spark.queries.analytics import (
+            sketch_kmv_audience_overlap,
+        )
+
+        rows = sketch_kmv_audience_overlap(spark, "/root/testdata/sf0.01").collect()
+        assert len(rows) == 10
+        for r in rows:
+            rel = abs(r["union_est"] - r["exact_union"]) / r["exact_union"]
+            assert rel < 0.38, (r["grp_a"], r["grp_b"], rel)
+            assert abs(r["jaccard_est"] - r["exact_jaccard"]) < 0.2, r
+
+
+class TestBucketedJoin:
+    def test_join_has_no_exchange(self, spark):
+        """Both sides bucketed on the join key with equal bucket counts:
+        the SortMergeJoin must sit directly on the bucketed scans — the
+        only exchange in the whole plan is the 5-row segment rollup.
+        At test scale Catalyst correctly prefers broadcasting the tiny
+        customer side (which also needs no join exchange), so disable
+        broadcast to surface the big-big plan that the bucketing exists
+        for at 100 TB."""
+        from crypto_etl_pipeline_spark.queries.analytics import bucketed_join_colocated
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = bucketed_join_colocated(spark, SF)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "SortMergeJoin" in plan
+        join_part = plan[plan.index("SortMergeJoin"):]
+        assert "Exchange" not in join_part, join_part[:2000]
+        assert plan.count("Exchange") == 1
+        assert "SelectedBucketsCount: 8 out of 8" in plan

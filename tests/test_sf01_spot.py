@@ -76,6 +76,8 @@ SPOT_QUERIES = [
     "variant_props_shred",
     "ann_jl_projected_topk",
     "embedding_pca_top_component",
+    "sketch_kmv_audience_overlap",
+    "bucketed_join_colocated",
 ]
 
 
