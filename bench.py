@@ -136,6 +136,7 @@ HEADLINE = [
     "embedding_pca_top_component",
     "sketch_kmv_audience_overlap",
     "bucketed_join_colocated",
+    "decontaminate_bloom_prefilter",
 ]
 
 

@@ -3154,3 +3154,94 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sig = textops.gopher_signals(F.col("text"))
     return docs.select("doc_id", *[c.alias(k) for k, c in sig.items()])
+
+
+@register(
+    "decontaminate_bloom_prefilter",
+    # identical exact-join semantics to decontaminate_eval_overlap: the
+    # bloom stage admits false POSITIVES only, and every survivor is
+    # re-verified by the same gram join — so the oracle IS the exact SQL.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 8 THEN
+               list_distinct(list_transform(generate_series(1, len(t) - 7),
+                 i -> t[i] || '_' || t[i+1] || '_' || t[i+2] || '_' || t[i+3] || '_'
+                      || t[i+4] || '_' || t[i+5] || '_' || t[i+6] || '_' || t[i+7]))
+             ELSE [] END AS g
+      FROM toks
+    ),
+    eval_g AS (
+      SELECT DISTINCT u.gram FROM grams, LATERAL unnest(g) AS u(gram)
+      WHERE doc_id % 10 = 0
+    ),
+    train_g AS (
+      SELECT doc_id, u.gram, len(g) AS n_grams
+      FROM grams, LATERAL unnest(g) AS u(gram)
+      WHERE doc_id % 10 <> 0
+    )
+    SELECT t.doc_id,
+           count(*)   AS n_hit_grams,
+           t.n_grams,
+           round(count(*) * 1.0 / t.n_grams, 6) AS contamination
+    FROM train_g t JOIN eval_g e ON t.gram = e.gram
+    GROUP BY t.doc_id, t.n_grams
+    """,
+    description="Bloom-prefiltered decontamination: 8 KiB eval-gram bitset drops non-matching grams pre-shuffle; exact join verifies survivors — result identical to the unfiltered twin",
+    tags=("text", "dedup", "decontamination", "bloom"),
+)
+def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The runtime-filter form of `decontaminate_eval_overlap`: at
+    100 TB the train-side gram volume dominates, and without a filter
+    EVERY gram crosses the exchange to meet the eval set. Here the
+    eval grams first reduce to an 8 KiB Bloom bitset (one bounded
+    aggregation: <= m distinct positions reach the driver regardless
+    of eval size), the bitset rides the plan as a literal (no
+    broadcast round), and a codegen'd getbit test drops ~99.8% of the
+    clean mass BEFORE the shuffle. False positives survive the filter
+    and die in the exact verify join, so the output — and therefore
+    the oracle — is byte-identical to the unfiltered twin; the
+    prefilter's selectivity and zero-false-negative property are
+    pinned in tests/test_round6b_ops.py."""
+    from crypto_etl_pipeline_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom_bits,
+    )
+    from crypto_etl_pipeline_spark.operators.textops import shingles_of, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        docs.repartition(n_parts, F.col("doc_id"))
+        .select("doc_id", tokens(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id",
+            F.array_distinct(shingles_of(F.col("_toks"), 8)).alias("_g"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    eval_g = (
+        grams.where(F.col("doc_id") % 10 == 0)
+        .select(F.explode("_g").alias("gram"))
+        .distinct()
+    )
+    bits = build_bloom_bits(eval_g, "gram")
+    train_g = (
+        grams.where(F.col("doc_id") % 10 != 0)
+        .select("doc_id", F.size("_g").alias("n_grams"), F.explode("_g").alias("gram"))
+        .where(bloom_might_contain(F.col("gram"), bits))
+    )
+    return (
+        train_g.join(eval_g, "gram")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+        .select(
+            "doc_id",
+            "n_hit_grams",
+            "n_grams",
+            F.round(F.col("n_hit_grams") / F.col("n_grams"), 6).alias("contamination"),
+        )
+    )

@@ -343,3 +343,34 @@ class TestBucketedJoin:
         assert "Exchange" not in join_part, join_part[:2000]
         assert plan.count("Exchange") == 1
         assert "SelectedBucketsCount: 8 out of 8" in plan
+
+
+class TestBloomPrefilter:
+    def test_no_false_negatives_and_selectivity(self, spark):
+        """Every true member must pass (Bloom admits FPs only), and on
+        disjoint keys the pass rate must sit near the theoretical FP
+        rate — a tripwire for a broken hash/bitset."""
+        import pyspark.sql.functions as F
+
+        from crypto_etl_pipeline_spark.operators.bloom import (
+            bloom_might_contain,
+            build_bloom_bits,
+        )
+
+        members = spark.range(2000).select(F.concat(F.lit("key_"), F.col("id")).alias("k"))
+        others = spark.range(2000, 52000).select(F.concat(F.lit("key_"), F.col("id")).alias("k"))
+        bits = build_bloom_bits(members, "k")
+        assert members.where(bloom_might_contain(F.col("k"), bits)).count() == 2000
+        fp = others.where(bloom_might_contain(F.col("k"), bits)).count() / 50000
+        # theory: (1 - e^(-4*2000/65536))^4 ~ 1.7e-4; allow 10x slack
+        assert fp < 2e-3, fp
+
+    def test_matches_exact_twin(self, spark):
+        from crypto_etl_pipeline_spark.queries.text import (
+            decontaminate_bloom_prefilter,
+            decontaminate_eval_overlap,
+        )
+
+        got = {tuple(r) for r in decontaminate_bloom_prefilter(spark, SF).collect()}
+        want = {tuple(r) for r in decontaminate_eval_overlap(spark, SF).collect()}
+        assert got == want and len(got) > 0

@@ -78,6 +78,7 @@ SPOT_QUERIES = [
     "embedding_pca_top_component",
     "sketch_kmv_audience_overlap",
     "bucketed_join_colocated",
+    "decontaminate_bloom_prefilter",
 ]
 
 
