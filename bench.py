@@ -137,6 +137,7 @@ HEADLINE = [
     "sketch_kmv_audience_overlap",
     "bucketed_join_colocated",
     "decontaminate_bloom_prefilter",
+    "kcore_trade_graph",
 ]
 
 

@@ -245,3 +245,55 @@ def triangle_stats(
             ).alias("global_clustering"),
         )
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k_threshold: Column | None = None,
+    rounds: int = 2,
+) -> DataFrame:
+    """k-core peeling (Seidman 1983; the Batagelj-Zaversnik distributed
+    variant): alternately delete nodes of degree < k and recompute
+    degrees; ``rounds`` counts threshold applications (rounds=2 ==
+    filter on deg0, recompute, filter on deg1 — survivors report deg1
+    as deg_final). ``edges`` must be the DIRECTED expansion
+    of an undirected graph (both (u,v) and (v,u) rows), so degree ==
+    out-degree and each round is one groupBy + one semi-join pair.
+
+    ``k_threshold``: a scalar Column (default: ceil of the exact median
+    initial degree — scale-adaptive, so the same query peels
+    meaningfully at every SF). Fixed ``rounds`` keeps the operator
+    oracle-unrollable (the pagerank discipline); convergence-to-
+    fixpoint is a pytest property, not the registered contract — at
+    scale, rounds is the iteration budget and the loop is
+    driver-scheduled over cached frames, O(E) work per round.
+
+    Returns survivors after the final round: (node, deg0, deg_final).
+    """
+    deg0 = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg0"))
+    if k_threshold is None:
+        kdf = deg0.agg(
+            F.ceil(F.expr("percentile(deg0, 0.5)")).cast("long").alias("_k")
+        )
+    else:
+        kdf = deg0.agg(k_threshold.cast("long").alias("_k"))
+    # scalar join-back (broadcast 1-row): the house pattern for
+    # corpus-derived constants — never a collect in the lazy plan.
+    cur = deg0.join(F.broadcast(kdf)).withColumn("deg", F.col("deg0"))
+    e = edges
+    alive = cur
+    for r in range(rounds):
+        alive = cur.where(F.col("deg") >= F.col("_k"))
+        if r == rounds - 1:
+            break
+        keep = alive.select("node", "deg0", "_k")
+        e = (
+            e.join(keep.select(F.col("node").alias("src")), "src", "left_semi")
+            .join(keep.select(F.col("node").alias("dst")), "dst", "left_semi")
+        )
+        cur = (
+            e.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .join(keep, "node")
+        )
+    return alive.select("node", "deg0", F.col("deg").alias("deg_final"))

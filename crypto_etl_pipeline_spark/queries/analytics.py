@@ -2437,3 +2437,60 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@register(
+    "kcore_trade_graph",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT 'C' || o_custkey AS c, 'S' || l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT c AS src, s AS dst FROM pairs
+              UNION ALL SELECT s, c FROM pairs),
+    deg0 AS (SELECT src AS node, count(*) AS deg0 FROM edges GROUP BY src),
+    kk AS (SELECT CAST(ceil(percentile_cont(0.5) WITHIN GROUP (ORDER BY deg0)) AS BIGINT) AS k
+           FROM deg0),
+    alive1 AS (SELECT node, deg0 FROM deg0 WHERE deg0 >= (SELECT k FROM kk)),
+    e1 AS (SELECT e.src, e.dst FROM edges e
+           JOIN alive1 a ON e.src = a.node
+           JOIN alive1 b ON e.dst = b.node),
+    deg1 AS (SELECT src AS node, count(*) AS deg FROM e1 GROUP BY src)
+    SELECT d.node, a.deg0, d.deg AS deg_final
+    FROM deg1 d JOIN alive1 a USING (node)
+    WHERE d.deg >= (SELECT k FROM kk)
+    """,
+    description="k-core peel (2 threshold rounds, k = median degree) on the customer-supplier trade graph",
+    tags=("graph", "iterative"),
+)
+def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-subgraph extraction by k-core peeling — the graph-side
+    quality screen (spam/bot rings and low-engagement fringes peel
+    off; the surviving core is where graph-derived features are
+    trustworthy). Threshold k = ceil(median initial degree), computed
+    IN the plan (exact interpolated percentile + 1-row broadcast
+    join-back — scale-adaptive, no magic constant going stale at a
+    different SF). Two threshold rounds are the registered,
+    oracle-unrolled contract (the pagerank discipline); peel-to-
+    fixpoint correctness is pinned in pytest against a hand-built
+    clique+pendants fixture. Each round is one degree groupBy + two
+    semi-joins — O(E) per round, AQE-planned, no driver materialization
+    of anything graph-sized. Reference parity: no reference analogue
+    (the reference never joins, SURVEY §2.3); extension surface."""
+    from crypto_etl_pipeline_spark.operators.graph import kcore_peel
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return kcore_peel(edges, rounds=2)

@@ -374,3 +374,54 @@ class TestBloomPrefilter:
         got = {tuple(r) for r in decontaminate_bloom_prefilter(spark, SF).collect()}
         want = {tuple(r) for r in decontaminate_eval_overlap(spark, SF).collect()}
         assert got == want and len(got) > 0
+
+
+class TestKcorePeel:
+    def test_fixpoint_retains_exact_clique(self, spark):
+        """4-clique + pendant path: at k=3, peeling to fixpoint must
+        keep exactly the clique (pendants cascade off over successive
+        rounds — the case a single-round filter gets wrong)."""
+        import pyspark.sql.functions as F
+
+        from crypto_etl_pipeline_spark.operators.graph import kcore_peel
+
+        clique = ["a", "b", "c", "d"]
+        und = [(x, y) for x in clique for y in clique if x < y]
+        # path hanging off the clique: d-e-f-g; e has degree 2, then 1...
+        und += [("d", "e"), ("e", "f"), ("f", "g")]
+        edges = spark.createDataFrame(
+            und + [(y, x) for x, y in und], "src string, dst string"
+        )
+        out = kcore_peel(edges, k_threshold=F.lit(3), rounds=5).collect()
+        assert sorted(r["node"] for r in out) == clique
+        assert all(r["deg_final"] == 3 for r in out)
+
+    def test_two_round_contract_matches_manual_peel(self, spark):
+        """The registered 2-round semantics: filter deg0, recompute,
+        filter deg1 — verified against a driver-side reference peel on
+        the sf0.001 trade graph."""
+        from collections import Counter
+
+        from crypto_etl_pipeline_spark.queries.analytics import kcore_trade_graph
+
+        got = {r["node"]: (r["deg0"], r["deg_final"]) for r in kcore_trade_graph(spark, SF).collect()}
+        # reference: rebuild edges in python
+        import duckdb
+
+        con = duckdb.connect()
+        pairs = con.execute(f"""
+            SELECT DISTINCT 'C' || o_custkey, 'S' || l_suppkey
+            FROM '{SF}/lineitem.parquet' l JOIN '{SF}/orders.parquet' o ON l_orderkey = o_orderkey
+        """).fetchall()
+        con.close()
+        edges = [(c, s) for c, s in pairs] + [(s, c) for c, s in pairs]
+        deg0 = Counter(src for src, _ in edges)
+        import math as _m
+        ds = sorted(deg0.values())
+        mid = (len(ds) - 1) / 2
+        lo, hi = ds[int(_m.floor(mid))], ds[int(_m.ceil(mid))]
+        k = _m.ceil(lo + (hi - lo) * (mid - _m.floor(mid)))
+        alive1 = {n for n, d in deg0.items() if d >= k}
+        deg1 = Counter(src for src, dst in edges if src in alive1 and dst in alive1)
+        want = {n: (deg0[n], deg1[n]) for n in alive1 if deg1.get(n, 0) >= k}
+        assert got == want and len(got) > 0

@@ -79,6 +79,7 @@ SPOT_QUERIES = [
     "sketch_kmv_audience_overlap",
     "bucketed_join_colocated",
     "decontaminate_bloom_prefilter",
+    "kcore_trade_graph",
 ]
 
 
