@@ -2494,3 +2494,99 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     return kcore_peel(edges, rounds=2)
+
+
+@register(
+    "ab_ks_test",
+    oracle="""
+    WITH e AS (
+      SELECT round(value, 2) AS v, event_type FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+    ),
+    g AS (
+      SELECT v,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS ca,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS cb
+      FROM e GROUP BY v
+    ),
+    tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM g),
+    c AS (SELECT v,
+                 sum(ca) OVER (ORDER BY v)::BIGINT AS cuma,
+                 sum(cb) OVER (ORDER BY v)::BIGINT AS cumb
+          FROM g),
+    d AS (SELECT max(abs(cuma::DOUBLE / (SELECT na FROM tot)
+                         - cumb::DOUBLE / (SELECT nb FROM tot))) AS ks FROM c),
+    l AS (SELECT ks,
+                 ks * sqrt(((SELECT na FROM tot) * (SELECT nb FROM tot))::DOUBLE
+                           / ((SELECT na FROM tot) + (SELECT nb FROM tot))) AS lam
+          FROM d)
+    SELECT (SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b,
+           round(ks, 6) AS ks_d,
+           round(lam, 6) AS ks_lambda,
+           round(2 * (exp(-2 * lam * lam) - exp(-8 * lam * lam)
+                      + exp(-18 * lam * lam)), 6) AS p_approx
+    FROM l
+    """,
+    description="Two-sample Kolmogorov-Smirnov over a fixed-resolution ECDF grid: sup-norm distance + 3-term asymptotic p",
+    tags=("stats", "agg", "ab-test"),
+)
+def ab_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape counterpart to `ab_welch_t_test` (means) and
+    `text_chi2_source_quality` (categories): the KS sup-norm detects
+    ANY distributional difference between two cohorts. Values round to
+    a 0.01 grid first (the quality_percentile_normalize discipline:
+    continuous ECDFs need a grid for the dim-table plan), then the
+    corpus reduces to per-grid-value conditional counts — one grouped
+    agg — and the single cumulative window runs over the GRID (value
+    cardinality, never corpus rows), so no corpus-sized sort exists at
+    any scale. D and the 3-term Kolmogorov p-approximation are scalar
+    math over exact integer cumulative counts: deterministic across
+    engines to well below the round-6 output grid."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isin("purchase", "click")
+    )
+    g = (
+        ev.select(
+            F.round("value", 2).alias("v"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("ia"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("ib"),
+        )
+        .groupBy("v")
+        .agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
+    )
+    tot = g.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select("v", F.sum("ca").over(w).alias("cuma"), F.sum("cb").over(w).alias("cumb"))
+    d = (
+        c.join(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cuma").cast("double") / F.col("na")
+                    - F.col("cumb").cast("double") / F.col("nb")
+                )
+            ).alias("ks"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    lam = F.col("ks") * F.sqrt(
+        (F.col("na") * F.col("nb")).cast("double") / (F.col("na") + F.col("nb"))
+    )
+    return d.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round("ks", 6).alias("ks_d"),
+        F.round(lam, 6).alias("ks_lambda"),
+        F.round(
+            2
+            * (
+                F.exp(-2 * lam * lam)
+                - F.exp(-8 * lam * lam)
+                + F.exp(-18 * lam * lam)
+            ),
+            6,
+        ).alias("p_approx"),
+    )

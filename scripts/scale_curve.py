@@ -60,6 +60,17 @@ HEAVY = [
     "corpus_mix_temperature",
     "cap_docs_per_source",
     "quality_percentile_normalize",
+    # round-6 second wave
+    "text_gopher_filters",
+    "embedding_random_projection",
+    "sql_recursive_hierarchy_rollup",
+    "variant_props_shred",
+    "ann_jl_projected_topk",
+    "embedding_pca_top_component",
+    "sketch_kmv_audience_overlap",
+    "bucketed_join_colocated",
+    "decontaminate_bloom_prefilter",
+    "kcore_trade_graph",
 ]
 
 
@@ -68,16 +79,20 @@ def main() -> None:
     from crypto_etl_pipeline_spark.session import get_spark
 
     out_path = None
+    only = None
     argv = sys.argv[1:]
     if "--out" in argv:
         out_path = argv[argv.index("--out") + 1]
+    for a in argv:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
 
     if not os.path.isdir(SF_BIG):
         raise SystemExit(f"{SF_BIG} missing — run scripts/gen_scale_sf.py first")
 
     spark = get_spark(app_name="scale_curve")
     spark.sparkContext.setLogLevel("ERROR")
-    names = [n for n in HEAVY if n in REGISTRY]
+    names = [n for n in HEAVY if n in REGISTRY and (only is None or n in only)]
 
     # warmup (codegen, python workers) at the smallest SF
     for n in names:
