@@ -138,6 +138,7 @@ HEADLINE = [
     "bucketed_join_colocated",
     "decontaminate_bloom_prefilter",
     "kcore_trade_graph",
+    "ab_ks_test",
 ]
 
 

@@ -71,6 +71,7 @@ HEAVY = [
     "bucketed_join_colocated",
     "decontaminate_bloom_prefilter",
     "kcore_trade_graph",
+    "ab_ks_test",
 ]
 
 

