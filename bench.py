@@ -139,6 +139,7 @@ HEADLINE = [
     "decontaminate_bloom_prefilter",
     "kcore_trade_graph",
     "ab_ks_test",
+    "embedding_pca_by_label",
 ]
 
 

@@ -118,3 +118,72 @@ def pca_top_component(
     v, ray = power_iteration(cov, iters)
     out = [(int(i), round(float(v[i]), round_to), round(ray, round_to)) for i in range(dim)]
     return spark.createDataFrame(out, "pos int, loading double, eigenvalue double")
+
+
+def grouped_moment_rows(
+    df: DataFrame, group_col: str, id_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """Per-group second-moment partials: :func:`moment_rows` with a
+    group key carried through — one Arrow pass emitting
+    (group, i, j, v) partials, one groupBy(group, i, j) merge. The
+    exchange is G * (dim^2 + dim + 1) rows; per-group corpus size
+    never matters."""
+    from pyspark.sql import functions as F
+
+    def _partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for gval, sub in pdf.groupby(group_col, sort=False):
+                x = np.array(sub[vec_col].tolist(), dtype=np.float64)
+                acc = x.T @ x
+                s = x.sum(axis=0)
+                n = len(sub)
+                ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+                out = pd.DataFrame(
+                    {
+                        "i": np.concatenate([ii.reshape(-1), np.arange(dim), [-1]]),
+                        "j": np.concatenate([jj.reshape(-1), np.full(dim, -1), [-1]]),
+                        "v": np.concatenate([acc.reshape(-1), s, [float(n)]]),
+                    }
+                )
+                out.insert(0, group_col, gval)
+                yield out
+
+    parts = df.select(group_col, id_col, vec_col).mapInPandas(
+        _partial, schema=f"{group_col} int, i int, j int, v double"
+    )
+    return parts.groupBy(group_col, "i", "j").agg(F.sum("v").alias("v"))
+
+
+def pca_top_by_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    iters: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group top principal component summary: (group, n_vecs,
+    eigenvalue, explained_share). Driver-side work is G power
+    iterations on G dense dim x dim matrices — G * dim^2 floats, still
+    corpus-size-free. explained_share = Rayleigh quotient / trace(cov):
+    how much of the group's variance the top direction owns (a
+    cluster-tightness / anisotropy signal for curation)."""
+    spark = df.sparkSession
+    rows = grouped_moment_rows(df, group_col, id_col, vec_col, dim).collect()
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault(r[group_col], []).append(r)
+    out = []
+    for g, grp_rows in by_group.items():
+        cov, _, n = covariance_from_moments(grp_rows, dim)
+        v, ray = power_iteration(cov, iters)
+        trace = float(np.trace(cov))
+        out.append(
+            (int(g), int(n), round(ray, round_to), round(ray / trace, round_to))
+        )
+    return spark.createDataFrame(
+        out, f"{group_col} int, n_vecs int, eigenvalue double, explained_share double"
+    )

@@ -911,3 +911,70 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_top_component(emb, "vec_id", "embedding", JL_IN_DIM, iters=PCA_ITERS)
+
+
+@register(
+    "embedding_pca_by_label",
+    oracle=f"""
+    WITH el AS (
+      SELECT e.vec_id, e.label, u.pos - 1 AS i, u.x::DOUBLE AS x
+      FROM embeddings e,
+           LATERAL (SELECT unnest(e.embedding) AS x,
+                           generate_subscripts(e.embedding, 1) AS pos) u
+    ),
+    cnt AS (SELECT label, count(*)::DOUBLE AS n FROM embeddings GROUP BY label),
+    m AS (SELECT el.label, el.i, sum(el.x) / c.n AS mi
+          FROM el JOIN cnt c USING (label) GROUP BY el.label, el.i, c.n),
+    xtx AS (
+      SELECT a.label, a.i AS i, b.i AS j, sum(a.x * b.x) AS s
+      FROM el a JOIN el b ON a.vec_id = b.vec_id
+      GROUP BY a.label, a.i, b.i
+    ),
+    cov AS (
+      SELECT x.label, x.i, x.j, x.s / c.n - ma.mi * mb.mi AS c
+      FROM xtx x
+      JOIN cnt c ON c.label = x.label
+      JOIN m ma ON ma.label = x.label AND ma.i = x.i
+      JOIN m mb ON mb.label = x.label AND mb.i = x.j
+    ),
+    tr AS (SELECT label, sum(c) AS trace FROM cov WHERE i = j GROUP BY label),
+    v0 AS (SELECT c.label, t.i AS i, 1.0 / sqrt({JL_IN_DIM}) AS v
+           FROM cnt c CROSS JOIN generate_series(0, {JL_IN_DIM - 1}) t(i)),
+    w1 AS (SELECT cov.label, cov.i AS i, sum(cov.c * v0.v) AS w
+           FROM cov JOIN v0 ON v0.label = cov.label AND v0.i = cov.j
+           GROUP BY cov.label, cov.i),
+    n1 AS (SELECT label, sqrt(sum(w * w)) AS nw FROM w1 GROUP BY label),
+    v1 AS (SELECT w1.label, w1.i, w1.w / n1.nw AS v FROM w1 JOIN n1 USING (label)),
+    w2 AS (SELECT cov.label, cov.i AS i, sum(cov.c * v1.v) AS w
+           FROM cov JOIN v1 ON v1.label = cov.label AND v1.i = cov.j
+           GROUP BY cov.label, cov.i),
+    n2 AS (SELECT label, sqrt(sum(w * w)) AS nw FROM w2 GROUP BY label),
+    v2 AS (SELECT w2.label, w2.i, w2.w / n2.nw AS v FROM w2 JOIN n2 USING (label)),
+    cv AS (SELECT cov.label, cov.i AS i, sum(cov.c * v2.v) AS w
+           FROM cov JOIN v2 ON v2.label = cov.label AND v2.i = cov.j
+           GROUP BY cov.label, cov.i),
+    ray AS (SELECT v2.label, sum(v2.v * cv.w) AS r
+            FROM v2 JOIN cv ON cv.label = v2.label AND cv.i = v2.i
+            GROUP BY v2.label)
+    SELECT r.label, CAST(c.n AS INT) AS n_vecs,
+           round(r.r, 6) AS eigenvalue,
+           round(r.r / t.trace, 6) AS explained_share
+    FROM ray r JOIN cnt c USING (label) JOIN tr t USING (label)
+    """,
+    description="Per-label PCA summary: grouped dim^2 moment shuffle + G driver power iterations; explained-variance share per cluster",
+    tags=("vector", "linalg", "iterative"),
+)
+def embedding_pca_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped form of `embedding_pca_top_component`: per-label
+    covariance sufficient statistics in ONE Arrow pass (the group key
+    rides the moment rows; exchange = G * dim^2 rows), then G tiny
+    power iterations driver-side. explained_share = ray/trace flags
+    anisotropic clusters (a dominant direction = near-duplicate or
+    template-generated members) vs isotropic ones — a per-cluster
+    curation signal no single global PCA gives. The DuckDB twin is the
+    single-corpus oracle with `label` threaded through every CTE —
+    same two unrolled matvecs per group."""
+    from crypto_etl_pipeline_spark.operators.linalg import pca_top_by_group
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_top_by_group(emb, "label", "vec_id", "embedding", JL_IN_DIM, iters=PCA_ITERS)

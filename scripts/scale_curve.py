@@ -72,6 +72,7 @@ HEAVY = [
     "decontaminate_bloom_prefilter",
     "kcore_trade_graph",
     "ab_ks_test",
+    "embedding_pca_by_label",
 ]
 
 

@@ -476,3 +476,36 @@ class TestKsTest:
         row = ab_ks_test(spark, d).collect()[0]
         assert row["ks_d"] == 1.0  # disjoint supports
         assert row["p_approx"] < 1e-6
+
+
+class TestGroupedPca:
+    def test_matches_per_group_numpy(self, spark):
+        """Grouped sufficient statistics must give the same covariance
+        and (converged) top eigenvalue as per-group numpy."""
+        import numpy as np
+
+        from crypto_etl_pipeline_spark.operators.linalg import pca_top_by_group
+
+        emb = spark.read.parquet(SF + "/embeddings.parquet")
+        out = {r["label"]: r for r in pca_top_by_group(
+            emb, "label", "vec_id", "embedding", 64, iters=300
+        ).collect()}
+        rows = emb.collect()
+        by_label: dict = {}
+        for r in rows:
+            by_label.setdefault(r["label"], []).append(list(r["embedding"]))
+        for lbl, vecs in by_label.items():
+            X = np.array(vecs, dtype=np.float64)
+            C = np.cov(X, rowvar=False, bias=True)
+            top = float(np.linalg.eigvalsh(C)[-1])
+            got = out[lbl]
+            assert got["n_vecs"] == len(vecs)
+            assert abs(got["eigenvalue"] - top) / top < 0.01, (lbl, got["eigenvalue"], top)
+            assert 0 < got["explained_share"] < 1
+
+    def test_moment_exchange_is_bounded(self, spark):
+        from crypto_etl_pipeline_spark.operators.linalg import grouped_moment_rows
+
+        emb = spark.read.parquet(SF + "/embeddings.parquet")
+        n = grouped_moment_rows(emb, "label", "vec_id", "embedding", 64).count()
+        assert n == 10 * (64 * 64 + 64 + 1)

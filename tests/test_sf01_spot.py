@@ -81,6 +81,7 @@ SPOT_QUERIES = [
     "decontaminate_bloom_prefilter",
     "kcore_trade_graph",
     "ab_ks_test",
+    "embedding_pca_by_label",
 ]
 
 
