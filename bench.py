@@ -140,6 +140,7 @@ HEADLINE = [
     "kcore_trade_graph",
     "ab_ks_test",
     "embedding_pca_by_label",
+    "stream_kmv_distinct",
 ]
 
 

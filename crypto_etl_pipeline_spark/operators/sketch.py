@@ -439,3 +439,30 @@ def kmv_pair_overlap(sketches: DataFrame, k: int, round_to: int = 6) -> DataFram
         F.round(jacc, round_to).alias("jaccard_est"),
         F.round(jacc * union_est, round_to).alias("intersect_est"),
     )
+
+
+def kmv_merge(base: DataFrame, delta: DataFrame, k: int) -> DataFrame:
+    """Merge two per-group KMV sketches: k smallest DISTINCT hashes of
+    the union — associative and commutative by construction (min-k of
+    a union is order-free), which is the property that makes KMV the
+    right distinct-count state for streams and shard trees alike."""
+    from pyspark.sql.window import Window
+
+    both = base.unionByName(delta).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    return both.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") <= k).drop("_rk")
+
+
+def kmv_estimate(sketch: DataFrame, k: int, round_to: int = 6) -> DataFrame:
+    """Distinct-cardinality estimate per group from a KMV sketch:
+    (k-1)/U_(k) when the sketch is full, else the exact count of
+    hashes seen (the sketch IS the value set below k)."""
+    from crypto_etl_pipeline_spark.operators.sketch import KMV_DOMAIN  # self, for clarity
+
+    agg = sketch.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("sketch_size"), F.max("h").alias("_hk")
+    )
+    est = F.when(F.col("sketch_size") < k, F.col("sketch_size").cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.col("_hk").cast("double") / F.lit(KMV_DOMAIN))
+    )
+    return agg.select("grp", "sketch_size", F.round(est, round_to).alias("distinct_est"))

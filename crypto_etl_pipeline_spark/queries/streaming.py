@@ -995,3 +995,53 @@ def late_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("late_s") > 3600).cast("long")).alias("n_beyond_1h"),
         F.sum((F.col("late_s") > 7200).cast("long")).alias("n_beyond_2h"),
     )
+
+
+KMV_STREAM_K = 64
+
+
+@register(
+    "stream_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type AS grp,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+    ),
+    sk AS (SELECT grp, h FROM (
+             SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+             FROM h) WHERE rk <= {KMV_STREAM_K}),
+    est AS (SELECT grp, count(*) AS sketch_size, max(h) AS hk FROM sk GROUP BY grp)
+    SELECT grp, sketch_size,
+           round(CASE WHEN sketch_size < {KMV_STREAM_K} THEN sketch_size::DOUBLE
+                      ELSE {KMV_STREAM_K - 1}.0 / (hk::DOUBLE / 1152921504606846976.0)
+                 END, 6) AS distinct_est
+    FROM est
+    """,
+    description="Streaming distinct-user estimate via mergeable KMV state: drained micro-batch merges == one-shot batch sketch",
+    tags=("streaming", "sketch", "approx"),
+)
+def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cardinality member of the mergeable-state family
+    (histogram -> stream_sketch_rollup, Misra-Gries ->
+    stream_heavy_hitters, KMV -> this): distinct users per event type
+    from a drained file stream, state bounded at groups x k hashes
+    forever. Because min-k-of-union is associative and commutative,
+    the drained multi-batch merge MUST equal the one-shot batch sketch
+    the oracle computes — replay order cannot change the result, which
+    is the exactly-once argument in one algebraic property. KMV over
+    HLL here because the same sketch also intersects
+    (sketch_kmv_audience_overlap) — one state representation serves
+    both dashboards."""
+    from crypto_etl_pipeline_spark.streaming.incremental import (
+        read_event_stream,
+        run_kmv_distinct_stream,
+    )
+
+    events = read_event_stream(spark, _stage_dir(sf_dir, copies=1))
+    return run_kmv_distinct_stream(
+        events,
+        store_dir=_tmpdir("kmv_store_"),
+        checkpoint_dir=_checkpoint(),
+        k=KMV_STREAM_K,
+    )

@@ -739,3 +739,62 @@ def run_mg_stream(
     final = _latest()
     assert final is not None, "stream produced no batches"
     return final
+
+
+def run_kmv_distinct_stream(
+    events: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    k: int = 64,
+    timeout_sec: int = 120,
+    retain_versions: int = 3,
+) -> DataFrame:
+    """Streaming distinct-user estimation via MERGEABLE KMV state
+    (the run_sketch_rollup_stream discipline applied to cardinality):
+    each micro-batch reduces to its per-event_type k-minimum-hash
+    sketch, merges with the running sketch by min-k-of-union (see
+    operators/sketch.kmv_merge — associative + commutative, so replay
+    order cannot change the result), and writes a versioned snapshot
+    with strictly-below-batch-id recovery (exactly-once). State is
+    bounded at groups x k hashes no matter how long the stream runs —
+    the property that lets a 100 TB event firehose serve distinct-user
+    dashboards from kilobytes of state. Returns the final
+    (grp, sketch_size, distinct_est) estimates as a batch frame.
+    """
+    import glob as _glob
+
+    from crypto_etl_pipeline_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    spark = events.sparkSession
+
+    def _latest(below: int | None = None) -> DataFrame | None:
+        versions = sorted(
+            _glob.glob(f"{store_dir}/v*"), key=lambda p: int(p.rsplit("v", 1)[1])
+        )
+        if below is not None:
+            versions = [p for p in versions if int(p.rsplit("v", 1)[1]) < below]
+        return spark.read.parquet(versions[-1]) if versions else None
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        delta = kmv_sketch(batch_df, "event_type", "user_id", k)
+        base = _latest(below=batch_id)
+        merged = delta if base is None else kmv_merge(base, delta, k)
+        merged.write.mode("overwrite").parquet(f"{store_dir}/v{batch_id}")
+        _prune_versions(store_dir, retain_versions)
+
+    q = (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"kmv distinct stream did not drain within {timeout_sec}s")
+    final = _latest()
+    assert final is not None, "stream produced no batches"
+    return kmv_estimate(final, k)
