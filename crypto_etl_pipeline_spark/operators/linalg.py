@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
-def moment_rows(df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
+def moment_rows(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     """Reduce (id, vector) rows to long-form second-moment partials.
 
     Emits (i, j, v) rows per Arrow batch: ``i>=0, j>=0`` carry the
@@ -55,7 +55,7 @@ def moment_rows(df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame
             }
         )
 
-    parts = df.select(id_col, vec_col).mapInPandas(_partial, schema="i int, j int, v double")
+    parts = df.select(vec_col).mapInPandas(_partial, schema="i int, j int, v double")
     return parts.groupBy("i", "j").agg(F.sum("v").alias("v"))
 
 
@@ -93,7 +93,6 @@ def power_iteration(cov: np.ndarray, iters: int) -> tuple[np.ndarray, float]:
 
 def pca_top_component(
     df: DataFrame,
-    id_col: str,
     vec_col: str,
     dim: int,
     iters: int = 2,
@@ -113,7 +112,7 @@ def pca_top_component(
     dimension plus the Rayleigh-quotient variance estimate.
     """
     spark = df.sparkSession
-    rows = moment_rows(df, id_col, vec_col, dim).collect()
+    rows = moment_rows(df, vec_col, dim).collect()
     cov, _, _ = covariance_from_moments(rows, dim)
     v, ray = power_iteration(cov, iters)
     out = [(int(i), round(float(v[i]), round_to), round(ray, round_to)) for i in range(dim)]
@@ -121,7 +120,7 @@ def pca_top_component(
 
 
 def grouped_moment_rows(
-    df: DataFrame, group_col: str, id_col: str, vec_col: str, dim: int
+    df: DataFrame, group_col: str, vec_col: str, dim: int
 ) -> DataFrame:
     """Per-group second-moment partials: :func:`moment_rows` with a
     group key carried through — one Arrow pass emitting
@@ -150,8 +149,9 @@ def grouped_moment_rows(
                 out.insert(0, group_col, gval)
                 yield out
 
-    parts = df.select(group_col, id_col, vec_col).mapInPandas(
-        _partial, schema=f"{group_col} int, i int, j int, v double"
+    gtype = df.schema[group_col].dataType.simpleString()
+    parts = df.select(group_col, vec_col).mapInPandas(
+        _partial, schema=f"{group_col} {gtype}, i int, j int, v double"
     )
     return parts.groupBy(group_col, "i", "j").agg(F.sum("v").alias("v"))
 
@@ -159,7 +159,6 @@ def grouped_moment_rows(
 def pca_top_by_group(
     df: DataFrame,
     group_col: str,
-    id_col: str,
     vec_col: str,
     dim: int,
     iters: int = 2,
@@ -172,7 +171,7 @@ def pca_top_by_group(
     how much of the group's variance the top direction owns (a
     cluster-tightness / anisotropy signal for curation)."""
     spark = df.sparkSession
-    rows = grouped_moment_rows(df, group_col, id_col, vec_col, dim).collect()
+    rows = grouped_moment_rows(df, group_col, vec_col, dim).collect()
     by_group: dict = {}
     for r in rows:
         by_group.setdefault(r[group_col], []).append(r)
@@ -182,8 +181,9 @@ def pca_top_by_group(
         v, ray = power_iteration(cov, iters)
         trace = float(np.trace(cov))
         out.append(
-            (int(g), int(n), round(ray, round_to), round(ray / trace, round_to))
+            (g, int(n), round(ray, round_to), round(ray / trace, round_to))
         )
+    gtype = df.schema[group_col].dataType.simpleString()
     return spark.createDataFrame(
-        out, f"{group_col} int, n_vecs int, eigenvalue double, explained_share double"
+        out, f"{group_col} {gtype}, n_vecs int, eigenvalue double, explained_share double"
     )

@@ -457,8 +457,6 @@ def kmv_estimate(sketch: DataFrame, k: int, round_to: int = 6) -> DataFrame:
     """Distinct-cardinality estimate per group from a KMV sketch:
     (k-1)/U_(k) when the sketch is full, else the exact count of
     hashes seen (the sketch IS the value set below k)."""
-    from crypto_etl_pipeline_spark.operators.sketch import KMV_DOMAIN  # self, for clarity
-
     agg = sketch.groupBy("grp").agg(
         F.count(F.lit(1)).alias("sketch_size"), F.max("h").alias("_hk")
     )

@@ -2530,8 +2530,8 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b,
            round(ks, 6) AS ks_d,
            round(lam, 6) AS ks_lambda,
-           round(2 * (exp(-2 * lam * lam) - exp(-8 * lam * lam)
-                      + exp(-18 * lam * lam)), 6) AS p_approx
+           round(least(1.0, 2 * (exp(-2 * lam * lam) - exp(-8 * lam * lam)
+                      + exp(-18 * lam * lam))), 6) AS p_approx
     FROM l
     """,
     description="Two-sample Kolmogorov-Smirnov over a fixed-resolution ECDF grid: sup-norm distance + 3-term asymptotic p",
@@ -2588,11 +2588,14 @@ def ab_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ks", 6).alias("ks_d"),
         F.round(lam, 6).alias("ks_lambda"),
         F.round(
-            2
-            * (
-                F.exp(-2 * lam * lam)
-                - F.exp(-8 * lam * lam)
-                + F.exp(-18 * lam * lam)
+            F.least(
+                F.lit(1.0),
+                2
+                * (
+                    F.exp(-2 * lam * lam)
+                    - F.exp(-8 * lam * lam)
+                    + F.exp(-18 * lam * lam)
+                ),
             ),
             6,
         ).alias("p_approx"),

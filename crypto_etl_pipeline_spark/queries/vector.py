@@ -851,7 +851,14 @@ def ann_jl_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     proj = random_projection_vec(emb, "vec_id", "embedding", JL_IN_DIM, JL_OUT_DIM)
-    queries = proj.where(F.col("vec_id") < N_QUERIES)
+    # project the FILTERED frame for the query side: a predicate above
+    # mapInPandas cannot push below it, so filtering proj would re-run
+    # the full-corpus matmul to keep N_QUERIES rows; the projection is
+    # deterministic per-row, so projecting the filtered scan is
+    # row-for-row identical and the query side costs N_QUERIES rows.
+    queries = random_projection_vec(
+        emb.where(F.col("vec_id") < N_QUERIES), "vec_id", "embedding", JL_IN_DIM, JL_OUT_DIM
+    )
     return brute_force_topk(proj, queries, k=TOP_K, vec_col="jl_vec")
 
 
@@ -910,7 +917,7 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_etl_pipeline_spark.operators.linalg import pca_top_component
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pca_top_component(emb, "vec_id", "embedding", JL_IN_DIM, iters=PCA_ITERS)
+    return pca_top_component(emb, "embedding", JL_IN_DIM, iters=PCA_ITERS)
 
 
 @register(
@@ -977,4 +984,4 @@ def embedding_pca_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_etl_pipeline_spark.operators.linalg import pca_top_by_group
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pca_top_by_group(emb, "label", "vec_id", "embedding", JL_IN_DIM, iters=PCA_ITERS)
+    return pca_top_by_group(emb, "label", "embedding", JL_IN_DIM, iters=PCA_ITERS)

@@ -545,6 +545,76 @@ def _prune_versions(base_dir: str, keep: int) -> None:
         shutil.rmtree(trash, ignore_errors=True)
 
 
+def _run_versioned_merge_stream(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    reduce_batch,
+    merge,
+    empty_base=None,
+    timeout_sec: int = 120,
+    retain_versions: int = 3,
+    label: str = "stream",
+    finalize=None,
+) -> DataFrame:
+    """THE versioned-snapshot foreachBatch driver, shared by every
+    mergeable-state stream in this module (CDC snapshot, histogram
+    sketch, Misra-Gries, KMV). One implementation of the scaffold that
+    must never diverge between them:
+
+    - ``_latest(below=batch_id)``: strictly-below-batch-id recovery —
+      a replayed batch rebuilds v{batch_id} from v{batch_id-1}, never
+      from its own possibly-torn output (parquet overwrite is not
+      atomic);
+    - idempotent versioned overwrite + :func:`_prune_versions`
+      retention (crash-safe _gc_ rename-then-delete);
+    - ``trigger(availableNow=True)`` drain with a hard timeout.
+
+    Per-stream behavior plugs in as callables: ``reduce_batch(df)``
+    maps a micro-batch to its delta state, ``merge(base, delta)``
+    combines states (must be associative + commutative — the replay-
+    order argument), ``empty_base()`` optionally supplies the state
+    for batch 0 (CDC's seed snapshot; default None -> first delta IS
+    the state), ``finalize(state)`` optionally post-processes the
+    drained state into the returned frame.
+    """
+    import glob as _glob
+
+    spark = stream.sparkSession
+
+    def _latest(below: int | None = None):
+        versions = sorted(
+            _glob.glob(f"{store_dir}/v*"), key=lambda p: int(p.rsplit("v", 1)[1])
+        )
+        if below is not None:
+            versions = [p for p in versions if int(p.rsplit("v", 1)[1]) < below]
+        if versions:
+            return spark.read.parquet(versions[-1])
+        return empty_base() if empty_base is not None else None
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        delta = reduce_batch(batch_df)
+        base = _latest(below=batch_id)
+        merged = delta if base is None else merge(base, delta)
+        merged.write.mode("overwrite").parquet(f"{store_dir}/v{batch_id}")
+        _prune_versions(store_dir, retain_versions)
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"{label} did not drain within {timeout_sec}s")
+    final = _latest()
+    if empty_base is None:
+        assert final is not None, f"{label} produced no batches"
+    return finalize(final) if finalize is not None else final
+
+
+
 def run_cdc_stream(
     changes_stream: DataFrame,
     snapshot_seed: DataFrame,
@@ -568,41 +638,19 @@ def run_cdc_stream(
     chain is pruned to the newest K versions (min 2 — the replay base
     must survive; see :func:`_prune_versions`).
     """
-    import glob as _glob
-
     from crypto_etl_pipeline_spark.operators.cdc import apply_changeset
 
-    spark = changes_stream.sparkSession
-
-    def _latest(below: int | None = None) -> DataFrame:
-        versions = sorted(
-            _glob.glob(f"{snapshot_dir}/v*"),
-            key=lambda p: int(p.rsplit("v", 1)[1]),
-        )
-        if below is not None:
-            versions = [p for p in versions if int(p.rsplit("v", 1)[1]) < below]
-        return spark.read.parquet(versions[-1]) if versions else snapshot_seed
-
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        # Replay safety: parquet overwrite is not atomic, so a crash
-        # mid-write of v{batch_id} can leave a partial directory. Base the
-        # merge on the max version STRICTLY BELOW batch_id — a replayed
-        # batch then rebuilds v{batch_id} from v{batch_id-1}, never from
-        # its own torn output.
-        nxt = apply_changeset(_latest(below=batch_id), batch_df, key=key)
-        nxt.write.mode("overwrite").parquet(f"{snapshot_dir}/v{batch_id}")
-        _prune_versions(snapshot_dir, retain_versions)
-
-    q = (
-        changes_stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _run_versioned_merge_stream(
+        changes_stream,
+        snapshot_dir,
+        checkpoint_dir,
+        reduce_batch=lambda batch_df: batch_df,
+        merge=lambda base, delta: apply_changeset(base, delta, key=key),
+        empty_base=lambda: snapshot_seed,
+        timeout_sec=timeout_sec,
+        retain_versions=retain_versions,
+        label="CDC stream",
     )
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
-        raise TimeoutError(f"CDC stream did not drain within {timeout_sec}s")
-    return _latest()
 
 
 def run_sketch_rollup_stream(
@@ -630,47 +678,26 @@ def run_sketch_rollup_stream(
     batch's sketch mergeable with every other's. Returns the final
     merged (event_type, bin, c) sketch as a batch DataFrame.
     """
-    import glob as _glob
-
     from crypto_etl_pipeline_spark.operators.sketch import (
         fixed_bin,
         histogram_sketch,
         merge_sketches,
     )
 
-    spark = events.sparkSession
-
-    def _latest(below: int | None = None) -> DataFrame | None:
-        versions = sorted(
-            _glob.glob(f"{sketch_dir}/v*"), key=lambda p: int(p.rsplit("v", 1)[1])
-        )
-        if below is not None:
-            versions = [p for p in versions if int(p.rsplit("v", 1)[1]) < below]
-        return spark.read.parquet(versions[-1]) if versions else None
-
-    def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        delta = histogram_sketch(
+    return _run_versioned_merge_stream(
+        events,
+        sketch_dir,
+        checkpoint_dir,
+        reduce_batch=lambda batch_df: histogram_sketch(
             batch_df.where(F.col("value").isNotNull()),
             "event_type",
             fixed_bin(F.col("value"), bin_width, n_bins),
-        )
-        base = _latest(below=batch_id)
-        merged = delta if base is None else merge_sketches(base, delta)
-        merged.write.mode("overwrite").parquet(f"{sketch_dir}/v{batch_id}")
-        _prune_versions(sketch_dir, retain_versions)
-
-    q = (
-        events.writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+        ),
+        merge=lambda base, delta: merge_sketches(base, delta),
+        timeout_sec=timeout_sec,
+        retain_versions=retain_versions,
+        label="sketch rollup stream",
     )
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
-        raise TimeoutError(f"sketch rollup stream did not drain within {timeout_sec}s")
-    final = _latest()
-    assert final is not None, "stream produced no batches"
-    return final
 
 
 def run_mg_stream(
@@ -701,44 +728,23 @@ def run_mg_stream(
     pass against the hypertable — the same candidate-verify discipline
     as the batch operator (operators/sketch.heavy_hitters_exact).
     """
-    import glob as _glob
-
     from crypto_etl_pipeline_spark.operators.sketch import (
         merge_mg_summaries,
         misra_gries_partials,
     )
 
     spark = events.sparkSession
-
-    def _latest(below: int | None = None) -> DataFrame | None:
-        versions = sorted(
-            _glob.glob(f"{store_dir}/v*"), key=lambda p: int(p.rsplit("v", 1)[1])
-        )
-        if below is not None:
-            versions = [p for p in versions if int(p.rsplit("v", 1)[1]) < below]
-        return spark.read.parquet(versions[-1]) if versions else None
-
-    def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        partials = misra_gries_partials(batch_df, term_col, k)
-        base = _latest(below=batch_id)
-        if base is None:
-            base = spark.createDataFrame([], "term string, w long")
-        merged = merge_mg_summaries(base, partials, k)
-        merged.write.mode("overwrite").parquet(f"{store_dir}/v{batch_id}")
-        _prune_versions(store_dir, retain_versions)
-
-    q = (
-        events.writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _run_versioned_merge_stream(
+        events,
+        store_dir,
+        checkpoint_dir,
+        reduce_batch=lambda batch_df: misra_gries_partials(batch_df, term_col, k),
+        merge=lambda base, delta: merge_mg_summaries(base, delta, k),
+        empty_base=lambda: spark.createDataFrame([], "term string, w long"),
+        timeout_sec=timeout_sec,
+        retain_versions=retain_versions,
+        label="MG stream",
     )
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
-        raise TimeoutError(f"MG stream did not drain within {timeout_sec}s")
-    final = _latest()
-    assert final is not None, "stream produced no batches"
-    return final
 
 
 def run_kmv_distinct_stream(
@@ -761,40 +767,20 @@ def run_kmv_distinct_stream(
     dashboards from kilobytes of state. Returns the final
     (grp, sketch_size, distinct_est) estimates as a batch frame.
     """
-    import glob as _glob
-
     from crypto_etl_pipeline_spark.operators.sketch import (
         kmv_estimate,
         kmv_merge,
         kmv_sketch,
     )
 
-    spark = events.sparkSession
-
-    def _latest(below: int | None = None) -> DataFrame | None:
-        versions = sorted(
-            _glob.glob(f"{store_dir}/v*"), key=lambda p: int(p.rsplit("v", 1)[1])
-        )
-        if below is not None:
-            versions = [p for p in versions if int(p.rsplit("v", 1)[1]) < below]
-        return spark.read.parquet(versions[-1]) if versions else None
-
-    def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        delta = kmv_sketch(batch_df, "event_type", "user_id", k)
-        base = _latest(below=batch_id)
-        merged = delta if base is None else kmv_merge(base, delta, k)
-        merged.write.mode("overwrite").parquet(f"{store_dir}/v{batch_id}")
-        _prune_versions(store_dir, retain_versions)
-
-    q = (
-        events.writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _run_versioned_merge_stream(
+        events,
+        store_dir,
+        checkpoint_dir,
+        reduce_batch=lambda batch_df: kmv_sketch(batch_df, "event_type", "user_id", k),
+        merge=lambda base, delta: kmv_merge(base, delta, k),
+        timeout_sec=timeout_sec,
+        retain_versions=retain_versions,
+        label="KMV distinct stream",
+        finalize=lambda final: kmv_estimate(final, k),
     )
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
-        raise TimeoutError(f"kmv distinct stream did not drain within {timeout_sec}s")
-    final = _latest()
-    assert final is not None, "stream produced no batches"
-    return kmv_estimate(final, k)

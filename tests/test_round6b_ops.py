@@ -261,7 +261,7 @@ class TestPcaTopComponent:
         from crypto_etl_pipeline_spark.operators.linalg import pca_top_component
 
         emb = spark.read.parquet(SF + "/embeddings.parquet")
-        out = pca_top_component(emb, "vec_id", "embedding", 64, iters=300)
+        out = pca_top_component(emb, "embedding", 64, iters=300)
         rows = sorted(out.collect(), key=lambda r: r["pos"])
         v = np.array([r["loading"] for r in rows])
         ray = rows[0]["eigenvalue"]
@@ -278,7 +278,7 @@ class TestPcaTopComponent:
         from crypto_etl_pipeline_spark.operators.linalg import moment_rows
 
         emb = spark.read.parquet(SF + "/embeddings.parquet")
-        n = moment_rows(emb, "vec_id", "embedding", 64).count()
+        n = moment_rows(emb, "embedding", 64).count()
         assert n == 64 * 64 + 64 + 1
 
 
@@ -430,10 +430,9 @@ class TestKcorePeel:
 class TestKsTest:
     def test_identical_distributions_give_zero_d(self, spark):
         """KS on a cohort vs itself (same values both labels) must give
-        D = 0 and p ~ 2*(1-1+1)=... the 3-term sum at lam=0 is 2*1=2,
-        conventionally clipped; assert D == 0 and p_approx == 2.0 (the
-        raw 3-term series value — documents the approximation's
-        small-lambda limit)."""
+        D = 0 and, with the least(1, .) clamp on the truncated
+        Kolmogorov series, p_approx == 1.0 (a valid probability: no
+        evidence against H0)."""
         import pyspark.sql.functions as F
 
         from crypto_etl_pipeline_spark.queries.analytics import ab_ks_test
@@ -452,7 +451,7 @@ class TestKsTest:
         row = ab_ks_test(spark, d).collect()[0]
         assert row["ks_d"] == 0.0
         assert row["n_a"] == row["n_b"] == 500
-        assert row["p_approx"] == 2.0
+        assert row["p_approx"] == 1.0
 
     def test_shifted_distributions_detected(self, spark):
         """A +50 location shift on half the grid must produce a large D
@@ -488,7 +487,7 @@ class TestGroupedPca:
 
         emb = spark.read.parquet(SF + "/embeddings.parquet")
         out = {r["label"]: r for r in pca_top_by_group(
-            emb, "label", "vec_id", "embedding", 64, iters=300
+            emb, "label", "embedding", 64, iters=300
         ).collect()}
         rows = emb.collect()
         by_label: dict = {}
@@ -507,7 +506,7 @@ class TestGroupedPca:
         from crypto_etl_pipeline_spark.operators.linalg import grouped_moment_rows
 
         emb = spark.read.parquet(SF + "/embeddings.parquet")
-        n = grouped_moment_rows(emb, "label", "vec_id", "embedding", 64).count()
+        n = grouped_moment_rows(emb, "label", "embedding", 64).count()
         assert n == 10 * (64 * 64 + 64 + 1)
 
 
