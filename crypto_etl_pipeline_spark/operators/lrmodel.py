@@ -85,6 +85,34 @@ def sigmoid(c: Column) -> Column:
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-c))
 
 
+#: max per-coordinate Newton step when curvature is subsampled
+_CAPPED_STEP_CLIP = 10.0
+
+
+def _cap_doc_feats(fb: DataFrame, dim: int, max_doc_feats: int) -> DataFrame:
+    """Deterministic per-doc feature cap for the curvature join: bias
+    first, then lowest xxhash64(doc_id, feat) — PER-(doc,feat), not
+    per feature. A global feature order would drop high-hash features
+    from EVERY doc's subset, leaving their Hessian diagonal at the
+    bare ridge while the gradient stays exact, and the Newton step
+    would scale those gradients by ~1/ridge (divergence). Per-
+    (doc,feat) hashing keeps every feature in a ~cap/f random fraction
+    of its docs, so H_ii retains proportional curvature mass
+    (coverage property pinned in tests/test_round6_ops.py). Layout-
+    independent and the same subset every iteration, so the
+    quasi-Newton H is stable."""
+    from pyspark.sql.window import Window
+
+    w_feat = Window.partitionBy("doc_id").orderBy(
+        (F.col("feat") != dim).cast("int"), F.xxhash64("doc_id", "feat"), "feat"
+    )
+    return (
+        fb.withColumn("_rn", F.row_number().over(w_feat))
+        .where(F.col("_rn") <= max_doc_feats + 1)  # +1: the bias row
+        .drop("_rn")
+    )
+
+
 def lr_train_newton(
     feats: DataFrame,
     labels: DataFrame,
@@ -128,18 +156,7 @@ def lr_train_newton(
         labels.select("doc_id", F.lit(dim).alias("feat"))
     ).localCheckpoint(eager=False)
     if max_doc_feats is not None:
-        # Deterministic per-doc cap for the curvature join: bias first,
-        # then lowest-xxhash features — layout-independent, and the
-        # same subset every iteration so the quasi-Newton H is stable.
-        w_feat = Window.partitionBy("doc_id").orderBy(
-            (F.col("feat") != dim).cast("int"), F.xxhash64("feat"), "feat"
-        )
-        fb_h = (
-            fb.withColumn("_rn", F.row_number().over(w_feat))
-            .where(F.col("_rn") <= max_doc_feats + 1)  # +1: the bias row
-            .drop("_rn")
-            .localCheckpoint(eager=False)
-        )
+        fb_h = _cap_doc_feats(fb, dim, max_doc_feats).localCheckpoint(eager=False)
     else:
         fb_h = fb
         pair_rows = (
@@ -196,5 +213,15 @@ def lr_train_newton(
             H[row["i"], row["j"]] = row["h"]
         g = g / n + ridge * w
         H = H / n + ridge * np.eye(dim + 1)
-        w = w - np.linalg.solve(H, g)
+        step = np.linalg.solve(H, g)
+        if max_doc_feats is not None:
+            # Trust-region damping for the SUBSAMPLED-curvature path:
+            # the capped Hessian underestimates curvature (off-diagonal
+            # mass is dropped), so raw Newton steps can overshoot and
+            # oscillate on near-separable data. Clip the infinity norm
+            # of the step — exact-H path is untouched.
+            inf = float(np.max(np.abs(step)))
+            if inf > _CAPPED_STEP_CLIP:
+                step = step * (_CAPPED_STEP_CLIP / inf)
+        w = w - step
     return [float(x) for x in w]

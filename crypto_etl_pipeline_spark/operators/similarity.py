@@ -516,18 +516,22 @@ def ivf_hot_cells(
     cell a cap would split, where skipped_comparisons counts the
     cross-sub-cell pairs the split stops comparing — a silent cap
     would read as full coverage."""
-    n_sub = F.ceil(F.col("n_ids") / F.lit(max_cell_size))
-    per_sub = F.floor(F.col("n_ids") / n_sub)
+    # Mirror cap_hot_cells' ACTUAL split: floor(n/cap) full sub-cells
+    # of exactly `cap` rows plus one remainder sub-cell of n mod cap —
+    # retained pairs are full*C(cap,2) + C(r,2). (A balanced-split
+    # model here overstated skipped pairs and lost the remainder row.)
+    n_full = F.floor(F.col("n_ids") / F.lit(max_cell_size))
+    rem = F.col("n_ids") % F.lit(max_cell_size)
+    retained = n_full * F.lit(max_cell_size * (max_cell_size - 1) // 2) + (
+        rem * (rem - 1) / 2
+    )
     return (
         assignments.groupBy(cell_col)
         .agg(F.count(F.lit(1)).alias("n_ids"))
         .where(F.col("n_ids") > max_cell_size)
         .withColumn(
             "skipped_comparisons",
-            (
-                (F.col("n_ids") * (F.col("n_ids") - 1) / 2)
-                - n_sub * (per_sub * (per_sub - 1) / 2)
-            ).cast("long"),
+            ((F.col("n_ids") * (F.col("n_ids") - 1) / 2) - retained).cast("long"),
         )
     )
 

@@ -2125,7 +2125,11 @@ def trend_regression_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STRAT_N = 120  #: global sample size allocated across lang strata
-STRAT_SALT = "strat-v1"
+#: one salt PER sampling operator (the mixtemp-v1/srccap-v1/ares-v1
+#: discipline): stratified_fixed_k_sample already owns "strat-v1", and
+#: sharing it would rank every stratum in the identical hash order —
+#: the two "independent" samples would be perfectly nested.
+STRAT_SALT = "strat-exact-v1"
 
 
 @register(

@@ -230,8 +230,12 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = F.broadcast(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("size_a")))
-    sb = F.broadcast(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("size_b")))
+    # NO broadcast hint: `sizes` is corpus-sized (one row per doc) —
+    # forcing it driver-side is the 100 TB anti-pattern. AQE broadcasts
+    # it at test scale anyway and falls back to a shuffle join when the
+    # table outgrows the threshold.
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("size_b"))
     jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
     return (
         inter.join(sa, "id_a")
@@ -1953,7 +1957,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle POSTING join, not an n^2 intersect: distinct shingles
     explode to (shingle, doc) postings, the lang-blocked self-join on
     the shingle counts each pair's intersection as a hash aggregation,
-    and per-doc set sizes broadcast back for the ratio test. Pairs
+    and per-doc set sizes joined back for the ratio test (join strategy left to AQE — the sizes table is corpus-sized). Pairs
     sharing zero shingles never materialize (they cannot pass any
     t > 0), so cost scales with MATCHED posting volume — the
     decontamination/duplicated-spans shape — instead of docs^2
@@ -1984,8 +1988,12 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = F.broadcast(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("size_a")))
-    sb = F.broadcast(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("size_b")))
+    # NO broadcast hint: `sizes` is corpus-sized (one row per doc) —
+    # forcing it driver-side is the 100 TB anti-pattern. AQE broadcasts
+    # it at test scale anyway and falls back to a shuffle join when the
+    # table outgrows the threshold.
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("size_b"))
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")

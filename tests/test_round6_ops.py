@@ -197,14 +197,31 @@ class TestIvfHotCellCap:
         assert got == want
 
     def test_hot_cells_report_counts_skipped_pairs(self, spark):
-        from crypto_etl_pipeline_spark.operators.similarity import ivf_hot_cells
+        """The report must model cap_hot_cells' ACTUAL split (full
+        sub-cells of size cap + one remainder): n=50, cap=8 splits
+        8,8,8,8,8,8,2 -> retained 6*C(8,2)+C(2,2) = 169, skipped
+        1225-169 = 1056 — cross-checked against the real sub-cell
+        membership cap_hot_cells produces."""
+        from collections import Counter
 
-        rep = ivf_hot_cells(self._skewed_assignments(spark), max_cell_size=8).collect()
+        from crypto_etl_pipeline_spark.operators.similarity import (
+            cap_hot_cells,
+            ivf_hot_cells,
+        )
+
+        asg = self._skewed_assignments(spark)
+        rep = ivf_hot_cells(asg, max_cell_size=8).collect()
         assert len(rep) == 1
         row = rep[0]
         assert row["cell"] == 0 and row["n_ids"] == 50
-        # 50*49/2 total minus 7 sub-cells of ~7: positive, under total
-        assert 0 < row["skipped_comparisons"] < 50 * 49 // 2
+        assert row["skipped_comparisons"] == 1056
+        sizes = Counter(
+            r["cell"]
+            for r in cap_hot_cells(asg, max_cell_size=8).collect()
+            if str(r["cell"]).startswith("0#")
+        )
+        actual_retained = sum(s * (s - 1) // 2 for s in sizes.values())
+        assert 50 * 49 // 2 - actual_retained == row["skipped_comparisons"]
 
 
 class TestHessianFanoutGuard:
@@ -436,3 +453,75 @@ class TestSourceCapInvariants:
         assert not any(r["cap_applied"] for r in per["ok"])
         assert len(per["tiny"]) == 3
         assert not any(r["cap_applied"] for r in per["tiny"])
+
+
+class TestHessianCapCoverage:
+    """Review fix: the curvature cap must order by PER-(doc,feat) hash.
+    A global per-feature order would exclude high-hash features from
+    EVERY doc's kept set, leaving their Hessian diagonal at the bare
+    ridge (divergent Newton steps). With per-(doc,feat) hashing every
+    feature must survive in at least one doc's subset on a fixture
+    where all docs exceed the cap."""
+
+    def test_every_feature_retains_curvature_mass(self, spark):
+        import pyspark.sql.functions as F
+
+        from crypto_etl_pipeline_spark.operators.lrmodel import _cap_doc_feats
+
+        dim = 8
+        # 40 docs x 6 features each (> cap=3): features 0..7 all used
+        rows = [(d, (d + j) % dim) for d in range(40) for j in range(6)]
+        fb = spark.createDataFrame(rows, "doc_id long, feat int").distinct()
+        fb = fb.unionByName(
+            spark.range(40).select(F.col("id").alias("doc_id"), F.lit(dim).alias("feat"))
+        )
+        kept = _cap_doc_feats(fb, dim, max_doc_feats=3)
+        per_doc = {r["doc_id"]: r["n"] for r in kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert all(n == 4 for n in per_doc.values())  # 3 feats + bias
+        surviving = {r["feat"] for r in kept.where(F.col("feat") < dim).select("feat").distinct().collect()}
+        assert surviving == set(range(dim)), surviving
+
+    def test_capped_training_bounded_when_features_always_dropped(self, spark):
+        """All docs have 6 informative+noise features, cap=2: under the
+        old global ordering some features would carry zero curvature
+        corpus-wide; weights must stay bounded and the model usable."""
+        from crypto_etl_pipeline_spark.operators.lrmodel import (
+            lr_margin,
+            lr_train_newton,
+        )
+
+        dim = 8
+        feats = spark.createDataFrame(
+            [(d, 0 if d % 2 == 0 else 1) for d in range(60)]
+            + [(d, 2 + (d + j) % 6) for d in range(60) for j in range(5)],
+            "doc_id long, feat int",
+        ).distinct()
+        labels = spark.createDataFrame(
+            [(d, 1 if d % 2 == 0 else 0) for d in range(60)], "doc_id long, y int"
+        )
+        w = lr_train_newton(feats, labels, dim=dim, iters=4, max_doc_feats=2)
+        assert all(x == x and abs(x) < 100 for x in w), w
+        preds = {r["doc_id"]: r["margin"] for r in lr_margin(feats, w).collect()}
+        acc = sum(1 for d, m in preds.items() if (m > 0) == (d % 2 == 0)) / len(preds)
+        assert acc >= 0.9, acc
+
+
+class TestSamplingSaltIndependence:
+    def test_stratified_samplers_are_decorrelated(self, spark):
+        """Review fix: sample_stratified_exact must NOT share
+        stratified_fixed_k_sample's salt — with a shared salt every
+        stratum ranks in the identical hash order and the fixed-k
+        sample is perfectly nested inside the exact-quota sample."""
+        from crypto_etl_pipeline_spark.queries.analytics import (
+            sample_stratified_exact,
+            stratified_fixed_k_sample,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        fixed = {r["doc_id"] for r in stratified_fixed_k_sample(spark, sf).collect()}
+        exact = {r["doc_id"] for r in sample_stratified_exact(spark, sf).collect()}
+        # quotas (24/lang) exceed the fixed k (5/lang): under a shared
+        # salt fixed ⊆ exact ALWAYS; with independent salts the overlap
+        # is hypergeometric (~expected 24/500 per pick) and full
+        # nesting is astronomically unlikely.
+        assert not fixed.issubset(exact), "samplers still correlated (shared salt?)"
