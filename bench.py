@@ -141,6 +141,7 @@ HEADLINE = [
     "ab_ks_test",
     "embedding_pca_by_label",
     "stream_kmv_distinct",
+    "embedding_pca_residual_outliers",
 ]
 
 

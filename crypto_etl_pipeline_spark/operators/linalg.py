@@ -187,3 +187,42 @@ def pca_top_by_group(
     return spark.createDataFrame(
         out, f"{group_col} {gtype}, n_vecs int, eigenvalue double, explained_share double"
     )
+
+
+def pca_residual_scores(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    mean: np.ndarray,
+    component: np.ndarray,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-vector spectral decomposition against a fitted component:
+    pc1_score = (x - mean)·v and residual = ||x - mean||² - score²
+    (the variance v does NOT explain). Off-component residual is the
+    spectral outlier signal: far-off-manifold rows are mislabeled /
+    corrupted / off-topic members.
+
+    mean and v enter as plan literals, so the whole scoring pass is
+    three codegen'd dot-folds over the raw array column (dot(x,v),
+    dot(x,mean), ||x||²) — map-only, no shuffle, no Python. The
+    expansion (x-mean)·v = dot(x,v) - mean·v and
+    ||x-mean||² = ||x||² - 2·dot(x,mean) + ||mean||² keeps every
+    per-row term a single fold against a literal.
+    """
+    from pyspark.sql import functions as F
+
+    from crypto_etl_pipeline_spark.operators.similarity import dot
+
+    vlit = F.array(*[F.lit(float(x)) for x in component])
+    mlit = F.array(*[F.lit(float(x)) for x in mean])
+    mv = float(mean @ component)
+    mm = float(mean @ mean)
+    x = F.col(vec_col)
+    score = dot(x, vlit) - F.lit(mv)
+    norm2 = dot(x, x) - 2.0 * dot(x, mlit) + F.lit(mm)
+    return df.select(
+        F.col(id_col),
+        F.round(score, round_to).alias("pc1_score"),
+        F.round(norm2 - score * score, round_to).alias("residual"),
+    )

@@ -985,3 +985,87 @@ def embedding_pca_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_top_by_group(emb, "label", "embedding", JL_IN_DIM, iters=PCA_ITERS)
+
+
+@register(
+    "embedding_pca_residual_outliers",
+    oracle=f"""
+    WITH el AS (
+      SELECT e.vec_id, u.pos - 1 AS i, u.x::DOUBLE AS x
+      FROM embeddings e,
+           LATERAL (SELECT unnest(e.embedding) AS x,
+                           generate_subscripts(e.embedding, 1) AS pos) u
+    ),
+    cnt AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+    m AS (SELECT i, sum(x) / (SELECT n FROM cnt) AS mi FROM el GROUP BY i),
+    xtx AS (
+      SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS s
+      FROM el a JOIN el b USING (vec_id) GROUP BY a.i, b.i
+    ),
+    cov AS (
+      SELECT x.i, x.j, x.s / (SELECT n FROM cnt) - ma.mi * mb.mi AS c
+      FROM xtx x JOIN m ma ON ma.i = x.i JOIN m mb ON mb.i = x.j
+    ),
+    v0 AS (SELECT t.i AS i, 1.0 / sqrt({JL_IN_DIM}) AS v
+           FROM generate_series(0, {JL_IN_DIM - 1}) t(i)),
+    w1 AS (SELECT cov.i AS i, sum(cov.c * v0.v) AS w
+           FROM cov JOIN v0 ON v0.i = cov.j GROUP BY cov.i),
+    v1 AS (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w1) AS v FROM w1),
+    w2 AS (SELECT cov.i AS i, sum(cov.c * v1.v) AS w
+           FROM cov JOIN v1 ON v1.i = cov.j GROUP BY cov.i),
+    v2 AS (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w2) AS v FROM w2),
+    consts AS (
+      SELECT (SELECT sum(v2.v * m.mi) FROM v2 JOIN m ON m.i = v2.i) AS mv,
+             (SELECT sum(mi * mi) FROM m) AS mmn
+    ),
+    pv AS (
+      SELECT el.vec_id,
+             sum(el.x * v2.v) AS xv,
+             sum(el.x * mm.mi) AS xm,
+             sum(el.x * el.x) AS xx
+      FROM el JOIN v2 ON v2.i = el.i JOIN m mm ON mm.i = el.i
+      GROUP BY el.vec_id
+    ),
+    sc AS (
+      SELECT vec_id,
+             xv - (SELECT mv FROM consts) AS score,
+             xx - 2 * xm + (SELECT mmn FROM consts) AS n2
+      FROM pv
+    )
+    SELECT vec_id, round(score, 6) AS pc1_score,
+           round(n2 - score * score, 6) AS residual
+    FROM sc
+    ORDER BY round(n2 - score * score, 6) DESC, vec_id
+    LIMIT 20
+    """,
+    description="Spectral outliers: top-20 vectors by off-PC1 residual; scoring is three codegen'd dot-folds against plan literals",
+    tags=("vector", "linalg", "topk"),
+)
+def embedding_pca_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation USE of the fitted component: decompose every
+    vector into its PC1 score and the off-component residual — rows
+    with the largest residual sit farthest off the corpus's dominant
+    direction (corrupt / off-topic / mislabeled candidates). The fit
+    is the same 2-iteration sufficient-statistics contract as
+    `embedding_pca_top_component` (dim² moment shuffle + driver power
+    iteration); the SCORING pass is where the scale posture shows:
+    mean and v ride as plan literals, so each row costs three
+    codegen'd dot-folds (dot(x,v), dot(x,mean), ||x||²) — map-only,
+    no Python, no shuffle beyond the final top-20 TakeOrdered. The
+    DuckDB twin re-derives mean/v through the same unrolled chain and
+    scores per vector via element joins; cross-engine slack is
+    summation order (~1e-12), absorbed by the round-6 grid the top-20
+    cut ranks on."""
+    from crypto_etl_pipeline_spark.operators.linalg import (
+        covariance_from_moments,
+        moment_rows,
+        pca_residual_scores,
+        power_iteration,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = moment_rows(emb, "embedding", JL_IN_DIM).collect()
+    cov, mean, _ = covariance_from_moments(rows, JL_IN_DIM)
+    v, _ = power_iteration(cov, PCA_ITERS)
+    scored = pca_residual_scores(emb, "vec_id", "embedding", mean, v)
+    return scored.orderBy(F.desc("residual"), F.asc("vec_id")).limit(20)

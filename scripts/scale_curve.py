@@ -73,6 +73,7 @@ HEAVY = [
     "kcore_trade_graph",
     "ab_ks_test",
     "embedding_pca_by_label",
+    "embedding_pca_residual_outliers",
 ]
 
 

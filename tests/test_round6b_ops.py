@@ -551,3 +551,44 @@ class TestStreamKmv:
         )
         est = kmv_estimate(big, 64).collect()[0]
         assert 620 < est["distinct_est"] < 1380, est["distinct_est"]
+
+
+class TestPcaResidualOutliers:
+    def test_decomposition_identity(self, spark):
+        """pc1_score² + residual must equal ||x - mean||² per vector
+        (Pythagoras against the fitted unit component)."""
+        import numpy as np
+
+        from crypto_etl_pipeline_spark.operators.linalg import (
+            covariance_from_moments,
+            moment_rows,
+            pca_residual_scores,
+            power_iteration,
+        )
+
+        emb = spark.read.parquet(SF + "/embeddings.parquet")
+        rows = moment_rows(emb, "embedding", 64).collect()
+        cov, mean, _ = covariance_from_moments(rows, 64)
+        v, _ = power_iteration(cov, 2)
+        assert abs(float(v @ v) - 1.0) < 1e-12
+        got = {r["vec_id"]: r for r in pca_residual_scores(emb, "vec_id", "embedding", mean, v).collect()}
+        for r in emb.limit(30).collect():
+            x = np.array(r["embedding"], dtype=np.float64)
+            c = x - mean
+            score = float(c @ v)
+            resid = float(c @ c) - score * score
+            g = got[r["vec_id"]]
+            assert abs(g["pc1_score"] - score) < 1e-5
+            assert abs(g["residual"] - resid) < 1e-5
+            assert g["residual"] >= 0
+
+    def test_scoring_is_map_only(self, spark):
+        import numpy as np
+
+        from crypto_etl_pipeline_spark.operators.linalg import pca_residual_scores
+
+        emb = spark.read.parquet(SF + "/embeddings.parquet")
+        plan = pca_residual_scores(
+            emb, "vec_id", "embedding", np.zeros(64), np.ones(64) / 8.0
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan

@@ -82,6 +82,7 @@ SPOT_QUERIES = [
     "kcore_trade_graph",
     "ab_ks_test",
     "embedding_pca_by_label",
+    "embedding_pca_residual_outliers",
 ]
 
 
