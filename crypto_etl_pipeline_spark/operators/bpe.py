@@ -86,7 +86,8 @@ def _pair_counts(state: DataFrame) -> DataFrame:
     posexplode to (word, pos, sym) rows, pair via a lead window
     partitioned by word — flat columns and a keyed shuffle, no
     higher-order-function lambdas for Catalyst to inline (see
-    .claude/skills/verify HOF re-evaluation hazard).
+    SCALE.md "Python stages": CollapseProject re-evaluates inlined
+    HOF lambdas per element — measured multiplicative blowup).
     """
     pos = state.select(
         "word", "cnt", F.posexplode("syms").alias("pos", "left_sym")

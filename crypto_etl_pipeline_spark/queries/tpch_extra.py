@@ -12,8 +12,15 @@ partsupp table and no commit/receipt dates, so the adapted four keep
 the plan SHAPE (correlated aggregates, nested semi joins,
 per-group argmax) over the columns that exist.
 
-All joins declare broadcast on dimension sides; every float aggregate
-is rounded identically in the Spark builder and the DuckDB oracle.
+Broadcast policy: ``F.broadcast`` hints appear ONLY on bounded frames —
+nation/region dimensions and scalar (1-row) aggregates. Every side
+derived from an SF-scaled table (lineitem/orders/customer/supplier/
+part) is left UNHINTED: a forced hint overrides Spark's 64 MB
+autoBroadcastJoinThreshold with no AQE fallback, so at 100x data it
+OOMs the driver, while an unhinted plan lets AQE broadcast the side at
+small SF (where it fits — measured no-op on local bench) and fall back
+to a shuffle join + DPP/bucketing at scale. Every float aggregate is
+rounded identically in the Spark builder and the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -91,9 +98,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = nat.select(F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation"))
     sn = nat.select(F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation"))
     return (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")), li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"), li.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("_cnk"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("_snk"))
         .where(
@@ -141,12 +148,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = nat.select(F.col("n_nationkey").alias("_cnk"), F.col("n_regionkey").alias("_crk"))
     sn = nat.select(F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation"))
     vol = (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(orders.select("o_orderkey", "o_custkey", "o_orderdate")), li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("_cnk"))
         .join(F.broadcast(region.select("r_regionkey")), F.col("_crk") == F.col("r_regionkey"))
-        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"), li.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("_snk"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
@@ -187,8 +194,8 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")), li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         # 4-decimal rounding: disc-price sums are EXACT 4-decimal
@@ -228,7 +235,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     promo = F.sum(F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(0.0))
     return (
-        li.join(F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
+        li.join(part.select("p_partkey", "p_type"), li.l_partkey == F.col("p_partkey"))
         .agg(F.round(100.0 * promo / F.sum(_disc_price()), 6).alias("promo_revenue_pct"))
     )
 
@@ -266,7 +273,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = revenue.agg(F.max("total_revenue").alias("_mx"))
     return (
         revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("_mx"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -303,9 +310,9 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     return (
-        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "_bok")), li.l_orderkey == F.col("_bok"))
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(big.withColumnRenamed("l_orderkey", "_bok"), li.l_orderkey == F.col("_bok"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .select(
@@ -338,7 +345,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")), li.l_partkey == F.col("p_partkey"))
+    j = li.join(part.select("p_partkey", "p_brand", "p_size"), li.l_partkey == F.col("p_partkey"))
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
@@ -394,9 +401,9 @@ def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("eff_price").alias("best_price")
     )
     return (
-        offer.join(F.broadcast(best), (F.col("l_partkey") == F.col("_bpk")) & (F.col("eff_price") == F.col("best_price")))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        offer.join(best, (F.col("l_partkey") == F.col("_bpk")) & (F.col("eff_price") == F.col("best_price")))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             "p_partkey", "p_name", "s_suppkey", "s_name", "n_name",
@@ -434,10 +441,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     profit = _disc_price() - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        li.join(part.select("p_partkey", "p_retailprice"), li.l_partkey == F.col("p_partkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"), li.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(orders.select("o_orderkey", "o_orderdate")), li.l_orderkey == F.col("o_orderkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(F.round(F.sum(profit), 4).alias("profit"))
     )
@@ -475,7 +482,7 @@ def q20_big_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
     supp = load_table(spark, sf_dir, "supplier")
     supp_part = (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("sq"))
     )
@@ -483,7 +490,7 @@ def q20_big_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sq").alias("tq"), F.count(F.lit(1)).alias("n_supp")
     )
     dominant = (
-        supp_part.join(F.broadcast(part_tot), F.col("l_partkey") == F.col("_ptk"))
+        supp_part.join(part_tot, F.col("l_partkey") == F.col("_ptk"))
         .where(F.col("sq") * F.col("n_supp") > 2.5 * F.col("tq"))
         .select("l_suppkey")
         .distinct()
@@ -543,7 +550,7 @@ def q21_last_shipping_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("s_max") == F.col("o_max")) & (F.col("n_supp") > 1) & (F.col("n_at_max") == 1))
     )
     return (
-        blocking.join(F.broadcast(supp), blocking.l_suppkey == supp.s_suppkey)
+        blocking.join(supp, blocking.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
@@ -653,7 +660,8 @@ def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q16's shape: exclude a blacklist of suppliers with NOT IN
     (rewritten as LEFT ANTI — the blacklist is provably non-null here,
     so anti-join semantics match NOT IN), then count DISTINCT
-    suppliers per (brand, type, size). The part dimension broadcasts;
+    suppliers per (brand, type, size). Both joined sides are SF-scaled,
+    so neither carries a hint (AQE broadcasts them at small SF);
     the count-distinct runs as Spark's two-phase partial-distinct
     aggregate, so the only wide shuffle carries (group keys, suppkey)
     pairs, already deduplicated map-side."""
@@ -662,13 +670,11 @@ def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     bad = supp.where(F.col("s_acctbal") < 0).select(F.col("s_suppkey").alias("l_suppkey"))
     return (
-        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        li.join(bad, "l_suppkey", "left_anti")
         .join(
-            F.broadcast(
-                part.where(
-                    (F.col("p_brand") != "Brand#1")
-                    & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
-                )
+            part.where(
+                (F.col("p_brand") != "Brand#1")
+                & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
             ),
             F.col("l_partkey") == F.col("p_partkey"),
         )

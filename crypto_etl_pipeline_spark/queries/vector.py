@@ -25,6 +25,11 @@ from crypto_etl_pipeline_spark.operators.similarity import (
 from crypto_etl_pipeline_spark.queries.base import register
 from crypto_etl_pipeline_spark.sources.tables import load_table
 
+# Query-side frames carry `.limit(N_QUERIES)` on top of the id filter:
+# the filter already selects exactly N_QUERIES dense ids, but the limit
+# makes the bound STRUCTURAL — the broadcast-hint lint (plans/lint.py)
+# can prove the hinted side is not corpus-sized without trusting the
+# predicate.
 N_QUERIES = 10
 TOP_K = 10
 N_PLANES = 6
@@ -83,7 +88,7 @@ def _duck_lsh_bucket(qv: str) -> str:
 )
 def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).limit(N_QUERIES)
     return brute_force_topk(emb, queries, k=TOP_K)
 
 
@@ -156,7 +161,7 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).limit(N_QUERIES)
     return lsh_bucketed_topk(
         emb, queries, k=TOP_K, n_planes=N_PLANES, probe_radius=PROBE_RADIUS
     )
@@ -211,7 +216,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ivf_build_centroids(emb, k=IVF_K, iters=0)
-    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).limit(N_QUERIES)
     return ivf_topk(emb, queries, cents, k=TOP_K, nprobe=IVF_NPROBE)
 
 
@@ -317,7 +322,7 @@ def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ivf_build_centroids(emb, k=IVF_K, iters=2)
-    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).limit(N_QUERIES)
     return ivf_topk(emb, queries, cents, k=TOP_K, nprobe=IVF_NPROBE)
 
 
@@ -632,7 +637,7 @@ def ann_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q._n") * F.col("c._n")
     )
     sims = (
-        q.where(F.col("q.vec_id") < N_QUERIES)
+        q.where(F.col("q.vec_id") < N_QUERIES).limit(N_QUERIES)
         .join(c, F.col("c.vec_id") != F.col("q.vec_id"))
         .select(
             F.col("q.vec_id").alias("qid"),
@@ -728,7 +733,7 @@ def ann_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = scratch_dir("ivf_index_") + "/cells"
     ivf_assign_cells(emb, cents).write.mode("overwrite").partitionBy("_cell").parquet(path)
     index = spark.read.parquet(path)
-    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).limit(N_QUERIES)
     return ivf_topk(emb, queries, cents, k=TOP_K, nprobe=IVF_NPROBE, cells=index)
 
 
@@ -857,7 +862,7 @@ def ann_jl_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic per-row, so projecting the filtered scan is
     # row-for-row identical and the query side costs N_QUERIES rows.
     queries = random_projection_vec(
-        emb.where(F.col("vec_id") < N_QUERIES), "vec_id", "embedding", JL_IN_DIM, JL_OUT_DIM
+        emb.where(F.col("vec_id") < N_QUERIES).limit(N_QUERIES), "vec_id", "embedding", JL_IN_DIM, JL_OUT_DIM
     )
     return brute_force_topk(proj, queries, k=TOP_K, vec_col="jl_vec")
 

@@ -28,12 +28,28 @@ def test_registry_metadata_complete():
 
 @pytest.mark.parametrize("name", BATCH_QUERIES)
 def test_no_cartesian_product_plans(name, spark):
-    """Scale lint: no registered batch query may plan a CartesianProduct
-    (both-sides-large cross join). Intentional scalar broadcasts plan
-    as BroadcastNestedLoopJoin and are fine; a CartesianProduct means a
-    join lost its keys or its broadcast and would be quadratic at
-    100 TB."""
+    """Scale lints, one plan build per query.
+
+    1. No CartesianProduct (both-sides-large cross join). Intentional
+       scalar broadcasts plan as BroadcastNestedLoopJoin and are fine;
+       a CartesianProduct means a join lost its keys or its broadcast
+       and would be quadratic at 100 TB.
+    2. No forced ``F.broadcast()`` hint on a frame whose lineage
+       reaches an SF-scaled parquet scan (lineitem/orders/customer/
+       supplier/part/events/documents/embeddings) without an
+       intervening Aggregate/Limit (plans/lint.py). A forced hint
+       overrides the 64 MB threshold with no AQE fallback — at 100x
+       the side OOMs the driver (VERDICT r6 'What's wrong' #1).
+       Bounded query/dim sides must make the bound structural
+       (``.limit(n)`` or a groupBy on a bounded key)."""
+    from crypto_etl_pipeline_spark.plans.lint import unbounded_broadcast_hints
+
     spec = REGISTRY[name]
     df = spec.fn(spark, "/root/testdata/sf0.001")
+    hints = unbounded_broadcast_hints(df)
+    assert not hints, (
+        f"{name} force-broadcasts a frame derived from SF-scaled "
+        f"table(s) {[t for t, _ in hints]} with no Aggregate/Limit bound"
+    )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
