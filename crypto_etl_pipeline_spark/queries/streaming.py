@@ -250,9 +250,10 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register(
-    "stream_sessionize_stateful",
-    oracle=f"""
+# Shared by the v1 (applyInPandasWithState) and v2 (transformWithState)
+# sessionizers: both fold the same _fold_sessions kernel, so one
+# gaps-and-islands SQL pins both.
+_GAP_SESSIONS_ORACLE = f"""
     WITH marked AS (
       SELECT user_id, ts, coalesce(value, 0.0) AS v,
              CASE WHEN epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
@@ -278,7 +279,12 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT user_id, session_start, session_end, n_events, sum_value
     FROM sessions WHERE session_no < last_no
-    """,
+    """
+
+
+@register(
+    "stream_sessionize_stateful",
+    oracle=_GAP_SESSIONS_ORACLE,
     description="applyInPandasWithState gap sessionization == SQL gaps-and-islands (minus each user's open last session)",
     tags=("streaming", "stateful"),
 )
@@ -318,13 +324,17 @@ def stream_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     one _fold_sessions kernel, so the v1 query's gaps-and-islands
     oracle pins this one too.
 
-    DELIBERATELY NOT @register'ed: Spark's TWS Python runner hard-
-    requires the protobuf>=5.27 runtime (its state-server protocol —
-    StateMessage_pb2 imports google.protobuf.runtime_version), which
-    this container does not ship and the environment contract forbids
-    installing. The registered surface must stay runnable everywhere;
-    this path is exercised by tests/test_round5_ops.py, which SKIPS
-    without protobuf and asserts v1==v2==oracle where it is available
+    Registered CONDITIONALLY (see _tws_runtime_available below):
+    Spark's TWS Python runner hard-requires the protobuf>=5.27 runtime
+    (its state-server protocol — StateMessage_pb2 imports
+    google.protobuf.runtime_version), which this container does not
+    ship and the environment contract forbids installing. The
+    registered surface must stay runnable everywhere, so the query
+    joins the registry only when the probe passes — the day the
+    environment gains the dependency, the v2 state API enters the
+    driver gate with the SAME gaps-and-islands oracle as v1. Until
+    then the path is exercised by tests/test_round5_ops.py, which
+    SKIPS without protobuf and asserts v1==v2==oracle where available
     (the PIL-codec precedent, multimodal/binary.py)."""
     from pyspark.sql import functions as F
 
@@ -352,6 +362,28 @@ def stream_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("sum_value", 4).alias("sum_value"),
     )
+
+
+def _tws_runtime_available() -> bool:
+    """True iff Spark's transformWithState Python runner can start:
+    its StateMessage protocol needs google.protobuf.runtime_version
+    (protobuf >= 5.27). Probed at import so the registry only carries
+    the query where the driver gate can actually run it."""
+    try:
+        from google.protobuf import runtime_version  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+if _tws_runtime_available():  # pragma: no cover - absent in this container
+    register(
+        "stream_sessionize_tws",
+        oracle=_GAP_SESSIONS_ORACLE,
+        description="transformWithState (v2 state API) gap sessionization == SQL gaps-and-islands",
+        tags=("streaming", "stateful"),
+    )(stream_sessionize_tws)
 
 
 @register(

@@ -1340,7 +1340,10 @@ def text_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = stc.agg(F.sum("c").alias("n"))
     sc = stc.groupBy("source").agg(F.sum("c").alias("sc"))
     contrib = (
-        stc.join(F.broadcast(tc), "term")
+        # tc is vocabulary-grained (unbounded at 100 TB — Heaps' law),
+        # so no hint: AQE broadcasts it while it fits, else both
+        # term-grained sides shuffle on term.
+        stc.join(tc, "term")
         .join(F.broadcast(sc), "source")
         .crossJoin(F.broadcast(n))
         .select(

@@ -8,6 +8,10 @@ per-query growth factors. Linear scaling at 3× data = ratio ≤ ~3
 clearly above 3 is superlinear and must be explained or fixed.
 
 Usage: python scripts/scale_curve.py [--out scale_curve.json]
+           [--big=.scale/sf1.0 --label=sf1.0] [--only=a,b,c]
+  --big/--label switch the large fixture (default .scale/sf0.3) — the
+  round-7 10x point (scripts/gen_scale_sf.py 10 .scale/sf1.0) uses
+  --big=.scale/sf1.0 --label=sf1.0.
 """
 
 from __future__ import annotations
@@ -74,6 +78,11 @@ HEAVY = [
     "ab_ks_test",
     "embedding_pca_by_label",
     "embedding_pca_residual_outliers",
+    # round-7: the de-hinted star joins — growth under AQE-owned join
+    # strategy is the new datum after the forced broadcasts came out
+    "q7_volume_shipping",
+    "q18_large_volume_orders",
+    "q10_returned_item_customers",
 ]
 
 
@@ -83,15 +92,20 @@ def main() -> None:
 
     out_path = None
     only = None
+    big_dir, big_label = SF_BIG, "sf0.3"
     argv = sys.argv[1:]
     if "--out" in argv:
         out_path = argv[argv.index("--out") + 1]
     for a in argv:
         if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
+        elif a.startswith("--big="):
+            big_dir = os.path.abspath(a.split("=", 1)[1])
+        elif a.startswith("--label="):
+            big_label = a.split("=", 1)[1]
 
-    if not os.path.isdir(SF_BIG):
-        raise SystemExit(f"{SF_BIG} missing — run scripts/gen_scale_sf.py first")
+    if not os.path.isdir(big_dir):
+        raise SystemExit(f"{big_dir} missing — run scripts/gen_scale_sf.py first")
 
     spark = get_spark(app_name="scale_curve")
     spark.sparkContext.setLogLevel("ERROR")
@@ -102,7 +116,7 @@ def main() -> None:
         REGISTRY[n].fn(spark, "/root/testdata/sf0.001").count()
 
     results: dict[str, dict[str, float]] = {}
-    for sf_label, sf_dir in (("sf0.1", SF_BASE), ("sf0.3", SF_BIG)):
+    for sf_label, sf_dir in (("sf0.1", SF_BASE), (big_label, big_dir)):
         for n in names:
             best = None
             for _ in range(2):
@@ -115,10 +129,10 @@ def main() -> None:
 
     rows = []
     for n in names:
-        a, b = results[n]["sf0.1"], results[n]["sf0.3"]
+        a, b = results[n]["sf0.1"], results[n][big_label]
         rows.append((n, a, b, round(b / a, 2) if a > 0 else None))
     rows.sort(key=lambda r: -(r[3] or 0))
-    print("\n| query | sf0.1 s | sf0.3 s | growth (3x data) |")
+    print(f"\n| query | sf0.1 s | {big_label} s | growth |")
     print("|---|---|---|---|")
     for n, a, b, g in rows:
         print(f"| {n} | {a} | {b} | {g} |")

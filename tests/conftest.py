@@ -82,6 +82,13 @@ _QUICK_ORACLE = {
     "pack_ffd_bins",
     "sample_weighted_ares",
     "profile_events_table",
+    # round-6/7 families: PCA moments, KMV sketches, de-hinted star join,
+    # Gopher screen (_toks single-tokenization), Bloom decontamination
+    "embedding_pca_top_component",
+    "sketch_kmv_audience_overlap",
+    "q7_volume_shipping",
+    "text_gopher_filters",
+    "decontaminate_bloom_prefilter",
 }
 
 

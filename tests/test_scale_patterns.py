@@ -215,35 +215,11 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.set(k, v)
 
 
-def test_plan_fingerprints_no_regression(spark):
-    """Mechanized posture guard: every non-streaming registry query's
-    physical-plan shape (BHJ/SMJ/exchange/cartesian/pushed-filter
-    counts) must match PLAN_FINGERPRINTS.json — a new SortMergeJoin, a
-    lost broadcast, an extra shuffle, or a lost pushed filter in ANY
-    query fails here, not in a per-round manual audit. Regenerate the
-    snapshot after a DELIBERATE plan change with
-    `python scripts/plan_fingerprints.py --update` (streaming drains
-    are fingerprinted by the script but skipped here: their returned
-    DF is a memory-sink table, and draining ~10 streams costs more
-    suite time than the terminal-shape check is worth)."""
-    import json
-    import os
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
-    from plan_fingerprints import SNAPSHOT, fingerprint
-
-    from crypto_etl_pipeline_spark.queries import REGISTRY
-
-    want = json.load(open(SNAPSHOT))
-    drift = []
-    for name in sorted(REGISTRY):
-        if "streaming" in REGISTRY[name].tags:
-            continue
-        got = fingerprint(REGISTRY[name].fn(spark, "/root/testdata/sf0.001"))
-        if got != want.get(name):
-            drift.append(f"{name}: {want.get(name)} -> {got}")
-    assert not drift, "plan-shape drift (run scripts/plan_fingerprints.py --update if deliberate):\n" + "\n".join(drift)
+# The plan-fingerprint regression guard lives in
+# tests/test_registry_lint.py::test_no_cartesian_product_plans, which
+# runs all three plan checks (cartesian, broadcast-hint boundedness,
+# fingerprint snapshot) on ONE plan build per query — it used to be a
+# second full-registry pass here, ~2 min of duplicated plan builds.
 
 
 def test_dpp_probe_prunes_at_runtime(spark):
