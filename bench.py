@@ -142,6 +142,13 @@ HEADLINE = [
     "embedding_pca_by_label",
     "stream_kmv_distinct",
     "embedding_pca_residual_outliers",
+    # round-7 surface: the de-hinted TPC-H stars — forced fact-side
+    # broadcasts removed, AQE owns the join strategy; tracked per-round
+    # so a local regression from the de-hinting would be visible
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_item_customers",
+    "q18_large_volume_orders",
 ]
 
 

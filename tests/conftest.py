@@ -22,6 +22,27 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def built_df(spark):
+    """Session-scoped (name, sf_dir) -> DataFrame cache shared by the
+    oracle-parity and registry-lint modules. Both need every registered
+    query's DataFrame; queries that do real work at BUILD time
+    (bucketed table writes, persisted indexes, streaming drains) used
+    to run that work once per module. DataFrame plans are immutable, so
+    reuse is safe; plan inspection and collection see the same object."""
+    from crypto_etl_pipeline_spark.queries import REGISTRY
+
+    cache: dict = {}
+
+    def get(name: str, sf_dir: str):
+        key = (name, sf_dir)
+        if key not in cache:
+            cache[key] = REGISTRY[name].fn(spark, sf_dir)
+        return cache[key]
+
+    return get
+
+
+@pytest.fixture(scope="session")
 def duck():
     """DuckDB connection with the testdata tables registered as views —
     mirrors the driver's oracle harness."""
@@ -105,3 +126,13 @@ def pytest_collection_modifyitems(config, items):
                 and callspec.params.get("name") in _QUICK_ORACLE
             ):
                 item.add_marker(pytest.mark.quick)
+    # The registry-lint module must run BEFORE oracle parity: both
+    # share the session-scoped built_df cache, and the lint's plan
+    # fingerprints must be read off UN-executed DataFrames (after a
+    # collect, AdaptiveSparkPlan prints final+initial plans and every
+    # operator count doubles). Lint builds fresh plans; parity then
+    # collects the same objects — one registry construction pass
+    # instead of two. Stable sort: everything else keeps file order.
+    items.sort(
+        key=lambda it: 0 if it.module.__name__.rsplit(".", 1)[-1] == "test_registry_lint" else 1
+    )

@@ -10,6 +10,7 @@ CORRECTNESS failure.
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 
@@ -41,9 +42,19 @@ def _normalize(rows, columns):
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_oracle_parity(name, spark, duck):
+def test_oracle_parity(name, spark, duck, built_df):
+    from pyspark.sql.types import DecimalType
+
     spec = REGISTRY[name]
-    sdf = spec.fn(spark, SF_ORACLE)
+    sdf = built_df(name, SF_ORACLE)
+    # Spark half of the DECIMAL-free-output lint (duck half:
+    # test_no_decimal_output_columns) — checked here because this test
+    # already built the DataFrame; schema comes from analysis only.
+    s_dec = [f.name for f in sdf.schema.fields if isinstance(f.dataType, DecimalType)]
+    assert not s_dec, (
+        f"{name}: DECIMAL-typed OUTPUT columns (spark={s_dec}) — the driver "
+        f"hash-reds these even on identical values; cast to DOUBLE"
+    )
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
@@ -78,7 +89,7 @@ def test_oracle_no_hugeint_columns(name, duck):
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_no_decimal_output_columns(name, spark, duck):
+def test_no_decimal_output_columns(name, duck):
     """DECIMAL-free-output lint (round-4 postmortem, THIRD decimal-family
     red): even with judge-verified identical values AND identical result
     types (Spark decimal(28,2) == DuckDB DECIMAL(28,2) at sf0.01), the
@@ -89,22 +100,19 @@ def test_no_decimal_output_columns(name, spark, duck):
     demonstrate) but must never appear in a compared OUTPUT schema on
     EITHER engine — cast final columns to DOUBLE on both sides. Exact
     decimal semantics stay pinned by test_decimal_exact_internal_parity.
-    Spark-side schema comes from analysis only (no job runs)."""
-    from pyspark.sql.types import DecimalType
-
+    The Spark side of this lint lives inside test_oracle_parity (it
+    already builds every DataFrame — rebuilding 234 of them here,
+    streaming drains included, was a third full-registry construction
+    pass); this test keeps the DuckDB DESCRIBE side, which plans
+    without executing."""
     spec = REGISTRY[name]
-    s_bad = [
-        f.name
-        for f in spec.fn(spark, SF_ORACLE).schema.fields
-        if isinstance(f.dataType, DecimalType)
-    ]
     d_bad = [
         r[0]
         for r in duck.execute(f"DESCRIBE {spec.oracle}").fetchall()
         if "DECIMAL" in str(r[1]).upper()
     ]
-    assert not s_bad and not d_bad, (
-        f"{name}: DECIMAL-typed OUTPUT columns (spark={s_bad}, duck={d_bad}) — the "
+    assert not d_bad, (
+        f"{name}: DECIMAL-typed OUTPUT columns (duck={d_bad}) — the "
         f"driver hash-reds these even on identical values; cast to DOUBLE on both engines"
     )
 
@@ -167,9 +175,8 @@ def test_decimal_exact_internal_parity(spark, duck):
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_queries_run(name, spark):
-    spec = REGISTRY[name]
-    sdf = spec.fn(spark, SF_ORACLE)
+def test_rows_only_queries_run(name, spark, built_df):
+    sdf = built_df(name, SF_ORACLE)
     assert sdf.count() >= 0
     assert len(sdf.schema.fields) > 0
 
@@ -346,12 +353,41 @@ def duck_gate():
     con.close()
 
 
+_VACUITY_CACHE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".vacuity_cache.json"
+)
+
+
+@pytest.fixture(scope="module")
+def vacuity_cache():
+    """Memo of oracles proven non-vacuous, keyed by md5 of the oracle
+    TEXT (the gate parquet fixtures are immutable, so the row count of
+    an unchanged oracle cannot change). New or edited oracles miss the
+    cache and execute; hits skip ~60s of heavy DuckDB re-runs per full
+    suite. The file is committed; delete it to force a full re-check."""
+    import json
+
+    cache = {}
+    if os.path.exists(_VACUITY_CACHE_PATH):
+        with open(_VACUITY_CACHE_PATH) as fh:
+            cache = json.load(fh)
+    yield cache
+    with open(_VACUITY_CACHE_PATH, "w") as fh:
+        json.dump(cache, fh, indent=0, sort_keys=True)
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_oracle_not_vacuous_at_gate_sf(name, duck_gate):
+def test_oracle_not_vacuous_at_gate_sf(name, duck_gate, vacuity_cache):
     """Vacuity lint (round-3 postmortem): a 0-row oracle makes the
     driver's comparison an empty-vs-empty tautology — the first
     inverted-index query 'passed' at every SF while matching nothing.
     Every oracle must select at least one row at the gate SF."""
+    import hashlib
+
     spec = REGISTRY[name]
+    key = hashlib.md5(spec.oracle.encode()).hexdigest()
+    if vacuity_cache.get(name) == key:
+        return  # this exact oracle text already proved non-vacuous
     rows = duck_gate.execute(f"SELECT count(*) FROM ({spec.oracle})").fetchone()
     assert rows[0] > 0, f"{name}: oracle returns 0 rows at sf0.01 — vacuous comparison"
+    vacuity_cache[name] = key

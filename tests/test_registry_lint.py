@@ -39,7 +39,7 @@ def test_registry_metadata_complete():
 
 
 @pytest.mark.parametrize("name", BATCH_QUERIES)
-def test_no_cartesian_product_plans(name, spark):
+def test_no_cartesian_product_plans(name, spark, built_df):
     """Scale lints, one plan build per query.
 
     1. No CartesianProduct (both-sides-large cross join). Intentional
@@ -67,8 +67,7 @@ def test_no_cartesian_product_plans(name, spark):
 
     from crypto_etl_pipeline_spark.plans.lint import unbounded_broadcast_hints
 
-    spec = REGISTRY[name]
-    df = spec.fn(spark, "/root/testdata/sf0.001")
+    df = built_df(name, "/root/testdata/sf0.001")
     hints = unbounded_broadcast_hints(df)
     assert not hints, (
         f"{name} force-broadcasts a frame derived from SF-scaled "

@@ -344,16 +344,21 @@ class TestMergeableMgSummaries:
             rows += [("hot",)] * 90 + [("warm",)] * 60
             rng.shuffle(rows)
             batches.append(rows)
-        store = spark.createDataFrame([], "term string, w long")
+        store_rows: list = []
         for rows in batches:
             df = spark.createDataFrame(rows, "term string").repartition(4)
             partials = misra_gries_partials(df, "term", k)
-            store = merge_mg_summaries(store, partials, k)
-            assert store.count() <= k - 1
+            store = spark.createDataFrame(store_rows, "term string, w long")
+            # materialize between batches — exactly what a persisted
+            # incremental store does, and it keeps the test linear (a
+            # lazily folded 6-deep merge lineage re-executes the whole
+            # chain at every action: measured 21.7s -> ~3s)
+            store_rows = [tuple(r) for r in merge_mg_summaries(store, partials, k).collect()]
+            assert len(store_rows) <= k - 1
         all_rows = [t for rows in batches for (t,) in rows]
         counts = _exact_counts(all_rows)
         n = len(all_rows)
-        weights = {r["term"]: r["w"] for r in store.collect()}
+        weights = dict(store_rows)
         for t, c in counts.items():
             if c * k > n:
                 assert t in weights, t
