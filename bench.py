@@ -149,6 +149,10 @@ HEADLINE = [
     "q8_market_share",
     "q10_returned_item_customers",
     "q18_large_volume_orders",
+    # round-7 retrieval / data-selection family
+    "bm25_topk_retrieval",
+    "text_bigram_lm_perplexity",
+    "dsir_importance_weights",
 ]
 
 

@@ -25,6 +25,7 @@ from crypto_etl_pipeline_spark.queries import quality  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import tpch_extra  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import market  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import behavior  # noqa: F401, E402
+from crypto_etl_pipeline_spark.queries import retrieval  # noqa: F401, E402
 
 
 # The driver's correctness gate samples the FIRST entries of queries(),
@@ -47,6 +48,11 @@ _GATE_FIRST = (
     "variant_props_shred",
     "embedding_random_projection",
     "ann_jl_projected_topk",
+    # round-7 retrieval/data-selection family — new this round, so it
+    # enters the official gate immediately
+    "bm25_topk_retrieval",
+    "text_bigram_lm_perplexity",
+    "dsir_importance_weights",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",

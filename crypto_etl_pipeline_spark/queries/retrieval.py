@@ -1,0 +1,384 @@
+"""Retrieval & data-selection queries: BM25 ranking, n-gram LM
+perplexity filtering (CCNet-style), and DSIR importance weighting.
+
+These extend the reference's text surface (SURVEY.md §2.13 — the
+reference crypto_etl_pipeline.py has no text/IR operators at all; the
+survey mandates the training-data-pipeline families) with the three
+standard corpus-selection tools a 100 TB LLM-data pipeline runs after
+dedup:
+
+- **BM25 top-k** (Robertson/Spärck Jones): lexical retrieval over the
+  inverted-postings shape already used by `inverted_index_postings` —
+  per-(doc, term) TF join per-term DF join per-doc length, all keyed
+  shuffles; the two global scalars (N, avgdl) ride a broadcast scalar
+  agg frame. At scale the only corpus-sized state is the postings
+  list itself, partitioned by term.
+- **Bigram-LM perplexity** (CCNet, Wenzek et al. 2020): train add-k
+  bigram counts on the in-domain slice (lang='en'), score EVERY doc by
+  mean log-prob. Counts tables are vocab-bounded aggregates; scoring
+  is one left join per (doc, bigram) group — no driver state, no
+  Python. Unseen bigrams fall back to the smoothing floor via
+  coalesce(count, 0).
+- **DSIR** (Xie et al. 2023): importance weight = sum over hashed
+  n-gram features of count_f * (ln p_target(f) - ln p_raw(f)), with
+  features md5-hashed into B buckets (portable to the DuckDB oracle
+  via the md5_long recipe, operators/phash.py). The feature-weight
+  table is B rows — an Aggregate-bounded frame the lint allows as a
+  broadcast side.
+
+All three carry full DuckDB oracles. Ranking surfaces order by the
+ROUNDED score (then doc_id) on both engines so float association noise
+below the rounding grain cannot flip the compared top-k membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crypto_etl_pipeline_spark.operators.phash import duck_md5_long, md5_long
+from crypto_etl_pipeline_spark.queries.base import register
+from crypto_etl_pipeline_spark.sources.tables import load_table
+
+# Fixed query-term set for BM25 — common corpus vocabulary so the
+# oracle is non-vacuous at every SF.
+_BM25_TERMS = ("spark", "join", "stream", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 15
+
+_LM_ALPHA = 0.5  # add-k smoothing
+_DSIR_BUCKETS = 128
+_DSIR_ALPHA = 0.5
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, token, pos) — whitespace tokens, one row each.
+
+    The `_toks` discipline: split() runs once per row behind its own
+    projection; downstream shapes (TF, DF, bigrams) are all relational
+    over the exploded rows, never HOF lambdas over the raw split.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", F.split(F.col("text"), r"\s+").alias("_toks")
+    ).select("doc_id", "lang", F.posexplode("_toks").alias("pos", "token"))
+
+
+@register(
+    "bm25_topk_retrieval",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok
+      WHERE token IN ({_TERMS_SQL}) GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM tok
+      WHERE token IN ({_TERMS_SQL}) GROUP BY token
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                        + {_BM25_B} * dl.dl / stats.avgdl))
+             ), 4) AS bm25
+      FROM tf
+      JOIN df USING (token)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+    description=(
+        "Okapi BM25 top-k retrieval over whitespace postings "
+        "(k1=1.2, b=0.75, fixed 4-term query)"
+    ),
+    tags=("text", "retrieval"),
+)
+def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25(D, Q) = sum_t IDF(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)).
+
+    Plan shape: one postings scan feeds BOTH per-(doc,term) TF and
+    per-term DF (two aggregates over the same keyed shuffle family);
+    dl is a per-doc aggregate off the same scan. N/avgdl are a 1-row
+    scalar frame joined back by broadcast cross join (the repo-wide
+    scalar-agg idiom). The query-term IN filter prunes postings before
+    any shuffle, so shuffled volume is |postings matching Q|, not the
+    corpus. Top-k is TakeOrderedAndProject over the ROUNDED score.
+    """
+    tok = _doc_tokens(spark, sf_dir)
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtok = tok.where(F.col("token").isin(*_BM25_TERMS))
+    tf = qtok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # DF = rows per token in the TF AGGREGATE (each row is one distinct
+    # (doc, term)) — a |Q|-bounded rollup of an existing aggregate, not
+    # a second corpus-scale countDistinct over the postings stream.
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        1.0
+                        + (F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                    )
+                    * F.col("tf")
+                    * (_BM25_K1 + 1.0)
+                    / (
+                        F.col("tf")
+                        + _BM25_K1
+                        * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                4,
+            ).alias("bm25")
+        )
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_BM25_TOPK)
+
+
+def _bigrams(tok: DataFrame) -> DataFrame:
+    """(doc_id, lang, w1, w2) adjacent pairs via a lead window over
+    (doc_id, pos) — flat columns and one keyed shuffle, no HOF lambdas
+    (the SCALE.md 'Python stages' CollapseProject hazard)."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        tok.withColumn("w2", F.lead("token").over(w))
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", "lang", F.col("token").alias("w1"), "w2")
+    )
+
+
+@register(
+    "text_bigram_lm_perplexity",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, tk.token, tk.pos FROM documents,
+        LATERAL (
+          SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token,
+                 generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS pos
+        ) tk
+    ),
+    bi AS (
+      SELECT doc_id, lang, token AS w1,
+             lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM tok
+    ),
+    bi2 AS (SELECT doc_id, lang, w1, w2 FROM bi WHERE w2 IS NOT NULL),
+    train_bi AS (
+      SELECT w1, w2, count(*) AS cb FROM bi2 WHERE lang = 'en' GROUP BY w1, w2
+    ),
+    train_ctx AS (
+      SELECT w1, sum(cb) AS cu FROM train_bi GROUP BY w1
+    ),
+    vocab AS (SELECT count(DISTINCT w1) AS v FROM train_bi),
+    doc_bi AS (
+      SELECT doc_id, w1, w2, count(*) AS n FROM bi2 GROUP BY doc_id, w1, w2
+    ),
+    scored AS (
+      SELECT doc_id,
+             sum(n * ln((coalesce(cb, 0) + {_LM_ALPHA})
+                        / (coalesce(cu, 0) + {_LM_ALPHA} * v))) AS lp,
+             sum(n) AS n_bigrams
+      FROM doc_bi
+      LEFT JOIN train_bi USING (w1, w2)
+      LEFT JOIN train_ctx USING (w1)
+      CROSS JOIN vocab
+      GROUP BY doc_id
+    )
+    SELECT doc_id,
+           round(lp / n_bigrams, 6)      AS avg_logp,
+           round(exp(-lp / n_bigrams), 3) AS ppl
+    FROM scored
+    """,
+    description=(
+        "CCNet-style bigram-LM perplexity: add-k model trained on the "
+        "lang='en' slice scores every document (mean log-prob + ppl)"
+    ),
+    tags=("text", "quality", "retrieval"),
+)
+def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc perplexity under an add-k bigram LM trained in-corpus.
+
+    logP(w2|w1) = ln((c(w1,w2)+a) / (c(w1,·)+a·V)); ppl = exp(-mean).
+
+    Scale shape: the trained tables (train_bi, train_ctx) are
+    vocab-bounded AGGREGATES — their size tracks the vocabulary, not
+    the corpus, so at 100 TB they are the natural broadcast sides; no
+    hint is forced, AQE decides from measured size (the de-hinting
+    rule, VERDICT r6 #1). Scoring joins group per-(doc, bigram) first
+    so join volume is distinct bigrams per doc, not token count.
+    V rides the scalar-agg broadcast idiom.
+    """
+    bi = _bigrams(_doc_tokens(spark, sf_dir))
+    # ONE corpus-scale shuffle: per-(doc, bigram) counts, carrying lang
+    # (functionally dependent on doc_id). The trained model then rolls
+    # up from THIS aggregate — distinct-bigrams-per-doc volume, not the
+    # raw token stream — so train_bi / train_ctx / vocab are cheap
+    # cascading rollups of an already-reduced frame.
+    doc_bi = bi.groupBy("doc_id", "lang", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    train_bi = (
+        doc_bi.where(F.col("lang") == "en")
+        .groupBy("w1", "w2")
+        .agg(F.sum("n").alias("cb"))
+    )
+    train_ctx = train_bi.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    vocab = train_bi.agg(F.countDistinct("w1").alias("v"))
+    scored = (
+        doc_bi.drop("lang")
+        .join(train_bi, ["w1", "w2"], "left")
+        .join(train_ctx, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("n")
+                * F.log(
+                    (F.coalesce(F.col("cb"), F.lit(0)) + _LM_ALPHA)
+                    / (F.coalesce(F.col("cu"), F.lit(0)) + _LM_ALPHA * F.col("v"))
+                )
+            ).alias("lp"),
+            F.sum("n").alias("n_bigrams"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.round(F.col("lp") / F.col("n_bigrams"), 6).alias("avg_logp"),
+        F.round(F.exp(-F.col("lp") / F.col("n_bigrams")), 3).alias("ppl"),
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, tk.token, tk.pos FROM documents,
+        LATERAL (
+          SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token,
+                 generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS pos
+        ) tk
+    ),
+    grams AS (
+      SELECT doc_id, lang, token AS g FROM tok
+      UNION ALL
+      SELECT doc_id, lang,
+             token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos)
+      FROM tok
+      QUALIFY lead(token) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+    ),
+    feat AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(g), 1, 8))::BIGINT % {_DSIR_BUCKETS} AS f
+      FROM grams
+    ),
+    target AS (
+      SELECT f, count(*) AS ct FROM feat WHERE lang = 'en' GROUP BY f
+    ),
+    raw AS (
+      SELECT f, count(*) AS cr FROM feat GROUP BY f
+    ),
+    totals AS (
+      SELECT (SELECT sum(ct) FROM target) AS tt, (SELECT sum(cr) FROM raw) AS tr
+    ),
+    bucket_w AS (
+      SELECT raw.f,
+             ln((coalesce(ct, 0) + {_DSIR_ALPHA}) / (tt + {_DSIR_ALPHA} * {_DSIR_BUCKETS}))
+             - ln((cr + {_DSIR_ALPHA}) / (tr + {_DSIR_ALPHA} * {_DSIR_BUCKETS})) AS lw
+      FROM raw LEFT JOIN target USING (f) CROSS JOIN totals
+    ),
+    doc_feat AS (
+      SELECT doc_id, f, count(*) AS n FROM feat GROUP BY doc_id, f
+    )
+    SELECT doc_id, round(sum(n * lw), 6) AS log_weight
+    FROM doc_feat JOIN bucket_w USING (f)
+    GROUP BY doc_id
+    """,
+    description=(
+        "DSIR importance weights: hashed uni+bigram features (md5 -> "
+        f"{_DSIR_BUCKETS} buckets), log-ratio of target(lang='en') vs raw "
+        "multinomials, summed per document"
+    ),
+    tags=("text", "sampling", "retrieval"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023).
+
+    log w(doc) = sum_f count_f(doc) * (ln p_target(f) - ln p_raw(f))
+    over md5-hashed uni+bigram features; both feature distributions are
+    add-a smoothed multinomials over B={_DSIR_BUCKETS} buckets.
+
+    Scale shape: the bucket-weight table is exactly B rows (Aggregate-
+    bounded — the broadcast the lint permits); per-doc feature counts
+    group before the join so join volume is min(B, distinct grams) per
+    doc. The only corpus-sized shuffles are the two feature-count
+    aggregations, both with map-side partial aggregation on an int key.
+    """
+    tok = _doc_tokens(spark, sf_dir)
+    uni = tok.select("doc_id", "lang", F.col("token").alias("g"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.withColumn("w2", F.lead("token").over(w))
+        .where(F.col("w2").isNotNull())
+        .select(
+            "doc_id", "lang", F.concat_ws(" ", F.col("token"), F.col("w2")).alias("g")
+        )
+    )
+    feat = uni.unionByName(big).select(
+        "doc_id", "lang", (md5_long(F.col("g"), 8) % _DSIR_BUCKETS).alias("f")
+    )
+    # target and raw counts in ONE corpus-scale aggregation (conditional
+    # count folds the lang filter into the same map-side partials); the
+    # grand totals and the per-bucket weights are B-row rollups of it.
+    bucket_counts = feat.groupBy("f").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(F.col("lang") == "en", True)).alias("ct"),
+    )
+    totals = bucket_counts.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
+    )
+    bucket_w = (
+        bucket_counts.crossJoin(F.broadcast(totals))
+        .select(
+            "f",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + _DSIR_ALPHA)
+                    / (F.col("tt") + _DSIR_ALPHA * _DSIR_BUCKETS)
+                )
+                - F.log(
+                    (F.col("cr") + _DSIR_ALPHA)
+                    / (F.col("tr") + _DSIR_ALPHA * _DSIR_BUCKETS)
+                )
+            ).alias("lw"),
+        )
+    )
+    doc_feat = feat.groupBy("doc_id", "f").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        doc_feat.join(F.broadcast(bucket_w), "f")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("n") * F.col("lw")), 6).alias("log_weight"))
+    )
