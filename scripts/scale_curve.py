@@ -83,6 +83,10 @@ HEAVY = [
     "q7_volume_shipping",
     "q18_large_volume_orders",
     "q10_returned_item_customers",
+    # round-7: retrieval / data-selection family
+    "bm25_topk_retrieval",
+    "text_bigram_lm_perplexity",
+    "dsir_importance_weights",
 ]
 
 
