@@ -153,6 +153,11 @@ HEADLINE = [
     "bm25_topk_retrieval",
     "text_bigram_lm_perplexity",
     "dsir_importance_weights",
+    # round-7 second wave
+    "quality_kanonymity_audit",
+    "split_leakage_audit",
+    "ann_hard_negative_topk",
+    "token_budget_epoch_allocation",
 ]
 
 

@@ -53,6 +53,10 @@ _GATE_FIRST = (
     "bm25_topk_retrieval",
     "text_bigram_lm_perplexity",
     "dsir_importance_weights",
+    "quality_kanonymity_audit",
+    "split_leakage_audit",
+    "ann_hard_negative_topk",
+    "token_budget_epoch_allocation",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",

@@ -582,3 +582,63 @@ def sql_recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFram
 
     register_temp_views(spark, sf_dir, ("documents",))
     return spark.sql(_RECURSIVE_TREE_SQL)
+
+
+# -- privacy: k-anonymity / l-diversity audit -------------------------------
+
+#: minimum group size for a quasi-identifier combination to count as
+#: k-anonymous (Sweeney 2002); groups below it are re-identifiable.
+KANON_K = 10
+#: minimum distinct sensitive-attribute values per group (l-diversity,
+#: Machanavajjhala et al. 2007) — a k-anonymous group whose members all
+#: share one sensitive value still discloses it.
+KANON_L = 4
+#: sensitive-attribute banding: account balance in fixed 2000-unit
+#: bands (range ~[-1000, 10000) -> bands -1..4). Fixed-width, NOT
+#: ntile: a quantile bucketing needs a global sort; the band is a pure
+#: per-row expression.
+KANON_BAND = 2000.0
+
+
+@register(
+    "quality_kanonymity_audit",
+    oracle=f"""
+    SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+           count(*) AS group_n,
+           count(DISTINCT CAST(floor(c_acctbal / {KANON_BAND}) AS INT)) AS n_bands,
+           count(*) >= {KANON_K} AS k_anonymous,
+           count(DISTINCT CAST(floor(c_acctbal / {KANON_BAND}) AS INT)) >= {KANON_L} AS l_diverse
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+    description="Privacy audit: k-anonymity group sizes + l-diversity of a banded sensitive attribute over quasi-identifiers",
+    tags=("quality", "privacy"),
+)
+def quality_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-readiness privacy audit (extension: the reference has no
+    privacy surface; pairs with the PII detectors in queries/text.py).
+    Quasi-identifiers (nation, market segment) partition customers into
+    equivalence classes; a class smaller than K is re-identifiable by
+    linking those attributes to an external table, and a class whose
+    members share fewer than L distinct sensitive-attribute values
+    (banded account balance) discloses the attribute even when k-
+    anonymous. One keyed aggregation over the bounded quasi-id space:
+    count + count-distinct both map-side-combine, the flags are scalar
+    expressions on the aggregate — no shuffle beyond the group-by, no
+    per-row state, identical cost shape at 100x the customers."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(KANON_BAND)).cast("int")
+    return (
+        cust.select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("segment"),
+            band.alias("_band"),
+        )
+        .groupBy("nationkey", "segment")
+        .agg(
+            F.count(F.lit(1)).alias("group_n"),
+            F.countDistinct("_band").alias("n_bands"),
+        )
+        .withColumn("k_anonymous", F.col("group_n") >= KANON_K)
+        .withColumn("l_diverse", F.col("n_bands") >= KANON_L)
+    )

@@ -399,3 +399,78 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(F.col("n") * F.col("lw")), 6).alias("log_weight"))
     )
+
+
+# -- token-budget epoch allocation ------------------------------------------
+
+#: temperature exponent for the target mixture (share ~ avail^alpha —
+#: the LLaMA/GPT-3 sampling-weight convention; <1 upweights small
+#: sources)
+BUDGET_ALPHA = 0.7
+#: training-token budget as a fraction of the available corpus, so the
+#: query is meaningful at every SF
+BUDGET_FRAC = 0.6
+
+
+@register(
+    "token_budget_epoch_allocation",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source, len(regexp_split_to_array(text, '\\s+')) AS n_tok
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source, CAST(sum(n_tok) AS BIGINT) AS avail_tokens,
+             pow(sum(n_tok), {BUDGET_ALPHA}) AS w
+      FROM per_doc GROUP BY source
+    ),
+    tot AS (
+      SELECT sum(avail_tokens) AS tot_avail, sum(w) AS tot_w FROM per_src
+    )
+    SELECT s.source, s.avail_tokens,
+           round(s.w / t.tot_w, 6) AS tgt_share,
+           CAST(round(s.w / t.tot_w * floor(t.tot_avail * {BUDGET_FRAC})) AS BIGINT) AS tgt_tokens,
+           round(round(s.w / t.tot_w * floor(t.tot_avail * {BUDGET_FRAC})) / s.avail_tokens, 4) AS epochs
+    FROM per_src s CROSS JOIN tot t
+    """,
+    description="Token-budget allocation: temperature-weighted target tokens and epoch counts per source",
+    tags=("text", "sampling"),
+)
+def token_budget_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planning step ABOVE corpus_mix_temperature: given a training
+    token budget (BUDGET_FRAC of the corpus) and the temperature-
+    weighted target mixture share^alpha, how many tokens each source
+    must contribute and how many EPOCHS of that source that implies
+    (epochs > 1 -> the source repeats; the multi-epoch signal drives
+    upsampling-harm analyses a la Muennighoff et al. 2023). Per-doc
+    token counts are one map-only split-size projection; everything
+    after is a source-keyed aggregate (bounded rows) and a broadcast
+    scalar cross join — the whole plan touches the corpus exactly
+    once regardless of scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Materialized once (localCheckpoint): per_src is the source-
+    # bounded aggregate and has TWO consumers (the output rows and the
+    # scalar totals) — without it Catalyst re-executes the corpus scan
+    # + token-count lineage per consumer (measured: 2 parquet scans).
+    per_src = (
+        docs.select("source", F.size(F.split(F.col("text"), r"\s+")).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("long").alias("avail_tokens"))
+        .withColumn("w", F.pow(F.col("avail_tokens"), F.lit(BUDGET_ALPHA)))
+        .localCheckpoint(eager=False)
+    )
+    tot = per_src.agg(
+        F.sum("avail_tokens").alias("_tot_avail"), F.sum("w").alias("_tot_w")
+    )
+    budget = F.floor(F.col("_tot_avail") * F.lit(BUDGET_FRAC))
+    tgt_raw = F.col("w") / F.col("_tot_w") * budget
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "avail_tokens",
+            F.round(F.col("w") / F.col("_tot_w"), 6).alias("tgt_share"),
+            F.round(tgt_raw).cast("long").alias("tgt_tokens"),
+            F.round(F.round(tgt_raw) / F.col("avail_tokens"), 4).alias("epochs"),
+        )
+    )

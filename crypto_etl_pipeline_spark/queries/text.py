@@ -3263,3 +3263,114 @@ def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.col("n_hit_grams") / F.col("n_grams"), 6).alias("contamination"),
         )
     )
+
+
+# -- train/eval split leakage audit -----------------------------------------
+
+#: eval fraction of the corpus (hash-gated, reproducible)
+LEAK_EVAL_RATE = 0.1
+LEAK_SALT = "leak-audit-v1"
+#: near-dup Jaccard threshold for a pair to count as leakage
+LEAK_TAU = 0.5
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || '_' || t[i+1] || '_' || t[i+2]))
+             ELSE [] END AS s
+      FROM tok
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.s, b.s)) * 1.0
+                   / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0
+            / len(list_distinct(list_concat(a.s, b.s))) >= {LEAK_TAU}
+    ),
+    sp AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR || '{LEAK_SALT}'), 1, 15))::BIGINT
+               % 1000000 < {int(LEAK_EVAL_RATE * 1_000_000)} AS is_eval
+      FROM tok
+    )
+    SELECT CASE WHEN sa.is_eval THEN p.id_a ELSE p.id_b END AS eval_doc_id,
+           CASE WHEN sa.is_eval THEN p.id_b ELSE p.id_a END AS train_doc_id,
+           p.jaccard
+    FROM p
+    JOIN sp sa ON sa.doc_id = p.id_a
+    JOIN sp sb ON sb.doc_id = p.id_b
+    WHERE sa.is_eval != sb.is_eval
+    """,
+    description="Split-contamination audit: near-dup pairs straddling the hash-gated train/eval split",
+    tags=("dedup", "sampling", "quality"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination by NEAR-duplication (Lee et al. 2022
+    found ~14% of standard eval sets near-dup-leaked into train): a
+    random split of a corpus with near-dups puts one copy in train and
+    one in eval, inflating measured quality. The split is the repo's
+    deterministic hash gate (operators/sampling.py — partition-layout-
+    independent, so the audit replays identically on any cluster); the
+    pair feed is the shingle POSTING join (matched-volume-bound, the
+    dedup_ngram_jaccard_pairs reformulation — never docs² per block);
+    the straddle test is two joins against the per-doc gate bit, both
+    keyed on doc_id. No lang block: a near-dup leaks regardless of
+    which shard it sits in. Output is one row per leaked eval doc and
+    offending train twin."""
+    from crypto_etl_pipeline_spark.operators.sampling import GATE, hash_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(n_parts, F.col("doc_id"))
+        .select(
+            "doc_id",
+            F.array_distinct(textops.shingles(F.col("text"), 3)).alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sizes = sh.select("doc_id", F.size("s").alias("sz"))
+    post = sh.select("doc_id", F.explode("s").alias("sh"))
+    a, b = post.alias("a"), post.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    # sizes is corpus-sized: no broadcast hint (AQE decides).
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("size_b"))
+    jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    pairs = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(jac >= LEAK_TAU)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+    gate = docs.select(
+        "doc_id",
+        (hash_gate(F.col("doc_id"), LEAK_SALT) < int(LEAK_EVAL_RATE * GATE)).alias(
+            "is_eval"
+        ),
+    )
+    ga = gate.select(F.col("doc_id").alias("id_a"), F.col("is_eval").alias("eval_a"))
+    gb = gate.select(F.col("doc_id").alias("id_b"), F.col("is_eval").alias("eval_b"))
+    return (
+        pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .where(F.col("eval_a") != F.col("eval_b"))
+        .select(
+            F.when(F.col("eval_a"), F.col("id_a")).otherwise(F.col("id_b")).alias("eval_doc_id"),
+            F.when(F.col("eval_a"), F.col("id_b")).otherwise(F.col("id_a")).alias("train_doc_id"),
+            "jaccard",
+        )
+    )

@@ -1074,3 +1074,82 @@ def embedding_pca_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFra
     v, _ = power_iteration(cov, PCA_ITERS)
     scored = pca_residual_scores(emb, "vec_id", "embedding", mean, v)
     return scored.orderBy(F.desc("residual"), F.asc("vec_id")).limit(20)
+
+
+# -- contrastive hard-negative mining ---------------------------------------
+
+#: negatives kept per anchor — small by design: only the HARDEST
+#: few train a contrastive model (Robinson et al. 2021); the rest of
+#: the candidate set is discarded before any shuffle.
+HARD_NEG_K = 5
+
+
+@register(
+    "ann_hard_negative_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    sims AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neg_label,
+             round(cast(list_cosine_similarity(q.qv, e.embedding) AS DOUBLE), 4) AS cos_sim
+      FROM q JOIN embeddings e ON e.label != q.qlabel
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, neg_label, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, neg_label, cos_sim, rank
+    FROM ranked WHERE rank <= {HARD_NEG_K}
+    """,
+    description="Contrastive hard-negative mining: per-anchor top-k most-similar DIFFERENT-label embeddings",
+    tags=("similarity",),
+)
+def ann_hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (SimCLR/DPR
+    practice): for each anchor, the most cosine-similar embeddings
+    whose label DIFFERS — the negatives nearest the decision boundary,
+    where the gradient signal is. Same plan family as
+    ann_brute_force_topk (broadcast bounded anchor set over the
+    corpus, per-pair cosine in one codegen pass, per-anchor window
+    rank) with the label-mismatch predicate evaluated inside the join
+    — mismatched pairs never reach the window. At 100 TB the anchor
+    set stays a bounded broadcast frame (structural .limit) and the
+    corpus side is map-only until the final per-anchor top-k shuffle,
+    which carries at most candidates that survived the similarity
+    rank — the IVF/LSH bucketed variants in this module are the
+    recall-traded scale path if the anchor set itself grows."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    withn = _spread(emb, "vec_id").select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("_n")
+    )
+    q = (
+        withn.where(F.col("vec_id") < N_QUERIES)
+        .limit(N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("_qlabel"),
+            F.col("embedding").alias("_qv"),
+            F.col("_n").alias("_qn"),
+        )
+    )
+    sims = (
+        withn.join(F.broadcast(q), F.col("label") != F.col("_qlabel"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neg_label"),
+            F.round(
+                dot(F.col("_qv"), F.col("embedding")) / (F.col("_qn") * F.col("_n")), 4
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= HARD_NEG_K
+    )

@@ -77,6 +77,7 @@ _QUICK_MODULES = {
     "test_lsh_bucket_cap",
     "test_round6_ops",
     "test_round6b_ops",
+    "test_round7b_ops",
 }
 
 # one oracled query per family: tpch-agg, join, window, setop, topk,
@@ -110,6 +111,10 @@ _QUICK_ORACLE = {
     "q7_volume_shipping",
     "text_gopher_filters",
     "decontaminate_bloom_prefilter",
+    # round-7 second wave: privacy audit + split-leakage (posting join
+    # over the split gate)
+    "quality_kanonymity_audit",
+    "split_leakage_audit",
 }
 
 
