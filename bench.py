@@ -158,6 +158,8 @@ HEADLINE = [
     "split_leakage_audit",
     "ann_hard_negative_topk",
     "token_budget_epoch_allocation",
+    "label_propagation_communities",
+    "tokenizer_fertility_by_lang",
 ]
 
 

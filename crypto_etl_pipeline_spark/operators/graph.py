@@ -297,3 +297,69 @@ def kcore_peel(
             .join(keep, "node")
         )
     return alive.select("node", "deg0", F.col("deg").alias("deg_final"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_labels: bool = False,
+) -> DataFrame:
+    """(node, community) after ``iters`` SYNCHRONOUS label-propagation
+    rounds (Raghavan et al. 2007) from community = own node id.
+
+    Update rule: community(v) <- the most frequent community among
+    v's in-neighbors, ties broken by the SMALLEST community id. The
+    synchronous schedule plus the total tie order makes the result a
+    pure function of the edge set — reproducible across partitionings
+    and unrollable into a SQL twin (the async variant standard in
+    single-machine codes is schedule-dependent and cannot be oracled).
+
+    Physical shape mirrors :func:`pagerank`: the edge table is the
+    loop invariant (repartitioned once on the join key behind a lazy
+    localCheckpoint, or joined by broadcast when the node set is
+    dimension-sized); each round is one join + two keyed aggregations
+    — per-(node, community) counts, then a max(struct) argmax, which
+    both partial-aggregate map-side. The first round needs no join at
+    all: every neighbor's label IS its id. Assumes every node has an
+    in-edge (true for bidirectional edge sets); callers with dangling
+    nodes should union them back unchanged.
+    """
+    spark = edges.sparkSession
+    if iters < 1:
+        raise ValueError("label_propagation needs at least one iteration")
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_part = spark.sparkContext.defaultParallelism
+    # The edge table is the loop invariant in BOTH strategies: without
+    # the checkpoint each round's neighbor frame (and the label frame's
+    # own lineage) re-embeds — and re-executes — the whole edge-building
+    # subtree (measured: 4 copies of the lineitem⨝orders build at
+    # iters=2). Non-broadcast additionally pre-partitions on the join
+    # key so every round's label join reuses one exchange.
+    e = (
+        edges if broadcast_labels else edges.repartition(n_part, F.col(src))
+    ).localCheckpoint(eager=False)
+
+    def _argmax(cnt: DataFrame) -> DataFrame:
+        # max over (count, -community) == highest count, then smallest
+        # community — one aggregation, no per-node window sort.
+        m = cnt.groupBy("node").agg(
+            F.max(F.struct(F.col("_cnt").alias("c"), (-F.col("community")).alias("nc"))).alias("_m")
+        )
+        return m.select("node", (-F.col("_m.nc")).alias("community"))
+
+    labels = None
+    for i in range(iters):
+        if i == 0:
+            nbr = e.select(F.col(dst).alias("node"), F.col(src).alias("community"))
+        else:
+            rhs = F.broadcast(labels) if broadcast_labels else labels
+            nbr = e.join(rhs, e[src] == rhs["node"]).select(
+                F.col(dst).alias("node"), "community"
+            )
+        cnt = nbr.groupBy("node", "community").agg(F.count(F.lit(1)).alias("_cnt"))
+        labels = _argmax(cnt)
+    return labels

@@ -57,6 +57,8 @@ _GATE_FIRST = (
     "split_leakage_audit",
     "ann_hard_negative_topk",
     "token_budget_epoch_allocation",
+    "label_propagation_communities",
+    "tokenizer_fertility_by_lang",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",

@@ -2624,3 +2624,88 @@ def ab_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_approx"),
     )
+
+
+@register(
+    "label_propagation_communities",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT 2*c AS src, 2*s+1 AS dst FROM pairs
+              UNION ALL SELECT 2*s+1, 2*c FROM pairs),
+    n1 AS (
+      SELECT dst AS node, src AS community, count(*) AS cnt
+      FROM edges GROUP BY dst, src
+    ),
+    l1 AS (
+      SELECT node, community FROM (
+        SELECT node, community,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, community ASC) AS rn
+        FROM n1) WHERE rn = 1
+    ),
+    n2 AS (
+      SELECT e.dst AS node, l1.community, count(*) AS cnt
+      FROM edges e JOIN l1 ON l1.node = e.src
+      GROUP BY e.dst, l1.community
+    ),
+    l2 AS (
+      SELECT node, community FROM (
+        SELECT node, community,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, community ASC) AS rn
+        FROM n2) WHERE rn = 1
+    )
+    SELECT CASE WHEN community % 2 = 0 THEN 'C' || CAST(community // 2 AS VARCHAR)
+                ELSE 'S' || CAST((community - 1) // 2 AS VARCHAR) END AS community,
+           count(*) AS n_nodes
+    FROM l2 GROUP BY 1
+    ORDER BY n_nodes DESC, community LIMIT 20
+    """,
+    description="Label-propagation communities (2 synchronous rounds, min-id tie-break) on the trade graph; top-20 by size",
+    tags=("graph", "iterative", "topk"),
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation on the
+    bipartite customer<->supplier trade graph — completes the graph
+    family (pagerank = centrality, CC = reachability, k-core =
+    cohesion, triangles = closure; LPA = mesoscale structure).
+    Deterministic by construction: synchronous rounds + smallest-id
+    tie-break, so the 2-round run unrolls into the SQL twin exactly.
+    Same long-node-id discipline as pagerank_trade_graph (2k / 2k+1 —
+    every join and aggregation hashes 8-byte longs; the 'C{k}'/'S{k}'
+    labels exist only in the final bounded projection), and the same
+    dimension-sized-node-set broadcast strategy: per-round label
+    frames are Aggregate-bounded (lint-recognized), the fact-sized
+    edge table never re-shuffles."""
+    from crypto_etl_pipeline_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    labels = label_propagation(edges, iters=2, broadcast_labels=True)
+    name = F.when(
+        F.col("community") % 2 == 0,
+        F.concat(F.lit("C"), F.expr("CAST(community DIV 2 AS STRING)")),
+    ).otherwise(
+        F.concat(F.lit("S"), F.expr("CAST((community - 1) DIV 2 AS STRING)"))
+    )
+    return (
+        labels.groupBy(name.alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), F.asc("community"))
+        .limit(20)
+    )

@@ -3374,3 +3374,64 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle="""
+    WITH w AS (
+      SELECT d.lang, unnest(regexp_split_to_array(d.text, '\\s+')) AS word
+      FROM documents d
+    ),
+    enc AS (
+      SELECT lang, word,
+             replace(replace(replace(replace(replace(replace(replace(replace(
+               word, 'at','A'), 'er','B'), 'in','C'), 'or','D'),
+                     'Aa','E'), 'st','F'), 'Ce','G'), 'th','H') AS e
+      FROM w WHERE word <> ''
+    )
+    SELECT lang,
+           count(*)               AS n_words,
+           sum(length(e))::BIGINT AS n_tokens,
+           round(sum(length(e)) * 1.0 / count(*), 6) AS tokens_per_word,
+           round(sum(length(word)) * 1.0 / sum(length(e)), 6) AS chars_per_token
+    FROM enc GROUP BY lang
+    """,
+    description="Tokenizer fertility by language: tokens/word and chars/token under the fixed BPE merge table",
+    tags=("text", "tokenizer"),
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY analysis (Rust et al. 2021): how many BPE
+    tokens a word costs, per language — the per-lang disparity that
+    drives compute/context-budget inequity in multilingual models (an
+    English-heavy merge table fragments other languages into more,
+    shorter tokens; chars/token is the inverse compression view).
+    Same scale shape as bpe_encode_token_counts: the encoder runs over
+    the DISTINCT vocabulary only (Arrow-batched, cost bounded by vocab
+    size, never corpus size), joins back unhinted (Heaps-law vocab —
+    AQE decides), and the fertility ratios are one lang-keyed
+    aggregation (bounded output) over the joined stream."""
+    from crypto_etl_pipeline_spark.operators.bpe import bpe_encode_words
+
+    merges = [
+        ("a", "t"), ("e", "r"), ("i", "n"), ("o", "r"),
+        ("at", "a"), ("s", "t"), ("in", "e"), ("t", "h"),
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    vocab = words.select("word").distinct()
+    encoded = bpe_encode_words(vocab, merges).select("word", "n_tokens")
+    return (
+        words.join(encoded, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.sum("n_tokens") / F.count(F.lit(1)), 6).alias("tokens_per_word"),
+            F.round(F.sum(F.length("word")) / F.sum("n_tokens"), 6).alias(
+                "chars_per_token"
+            ),
+        )
+    )

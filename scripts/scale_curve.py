@@ -92,6 +92,8 @@ HEAVY = [
     "split_leakage_audit",
     "ann_hard_negative_topk",
     "token_budget_epoch_allocation",
+    "label_propagation_communities",
+    "tokenizer_fertility_by_lang",
 ]
 
 

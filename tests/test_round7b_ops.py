@@ -121,3 +121,35 @@ def test_token_budget_allocation_properties(rows):
     small, large = by_avail[0], by_avail[-1]
     assert small[2] > small[1] / total_avail
     assert large[2] < large[1] / total_avail
+
+
+def test_lpa_communities_shape(spark):
+    import re
+
+    from crypto_etl_pipeline_spark.queries import REGISTRY
+
+    out = [tuple(r) for r in REGISTRY["label_propagation_communities"].fn(spark, SF).collect()]
+    assert 0 < len(out) <= 20
+    sizes = [n for _, n in out]
+    assert sizes == sorted(sizes, reverse=True)
+    assert all(re.fullmatch(r"[CS]\d+", c) for c, _ in out)
+    # communities partition the node set: top-20 sizes can't exceed it
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    n_cust = load_table(spark, SF, "customer").count()
+    n_supp = load_table(spark, SF, "supplier").count()
+    assert sum(sizes) <= n_cust + n_supp
+
+
+def test_fertility_consistent_with_bpe_encode(spark):
+    from crypto_etl_pipeline_spark.queries import REGISTRY
+
+    fert = [tuple(r) for r in REGISTRY["tokenizer_fertility_by_lang"].fn(spark, SF).collect()]
+    assert fert
+    for _, n_words, n_tokens, tpw, cpt in fert:
+        assert n_tokens >= n_words >= 1  # every word costs >= 1 token
+        assert tpw >= 1.0 and cpt >= 1.0  # ...and every token >= 1 char
+        assert abs(tpw - n_tokens / n_words) < 1e-5
+    # cross-query invariant: per-lang totals == per-doc totals globally
+    enc = [tuple(r) for r in REGISTRY["bpe_encode_token_counts"].fn(spark, SF).collect()]
+    assert sum(r[2] for r in fert) == sum(r[2] for r in enc)
