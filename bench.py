@@ -160,6 +160,9 @@ HEADLINE = [
     "token_budget_epoch_allocation",
     "label_propagation_communities",
     "tokenizer_fertility_by_lang",
+    "truncation_loss_by_context",
+    "quality_filter_funnel",
+    "embedding_anisotropy_by_label",
 ]
 
 

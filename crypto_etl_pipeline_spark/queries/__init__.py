@@ -59,6 +59,9 @@ _GATE_FIRST = (
     "token_budget_epoch_allocation",
     "label_propagation_communities",
     "tokenizer_fertility_by_lang",
+    "truncation_loss_by_context",
+    "quality_filter_funnel",
+    "embedding_anisotropy_by_label",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",

@@ -3435,3 +3435,164 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+CONTEXT_LENS = (128, 256, 512, 1024)  #: truncation-audit context windows
+
+
+@register(
+    "truncation_loss_by_context",
+    oracle=rf"""
+    WITH nt AS (
+      SELECT len(regexp_split_to_array(text, '\s+')) AS n_tokens FROM documents
+    ),
+    ctx AS (SELECT unnest([{", ".join(str(c) for c in CONTEXT_LENS)}]) AS context_len)
+    SELECT c.context_len,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN n_tokens > c.context_len THEN 1 ELSE 0 END)::BIGINT
+             AS n_truncated,
+           round(sum(CASE WHEN n_tokens > c.context_len THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS frac_docs_truncated,
+           sum(n_tokens)::BIGINT AS tokens_total,
+           sum(greatest(n_tokens - c.context_len, 0))::BIGINT AS tokens_lost,
+           round(sum(greatest(n_tokens - c.context_len, 0)) * 1.0
+                 / sum(n_tokens), 6) AS frac_tokens_lost
+    FROM nt, ctx c
+    GROUP BY c.context_len
+    """,
+    description="Truncation-loss audit: per context length, fraction of docs truncated and fraction of corpus tokens lost",
+    tags=("text", "tokenizer", "packing", "agg"),
+)
+def truncation_loss_by_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of the corpus a fixed context window throws away — the
+    audit run before choosing max_seq_len / a packing strategy (every
+    token past the window is either discarded or needs document
+    splitting; pack_training_sequences is the remedy this query sizes).
+    One corpus scan projects the per-doc token count; the 4-row context
+    frame cross-joins in as a broadcast literal (the
+    tokenizer_threshold_sweep idiom) and the whole audit is one
+    groupBy(context_len) with map-side partials — 4 groups regardless
+    of corpus size, so the exchange carries 4 rows per partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = docs.select(F.size(textops.tokens(F.col("text"))).alias("n_tokens"))
+    ctx = spark.createDataFrame([(c,) for c in CONTEXT_LENS], ["context_len"])
+    j = nt.crossJoin(F.broadcast(ctx))
+    truncated = (F.col("n_tokens") > F.col("context_len")).cast("long")
+    lost = F.greatest(F.col("n_tokens") - F.col("context_len"), F.lit(0))
+    return j.groupBy("context_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(truncated).alias("n_truncated"),
+        F.round(F.sum(truncated) / F.count(F.lit(1)), 6).alias("frac_docs_truncated"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        F.sum(lost).cast("long").alias("tokens_lost"),
+        F.round(F.sum(lost) / F.sum("n_tokens"), 6).alias("frac_tokens_lost"),
+    )
+
+
+#: Gopher screen stages in the published conjunction order — the funnel
+#: is ordered, so stage k's survivors are docs passing ALL of 1..k.
+GOPHER_FUNNEL_STAGES = (
+    "word_count",
+    "mean_word_len",
+    "stopword_floor",
+    "distinct_ratio",
+    "alpha_frac",
+    "symbol_frac",
+)
+
+
+@register(
+    "quality_filter_funnel",
+    oracle=rf"""
+    WITH w AS (
+      SELECT regexp_split_to_array(text, '\s+') AS ws FROM documents
+    ),
+    sig AS (
+      SELECT len(ws) AS n_words,
+             round(list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws), 6) AS mean_word_len,
+             round(len(list_distinct(ws))::DOUBLE / len(ws), 6) AS distinct_ratio,
+             len(list_filter(ws, x -> x IN ({_EN}))) AS stopword_count,
+             round(len(list_filter(ws, x -> regexp_full_match(x, '[A-Za-z]+')))::DOUBLE / len(ws), 6) AS alpha_frac,
+             round(len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...') OR contains(x, '…')))::DOUBLE / len(ws), 6) AS symbol_frac
+      FROM w
+    ),
+    sr AS (
+      SELECT CASE
+        WHEN NOT (n_words BETWEEN 50 AND 100000) THEN 0
+        WHEN NOT (mean_word_len BETWEEN 3.0 AND 10.0) THEN 1
+        WHEN NOT (stopword_count >= 2) THEN 2
+        WHEN NOT (distinct_ratio >= 0.2) THEN 3
+        WHEN NOT (alpha_frac >= 0.8) THEN 4
+        WHEN NOT (symbol_frac <= 0.1) THEN 5
+        ELSE 6 END AS s
+      FROM sig
+    ),
+    cnt AS (SELECT s, count(*) AS c FROM sr GROUP BY s),
+    tot AS (SELECT count(*) AS t FROM sr),
+    st AS (SELECT * FROM (VALUES
+      {", ".join(f"({i + 1}, '{nm}')" for i, nm in enumerate(GOPHER_FUNNEL_STAGES))})
+      AS v(stage, filter)),
+    f AS (
+      SELECT st.stage, st.filter, coalesce(sum(c), 0)::BIGINT AS n_pass
+      FROM st LEFT JOIN cnt ON cnt.s >= st.stage
+      GROUP BY st.stage, st.filter
+    )
+    SELECT stage, filter, n_pass,
+           round(n_pass * 1.0 / t, 6) AS frac_corpus,
+           CASE WHEN coalesce(lag(n_pass) OVER (ORDER BY stage), t) > 0
+                THEN round(n_pass * 1.0
+                           / coalesce(lag(n_pass) OVER (ORDER BY stage), t), 6)
+           END AS frac_of_prev
+    FROM f, tot
+    """,
+    description="Quality-filter ablation funnel: cumulative survival through the ordered Gopher screen stages",
+    tags=("text", "quality", "agg"),
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which Gopher filter costs how much corpus — the ablation funnel
+    a data team reads before tuning thresholds (a stage that silently
+    drops 40% of a source is either a bug or a finding). Signals are
+    the ONE-pass zero-shuffle gopher_signals HOFs over a `_toks`
+    projection; each doc reduces to `stage_reached` = number of
+    leading predicates passed (total order, so the funnel is exact,
+    not per-filter marginals). The corpus collapses in a single
+    7-group aggregation; everything after — the stage-name theta join,
+    the cumulative >= rollup, the lag window for stage-on-stage
+    retention — runs on Aggregate-bounded frames of <= 7 rows."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(textops.tokens(F.col("text")).alias("_toks"))
+    sig = textops.gopher_signals(toks=F.col("_toks"))
+    s = toked.select(*[c.alias(k) for k, c in sig.items()])
+    stage_reached = (
+        F.when(~F.col("n_words").between(50, 100000), 0)
+        .when(~F.col("mean_word_len").between(3.0, 10.0), 1)
+        .when(~(F.col("stopword_count") >= 2), 2)
+        .when(~(F.col("distinct_ratio") >= 0.2), 3)
+        .when(~(F.col("alpha_frac") >= 0.8), 4)
+        .when(~(F.col("symbol_frac") <= 0.1), 5)
+        .otherwise(6)
+    )
+    cnt = s.groupBy(stage_reached.alias("_sr")).agg(F.count(F.lit(1)).alias("_c"))
+    tot = cnt.agg(F.sum("_c").alias("_t"))
+    stages = spark.createDataFrame(
+        [(i + 1, nm) for i, nm in enumerate(GOPHER_FUNNEL_STAGES)],
+        ["stage", "filter"],
+    )
+    funnel = (
+        stages.join(cnt, F.col("_sr") >= F.col("stage"), "left")
+        .groupBy("stage", "filter")
+        .agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("n_pass"))
+        .crossJoin(F.broadcast(tot))
+    )
+    prev = F.coalesce(
+        F.lag("n_pass").over(Window.orderBy("stage")), F.col("_t")
+    )
+    return funnel.select(
+        "stage",
+        "filter",
+        "n_pass",
+        F.round(F.col("n_pass") / F.col("_t"), 6).alias("frac_corpus"),
+        F.when(prev > 0, F.round(F.col("n_pass") / prev, 6)).alias("frac_of_prev"),
+    )

@@ -1153,3 +1153,86 @@ def ann_hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sims.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= HARD_NEG_K
     )
+
+
+@register(
+    "embedding_anisotropy_by_label",
+    oracle="""
+    WITH b AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> (x::DOUBLE) * (x::DOUBLE)))) AS nrm,
+             embedding
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT label, nrm, u.i - 1 AS i, u.x
+      FROM b, LATERAL (SELECT unnest(b.embedding) AS x,
+                              generate_subscripts(b.embedding, 1) AS i) u
+      WHERE nrm > 0
+    ),
+    comp AS (
+      SELECT label, i,
+             sum((x::DOUBLE) / nrm) AS s,
+             sum(CASE WHEN i = 0 THEN nrm END) AS nsum0,
+             count(CASE WHEN i = 0 THEN 1 END) AS n0
+      FROM ex GROUP BY label, i
+    ),
+    per AS (
+      SELECT label, sum(s * s) AS s2, sum(nsum0) AS nsum,
+             sum(n0)::BIGINT AS n
+      FROM comp GROUP BY label
+    )
+    SELECT label,
+           n AS n_vecs,
+           round(nsum / n, 6) AS mean_norm,
+           round(sqrt(s2) / n, 6) AS mean_cos_to_mean,
+           CASE WHEN n > 1
+                THEN round((s2 - n) / (n * (n - 1.0)), 6) END AS mean_pairwise_cos
+    FROM per
+    """,
+    description="Embedding anisotropy per label: expected pairwise cosine and resultant-length statistics from one dim-bounded moment pass",
+    tags=("vector", "linalg", "quality"),
+)
+def embedding_anisotropy_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy audit (Ethayarajh 2019: contextual embeddings occupy
+    a narrow cone; high expected pairwise cosine degrades cosine-based
+    retrieval and dedup). The naive estimator is the n² pair sum — this
+    computes it EXACTLY from a dim-bounded sufficient statistic
+    instead: with unit vectors, sum over all ordered pairs of cos =
+    |S|² − n for S = Σ v̂, so mean_pairwise_cos = (|S|²−n)/(n(n−1)) and
+    the resultant-length statistic |S|/n is the mean cosine to the mean
+    direction (both standard directional statistics). One map-only
+    normalize + posexplode, ONE (label, dim)-keyed aggregation whose
+    exchange carries labels × dim rows after map-side partials
+    (corpus size never crosses the shuffle), then a label-bounded
+    rollup — the moment-exchange discipline of operators/linalg.py
+    without the dim² Gram matrix, since only |S|² is needed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x2 = lambda a, x: a + x.cast("double") * x.cast("double")  # noqa: E731
+    base = emb.select(
+        "label",
+        F.sqrt(F.aggregate("embedding", F.lit(0.0), x2)).alias("_nrm"),
+        "embedding",
+    ).where(F.col("_nrm") > 0)
+    ex = base.select("label", "_nrm", F.posexplode("embedding").alias("i", "x"))
+    comp = ex.groupBy("label", "i").agg(
+        F.sum(F.col("x").cast("double") / F.col("_nrm")).alias("s"),
+        F.sum(F.when(F.col("i") == 0, F.col("_nrm"))).alias("_nsum0"),
+        F.count(F.when(F.col("i") == 0, F.lit(1))).alias("_n0"),
+    )
+    per = comp.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("_s2"),
+        F.sum("_nsum0").alias("_nsum"),
+        F.sum("_n0").alias("_n"),
+    )
+    n = F.col("_n")
+    return per.select(
+        "label",
+        n.alias("n_vecs"),
+        F.round(F.col("_nsum") / n, 6).alias("mean_norm"),
+        F.round(F.sqrt("_s2") / n, 6).alias("mean_cos_to_mean"),
+        F.when(
+            n > 1, F.round((F.col("_s2") - n) / (n * (n - F.lit(1))), 6)
+        ).alias("mean_pairwise_cos"),
+    )

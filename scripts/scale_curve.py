@@ -94,6 +94,9 @@ HEAVY = [
     "token_budget_epoch_allocation",
     "label_propagation_communities",
     "tokenizer_fertility_by_lang",
+    "truncation_loss_by_context",
+    "quality_filter_funnel",
+    "embedding_anisotropy_by_label",
 ]
 
 

@@ -1,0 +1,86 @@
+"""Semantic checks for the round-7 fourth-wave queries (truncation-loss
+audit, quality-filter funnel, embedding anisotropy).
+
+Oracle parity is covered by tests/test_oracle_parity.py — these pin the
+properties the parity hash can't see: monotonicity in the context
+length, funnel monotonicity and consistency with the gopher keep flag,
+and the directional-statistics identities behind the anisotropy
+estimator.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def rows(spark):
+    from crypto_etl_pipeline_spark.queries import REGISTRY
+
+    return {
+        name: [tuple(r) for r in REGISTRY[name].fn(spark, SF).collect()]
+        for name in (
+            "truncation_loss_by_context",
+            "quality_filter_funnel",
+            "embedding_anisotropy_by_label",
+        )
+    }
+
+
+def test_truncation_monotone_in_context(rows):
+    out = sorted(rows["truncation_loss_by_context"])
+    assert [r[0] for r in out] == [128, 256, 512, 1024]
+    n_docs = {r[1] for r in out}
+    tok_tot = {r[4] for r in out}
+    assert len(n_docs) == 1 and len(tok_tot) == 1  # corpus constants
+    # a longer window never truncates more docs or loses more tokens
+    for a, b in zip(out, out[1:]):
+        assert a[2] >= b[2] and a[5] >= b[5]
+    for _, n, tr, fd, tot, lost, fl in out:
+        assert 0 <= tr <= n and 0 <= lost <= tot
+        assert abs(fd - tr / n) < 1e-5 and abs(fl - lost / tot) < 1e-5
+
+
+def test_funnel_monotone_and_matches_keep_flag(rows, spark):
+    out = sorted(rows["quality_filter_funnel"])
+    assert [r[0] for r in out] == [1, 2, 3, 4, 5, 6]
+    passes = [r[2] for r in out]
+    assert passes == sorted(passes, reverse=True)  # survival only shrinks
+    # the last stage's survivors ARE the gopher_keep docs
+    from crypto_etl_pipeline_spark.queries import REGISTRY
+
+    keep = (
+        REGISTRY["text_gopher_filters"]
+        .fn(spark, SF)
+        .where("gopher_keep")
+        .count()
+    )
+    assert passes[-1] == keep
+    # stage-on-stage retention composes back to the corpus fraction
+    frac = 1.0
+    for _, _, _, frac_corpus, frac_prev in out:
+        assert frac_prev is None or 0 <= frac_prev <= 1
+        if frac_prev is not None:
+            frac *= frac_prev
+            assert abs(frac - frac_corpus) < 1e-4
+
+
+def test_anisotropy_directional_identities(rows):
+    out = rows["embedding_anisotropy_by_label"]
+    assert len(out) == 10
+    for _, n, mean_norm, cos_mean, pair_cos in out:
+        assert n > 1 and mean_norm > 0
+        # resultant length |S|/n lives in [0, 1]
+        assert 0 <= cos_mean <= 1 + 1e-9
+        # mean pairwise cos in [-1/(n-1), 1], and consistent with |S|:
+        # (|S|^2 - n) / (n(n-1)) where |S| = n * cos_mean
+        assert -1.0 / (n - 1) - 1e-9 <= pair_cos <= 1 + 1e-9
+        s2 = (n * cos_mean) ** 2
+        assert abs(pair_cos - (s2 - n) / (n * (n - 1))) < 5e-5
+        # random float embeddings with positive-mean components are
+        # mildly anisotropic, not degenerate
+        assert not math.isnan(pair_cos)
