@@ -62,6 +62,8 @@ _GATE_FIRST = (
     "truncation_loss_by_context",
     "quality_filter_funnel",
     "embedding_anisotropy_by_label",
+    "oov_rate_by_lang",
+    "source_overlap_matrix",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",

@@ -3596,3 +3596,142 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_pass") / F.col("_t"), 6).alias("frac_corpus"),
         F.when(prev > 0, F.round(F.col("n_pass") / prev, 6)).alias("frac_of_prev"),
     )
+
+
+OOV_VOCAB_K = 16  #: top-K corpus words kept as the "vocabulary" — the
+#: synthetic corpus draws from ~31 distinct words (TESTDATA.md), so a
+#: production-sized 32k vocab would make every token in-vocab and the
+#: audit vacuous; K=16 splits the frequency table mid-rank (the rank-16
+#: /17 boundary is a clear count gap, and the one count tie inside the
+#: top-16 resolves by the lexical tie-break both engines share).
+
+
+@register(
+    "oov_rate_by_lang",
+    oracle=rf"""
+    WITH wf AS (
+      SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS w
+      FROM documents
+    ),
+    w2 AS (SELECT lang, w FROM wf WHERE w <> ''),
+    v AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS c FROM w2 GROUP BY w
+        ORDER BY c DESC, w ASC LIMIT {OOV_VOCAB_K})
+    )
+    SELECT lang,
+           count(*)::BIGINT AS n_tokens,
+           sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov_tokens,
+           round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS oov_token_rate,
+           count(DISTINCT w2.w)::BIGINT AS n_types,
+           count(DISTINCT CASE WHEN v.w IS NULL THEN w2.w END)::BIGINT
+             AS n_oov_types,
+           round(count(DISTINCT CASE WHEN v.w IS NULL THEN w2.w END) * 1.0
+                 / count(DISTINCT w2.w), 6) AS oov_type_rate
+    FROM w2 LEFT JOIN v ON v.w = w2.w
+    GROUP BY lang
+    """,
+    description="Out-of-vocabulary rate per language against the top-K corpus vocabulary (token and type level)",
+    tags=("text", "tokenizer", "quality"),
+)
+def oov_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: what share of each language's tokens
+    (and distinct word types) falls outside the top-K corpus
+    vocabulary — the coverage disparity that, like fertility, makes a
+    shared vocab tax low-resource languages (an OOV token fragments to
+    bytes or <unk>). The vocab is a frequency-ranked LIMIT with a total
+    tie order (count desc, word asc), so both engines select the
+    identical set; it plans as TakeOrderedAndProject over the word
+    rollup and, being Limit-bounded, is the lint-recognized broadcast
+    side of the coverage join. Two corpus-scale aggregations total
+    (the vocab rollup and the per-lang coverage pass) — both keyed,
+    both map-side-partial."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(textops.tokens(F.col("text"))).alias("w")
+    ).where(F.col("w") != "")
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("w"))
+        .limit(OOV_VOCAB_K)
+        .select("w", F.lit(1).alias("_in"))
+    )
+    j = words.join(vocab, "w", "left")
+    oov = F.col("_in").isNull()
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(oov.cast("long")).alias("n_oov_tokens"),
+        F.round(F.sum(oov.cast("long")) / F.count(F.lit(1)), 6).alias(
+            "oov_token_rate"
+        ),
+        F.countDistinct("w").alias("n_types"),
+        F.countDistinct(F.when(oov, F.col("w"))).alias("n_oov_types"),
+        F.round(
+            F.countDistinct(F.when(oov, F.col("w"))) / F.countDistinct("w"), 6
+        ).alias("oov_type_rate"),
+    )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang, source,
+             CASE WHEN len(regexp_split_to_array(text, '\\s+')) >= 3 THEN
+               list_distinct(list_transform(
+                 generate_series(1, len(regexp_split_to_array(text, '\\s+')) - 2),
+                 i -> regexp_split_to_array(text, '\\s+')[i] || '_' ||
+                      regexp_split_to_array(text, '\\s+')[i+1] || '_' ||
+                      regexp_split_to_array(text, '\\s+')[i+2]))
+             ELSE [] END AS s
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb,
+             round(len(list_intersect(a.s, b.s)) * 1.0
+                   / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.05
+    )
+    SELECT least(sa, sb) AS source_a,
+           greatest(sa, sb) AS source_b,
+           (least(sa, sb) = greatest(sa, sb)) AS within_source,
+           count(*)::BIGINT AS n_pairs,
+           round(avg(jaccard), 6) AS mean_jaccard
+    FROM pairs
+    GROUP BY 1, 2, 3
+    """,
+    description="Cross-source near-duplication matrix: near-dup pair counts and mean Jaccard per (source, source) cell",
+    tags=("dedup", "quality", "provenance"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH sources duplicate each other — the governance view over
+    the near-dup pair feed (a crawl source that mirrors another should
+    be dropped wholesale, not deduped pair-by-pair; within-source cells
+    measure internal redundancy). Reuses dedup_ngram_jaccard_pairs'
+    posting-join pair feed (cost = matched posting volume, SCALE.md r6)
+    and joins the corpus-sized source lookup back UNHINTED — AQE
+    broadcasts it at test SF, shuffle fallback at scale. Output is
+    source²-bounded (the matrix), so everything after the pair feed is
+    a bounded aggregation."""
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    sa = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    sb = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    lo, hi = F.least("_sa", "_sb"), F.greatest("_sa", "_sb")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            lo.alias("source_a"),
+            hi.alias("source_b"),
+            (lo == hi).alias("within_source"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+        )
+    )

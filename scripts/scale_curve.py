@@ -97,6 +97,8 @@ HEAVY = [
     "truncation_loss_by_context",
     "quality_filter_funnel",
     "embedding_anisotropy_by_label",
+    "oov_rate_by_lang",
+    "source_overlap_matrix",
 ]
 
 

@@ -84,3 +84,32 @@ def test_anisotropy_directional_identities(rows):
         # random float embeddings with positive-mean components are
         # mildly anisotropic, not degenerate
         assert not math.isnan(pair_cos)
+
+
+def test_oov_rates_bounded_and_consistent(spark):
+    from crypto_etl_pipeline_spark.queries import REGISTRY
+
+    out = [tuple(r) for r in REGISTRY["oov_rate_by_lang"].fn(spark, SF).collect()]
+    assert len(out) == 5
+    for _, n_tok, n_oov, tr, n_ty, n_oty, tyr in out:
+        assert 0 <= n_oov <= n_tok and 0 <= n_oty <= n_ty
+        assert abs(tr - n_oov / n_tok) < 1e-5
+        assert abs(tyr - n_oty / n_ty) < 1e-5
+        # K=16 vocab over a ~31-type corpus: both regimes non-degenerate
+        assert 0 < tr < 1
+    # in-vocab type count == K when every vocab word occurs in the lang
+    # (not asserted per-lang; globally the type ceiling binds)
+    assert all(n_ty - n_oty <= 16 for _, _, _, _, n_ty, n_oty, _ in out)
+
+
+def test_source_overlap_consistent_with_pair_feed(spark):
+    from crypto_etl_pipeline_spark.queries import REGISTRY
+
+    cells = [tuple(r) for r in REGISTRY["source_overlap_matrix"].fn(spark, SF).collect()]
+    assert cells
+    for sa, sb, within, n, mj in cells:
+        assert sa <= sb and within == (sa == sb)
+        assert n >= 1 and 0.05 <= mj <= 1.0
+    # cell totals == total near-dup pairs
+    n_pairs = REGISTRY["dedup_ngram_jaccard_pairs"].fn(spark, SF).count()
+    assert sum(c[3] for c in cells) == n_pairs
