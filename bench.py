@@ -165,6 +165,7 @@ HEADLINE = [
     "embedding_anisotropy_by_label",
     "oov_rate_by_lang",
     "source_overlap_matrix",
+    "ann_pq_adc_topk",
 ]
 
 

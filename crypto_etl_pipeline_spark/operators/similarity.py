@@ -630,3 +630,94 @@ def random_projection_vec(
             )
 
     return df.select(id_col, vec_col).mapInPandas(_project, schema=schema)
+
+
+def _centroid_dists_pd(centroids: list[list[float]]):
+    """Arrow-batched FULL distance row against a codebook: for each
+    input sub-vector, the K quantized distances ``-2<qv,qc_j> +
+    |qc_j|^2`` as an array<double> (the PQ asymmetric-distance lookup
+    table — :func:`_nearest_centroid_pd` is this row's argmin). Same
+    floor-quantized exact-integer arithmetic as every other centroid
+    path, so the values are bit-identical across numpy and the DuckDB
+    oracle, not merely rank-identical."""
+    from pyspark.sql.functions import pandas_udf
+
+    M = np.asarray([_quantize(c) for c in centroids], dtype=np.float64).T  # (dim, k)
+    c2 = (M * M).sum(axis=0)
+
+    @pandas_udf("array<double>")
+    def dist_row(v: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v], dtype=np.float64)
+        d = -2.0 * (np.floor(X * LSH_SCALE) @ M) + c2  # |qv|^2 constant per row — omitted
+        return pd.Series(list(d))
+
+    return dist_row
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    n_sub: int,
+    subdim: int,
+    k: int,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """All PQ sub-codebooks in ONE distributed pass per Lloyd step.
+
+    Per-subspace :func:`ivf_build_centroids` calls would cost
+    2 jobs x n_sub x iters (measured: 7.8 s of mostly fixed job
+    overhead at sf0.1 for n_sub=8); training must not multiply by M.
+    Here the seeds are one bounded collect (the k lowest-id FULL
+    vectors, sliced driver-side — identical per-subspace seeds to the
+    sliced-frame formulation), and each Lloyd step is ONE pass: all
+    n_sub Arrow assignment UDFs in a single projection, one posexplode
+    of the full vector keyed by (subspace, cell, sub-position), one
+    aggregation whose exchange carries n_sub*k*subdim groups after
+    map-side partials. Only those mean rows reach the driver. Empty
+    cells keep their previous centroid (the ivf_build_centroids /
+    oracle `coalesce` contract); assignments use the floor-quantized
+    exact-integer distances everywhere, so the result is bit-identical
+    to the per-subspace loop and the unrolled SQL oracle.
+    """
+    rows = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    full = [[float(x) for x in r[vec_col]] for r in rows]
+    cbs = [
+        [v[m * subdim : (m + 1) * subdim] for v in full] for m in range(n_sub)
+    ]
+    spread = _spread(corpus, id_col)
+    for _ in range(iters):
+        cell_cols = [
+            _nearest_centroid_pd(cbs[m])(
+                F.slice(F.col(vec_col), m * subdim + 1, subdim)
+            ).alias(f"_c{m}")
+            for m in range(n_sub)
+        ]
+        assigned = spread.select(F.col(vec_col).alias("_v"), *cell_cols)
+        ex = assigned.select(
+            F.posexplode("_v").alias("_pos", "_x"),
+            F.array(*[F.col(f"_c{m}") for m in range(n_sub)]).alias("_cells"),
+        ).select(
+            F.floor(F.col("_pos") / subdim).cast("int").alias("_m"),
+            F.element_at(
+                "_cells", (F.floor(F.col("_pos") / subdim) + 1).cast("int")
+            ).alias("_cell"),
+            (F.col("_pos") % subdim).alias("_sp"),
+            "_x",
+        )
+        means = (
+            ex.groupBy("_m", "_cell", "_sp").agg(F.avg("_x").alias("_mean")).collect()
+        )
+        by_mc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            by_mc.setdefault((r["_m"], r["_cell"]), {})[r["_sp"]] = r["_mean"]
+        cbs = [
+            [
+                [float(by_mc[(m, j)][i]) for i in range(subdim)]
+                if (m, j) in by_mc
+                else cbs[m][j]
+                for j in range(k)
+            ]
+            for m in range(n_sub)
+        ]
+    return cbs

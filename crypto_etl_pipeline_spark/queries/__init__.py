@@ -64,6 +64,7 @@ _GATE_FIRST = (
     "embedding_anisotropy_by_label",
     "oov_rate_by_lang",
     "source_overlap_matrix",
+    "ann_pq_adc_topk",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",

@@ -1236,3 +1236,256 @@ def embedding_anisotropy_by_label(spark: SparkSession, sf_dir: str) -> DataFrame
             n > 1, F.round((F.col("_s2") - n) / (n * (n - F.lit(1))), 6)
         ).alias("mean_pairwise_cos"),
     )
+
+
+PQ_M = 8  #: product-quantization subspaces (64-dim -> 8 x 8)
+PQ_SUBDIM = JL_IN_DIM // PQ_M
+PQ_K = 16  #: codewords per subspace (codes pack into 8 x 4 bits = 32 bits/vector)
+PQ_ITERS = 1  #: Lloyd steps per sub-codebook (keeps the unrolled oracle compact)
+PQ_SHORTLIST = 100  #: ADC candidates exactly re-ranked per query. Config
+#: chosen by measurement (uniform random embeddings are PQ's worst case —
+#: no cluster structure for the codebooks to exploit): M=4/K=8 without
+#: re-rank gave recall@10 = 0.23 vs exact L2; M=8/K=16 + 100-deep exact
+#: re-rank measures 0.85-0.90 (sf0.01/sf0.001), pytest-gated >= 0.75.
+
+
+def _pq_oracle() -> str:
+    """Unrolled PQ train/encode/ADC chain as SQL: per subspace, the
+    _lloyd_ivf_oracle training triple (seed -> assign -> floor-quantized
+    mean) over the SLICED embedding, then corpus codes and the
+    query-side asymmetric-distance lookup table; ADC is one
+    (m, code)-join + per-pair sum. All distances use the floor-quantized
+    exact-integer contract, so ADC scores are equal integers across
+    engines (not merely rank-equal)."""
+    scale = float(LSH_SCALE)
+    ctes = []
+    for m in range(PQ_M):
+        a, b = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+        ctes.append(f"""q{m} AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding[{a}:{b}], x -> floor(x::DOUBLE * {scale})) AS qv,
+             embedding[{a}:{b}] AS rv
+      FROM embeddings
+    )""")
+        ctes.append(f"""cent0_{m} AS MATERIALIZED (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS idx,
+             list_transform(embedding[{a}:{b}], x -> floor(x::DOUBLE * {scale})) AS qc
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {PQ_K})
+    )""")
+        ctes.append(f"""assign1_{m} AS MATERIALIZED (
+      SELECT vec_id, idx AS cell FROM (
+        SELECT v.vec_id, c.idx,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 -2 * list_dot_product(v.qv, c.qc) + list_dot_product(c.qc, c.qc), c.idx) AS rn
+        FROM q{m} v CROSS JOIN cent0_{m} c)
+      WHERE rn = 1
+    )""")
+        ctes.append(f"""mean1_{m} AS MATERIALIZED (
+      SELECT cell AS idx,
+             list_transform(list(mm ORDER BY pos), mm -> floor(mm * {scale})) AS qc
+      FROM (
+        SELECT s.cell, u.pos, avg(u.x::DOUBLE) AS mm
+        FROM assign1_{m} s JOIN q{m} e USING (vec_id),
+             LATERAL (SELECT unnest(e.rv) AS x,
+                             generate_subscripts(e.rv, 1) AS pos) u
+        GROUP BY s.cell, u.pos)
+      GROUP BY cell
+    )""")
+        ctes.append(f"""cent1_{m} AS MATERIALIZED (
+      SELECT p.idx, coalesce(mn.qc, p.qc) AS qc
+      FROM cent0_{m} p LEFT JOIN mean1_{m} mn USING (idx)
+    )""")
+        ctes.append(f"""code_{m} AS MATERIALIZED (
+      SELECT vec_id AS neighbor_id, {m} AS m, idx AS code FROM (
+        SELECT v.vec_id, c.idx,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 -2 * list_dot_product(v.qv, c.qc) + list_dot_product(c.qc, c.qc), c.idx) AS rn
+        FROM q{m} v CROSS JOIN cent1_{m} c)
+      WHERE rn = 1
+    )""")
+        ctes.append(f"""lut_{m} AS MATERIALIZED (
+      SELECT v.vec_id AS query_id, {m} AS m, c.idx AS code,
+             -2 * list_dot_product(v.qv, c.qc) + list_dot_product(c.qc, c.qc) AS d
+      FROM q{m} v CROSS JOIN cent1_{m} c
+      WHERE v.vec_id < {N_QUERIES}
+    )""")
+    codes = " UNION ALL ".join(f"SELECT * FROM code_{m}" for m in range(PQ_M))
+    luts = " UNION ALL ".join(f"SELECT * FROM lut_{m}" for m in range(PQ_M))
+    tail = f""",
+    codes AS ({codes}),
+    lut AS ({luts}),
+    adc AS (
+      SELECT l.query_id, c.neighbor_id, sum(l.d) AS adc_dist
+      FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+      WHERE l.query_id != c.neighbor_id
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, neighbor_id) AS rn
+        FROM adc)
+      WHERE rn <= {PQ_SHORTLIST}
+    ),
+    rr AS (
+      SELECT s.query_id, s.neighbor_id,
+             round(list_dot_product(list_transform(qe.embedding, x -> x::DOUBLE),
+                                    list_transform(qe.embedding, x -> x::DOUBLE))
+                 + list_dot_product(list_transform(ne.embedding, x -> x::DOUBLE),
+                                    list_transform(ne.embedding, x -> x::DOUBLE))
+                 - 2 * list_dot_product(list_transform(qe.embedding, x -> x::DOUBLE),
+                                        list_transform(ne.embedding, x -> x::DOUBLE)),
+                   6) AS l2_dist
+      FROM short s
+      JOIN embeddings qe ON qe.vec_id = s.query_id
+      JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, l2_dist, rank FROM (
+      SELECT query_id, neighbor_id, l2_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY l2_dist, neighbor_id) AS rank
+      FROM rr)
+    WHERE rank <= {TOP_K}"""
+    return "WITH " + ",\n    ".join(ctes) + tail
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=_pq_oracle(),
+    description="Product-quantization ANN: per-subspace Lloyd codebooks, 32-bit codes, ADC shortlist + exact re-rank — fully oracled via the unrolled train/encode/ADC/re-rank SQL chain",
+    tags=("similarity", "quantize", "iterative"),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011) — THE memory-scale ANN
+    path: 64 float32 components compress to 8 codes of 4 bits (32
+    bits, 8x), so a 100 TB embedding corpus's code table fits cluster
+    RAM and the per-pair prune cost is M=8 table lookups instead of a
+    64-term dot product. Training runs the seeded Lloyd step per
+    subspace over the SLICED column (same distributed assignment +
+    per-dimension-mean shape as ann_ivf_refined_topk; only 8 x 16
+    sub-centroids reach the driver); encoding is one Arrow-batched
+    pass emitting all 8 codes; the asymmetric-distance table is built
+    from the Limit-bounded query frame (N x M x K = 1280 rows — the
+    lint-recognized broadcast side); ADC is one (m, code) join +
+    per-pair 8-row sum, map-side partial, and the ADC shortlist
+    (WindowGroupLimit-pruned) is EXACTLY re-ranked against the raw
+    vectors — the production two-stage design (codes prune, floats
+    decide). The floor-quantized exact-integer contract
+    (operators/similarity.py:_nearest_centroid) makes ADC scores equal
+    INTEGERS across engines and the re-rank uses the identical
+    dot-expansion and fold order in both, so the full
+    train/encode/prune/re-rank chain replays in SQL. Recall vs exact
+    L2 is pytest-gated at >= 0.75 (measured 0.85-0.90; the no-re-rank
+    M=4/K=8 variant measured 0.23 — see PQ_SHORTLIST note)."""
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    from crypto_etl_pipeline_spark.operators.similarity import (
+        _centroid_dists_pd,
+        _nearest_centroid_pd,
+        _spread,
+        pq_train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def sub(m: int):
+        return F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+    # ONE distributed pass trains all 8 sub-codebooks (the per-subspace
+    # loop costs 2 jobs x M x iters of fixed overhead — see
+    # pq_train_codebooks); result is bit-identical to the sliced-frame
+    # formulation the oracle unrolls.
+    codebooks = pq_train_codebooks(
+        emb, n_sub=PQ_M, subdim=PQ_SUBDIM, k=PQ_K, iters=PQ_ITERS
+    )
+    # Encode: ONE corpus pass, all M assignment UDFs in the same
+    # projection (at 100 TB this — plus the packed codes — is what you
+    # persist; 3 bits x 4 codes per vector).
+    enc = _spread(emb, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[
+            _nearest_centroid_pd(codebooks[m])(sub(m)).alias(f"_c{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    codes = enc.select(
+        "neighbor_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"), F.col(f"_c{m}").alias("code")
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("_mc"),
+    ).select("neighbor_id", F.col("_mc.m").alias("m"), F.col("_mc.code").alias("code"))
+    q = emb.where(F.col("vec_id") < N_QUERIES).limit(N_QUERIES)
+    lut_wide = q.select(
+        F.col("vec_id").alias("query_id"),
+        *[
+            _centroid_dists_pd(codebooks[m])(sub(m)).alias(f"_d{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    lut = reduce(
+        lambda x, y: x.unionByName(y),
+        [
+            lut_wide.select(
+                "query_id",
+                F.lit(m).alias("m"),
+                F.posexplode(f"_d{m}").alias("code", "d"),
+            )
+            for m in range(PQ_M)
+        ],
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    short = (
+        adc.withColumn("_rn", F.row_number().over(w_adc))
+        .where(F.col("_rn") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    # Exact re-rank of the ADC shortlist: three sequential double-fold
+    # dot products (same expansion and element order as the oracle's
+    # list_dot_product, so the values — not just ranks — agree). Query
+    # vectors ride a broadcast of the Limit-bounded frame; the
+    # neighbor-vector join is per-query-bounded (<= shortlist rows).
+    dd = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    qv = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qe"))
+    nv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_ne"))
+    rr = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dd(F.col("_qe"), F.col("_qe"))
+                + dd(F.col("_ne"), F.col("_ne"))
+                - 2 * dd(F.col("_qe"), F.col("_ne")),
+                6,
+            ).alias("l2_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "l2_dist", "rank")
+    )

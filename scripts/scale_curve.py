@@ -99,6 +99,7 @@ HEAVY = [
     "embedding_anisotropy_by_label",
     "oov_rate_by_lang",
     "source_overlap_matrix",
+    "ann_pq_adc_topk",
 ]
 
 
