@@ -65,6 +65,9 @@ _GATE_FIRST = (
     "oov_rate_by_lang",
     "source_overlap_matrix",
     "ann_pq_adc_topk",
+    "layout_skipping_audit",
+    "dedup_cluster_size_histogram",
+    "dedup_soft_weights_by_source",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",

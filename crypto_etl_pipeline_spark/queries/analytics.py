@@ -2709,3 +2709,105 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.desc("n_nodes"), F.asc("community"))
         .limit(20)
     )
+
+
+ZONEMAP_PROBES = (7, 42, 77, 99, 123)  #: user-id point predicates audited
+
+
+def _zonemap_oracle() -> str:
+    """Interleave 8 bits of user_id with 8 bits of the hour index (the
+    zorder_layout_events recipe at audit width), bucket both layouts,
+    and score zone-map skipping for the probe predicates."""
+    z = " + ".join(
+        f"(((u >> {i}) & 1) << {2 * i}) + (((h8 >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+    probes = ", ".join(str(p) for p in ZONEMAP_PROBES)
+    return f"""
+    WITH e AS (
+      SELECT user_id AS u,
+             (floor(epoch(ts))::BIGINT // 3600) AS h
+      FROM events
+    ),
+    b AS (
+      SELECT u, h // 16 AS tfile, ({z}) // 256 AS zfile
+      FROM (SELECT u, h, h % 256 AS h8 FROM e)
+    ),
+    zones AS (
+      SELECT 'time' AS layout, tfile AS f, min(u) AS umin, max(u) AS umax
+      FROM b GROUP BY tfile
+      UNION ALL
+      SELECT 'zorder', zfile, min(u), max(u) FROM b GROUP BY zfile
+    ),
+    p AS (SELECT unnest([{probes}]) AS probe_user)
+    SELECT layout, probe_user,
+           count(*)::BIGINT AS n_files,
+           sum(CASE WHEN probe_user BETWEEN umin AND umax THEN 1 ELSE 0 END)::BIGINT
+             AS n_scan,
+           round(1.0 - sum(CASE WHEN probe_user BETWEEN umin AND umax
+                           THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS skip_frac
+    FROM zones, p
+    GROUP BY layout, probe_user
+    """
+
+
+@register(
+    "layout_skipping_audit",
+    oracle=_zonemap_oracle(),
+    description="Zone-map file-skipping effectiveness: time-bucketed vs Morton-bucketed layout scored against user-id point predicates",
+    tags=("layout", "agg", "pushdown"),
+)
+def layout_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURES what zorder_layout_events builds: a writer that
+    range-buckets by hour gives parquet row-group min/max stats that
+    span the full user domain (every file must be scanned for a
+    user-id predicate — skip 0), while Morton-bucketing the same rows
+    (8 user bits interleaved with 8 hour bits, low 4 of each stripped
+    into the file id) bounds each file to a 16-user x 16-hour tile, so
+    the same zone maps skip ~90% of files. At 100 TB this difference
+    IS the scan bill for selective predicates; the audit quantifies it
+    from one corpus pass — per-(layout, file) min/max aggregation
+    (file counts are bounded by the fixed 720-hour span and the 16x16
+    key tiling, never by corpus size) — then scores the bounded zone
+    table against a 5-probe literal frame. Bit interleave is the
+    plan-time unrolled shift chain (fully codegen'd, no HOF); the hour
+    recipe matches zorder_layout_events' proven cross-engine pair
+    (floor(unix_timestamp/3600) vs floor(epoch)//3600)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    base = ev.select(F.col("user_id").alias("u"), h.alias("h"), (h % 256).alias("h8"))
+    z = None
+    for i in range(8):
+        for col, off in (("u", 0), ("h8", 1)):
+            term = F.shiftleft(
+                F.shiftright(F.col(col), i).bitwiseAND(1), 2 * i + off
+            ).cast("long")
+            z = term if z is None else z + term
+    files = base.select(
+        "u",
+        F.floor(F.col("h") / 16).cast("long").alias("tfile"),
+        F.floor(z / 256).cast("long").alias("zfile"),
+    )
+    zones = (
+        files.groupBy(F.col("tfile").alias("f"))
+        .agg(F.min("u").alias("umin"), F.max("u").alias("umax"))
+        .select(F.lit("time").alias("layout"), "f", "umin", "umax")
+        .unionByName(
+            files.groupBy(F.col("zfile").alias("f"))
+            .agg(F.min("u").alias("umin"), F.max("u").alias("umax"))
+            .select(F.lit("zorder").alias("layout"), "f", "umin", "umax")
+        )
+    )
+    probes = spark.createDataFrame([(p,) for p in ZONEMAP_PROBES], ["probe_user"])
+    hit = (
+        (F.col("probe_user") >= F.col("umin")) & (F.col("probe_user") <= F.col("umax"))
+    ).cast("long")
+    return (
+        zones.crossJoin(F.broadcast(probes))
+        .groupBy("layout", "probe_user")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(hit).alias("n_scan"),
+            F.round(1 - F.sum(hit) / F.count(F.lit(1)), 6).alias("skip_frac"),
+        )
+    )

@@ -3735,3 +3735,103 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
         )
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_PAIR_SQL}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    cl AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+    sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY cluster_id)
+    SELECT cluster_size,
+           count(*)::BIGINT AS n_clusters,
+           (cluster_size * count(*))::BIGINT AS n_docs,
+           ((cluster_size - 1) * count(*))::BIGINT AS n_excess_copies
+    FROM sz GROUP BY cluster_size
+    """,
+    description="Near-dup cluster-size distribution: clusters, docs, and excess copies per size",
+    tags=("dedup", "agg"),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup REPORT a corpus owner reads first: how big are the
+    duplicate clusters, and how many excess copies does each size
+    class contribute (sum of n_excess_copies = docs removable by
+    keep-one-per-cluster dedup). Reuses the oracle-checked CC cluster
+    feed; everything past it is two bounded rollups (clusters, then
+    size classes)."""
+    clusters = dedup_clusters_connected_components(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_excess_copies"),
+    )
+
+
+@register(
+    "dedup_soft_weights_by_source",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_PAIR_SQL}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    cl AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+    sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY cluster_id),
+    w AS (
+      SELECT cl.id AS doc_id, 1.0 / sz.cluster_size AS weight
+      FROM cl JOIN sz USING (cluster_id)
+    )
+    SELECT d.source,
+           count(*)::BIGINT AS n_docs,
+           round(sum(w.weight), 6) AS effective_docs,
+           round(1.0 - sum(w.weight) / count(*), 6) AS dedup_ratio
+    FROM w JOIN documents d ON d.doc_id = w.doc_id
+    GROUP BY d.source
+    """,
+    description="Soft dedup: per-source effective corpus size under 1/cluster-size down-weighting",
+    tags=("dedup", "quality", "provenance"),
+)
+def dedup_soft_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT deduplication — instead of dropping near-dup copies, each
+    doc is down-weighted by 1/cluster_size so every cluster contributes
+    unit mass to training (the sampling-weight formulation of dedup;
+    hard keep-one is the weight rounded to {{0,1}}). The per-source
+    effective size vs raw count is the governance number: a source
+    whose dedup_ratio is high is mostly redundant mass. Reuses the
+    oracle-checked CC feed; the weight join is cluster-bounded and the
+    rollup is source-bounded; the corpus-sized documents join-back is
+    UNHINTED (AQE broadcast at test SF, shuffle at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters_connected_components(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    w = clusters.join(sizes, "cluster_id").select(
+        "doc_id", (F.lit(1.0) / F.col("cluster_size")).alias("weight")
+    )
+    return (
+        w.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("weight"), 6).alias("effective_docs"),
+            F.round(1 - F.sum("weight") / F.count(F.lit(1)), 6).alias("dedup_ratio"),
+        )
+    )

@@ -100,6 +100,9 @@ HEAVY = [
     "oov_rate_by_lang",
     "source_overlap_matrix",
     "ann_pq_adc_topk",
+    "layout_skipping_audit",
+    "dedup_cluster_size_histogram",
+    "dedup_soft_weights_by_source",
 ]
 
 

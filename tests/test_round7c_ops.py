@@ -147,3 +147,44 @@ def test_pq_recall_vs_exact_l2(spark):
                 break
     assert len(got) == len(exact) == 100
     assert len(got & exact) / len(exact) >= 0.75
+
+
+def test_layout_skipping_zorder_beats_time(spark):
+    from crypto_etl_pipeline_spark.queries import REGISTRY
+
+    rows = {
+        (r.layout, r.probe_user): r
+        for r in REGISTRY["layout_skipping_audit"].fn(spark, SF).collect()
+    }
+    assert len(rows) == 10
+    for (layout, _), r in rows.items():
+        assert 0 <= r.n_scan <= r.n_files
+        assert abs(r.skip_frac - (1 - r.n_scan / r.n_files)) < 1e-5
+    # the audit's point: hour-range files never skip a user predicate,
+    # Morton files skip the vast majority
+    for p in (7, 42, 77, 99, 123):
+        assert rows[("time", p)].skip_frac == 0.0
+        assert rows[("zorder", p)].skip_frac >= 0.8
+
+
+def test_cluster_histogram_and_soft_weights_consistent(spark):
+    from crypto_etl_pipeline_spark.queries import REGISTRY
+
+    hist = [
+        tuple(r)
+        for r in REGISTRY["dedup_cluster_size_histogram"].fn(spark, SF).collect()
+    ]
+    soft = [
+        tuple(r)
+        for r in REGISTRY["dedup_soft_weights_by_source"].fn(spark, SF).collect()
+    ]
+    n_docs_total = sum(r[2] for r in hist)
+    n_clusters_total = sum(r[1] for r in hist)
+    # histogram partitions the corpus; excess = docs - clusters
+    assert sum(r[3] for r in hist) == n_docs_total - n_clusters_total
+    # soft weights: every cluster contributes unit mass, so the summed
+    # effective size equals the cluster count; per-source rows bounded
+    assert sum(r[1] for r in soft) == n_docs_total
+    assert abs(sum(r[2] for r in soft) - n_clusters_total) < 1e-3
+    for _, n, eff, ratio in soft:
+        assert 0 < eff <= n and abs(ratio - (1 - eff / n)) < 1e-5
