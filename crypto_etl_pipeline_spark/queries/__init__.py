@@ -68,6 +68,8 @@ _GATE_FIRST = (
     "layout_skipping_audit",
     "dedup_cluster_size_histogram",
     "dedup_soft_weights_by_source",
+    "active_learning_margin_topk",
+    "curriculum_phase_schedule",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",

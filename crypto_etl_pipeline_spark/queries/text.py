@@ -3835,3 +3835,174 @@ def dedup_soft_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1 - F.sum("weight") / F.count(F.lit(1)), 6).alias("dedup_ratio"),
         )
     )
+
+
+_LR_SCORE_CTES = f"""
+    f AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % {LR_DIM} AS feat
+      FROM (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(text, '\\s+'))) AS tok
+            FROM documents)
+    ),
+    m AS (
+      SELECT doc_id, count(*) AS n_feats,
+             round(sum((((feat * 2654435761) % 2001) - 1000) / 1000.0)
+                   + {(LR_DIM * 2654435761) % 2001 - 1000} / 1000.0, 6) AS margin
+      FROM f GROUP BY doc_id
+    )"""
+
+
+@register(
+    "active_learning_margin_topk",
+    oracle=f"""
+    WITH {_LR_SCORE_CTES}
+    SELECT doc_id, n_feats, margin,
+           round(abs(margin), 6) AS abs_margin
+    FROM m
+    ORDER BY round(abs(margin), 6), doc_id
+    LIMIT 20
+    """,
+    description="Active-learning batch: the 20 docs the linear quality scorer is least certain about (smallest |margin|)",
+    tags=("text", "quality", "ml", "topk"),
+)
+def active_learning_margin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based uncertainty sampling (the standard active-learning
+    acquisition): the docs nearest the classifier's decision boundary
+    are the ones worth human labels, because they move the boundary
+    most per label. Reuses text_lr_score_fixed's scan-speed scorer
+    (md5-bucket presence -> plan-literal weight array -> one hash
+    aggregation; the weight grid is integer thousandths, so |margin|
+    values are exact and the cross-engine ordering cannot drift) and
+    plans the selection as TakeOrderedAndProject — only each
+    partition's 20 best rows reach the driver-side merge, never the
+    corpus."""
+    from crypto_etl_pipeline_spark.operators.lrmodel import (
+        fixed_hash_weights,
+        hashed_presence_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wts = fixed_hash_weights(LR_DIM)
+    warr = F.array(*[F.lit(float(x)) for x in wts[:LR_DIM]])
+    feats = hashed_presence_features(docs, dim=LR_DIM)
+    m = F.sum(F.element_at(warr, F.col("feat").cast("int") + 1)) + F.lit(
+        float(wts[LR_DIM])
+    )
+    scored = feats.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_feats"),
+        F.round(m, 6).alias("margin"),
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_feats",
+            "margin",
+            F.round(F.abs("margin"), 6).alias("abs_margin"),
+        )
+        .orderBy(F.asc("abs_margin"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+CURRICULUM_PHASES = 3  #: easy -> hard training phases
+
+
+@register(
+    "curriculum_phase_schedule",
+    oracle=f"""
+    WITH {_LR_SCORE_CTES},
+    toks AS (
+      SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    dist AS (SELECT margin, count(*)::BIGINT AS cnt FROM m GROUP BY margin),
+    cum AS (
+      SELECT margin, cnt,
+             coalesce(sum(cnt) OVER (ORDER BY margin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM dist
+    ),
+    tot AS (SELECT sum(cnt)::BIGINT AS n FROM dist),
+    pct AS (
+      SELECT m.doc_id, m.margin,
+             round((c.below + 0.5 * c.cnt) / t.n, 6) AS pr
+      FROM m JOIN cum c USING (margin), tot t
+    ),
+    ph AS (
+      SELECT doc_id, margin,
+             least(floor((1.0 - pr) * {CURRICULUM_PHASES})::INT + 1,
+                   {CURRICULUM_PHASES}) AS phase
+      FROM pct
+    )
+    SELECT ph.phase,
+           count(*)::BIGINT AS n_docs,
+           sum(t.n_tokens)::BIGINT AS n_tokens,
+           round(avg(ph.margin), 6) AS mean_margin
+    FROM ph JOIN toks t USING (doc_id)
+    GROUP BY ph.phase
+    """,
+    description="Curriculum schedule: 3 quality phases by margin percentile (mid-rank ECDF, no global sort), with per-phase token budgets",
+    tags=("text", "quality", "sampling"),
+)
+def curriculum_phase_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum planning: phase 1 trains on the top third of
+    the corpus by classifier margin, later phases add the noisier
+    tail — the per-phase doc and token budgets are what the training
+    scheduler consumes. The percentile is the mid-rank ECDF over the
+    DISTINCT-margin table (the quality_percentile_normalize shape:
+    the cumulative window runs over score cardinality, never corpus
+    rows — percent_rank over an unpartitioned corpus window is the
+    banned global sort), the margin grid is exact thousandths so the
+    phase boundaries cannot drift between engines, and the final
+    rollup is phase-bounded."""
+    from pyspark.sql.window import Window
+
+    from crypto_etl_pipeline_spark.operators.lrmodel import (
+        fixed_hash_weights,
+        hashed_presence_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wts = fixed_hash_weights(LR_DIM)
+    warr = F.array(*[F.lit(float(x)) for x in wts[:LR_DIM]])
+    feats = hashed_presence_features(docs, dim=LR_DIM)
+    mexpr = F.sum(F.element_at(warr, F.col("feat").cast("int") + 1)) + F.lit(
+        float(wts[LR_DIM])
+    )
+    scored = feats.groupBy("doc_id").agg(F.round(mexpr, 6).alias("margin"))
+    dist = scored.groupBy("margin").agg(F.count(F.lit(1)).alias("_cnt"))
+    w = Window.orderBy("margin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = dist.select(
+        "margin",
+        "_cnt",
+        F.coalesce(F.sum("_cnt").over(w), F.lit(0)).alias("_below"),
+    )
+    tot = dist.agg(F.sum("_cnt").alias("_n"))
+    pct = (
+        scored.join(cum, "margin")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "margin",
+            F.round((F.col("_below") + 0.5 * F.col("_cnt")) / F.col("_n"), 6).alias(
+                "pr"
+            ),
+        )
+    )
+    phase = F.least(
+        (F.floor((1.0 - F.col("pr")) * CURRICULUM_PHASES) + 1).cast("int"),
+        F.lit(CURRICULUM_PHASES),
+    )
+    toks = docs.select(
+        "doc_id", F.size(textops.tokens(F.col("text"))).alias("n_tokens")
+    )
+    return (
+        pct.select("doc_id", "margin", phase.alias("phase"))
+        .join(toks, "doc_id")
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.avg("margin"), 6).alias("mean_margin"),
+        )
+    )

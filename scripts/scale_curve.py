@@ -103,6 +103,8 @@ HEAVY = [
     "layout_skipping_audit",
     "dedup_cluster_size_histogram",
     "dedup_soft_weights_by_source",
+    "active_learning_margin_topk",
+    "curriculum_phase_schedule",
 ]
 
 

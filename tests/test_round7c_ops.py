@@ -188,3 +188,30 @@ def test_cluster_histogram_and_soft_weights_consistent(spark):
     assert abs(sum(r[2] for r in soft) - n_clusters_total) < 1e-3
     for _, n, eff, ratio in soft:
         assert 0 < eff <= n and abs(ratio - (1 - eff / n)) < 1e-5
+
+
+def test_active_learning_and_curriculum_consistent(spark):
+    from crypto_etl_pipeline_spark.queries import REGISTRY
+
+    batch = [
+        tuple(r)
+        for r in REGISTRY["active_learning_margin_topk"].fn(spark, SF).collect()
+    ]
+    assert len(batch) == 20
+    abs_margins = [r[3] for r in batch]
+    assert abs_margins == sorted(abs_margins)  # most uncertain first
+    for _, _, margin, am in batch:
+        assert abs(am - abs(margin)) < 1e-9
+
+    phases = sorted(
+        tuple(r)
+        for r in REGISTRY["curriculum_phase_schedule"].fn(spark, SF).collect()
+    )
+    assert [p[0] for p in phases] == [1, 2, 3]
+    n_docs = sum(p[1] for p in phases)
+    assert n_docs == 500  # partitions the corpus
+    # phase 1 is the high-margin (cleanest) third: mean margins decrease
+    means = [p[3] for p in phases]
+    assert means[0] > means[1] > means[2]
+    # ECDF terciles are balanced up to margin-grid ties
+    assert max(p[1] for p in phases) - min(p[1] for p in phases) <= 50
