@@ -171,6 +171,7 @@ HEADLINE = [
     "dedup_soft_weights_by_source",
     "active_learning_margin_topk",
     "curriculum_phase_schedule",
+    "hybrid_rrf_retrieval",
 ]
 
 

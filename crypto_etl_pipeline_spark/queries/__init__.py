@@ -70,6 +70,7 @@ _GATE_FIRST = (
     "dedup_soft_weights_by_source",
     "active_learning_margin_topk",
     "curriculum_phase_schedule",
+    "hybrid_rrf_retrieval",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",

@@ -474,3 +474,145 @@ def token_budget_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.round(tgt_raw) / F.col("avail_tokens"), 4).alias("epochs"),
         )
     )
+
+
+_RRF_K = 60  #: the standard reciprocal-rank-fusion constant
+_RRF_POOL = 50  #: top-K pulled from each ranker before fusion
+_RRF_TOPK = 10
+
+# The fixed LR scorer's margin recipe (queries/text.py) inlined as
+# oracle CTEs — quality is the second ranker in the hybrid fusion.
+_LR_DIM_RRF = 256
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok
+      WHERE token IN ({_TERMS_SQL}) GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                        + {_BM25_B} * dl.dl / stats.avgdl))
+             ), 4) AS bm25
+      FROM tf JOIN df USING (token) JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats GROUP BY tf.doc_id
+    ),
+    rel AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+      FROM (SELECT * FROM scored ORDER BY bm25 DESC, doc_id LIMIT {_RRF_POOL})
+    ),
+    f AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(tok2), 1, 8))::BIGINT % {_LR_DIM_RRF} AS feat
+      FROM (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(text, '\\s+'))) AS tok2
+            FROM documents)
+    ),
+    m AS (
+      SELECT doc_id,
+             round(sum((((feat * 2654435761) % 2001) - 1000) / 1000.0)
+                   + {(_LR_DIM_RRF * 2654435761) % 2001 - 1000} / 1000.0, 6) AS margin
+      FROM f GROUP BY doc_id
+    ),
+    qual AS (
+      SELECT doc_id, row_number() OVER (ORDER BY margin DESC, doc_id) AS quality_rank
+      FROM (SELECT * FROM m ORDER BY margin DESC, doc_id LIMIT {_RRF_POOL})
+    ),
+    fused AS (
+      SELECT coalesce(rel.doc_id, qual.doc_id) AS doc_id,
+             rel.bm25_rank, qual.quality_rank,
+             round(coalesce(1.0 / ({_RRF_K} + rel.bm25_rank), 0)
+                 + coalesce(1.0 / ({_RRF_K} + qual.quality_rank), 0), 6) AS rrf_score
+      FROM rel FULL OUTER JOIN qual USING (doc_id)
+    )
+    SELECT doc_id, bm25_rank, quality_rank, rrf_score FROM fused
+    ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_TOPK}
+    """,
+    description="Hybrid retrieval: reciprocal-rank fusion of BM25 relevance with the quality-classifier prior (k=60, 50-deep pools)",
+    tags=("text", "retrieval", "topk"),
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    hybrid-search combiner: RRF(d) = Σ_r 1/(k + rank_r(d)) over the
+    rankers that retrieved d, here BM25 relevance fused with the
+    corpus-quality prior (the blend production search stacks run;
+    score scales never need calibrating because only RANKS enter).
+    Scale shape: each ranker independently reduces to its top-{_RRF_POOL}
+    via TakeOrderedAndProject (per-partition prune, never a global
+    sort); ranks are then row_numbers over the two Limit-bounded
+    pools, the fusion is a {_RRF_POOL}x{_RRF_POOL}-bounded full outer
+    join, and both rank orders are exact (rounded BM25 grid + doc_id,
+    integer-thousandth margin grid + doc_id), so fused membership
+    cannot drift between engines."""
+    from crypto_etl_pipeline_spark.operators.lrmodel import (
+        fixed_hash_weights,
+        hashed_presence_features,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    # Rebuild the BM25 scored frame rather than reusing the registered
+    # top-15 result: the fusion pool is deeper. Same plan as
+    # bm25_topk_retrieval up to the limit.
+    tok = _doc_tokens(spark, sf_dir)
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        tok.where(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(dfreq, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom), 4).alias("bm25"))
+    )
+    rel_pool = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_RRF_POOL)
+    rel = rel_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("bm25_rank"),
+    )
+    wts = fixed_hash_weights(_LR_DIM_RRF)
+    warr = F.array(*[F.lit(float(x)) for x in wts[:_LR_DIM_RRF]])
+    feats = hashed_presence_features(docs, dim=_LR_DIM_RRF)
+    mexpr = F.sum(F.element_at(warr, F.col("feat").cast("int") + 1)) + F.lit(
+        float(wts[_LR_DIM_RRF])
+    )
+    margins = feats.groupBy("doc_id").agg(F.round(mexpr, 6).alias("margin"))
+    qual_pool = margins.orderBy(F.desc("margin"), F.asc("doc_id")).limit(_RRF_POOL)
+    qual = qual_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("margin"), F.asc("doc_id")))
+        .alias("quality_rank"),
+    )
+    fused = rel.join(qual, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rank",
+        "quality_rank",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("quality_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(_RRF_TOPK)

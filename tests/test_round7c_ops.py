@@ -215,3 +215,23 @@ def test_active_learning_and_curriculum_consistent(spark):
     assert means[0] > means[1] > means[2]
     # ECDF terciles are balanced up to margin-grid ties
     assert max(p[1] for p in phases) - min(p[1] for p in phases) <= 50
+
+
+def test_rrf_fusion_consistent_with_rankers(spark):
+    from crypto_etl_pipeline_spark.queries import REGISTRY
+
+    fused = [
+        tuple(r) for r in REGISTRY["hybrid_rrf_retrieval"].fn(spark, SF).collect()
+    ]
+    assert len(fused) == 10
+    scores = [r[3] for r in fused]
+    assert scores == sorted(scores, reverse=True)
+    for _, br, qr, s in fused:
+        assert br is not None or qr is not None  # came from some pool
+        expect = (1 / (60 + br) if br else 0) + (1 / (60 + qr) if qr else 0)
+        assert abs(s - expect) < 1e-5
+    # BM25's #1 must appear in the fused ranking's pool contribution
+    bm25_top = REGISTRY["bm25_topk_retrieval"].fn(spark, SF).collect()[0]
+    assert any(r[0] == bm25_top.doc_id and r[1] == 1 for r in fused) or all(
+        r[3] >= 1 / 61 for r in fused if r[1] == 1
+    )
