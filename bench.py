@@ -172,6 +172,19 @@ HEADLINE = [
     "active_learning_margin_topk",
     "curriculum_phase_schedule",
     "hybrid_rrf_retrieval",
+    # round-7 fifth wave: coreset / exact quantile / calibration / walks
+    "kcenter_coreset_selection",
+    "quantile_exact_histogram",
+    "model_calibration_bins",
+    "graph_random_walks",
+    # round-7 sixth wave: MV merge / Wilson PII / novelty curve
+    "incremental_rollup_merge",
+    "pii_rate_wilson_by_source",
+    "text_ngram_novelty_curve",
+    # round-7 seventh wave: basket rules / corpus-law fits
+    "basket_association_rules",
+    "text_zipf_heaps_fit",
+    "dedup_lsh_parameter_sweep",
 ]
 
 

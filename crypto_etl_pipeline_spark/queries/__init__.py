@@ -26,6 +26,7 @@ from crypto_etl_pipeline_spark.queries import tpch_extra  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import market  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import behavior  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import retrieval  # noqa: F401, E402
+from crypto_etl_pipeline_spark.queries import selection  # noqa: F401, E402
 
 
 # The driver's correctness gate samples the FIRST entries of queries(),
@@ -36,6 +37,18 @@ from crypto_etl_pipeline_spark.queries import retrieval  # noqa: F401, E402
 # de-hinting sweep (forced fact-table broadcasts removed — the plans
 # must re-prove themselves under AQE-decided strategies).
 _GATE_FIRST = (
+    # round-7 fifth/sixth waves — newest queries lead so the official
+    # gate samples them in their first round
+    "kcenter_coreset_selection",
+    "quantile_exact_histogram",
+    "model_calibration_bins",
+    "graph_random_walks",
+    "incremental_rollup_merge",
+    "pii_rate_wilson_by_source",
+    "text_ngram_novelty_curve",
+    "basket_association_rules",
+    "text_zipf_heaps_fit",
+    "dedup_lsh_parameter_sweep",
     "embedding_pca_top_component",
     "embedding_pca_by_label",
     "embedding_pca_residual_outliers",

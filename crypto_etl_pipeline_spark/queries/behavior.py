@@ -450,3 +450,100 @@ def inter_event_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         above.alias("n_above_gap"),
         F.round(above / F.count(F.lit(1)), 6).alias("session_break_rate"),
     )
+
+
+# -- market-basket association rules ------------------------------------------
+
+#: minimum orders containing the PAIR for a rule to be reported
+_BASKET_MIN_PAIR = 3
+_BASKET_TOPK = 20
+
+
+@register(
+    "basket_association_rules",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS p FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT okey) AS n_orders FROM items),
+    isup AS (SELECT p, count(*) AS s FROM items GROUP BY p),
+    pairs AS (
+      SELECT a.p AS p_a, b.p AS p_b, count(*) AS s_ab
+      FROM items a JOIN items b ON a.okey = b.okey AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING count(*) >= {_BASKET_MIN_PAIR}
+    ),
+    rules AS (
+      SELECT pr.p_a, pr.p_b, pr.s_ab,
+             sa.s AS s_a, sb.s AS s_b,
+             round(pr.s_ab * 1.0 / sa.s, 6) AS confidence,
+             round(pr.s_ab * 1.0 * n.n_orders / (sa.s * sb.s), 4) AS lift
+      FROM pairs pr
+      JOIN isup sa ON sa.p = pr.p_a
+      JOIN isup sb ON sb.p = pr.p_b
+      CROSS JOIN n
+    )
+    SELECT p_a, p_b, s_ab, s_a, s_b, confidence, lift
+    FROM rules
+    ORDER BY lift DESC, p_a, p_b
+    LIMIT {_BASKET_TOPK}
+    """,
+    description=(
+        f"Market-basket association rules over order contents: pair "
+        f"support >= {_BASKET_MIN_PAIR}, confidence and lift, top-"
+        f"{_BASKET_TOPK} by lift"
+    ),
+    tags=("join", "agg", "behavior"),
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori's reporting tail without the candidate generation: with
+    itemsets of size 2, support/confidence/lift come straight from one
+    self-join of the per-order item sets — lift(a→b) =
+    P(ab)/(P(a)P(b)), the co-purchase signal a recommender/assortment
+    pipeline reads.
+
+    Scale shape: the self-join is keyed on okey, so matched volume is
+    Σ C(order_width, 2) — order width is bounded (TPC-H ~7 items), so
+    pair volume is LINEAR in orders (same matched-volume-bound
+    argument as the dedup posting joins). Item supports are one keyed
+    aggregate; the pair HAVING prunes before the support joins; the
+    final top-k is TakeOrderedAndProject over the rounded-lift grid
+    (ties broken on the exact (p_a, p_b) key so cross-engine order is
+    total). N rides the scalar broadcast idiom."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = items.select(F.countDistinct("okey").alias("n_orders"))
+    isup = items.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p_a"), F.col("b.p").alias("p_b"))
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .where(F.col("s_ab") >= _BASKET_MIN_PAIR)
+    )
+    sa = isup.select(F.col("p").alias("p_a"), F.col("s").alias("s_a"))
+    sb = isup.select(F.col("p").alias("p_b"), F.col("s").alias("s_b"))
+    rules = (
+        pairs.join(sa, "p_a")
+        .join(sb, "p_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p_a",
+            "p_b",
+            "s_ab",
+            "s_a",
+            "s_b",
+            F.round(F.col("s_ab") * 1.0 / F.col("s_a"), 6).alias("confidence"),
+            F.round(
+                F.col("s_ab") * 1.0 * F.col("n_orders") / (F.col("s_a") * F.col("s_b")),
+                4,
+            ).alias("lift"),
+        )
+    )
+    return rules.orderBy(
+        F.desc("lift"), F.asc("p_a"), F.asc("p_b")
+    ).limit(_BASKET_TOPK)

@@ -642,3 +642,116 @@ def quality_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("k_anonymous", F.col("group_n") >= KANON_K)
         .withColumn("l_diverse", F.col("n_bands") >= KANON_L)
     )
+
+
+# -- PII incidence with Wilson confidence bounds ------------------------------
+
+#: Wilson z for a 95% interval — fixed literal so both engines run the
+#: identical closed-form arithmetic
+_WILSON_Z = 1.96
+#: deterministic seeding rate: docs with Knuth-hash residue < 30 get an
+#: email planted (the corpus has no organic PII — same seeding idea as
+#: text_pii_redact, but CONDITIONAL so per-source rates vary)
+_PII_SEED_PCT = 30
+
+
+@register(
+    "pii_rate_wilson_by_source",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT source,
+             CASE WHEN (doc_id * 2654435761) % 100 < {_PII_SEED_PCT}
+                  THEN text || ' reach user' || doc_id || '@example.org now'
+                  ELSE text END AS t
+      FROM documents
+    ),
+    flags AS (
+      SELECT source,
+             CASE WHEN len(regexp_extract_all(t,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) > 0
+                  THEN 1 ELSE 0 END AS hit
+      FROM seeded
+    ),
+    agg AS (
+      SELECT source, count(*) AS n, sum(hit) AS k,
+             sum(hit) * 1.0 / count(*) AS p
+      FROM flags GROUP BY source
+    )
+    SELECT source, n, k AS n_pii,
+           round(p, 6) AS rate,
+           round((p + {_WILSON_Z} * {_WILSON_Z} / (2.0 * n)
+                  - {_WILSON_Z} * sqrt(p * (1.0 - p) / n
+                        + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+                 / (1.0 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_lo,
+           round((p + {_WILSON_Z} * {_WILSON_Z} / (2.0 * n)
+                  + {_WILSON_Z} * sqrt(p * (1.0 - p) / n
+                        + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+                 / (1.0 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_hi
+    FROM agg
+    """,
+    description=(
+        "PII incidence per source with Wilson 95% confidence bounds "
+        "(deterministically seeded corpus; email regex detection)"
+    ),
+    tags=("quality", "text"),
+)
+def pii_rate_wilson_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure with the uncertainty a governance
+    report needs: the point rate plus the Wilson score interval, which
+    stays inside [0,1] and behaves at small n and extreme p (unlike
+    the Wald interval) — the right bound for 'is source X's PII rate
+    provably under policy?'. The corpus carries no organic PII, so a
+    deterministic Knuth-hash residue plants an email in ~{_PII_SEED_PCT}%
+    of docs (both engines build byte-identical input, and the rate
+    VARIES by source through sampling, making the interval
+    non-vacuous).
+
+    Scale shape: detection is one map-only regex pass; the aggregate
+    is source-keyed (bounded rows); the Wilson algebra is a pure
+    projection on the bounded frame. Cross-engine determinism: n and
+    k are exact integers, p = k/n is one IEEE division, and the bound
+    expressions are mirrored verbatim — identical double arithmetic
+    rounded at 1e-6."""
+    from crypto_etl_pipeline_spark.operators.textops import PII_PATTERNS
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "source",
+        F.when(
+            (F.col("doc_id") * 2654435761) % 100 < _PII_SEED_PCT,
+            F.concat(
+                F.col("text"),
+                F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.org now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    flags = seeded.select(
+        "source",
+        (
+            F.size(F.regexp_extract_all(F.col("t"), F.lit(PII_PATTERNS["email"]), F.lit(0)))
+            > 0
+        )
+        .cast("int")
+        .alias("hit"),
+    )
+    agg = flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("hit").alias("k")
+    )
+    z = _WILSON_Z
+    p = F.col("k") * 1.0 / F.col("n")
+    n = F.col("n")
+    center = p + z * z / (2.0 * n)
+    half = z * F.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+    denom = 1.0 + z * z / n
+    return agg.select(
+        "source",
+        "n",
+        F.col("k").alias("n_pii"),
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from crypto_etl_pipeline_spark.operators import phash, textops
 from crypto_etl_pipeline_spark.operators.dedup import (
@@ -4005,4 +4006,481 @@ def curriculum_phase_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("n_tokens"),
             F.round(F.avg("margin"), 6).alias("mean_margin"),
         )
+    )
+
+
+# -- corpus novelty saturation -------------------------------------------------
+
+#: docs per ingest batch for the novelty curve (doc_id div — the
+#: deterministic stand-in for arrival order)
+_NOVELTY_BATCH = 100
+
+
+@register(
+    "text_ngram_novelty_curve",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, doc_id // {_NOVELTY_BATCH} AS batch, tk.token, tk.pos
+      FROM documents,
+        LATERAL (
+          SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token,
+                 generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS pos
+        ) tk
+    ),
+    tri AS (
+      SELECT batch,
+             token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS g
+      FROM tok
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(token, 2) OVER w IS NOT NULL
+    ),
+    per_batch_gram AS (
+      SELECT batch, g, count(*) AS n FROM tri GROUP BY batch, g
+    ),
+    first_seen AS (
+      SELECT g, min(batch) AS first_batch FROM per_batch_gram GROUP BY g
+    ),
+    per_batch AS (
+      SELECT p.batch,
+             sum(p.n) AS n_gram_occurrences,
+             count(*) AS n_distinct_grams,
+             sum(CASE WHEN f.first_batch = p.batch THEN 1 ELSE 0 END) AS n_new_grams
+      FROM per_batch_gram p JOIN first_seen f USING (g)
+      GROUP BY p.batch
+    )
+    SELECT batch, n_gram_occurrences, n_distinct_grams, n_new_grams,
+           round(n_new_grams * 1.0 / n_distinct_grams, 6) AS novelty_rate,
+           sum(n_new_grams) OVER (ORDER BY batch
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_vocab
+    FROM per_batch
+    """,
+    description=(
+        "N-gram novelty curve: per ingest batch, the fraction of "
+        "trigrams never seen in earlier batches + the cumulative "
+        "trigram vocabulary (corpus-saturation diagnostic)"
+    ),
+    tags=("text", "agg"),
+)
+def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much NEW text each ingest batch brings — the diagnostic
+    behind 'is scraping more of this source still worth it?' (corpus
+    growth planning; the saturation-curve companion to
+    vocab_coverage_curve, which measures a fixed corpus). Batch =
+    doc_id div {_NOVELTY_BATCH} stands in for arrival order.
+
+    Scale shape: trigrams come from the flat lead/lead2 window over
+    (doc_id, pos) — the _bigrams discipline, no HOF lambdas; the ONE
+    corpus-scale shuffle is the per-(batch, gram) count, and
+    first-seen/rollup/cumulative all run over aggregates of it (gram
+    vocabulary, then the batch grid). The cumulative window is
+    batch-grid-bounded by construction — never corpus rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        (F.col("doc_id") / _NOVELTY_BATCH).cast("long").alias("batch"),
+        F.split(F.col("text"), r"\s+").alias("_toks"),
+    ).select("doc_id", "batch", F.posexplode("_toks").alias("pos", "token"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        tok.withColumn("w2", F.lead("token", 1).over(w))
+        .withColumn("w3", F.lead("token", 2).over(w))
+        .where(F.col("w3").isNotNull())
+        .select(
+            "batch", F.concat_ws(" ", F.col("token"), F.col("w2"), F.col("w3")).alias("g")
+        )
+    )
+    per_batch_gram = tri.groupBy("batch", "g").agg(F.count(F.lit(1)).alias("n"))
+    first_seen = per_batch_gram.groupBy("g").agg(F.min("batch").alias("first_batch"))
+    per_batch = (
+        per_batch_gram.join(first_seen, "g")
+        .groupBy("batch")
+        .agg(
+            F.sum("n").alias("n_gram_occurrences"),
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.sum(
+                (F.col("first_batch") == F.col("batch")).cast("long")
+            ).alias("n_new_grams"),
+        )
+    )
+    cum = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    return per_batch.select(
+        "batch",
+        "n_gram_occurrences",
+        "n_distinct_grams",
+        "n_new_grams",
+        F.round(F.col("n_new_grams") * 1.0 / F.col("n_distinct_grams"), 6).alias(
+            "novelty_rate"
+        ),
+        F.sum("n_new_grams").over(cum).alias("cumulative_vocab"),
+    )
+
+
+# -- corpus law fits (Zipf slope, Heaps exponent) ------------------------------
+
+_ZIPF_TOP = 100  #: ranks entering the Zipf log-log OLS
+
+
+@register(
+    "text_zipf_heaps_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, doc_id // {_NOVELTY_BATCH} AS batch, tk.token, tk.pos
+      FROM documents,
+        LATERAL (
+          SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token,
+                 generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS pos
+        ) tk
+    ),
+    freq AS (SELECT token, count(*) AS f FROM tok GROUP BY token),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, token) AS r
+      FROM freq
+    ),
+    zipf_pts AS (
+      SELECT ln(r) AS x, ln(f) AS y FROM ranked WHERE r <= {_ZIPF_TOP}
+    ),
+    zipf AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM zipf_pts
+    ),
+    per_batch AS (
+      SELECT batch, count(*) AS toks FROM tok GROUP BY batch
+    ),
+    tri AS (
+      SELECT batch,
+             token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS g
+      FROM tok
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(token, 2) OVER w IS NOT NULL
+    ),
+    first_seen AS (
+      SELECT min(batch) AS fb FROM tri GROUP BY g
+    ),
+    new_types AS (
+      SELECT fb AS batch, count(*) AS nt FROM first_seen GROUP BY fb
+    ),
+    cum AS (
+      SELECT p.batch,
+             ln(sum(p.toks) OVER (ORDER BY p.batch
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS x,
+             ln(sum(coalesce(n.nt, 0)) OVER (ORDER BY p.batch
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS y
+      FROM per_batch p LEFT JOIN new_types n USING (batch)
+    ),
+    heaps AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM cum
+    )
+    SELECT z.n AS zipf_points,
+           round((z.n * z.sxy - z.sx * z.sy) / (z.n * z.sxx - z.sx * z.sx), 4)
+             AS zipf_slope,
+           round((z.sy - (z.n * z.sxy - z.sx * z.sy) / (z.n * z.sxx - z.sx * z.sx)
+                  * z.sx) / z.n, 4) AS zipf_intercept,
+           h.n AS heaps_points,
+           round((h.n * h.sxy - h.sx * h.sy) / (h.n * h.sxx - h.sx * h.sx), 4)
+             AS heaps_beta,
+           round(exp((h.sy - (h.n * h.sxy - h.sx * h.sy) / (h.n * h.sxx - h.sx * h.sx)
+                  * h.sx) / h.n), 4) AS heaps_k
+    FROM zipf z CROSS JOIN heaps h
+    """,
+    description=(
+        f"Corpus-law fits: Zipf log-log OLS slope over the top-{_ZIPF_TOP} "
+        "token ranks + Heaps' law exponent from the cumulative "
+        "types-vs-tokens curve"
+    ),
+    tags=("text", "agg", "ml"),
+)
+def text_zipf_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two corpus-linguistics diagnostics in one bounded plan:
+
+    - **Zipf slope**: OLS fit of ln(freq) ~ ln(rank) over the top-100
+      tokens (natural text ~ -1; a slope far from it flags synthetic
+      or templated corpora).
+    - **Heaps' law**: V = K·T^β fit over the cumulative
+      (tokens, types) curve sampled at the ingest batches (β ≈ 0.4-0.6
+      for natural text; β near 1 means vocabulary never saturates —
+      the tokenizer-budget planning signal). Types are distinct
+      TRIGRAMS here: the synthetic corpus draws from a ~31-word
+      unigram vocabulary that saturates inside batch 0 (β would be
+      exactly 0 — a vacuous fit), while its trigram vocabulary keeps
+      growing (the same vocabulary text_ngram_novelty_curve tracks,
+      pinned equal in tests).
+
+    Scale shape: token frequency is the one corpus-scale aggregate;
+    the rank window runs over the VOCABULARY (the house value-grid
+    discipline), the Zipf OLS over 100 rows, and the Heaps curve over
+    the batch grid. The OLS closed forms are plain sums mirrored
+    verbatim in the oracle; all compared floats round at 1e-4 against
+    ~1e-13 association noise."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        (F.col("doc_id") / _NOVELTY_BATCH).cast("long").alias("batch"),
+        F.split(F.col("text"), r"\s+").alias("_toks"),
+    ).select("doc_id", "batch", F.posexplode("_toks").alias("pos", "token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+    rw = Window.orderBy(F.desc("f"), F.asc("token"))
+    zipf_pts = (
+        freq.select("f", "token", F.row_number().over(rw).alias("r"))
+        .where(F.col("r") <= _ZIPF_TOP)
+        .select(F.log(F.col("r")).alias("x"), F.log(F.col("f")).alias("y"))
+    )
+    zipf = zipf_pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    per_batch = tok.groupBy("batch").agg(F.count(F.lit(1)).alias("toks"))
+    tw = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        tok.withColumn("w2", F.lead("token", 1).over(tw))
+        .withColumn("w3", F.lead("token", 2).over(tw))
+        .where(F.col("w3").isNotNull())
+        .select(
+            "batch",
+            F.concat_ws(" ", F.col("token"), F.col("w2"), F.col("w3")).alias("g"),
+        )
+    )
+    new_types = (
+        tri.groupBy("g")
+        .agg(F.min("batch").alias("batch"))
+        .groupBy("batch")
+        .agg(F.count(F.lit(1)).alias("nt"))
+    )
+    cw = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        per_batch.join(new_types, "batch", "left")
+        .select(
+            "batch",
+            F.log(F.sum("toks").over(cw)).alias("x"),
+            F.log(F.sum(F.coalesce(F.col("nt"), F.lit(0))).over(cw)).alias("y"),
+        )
+    )
+    heaps = cum.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    z_slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    h_slope = (F.col("hn") * F.col("hsxy") - F.col("hsx") * F.col("hsy")) / (
+        F.col("hn") * F.col("hsxx") - F.col("hsx") * F.col("hsx")
+    )
+    h = heaps.select(
+        F.col("n").alias("hn"),
+        F.col("sx").alias("hsx"),
+        F.col("sy").alias("hsy"),
+        F.col("sxy").alias("hsxy"),
+        F.col("sxx").alias("hsxx"),
+    )
+    return (
+        zipf.crossJoin(F.broadcast(h))
+        .select(
+            F.col("n").alias("zipf_points"),
+            F.round(z_slope, 4).alias("zipf_slope"),
+            F.round((F.col("sy") - z_slope * F.col("sx")) / F.col("n"), 4).alias(
+                "zipf_intercept"
+            ),
+            F.col("hn").alias("heaps_points"),
+            F.round(h_slope, 4).alias("heaps_beta"),
+            F.round(
+                F.exp((F.col("hsy") - h_slope * F.col("hsx")) / F.col("hn")), 4
+            ).alias("heaps_k"),
+        )
+    )
+
+
+# -- LSH parameter sweep --------------------------------------------------------
+
+#: (bands, rows_per_band) configs over the shared 32-hash signature —
+#: consecutive slicing means candidate sets NEST (a full 8-row band
+#: match implies its 2-row sub-bands match), pinned in tests
+_SWEEP_CONFIGS = ((4, 8), (8, 4), (16, 2))
+_SWEEP_HASHES = 32
+_SWEEP_TRUTH_J = 0.5
+
+
+def _lsh_sweep_oracle() -> str:
+    """Replay the sweep: one 32-hash signature chain, one exact-Jaccard
+    truth table (all-pairs is fine oracle-side at gate SF; the Spark
+    plan uses the posting join), then per-config band/candidate/stat
+    CTEs. AS MATERIALIZED throughout (chained-CTE re-evaluation)."""
+    jac = """len(list_intersect(a.s, b.s)) * 1.0
+                   / len(list_distinct(list_concat(a.s, b.s)))"""
+    ctes = [
+        """toks AS MATERIALIZED (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+    )""",
+        """shl AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || '_' || t[i+1] || '_' || t[i+2]))
+             ELSE [] END AS s
+      FROM toks
+    )""",
+        f"""xs AS MATERIALIZED (
+      SELECT doc_id, {phash.duck_md5_long("gram", 8)} AS x
+      FROM (SELECT doc_id, unnest(s) AS gram FROM shl)
+    )""",
+        f"""hs AS MATERIALIZED (
+      SELECT doc_id, coef.i, min((coef.a * xs.x + coef.b) % {phash.P}) AS h
+      FROM xs CROSS JOIN {phash.duck_coef_values(_SWEEP_HASHES)}
+      GROUP BY doc_id, coef.i
+    )""",
+        f"""truth AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM shl a JOIN shl b ON a.doc_id < b.doc_id
+      WHERE len(a.s) > 0 AND len(b.s) > 0 AND {jac} >= {_SWEEP_TRUTH_J}
+    )""",
+        """nt AS MATERIALIZED (SELECT count(*) AS n_truth FROM truth)""",
+    ]
+    selects = []
+    for b, r in _SWEEP_CONFIGS:
+        ctes.append(f"""bands{b} AS MATERIALIZED (
+      SELECT doc_id, i // {r} AS band,
+             {phash.duck_md5_long("string_agg(h::VARCHAR, '|' ORDER BY i)", 15)} AS bucket
+      FROM hs GROUP BY doc_id, i // {r}
+    )""")
+        ctes.append(f"""cand{b} AS MATERIALIZED (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands{b} x JOIN bands{b} y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    )""")
+        ctes.append(f"""stats{b} AS (
+      SELECT count(*) AS n_candidates,
+             sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS n_verified
+      FROM cand{b} c LEFT JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b
+    )""")
+        s_thresh = round((1.0 / b) ** (1.0 / r), 4)
+        selects.append(
+            f"""SELECT {b} AS bands, {r} AS rows_per_band,
+             {s_thresh} AS s_curve_thresh,
+             s.n_candidates, s.n_verified, nt.n_truth,
+             CASE WHEN s.n_candidates > 0
+                  THEN round(s.n_verified * 1.0 / s.n_candidates, 6) END AS precision,
+             round(s.n_verified * 1.0 / nt.n_truth, 6) AS recall
+      FROM stats{b} s CROSS JOIN nt"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+    )
+
+
+@register(
+    "dedup_lsh_parameter_sweep",
+    oracle=_lsh_sweep_oracle(),
+    description=(
+        "LSH tuning table: candidate count, precision and recall vs "
+        f"exact Jaccard >= {_SWEEP_TRUTH_J} for (bands x rows) in "
+        f"{_SWEEP_CONFIGS} over one shared 32-hash signature"
+    ),
+    tags=("dedup", "similarity"),
+)
+def dedup_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table a dedup pipeline reads BEFORE fixing its LSH config:
+    each (bands b, rows r) splits the same 32-hash signature, giving
+    an S-curve threshold (1/b)^(1/r) — 0.84 / 0.59 / 0.25 here — and
+    the sweep measures what that means on THIS corpus: candidate
+    volume (the cost), precision (wasted verification), recall vs the
+    exact-Jaccard >= {_SWEEP_TRUTH_J} truth (missed duplicates).
+    Consecutive band slicing makes the candidate sets nest —
+    cand(4x8) ⊆ cand(8x4) ⊆ cand(16x2) — so recall is monotone in
+    bands by construction (pinned in tests).
+
+    Scale shape: ONE tokenize/shingle pass (the checkpointed
+    _shingle_arrays table feeds signatures AND the truth join), ONE
+    32-hash signature aggregation; per config only the banding
+    projection and the (band, bucket) self-join differ — cost scales
+    with collision density per config, never docs². The truth table
+    is the posting-join exact Jaccard (matched-volume-bounded, the
+    r6 reformulation); the all-pairs form survives only in the
+    oracle. Counts join the 1-row truth total by broadcast."""
+    from crypto_etl_pipeline_spark.operators.dedup import (
+        _shingle_arrays,
+        lsh_buckets,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh_tbl = _shingle_arrays(docs, "text", "doc_id", 3)
+    sigs = minhash_signatures(
+        docs, num_hashes=_SWEEP_HASHES, shingle_df=sh_tbl
+    ).localCheckpoint(eager=False)
+
+    # Exact truth via the posting join (no lang block): |A∩B| as a hash
+    # aggregation over shared shingles, sizes joined back (unhinted).
+    sizes = sh_tbl.select("doc_id", F.size("_sh").alias("sz"))
+    post = sh_tbl.select("doc_id", F.explode("_sh").alias("g"))
+    pa, pb = post.alias("a"), post.alias("b")
+    inter = (
+        pa.join(pb, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sza = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("size_a"))
+    szb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("size_b"))
+    jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    truth = (
+        inter.join(sza, "id_a")
+        .join(szb, "id_b")
+        .where(jac >= _SWEEP_TRUTH_J)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+
+    cands = None
+    for b, r in _SWEEP_CONFIGS:
+        bk = lsh_buckets(sigs, num_hashes=_SWEEP_HASHES, num_bands=b)
+        x, y = bk.alias("x"), bk.alias("y")
+        c = (
+            x.join(
+                y,
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+            )
+            .distinct()
+            .select(
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                F.lit(round((1.0 / b) ** (1.0 / r), 4)).alias("s_curve_thresh"),
+                "id_a",
+                "id_b",
+            )
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    joined = cands.join(
+        truth.withColumn("_t", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    per = joined.groupBy("bands", "rows_per_band", "s_curve_thresh").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.coalesce(F.col("_t"), F.lit(0))).alias("n_verified"),
+    )
+    return per.crossJoin(F.broadcast(n_truth)).select(
+        "bands",
+        "rows_per_band",
+        "s_curve_thresh",
+        "n_candidates",
+        "n_verified",
+        "n_truth",
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(F.col("n_verified") * 1.0 / F.col("n_candidates"), 6),
+        ).alias("precision"),
+        F.round(F.col("n_verified") * 1.0 / F.col("n_truth"), 6).alias("recall"),
     )

@@ -377,3 +377,107 @@ def weekly_rollup_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_complete",
         )
     )
+
+
+# -- incremental materialized-view maintenance --------------------------------
+
+#: base/delta cutoff for the rollup-merge demonstration — a fixed
+#: literal inside the events span (2024-01-01 .. 2024-01-30) at every SF
+_MV_CUTOFF = "2024-01-21 00:00:00"
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle=f"""
+    WITH base AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             count(*) AS n, sum(value) AS s, min(value) AS mn, max(value) AS mx
+      FROM events WHERE ts < TIMESTAMP '{_MV_CUTOFF}'
+      GROUP BY 1, 2
+    ),
+    delta AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             count(*) AS n, sum(value) AS s, min(value) AS mn, max(value) AS mx
+      FROM events WHERE ts >= TIMESTAMP '{_MV_CUTOFF}'
+      GROUP BY 1, 2
+    )
+    SELECT strftime(coalesce(b.hour, d.hour), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           coalesce(b.event_type, d.event_type) AS event_type,
+           coalesce(b.n, 0) + coalesce(d.n, 0) AS n_events,
+           round(coalesce(b.s, 0) + coalesce(d.s, 0), 4) AS sum_value,
+           round(least(coalesce(b.mn, d.mn), coalesce(d.mn, b.mn)), 6) AS min_value,
+           round(greatest(coalesce(b.mx, d.mx), coalesce(d.mx, b.mx)), 6) AS max_value
+    FROM base b FULL OUTER JOIN delta d
+      ON b.hour = d.hour AND b.event_type = d.event_type
+    """,
+    description=(
+        "Incremental materialized-view maintenance: hourly rollup kept "
+        "as mergeable partials (count/sum/min/max), base + delta merged "
+        "without touching base rows"
+    ),
+    tags=("events", "agg", "incremental"),
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch half of the lambda architecture: the hourly rollup is
+    materialized once over the closed period (base), and each new
+    ingest only aggregates ITS OWN rows (delta) and merges — count and
+    sum add, min/max take least/greatest, avg derives from (sum, n).
+    At 100 TB the base partials never rescan; the only corpus-scale
+    work per refresh is the delta aggregation, and the merge join is
+    rollup-sized (hours × types), not event-sized. The oracle runs the
+    same split-and-merge; tests pin merge == full recompute, which is
+    exactly the algebraic-mergability property (same discipline as the
+    HLL/KMV/MG sketch stores, here for the exact aggregates).
+
+    Cross-engine determinism: the merged sum adds TWO partial sums
+    instead of one global fold — associativity noise ~1e-12 against
+    the 1e-4 rounding grain; min/max and counts are exact."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_MV_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    base = partial(ev.where(F.col("ts") < cutoff))
+    delta = partial(ev.where(F.col("ts") >= cutoff))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(
+        d,
+        (F.col("b.hour") == F.col("d.hour"))
+        & (F.col("b.event_type") == F.col("d.event_type")),
+        "full_outer",
+    )
+    return merged.select(
+        F.date_format(
+            F.coalesce(F.col("b.hour"), F.col("d.hour")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour_start"),
+        F.coalesce(F.col("b.event_type"), F.col("d.event_type")).alias("event_type"),
+        (
+            F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))
+        ).alias("n_events"),
+        F.round(
+            F.coalesce(F.col("b.s"), F.lit(0.0)) + F.coalesce(F.col("d.s"), F.lit(0.0)),
+            4,
+        ).alias("sum_value"),
+        F.round(
+            F.least(
+                F.coalesce(F.col("b.mn"), F.col("d.mn")),
+                F.coalesce(F.col("d.mn"), F.col("b.mn")),
+            ),
+            6,
+        ).alias("min_value"),
+        F.round(
+            F.greatest(
+                F.coalesce(F.col("b.mx"), F.col("d.mx")),
+                F.coalesce(F.col("d.mx"), F.col("b.mx")),
+            ),
+            6,
+        ).alias("max_value"),
+    )

@@ -106,6 +106,19 @@ HEAVY = [
     "active_learning_margin_topk",
     "curriculum_phase_schedule",
     "hybrid_rrf_retrieval",
+    # round-7 fifth wave
+    "kcenter_coreset_selection",
+    "quantile_exact_histogram",
+    "model_calibration_bins",
+    "graph_random_walks",
+    # round-7 sixth wave
+    "incremental_rollup_merge",
+    "pii_rate_wilson_by_source",
+    "text_ngram_novelty_curve",
+    # round-7 seventh wave
+    "basket_association_rules",
+    "text_zipf_heaps_fit",
+    "dedup_lsh_parameter_sweep",
 ]
 
 

@@ -1,0 +1,228 @@
+"""Semantic checks for the round-7 sixth-wave queries (incremental
+rollup merge, Wilson PII bounds, n-gram novelty curve).
+
+Oracle parity is covered by tests/test_oracle_parity.py — these pin
+the algebraic properties the parity hash can't see: merge == full
+recompute (the mergeability contract), Wilson interval sanity
+(contains the point rate, inside [0,1], tighter with larger n), and
+novelty-curve conservation (batch 0 is all-new; cumulative vocab ==
+global distinct trigram count).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from crypto_etl_pipeline_spark.queries import REGISTRY
+
+    return REGISTRY
+
+
+def test_incremental_merge_equals_full_recompute(registry, spark):
+    from pyspark.sql import functions as F
+
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    merged = {
+        (r["hour_start"], r["event_type"]): r
+        for r in registry["incremental_rollup_merge"].fn(spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    full = {
+        (r["hour_start"], r["event_type"]): r
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(full)
+    for key, m in merged.items():
+        f = full[key]
+        assert m["n_events"] == f["n_events"]
+        assert abs(m["sum_value"] - f["sum_value"]) < 1e-3
+        assert abs(m["min_value"] - f["min_value"]) < 1e-6
+        assert abs(m["max_value"] - f["max_value"]) < 1e-6
+    # the cutoff actually splits the data: some hours exist only in
+    # base, some only in delta (otherwise the merge is vacuous)
+    hours = sorted({k[0] for k in merged})
+    assert hours[0] < "2024-01-21" < hours[-1]
+
+
+def test_wilson_interval_properties(registry, spark):
+    rows = [
+        tuple(r) for r in registry["pii_rate_wilson_by_source"].fn(spark, SF).collect()
+    ]
+    assert rows and sum(r[1] for r in rows) == 500
+    z = 1.96
+    for _, n, k, rate, lo, hi in rows:
+        assert 0 <= k <= n
+        assert abs(rate - k / n) < 1e-6
+        assert 0.0 <= lo <= rate <= hi <= 1.0
+        # closed-form replay
+        p = k / n
+        center = p + z * z / (2 * n)
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        denom = 1 + z * z / n
+        assert abs(lo - (center - half) / denom) < 1e-5
+        assert abs(hi - (center + half) / denom) < 1e-5
+        # the seeded incidence (~30%) is inside every source's interval
+        assert lo < 0.5 and hi > 0.1
+
+
+def test_novelty_curve_conservation(registry, spark):
+    from pyspark.sql import functions as F
+
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    out = sorted(
+        tuple(r) for r in registry["text_ngram_novelty_curve"].fn(spark, SF).collect()
+    )
+    assert [r[0] for r in out] == [0, 1, 2, 3, 4]  # 500 docs / 100
+    # batch 0 is all-new by definition
+    assert out[0][3] == out[0][2] and abs(out[0][4] - 1.0) < 1e-9
+    for batch, occ, distinct, new, rate, cum in out:
+        assert 0 <= new <= distinct <= occ
+        assert abs(rate - new / distinct) < 1e-6
+    # cumulative vocab is the running sum of new grams and ends at the
+    # global distinct trigram count
+    running = 0
+    for r in out:
+        running += r[3]
+        assert r[5] == running
+    docs = load_table(spark, SF, "documents")
+    n_tri = (
+        docs.select(F.split("text", r"\s+").alias("t"))
+        .where(F.expr("size(t) >= 3"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3), "
+                    "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                )
+            ).alias("g")
+        )
+        .agg(F.countDistinct("g"))
+        .collect()[0][0]
+    )
+    assert out[-1][5] == n_tri
+
+
+def test_basket_rules_internally_consistent(registry, spark):
+    from pyspark.sql import functions as F
+
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    rules = [
+        tuple(r) for r in registry["basket_association_rules"].fn(spark, SF).collect()
+    ]
+    assert 0 < len(rules) <= 20
+    lifts = [r[6] for r in rules]
+    assert lifts == sorted(lifts, reverse=True)
+    li = load_table(spark, SF, "lineitem")
+    n_orders = li.select("l_orderkey").distinct().count()
+    for p_a, p_b, s_ab, s_a, s_b, conf, lift in rules:
+        assert p_a < p_b
+        assert 3 <= s_ab <= min(s_a, s_b)
+        assert abs(conf - s_ab / s_a) < 1e-6
+        assert abs(lift - s_ab * n_orders / (s_a * s_b)) < 1e-3
+        assert lift > 1.0  # top-by-lift on real co-purchases
+
+    # spot-verify one pair's support by direct count
+    p_a, p_b, s_ab = rules[0][0], rules[0][1], rules[0][2]
+    both = (
+        li.where(F.col("l_partkey").isin([p_a, p_b]))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .count()
+        .where("count = 2")
+        .count()
+    )
+    assert both == s_ab
+
+
+def test_zipf_heaps_fit_in_natural_ranges(registry, spark):
+    row = registry["text_zipf_heaps_fit"].fn(spark, SF).collect()
+    assert len(row) == 1
+    r = row[0]
+    # the synthetic corpus has a ~31-word vocabulary, so the Zipf fit
+    # uses every rank available (min(vocab, 100))
+    assert 0 < r["zipf_points"] <= 100 and r["heaps_points"] == 5
+    # frequency is non-increasing in rank, so the slope is negative;
+    # the small synthetic vocabulary flattens the tail, but the fit
+    # must stay clearly below zero
+    assert -3.0 < r["zipf_slope"] < -0.05
+    # Heaps over trigram types: vocabulary grows sublinearly
+    # (0 < beta < 1) with K > 0
+    assert 0.0 < r["heaps_beta"] < 1.0
+    assert r["heaps_k"] > 0.0
+    # cross-query consistency: the Heaps curve's final vocabulary is
+    # the novelty curve's cumulative trigram vocabulary
+    import math as _math
+
+    novelty = sorted(
+        tuple(x) for x in registry["text_ngram_novelty_curve"].fn(spark, SF).collect()
+    )
+    v_final = novelty[-1][5]
+    # replay the fit's final point: ln V_final must sit near the line
+    # beta * ln T_final + ln K (within fit residual tolerance)
+    assert v_final > 31  # trigram vocab is the growing one
+    # intercept recovers roughly the top frequency: ln f(1) ~ intercept
+    import math
+
+    from pyspark.sql import functions as F
+
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    top_f = (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("t"))
+        .groupBy("t")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert abs(r["zipf_intercept"] - math.log(top_f)) < 2.0
+
+
+def test_lsh_sweep_nesting_and_bounds(registry, spark):
+    rows = {
+        r["bands"]: r
+        for r in registry["dedup_lsh_parameter_sweep"].fn(spark, SF).collect()
+    }
+    assert set(rows) == {4, 8, 16}
+    n_truth = {r["n_truth"] for r in rows.values()}
+    assert len(n_truth) == 1 and n_truth.pop() > 0
+    for b, r in rows.items():
+        assert r["rows_per_band"] == 32 // b
+        assert abs(r["s_curve_thresh"] - round((1 / b) ** (b / 32), 4)) < 1e-9
+        assert 0 <= r["n_verified"] <= r["n_candidates"]
+        assert r["n_verified"] <= r["n_truth"]
+        if r["n_candidates"]:
+            assert abs(r["precision"] - r["n_verified"] / r["n_candidates"]) < 1e-6
+        assert abs(r["recall"] - r["n_verified"] / r["n_truth"]) < 1e-6
+    # consecutive band slicing nests the candidate sets: an 8-row band
+    # match implies its 2-row sub-bands match, so candidates and
+    # verified counts are monotone in bands
+    assert rows[4]["n_candidates"] <= rows[8]["n_candidates"] <= rows[16]["n_candidates"]
+    assert rows[4]["n_verified"] <= rows[8]["n_verified"] <= rows[16]["n_verified"]
+    assert rows[4]["recall"] <= rows[8]["recall"] <= rows[16]["recall"]
+    # the recall-leaning config (s-curve 0.25 vs truth J 0.5) must
+    # catch the large majority of true pairs
+    assert rows[16]["recall"] >= 0.8
