@@ -185,6 +185,9 @@ HEADLINE = [
     "basket_association_rules",
     "text_zipf_heaps_fit",
     "dedup_lsh_parameter_sweep",
+    # round-7 eighth wave: rank-sum test / attribution
+    "ab_mann_whitney_u",
+    "event_attribution_linear",
 ]
 
 

@@ -49,6 +49,8 @@ _GATE_FIRST = (
     "basket_association_rules",
     "text_zipf_heaps_fit",
     "dedup_lsh_parameter_sweep",
+    "ab_mann_whitney_u",
+    "event_attribution_linear",
     "embedding_pca_top_component",
     "embedding_pca_by_label",
     "embedding_pca_residual_outliers",

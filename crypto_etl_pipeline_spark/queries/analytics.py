@@ -8,6 +8,8 @@ each SQL-expressible one carries a DuckDB oracle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2810,4 +2812,142 @@ def layout_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(hit).alias("n_scan"),
             F.round(1 - F.sum(hit) / F.count(F.lit(1)), 6).alias("skip_frac"),
         )
+    )
+
+
+# -- Mann-Whitney U (rank-sum) A/B test ----------------------------------------
+
+#: Abramowitz & Stegun 26.2.17 constants for the normal tail Q(x) —
+#: inlined identically in the Spark expression and the DuckDB oracle
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_AS_T = 0.2316419
+
+
+@register(
+    "ab_mann_whitney_u",
+    oracle=f"""
+    WITH e AS (
+      SELECT round(value, 2) AS v, event_type FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+    ),
+    g AS (
+      SELECT v,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS ca,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS cb
+      FROM e GROUP BY v
+    ),
+    c AS (
+      SELECT v, ca, cb,
+             sum(cb) OVER (ORDER BY v)::BIGINT - cb AS cumb_below
+      FROM g
+    ),
+    s AS (
+      SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+             sum(ca * (cumb_below + cb / 2.0)) AS u_a,
+             sum((ca + cb) * ((ca + cb) * (ca + cb) - 1.0)) AS tie_sum
+      FROM c
+    ),
+    z AS (
+      SELECT na, nb, u_a,
+             na * nb / 2.0 AS mu,
+             sqrt(na * nb / 12.0
+                  * ((na + nb + 1.0)
+                     - tie_sum / ((na + nb) * (na + nb - 1.0)))) AS sigma
+      FROM s
+    ),
+    q AS (
+      SELECT na, nb, u_a, mu, sigma,
+             (u_a - mu) / sigma AS zval,
+             abs((u_a - mu) / sigma) AS x
+      FROM z
+    ),
+    t AS (
+      SELECT na, nb, u_a, mu, sigma, zval, x,
+             1.0 / (1.0 + {_AS_T} * x) AS tt,
+             exp(-x * x / 2.0) / sqrt(2.0 * pi()) AS pdf
+      FROM q
+    )
+    SELECT na AS n_a, nb AS n_b,
+           round(u_a, 2) AS u_a,
+           round(mu, 2) AS mu_u,
+           round(sigma, 4) AS sigma_u,
+           round(zval, 4) AS z,
+           round(least(1.0, 2.0 * pdf * ({_AS_B[0]} * tt + {_AS_B[1]} * tt * tt
+                 + {_AS_B[2]} * tt * tt * tt + {_AS_B[3]} * tt * tt * tt * tt
+                 + {_AS_B[4]} * tt * tt * tt * tt * tt)), 6) AS p_approx
+    FROM t
+    """,
+    description=(
+        "Mann-Whitney U rank-sum test (purchase vs click values) over "
+        "the fixed ECDF grid — tie-corrected normal approximation, "
+        "A&S 26.2.17 tail"
+    ),
+    tags=("stats", "agg", "ab-test"),
+)
+def ab_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nonparametric complement to ab_welch_t_test (means) and
+    ab_ks_test (sup-norm): U counts cross-group wins, robust to
+    outliers and any monotone transform. Grid formulation — U_a =
+    Σ_v ca(v)·(cumB_below(v) + cb(v)/2) — runs entirely over the
+    0.01-rounded VALUE GRID (the ab_ks_test discipline): per-value
+    counts are one map-side-combined aggregate, the cumulative window
+    ranges over grid rows (never corpus rows), and everything after
+    is 1-row arithmetic. The tie correction uses the same grid counts
+    (t_v = ca+cb). The normal-tail p mirrors Abramowitz-Stegun
+    26.2.17 verbatim in both engines (neither ships erf); |max error|
+    7.5e-8 — far above the 1e-6 rounding grain only in the deep tail
+    where p rounds to 0 anyway."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.where(
+        F.col("value").isNotNull() & F.col("event_type").isin("purchase", "click")
+    ).select(F.round("value", 2).alias("v"), "event_type")
+    g = e.groupBy("v").agg(
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("ca"),
+        F.sum((F.col("event_type") == "click").cast("long")).alias("cb"),
+    )
+    from pyspark.sql.window import Window
+
+    cumw = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "v", "ca", "cb", (F.sum("cb").over(cumw) - F.col("cb")).alias("cumb_below")
+    )
+    s = c.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.sum(F.col("ca") * (F.col("cumb_below") + F.col("cb") / 2.0)).alias("u_a"),
+        F.sum(
+            (F.col("ca") + F.col("cb"))
+            * ((F.col("ca") + F.col("cb")) * (F.col("ca") + F.col("cb")) - 1.0)
+        ).alias("tie_sum"),
+    )
+    mu = F.col("na") * F.col("nb") / 2.0
+    sigma = F.sqrt(
+        F.col("na")
+        * F.col("nb")
+        / 12.0
+        * (
+            (F.col("na") + F.col("nb") + 1.0)
+            - F.col("tie_sum")
+            / ((F.col("na") + F.col("nb")) * (F.col("na") + F.col("nb") - 1.0))
+        )
+    )
+    zc = (F.col("u_a") - mu) / sigma
+    x = F.abs(zc)
+    tt = 1.0 / (1.0 + _AS_T * x)
+    pdf = F.exp(-x * x / 2.0) / F.sqrt(F.lit(2.0 * math.pi))
+    poly = (
+        _AS_B[0] * tt
+        + _AS_B[1] * tt * tt
+        + _AS_B[2] * tt * tt * tt
+        + _AS_B[3] * tt * tt * tt * tt
+        + _AS_B[4] * tt * tt * tt * tt * tt
+    )
+    return s.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round("u_a", 2).alias("u_a"),
+        F.round(mu, 2).alias("mu_u"),
+        F.round(sigma, 4).alias("sigma_u"),
+        F.round(zc, 4).alias("z"),
+        F.round(F.least(F.lit(1.0), 2.0 * pdf * poly), 6).alias("p_approx"),
     )

@@ -547,3 +547,108 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rules.orderBy(
         F.desc("lift"), F.asc("p_a"), F.asc("p_b")
     ).limit(_BASKET_TOPK)
+
+
+# -- multi-touch revenue attribution ------------------------------------------
+
+_ATTR_WINDOW_S = 3600  #: touches within this many seconds before a purchase
+
+
+@register(
+    "event_attribution_linear",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    t AS (
+      SELECT event_id AS t_id, event_type AS channel, user_id, ts FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    pairs AS (
+      SELECT p.p_id, p.value, t.channel
+      FROM p JOIN t ON p.user_id = t.user_id
+                   AND epoch(p.ts) - epoch(t.ts) >= 0
+                   AND epoch(p.ts) - epoch(t.ts) < {_ATTR_WINDOW_S}
+    ),
+    per_p AS (SELECT p_id, count(*) AS n_touch FROM pairs GROUP BY p_id),
+    weighted AS (
+      SELECT pr.channel, pr.value / pp.n_touch AS w
+      FROM pairs pr JOIN per_p pp USING (p_id)
+    ),
+    attributed AS (
+      SELECT channel, count(*)::BIGINT AS n_events,
+             sum(w) AS revenue
+      FROM weighted GROUP BY channel
+      UNION ALL
+      SELECT 'direct', count(*)::BIGINT, sum(p.value)
+      FROM p LEFT JOIN per_p pp ON pp.p_id = p.p_id
+      WHERE pp.p_id IS NULL
+    ),
+    tot AS (SELECT sum(value) AS total FROM p)
+    SELECT a.channel, a.n_events,
+           round(a.revenue, 4) AS attributed_revenue,
+           round(a.revenue / t.total, 6) AS revenue_share
+    FROM attributed a CROSS JOIN tot t
+    """,
+    description=(
+        "Linear multi-touch revenue attribution: purchase value split "
+        "equally across click/view touches in the preceding hour; "
+        "untouched purchases bucket to 'direct'"
+    ),
+    tags=("behavior", "join", "timeseries"),
+)
+def event_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attribution report a marketing/behavior pipeline runs on
+    the event stream: each purchase's revenue splits 1/n across the
+    user's touches (clicks + views) inside the preceding
+    {_ATTR_WINDOW_S}-second window — linear attribution, the
+    position-free baseline; purchases with no touch credit 'direct'.
+    Shares sum to 1 over the three channels (pinned in tests).
+
+    Scale shape: the touch join is the binned range join
+    (operators/timeseries.py range_join_binned — two equi-joins on
+    (user, time-bin) + exact predicate, candidates bounded per bin,
+    never a per-user cross product); per-purchase touch counts and
+    per-channel rollups are keyed aggregates; the grand total rides
+    the 1-row broadcast. Revenue splits are exact rationals summed
+    then rounded at 1e-4, far above association noise."""
+    from crypto_etl_pipeline_spark.operators.timeseries import range_join_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts"), "value")
+    t = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+        "user_id",
+        F.col("ts").alias("t_ts"),
+    )
+    pairs = range_join_binned(
+        p, t, by="user_id", left_ts="p_ts", right_ts="t_ts",
+        max_gap_seconds=_ATTR_WINDOW_S,
+    ).select("p_id", "value", "channel")
+    per_p = pairs.groupBy("p_id").agg(F.count(F.lit(1)).alias("n_touch"))
+    weighted = pairs.join(per_p, "p_id").select(
+        "channel", (F.col("value") / F.col("n_touch")).alias("w")
+    )
+    attributed = weighted.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("w").alias("revenue")
+    )
+    direct = (
+        p.join(per_p, p.p_id == per_p.p_id, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("revenue"))
+        .select(F.lit("direct").alias("channel"), "n_events", "revenue")
+    )
+    tot = p.agg(F.sum("value").alias("total"))
+    return (
+        attributed.unionByName(direct)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "n_events",
+            F.round("revenue", 4).alias("attributed_revenue"),
+            F.round(F.col("revenue") / F.col("total"), 6).alias("revenue_share"),
+        )
+    )

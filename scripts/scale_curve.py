@@ -119,6 +119,9 @@ HEAVY = [
     "basket_association_rules",
     "text_zipf_heaps_fit",
     "dedup_lsh_parameter_sweep",
+    # round-7 eighth wave
+    "ab_mann_whitney_u",
+    "event_attribution_linear",
 ]
 
 

@@ -226,3 +226,63 @@ def test_lsh_sweep_nesting_and_bounds(registry, spark):
     # the recall-leaning config (s-curve 0.25 vs truth J 0.5) must
     # catch the large majority of true pairs
     assert rows[16]["recall"] >= 0.8
+
+
+def test_mann_whitney_consistent_with_scipy_style_replay(registry, spark):
+    import duckdb
+
+    r = registry["ab_mann_whitney_u"].fn(spark, SF).collect()[0]
+    con = duckdb.connect()
+    vals = con.sql(
+        f"SELECT round(value,2) AS v, event_type FROM '{SF}/events.parquet' "
+        "WHERE value IS NOT NULL AND event_type IN ('purchase','click')"
+    ).fetchall()
+    a = sorted(v for v, t in vals if t == "purchase")
+    b = sorted(v for v, t in vals if t == "click")
+    assert r["n_a"] == len(a) and r["n_b"] == len(b)
+    # dense U replay: U_a = sum over pairs [x>y] + 0.5*[x==y]
+    import bisect
+
+    u = 0.0
+    for x in a:
+        lo = bisect.bisect_left(b, x)
+        hi = bisect.bisect_right(b, x)
+        u += lo + 0.5 * (hi - lo)
+    assert abs(r["u_a"] - u) < 0.01
+    assert abs(r["mu_u"] - len(a) * len(b) / 2.0) < 0.01
+    assert r["sigma_u"] > 0
+    assert abs(r["z"] - (u - len(a) * len(b) / 2.0) / r["sigma_u"]) < 1e-2
+    assert 0.0 <= r["p_approx"] <= 1.0
+    # replay the A&S 26.2.17 tail from the reported z
+    x = abs(r["z"])
+    tt = 1.0 / (1.0 + 0.2316419 * x)
+    pdf = math.exp(-x * x / 2.0) / math.sqrt(2.0 * math.pi)
+    poly = (
+        0.319381530 * tt
+        - 0.356563782 * tt**2
+        + 1.781477937 * tt**3
+        - 1.821255978 * tt**4
+        + 1.330274429 * tt**5
+    )
+    assert abs(r["p_approx"] - min(1.0, 2.0 * pdf * poly)) < 5e-4
+
+
+def test_attribution_conserves_revenue(registry, spark):
+    import duckdb
+
+    rows = {
+        r["channel"]: r
+        for r in registry["event_attribution_linear"].fn(spark, SF).collect()
+    }
+    assert set(rows) <= {"click", "view", "direct"} and len(rows) >= 2
+    total_share = sum(r["revenue_share"] for r in rows.values())
+    assert abs(total_share - 1.0) < 1e-4
+    con = duckdb.connect()
+    total = con.sql(
+        f"SELECT sum(value) FROM '{SF}/events.parquet' "
+        "WHERE event_type='purchase' AND value IS NOT NULL"
+    ).fetchone()[0]
+    attributed = sum(r["attributed_revenue"] for r in rows.values())
+    assert abs(attributed - total) < 0.01 * len(rows)
+    for r in rows.values():
+        assert r["n_events"] > 0 and r["attributed_revenue"] > 0
