@@ -188,6 +188,9 @@ HEADLINE = [
     # round-7 eighth wave: rank-sum test / attribution
     "ab_mann_whitney_u",
     "event_attribution_linear",
+    # round-7 ninth wave: footer audit / matryoshka
+    "parquet_footer_stats_audit",
+    "embedding_matryoshka_fidelity",
 ]
 
 

@@ -51,6 +51,8 @@ _GATE_FIRST = (
     "dedup_lsh_parameter_sweep",
     "ab_mann_whitney_u",
     "event_attribution_linear",
+    "parquet_footer_stats_audit",
+    "embedding_matryoshka_fidelity",
     "embedding_pca_top_component",
     "embedding_pca_by_label",
     "embedding_pca_residual_outliers",

@@ -2951,3 +2951,80 @@ def ab_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(zc, 4).alias("z"),
         F.round(F.least(F.lit(1.0), 2.0 * pdf * poly), 6).alias("p_approx"),
     )
+
+
+# -- parquet footer introspection ----------------------------------------------
+
+_FOOTER_COLS = ("l_extendedprice", "l_quantity", "l_discount", "l_tax")
+
+
+@register(
+    "parquet_footer_stats_audit",
+    oracle="".join(
+        (
+            "    UNION ALL\n" if i else ""
+        )
+        + f"""    SELECT '{c}' AS column_name,
+           count({c})::BIGINT AS num_values,
+           round(min({c}), 4) AS min_value,
+           round(max({c}), 4) AS max_value
+    FROM lineitem\n"""
+        for i, c in enumerate(_FOOTER_COLS)
+    ),
+    description=(
+        "Parquet footer statistics audit: per-column num_values/min/max "
+        "aggregated from row-group footers ONLY (no data scan) must "
+        "equal the true column stats"
+    ),
+    tags=("source", "quality", "layout"),
+)
+def parquet_footer_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map trust, verified: query planners (Spark's parquet
+    filter pushdown, the layout_skipping_audit zone logic) PRUNE on
+    footer min/max without reading pages — this audit proves the
+    footers tell the truth by aggregating them (min of row-group
+    mins, max of maxes, sum of value counts) and letting the oracle
+    recompute the same stats from the DATA. A mismatch means silent
+    wrong answers under predicate pushdown — the audit a lakehouse
+    runs after any writer change.
+
+    Scale shape: the Spark side reads ONLY footers — the input is the
+    FILE LIST (thousands of paths at 100 TB), distributed via
+    mapInPandas so each task opens its files' metadata with pyarrow
+    (one ~KB read per file, no row groups decoded); the per-column
+    rollup is a bounded aggregate (columns × files rows). The oracle's
+    full-column recompute is the verification, not the plan."""
+    import pandas as pd
+
+    paths = spark.read.parquet(f"{sf_dir}/lineitem.parquet").inputFiles()
+    files_df = spark.createDataFrame([(p,) for p in paths], "path STRING")
+    cols = list(_FOOTER_COLS)
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = {"column_name": [], "num_values": [], "mn": [], "mx": []}
+            for path in pdf["path"]:
+                f = pq.ParquetFile(path.replace("file:", ""))
+                schema_names = f.schema_arrow.names
+                idx = {n: i for i, n in enumerate(schema_names)}
+                for rg in range(f.metadata.num_row_groups):
+                    for c in cols:
+                        col_meta = f.metadata.row_group(rg).column(idx[c])
+                        st = col_meta.statistics
+                        out["column_name"].append(c)
+                        out["num_values"].append(int(st.num_values))
+                        out["mn"].append(float(st.min))
+                        out["mx"].append(float(st.max))
+            yield pd.DataFrame(out)
+
+    per_rg = files_df.mapInPandas(
+        read_footers,
+        schema="column_name STRING, num_values LONG, mn DOUBLE, mx DOUBLE",
+    )
+    return per_rg.groupBy("column_name").agg(
+        F.sum("num_values").alias("num_values"),
+        F.round(F.min("mn"), 4).alias("min_value"),
+        F.round(F.max("mx"), 4).alias("max_value"),
+    )

@@ -1489,3 +1489,167 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "l2_dist", "rank")
     )
+
+
+# -- Matryoshka truncation fidelity --------------------------------------------
+
+_MRL_DIMS = (8, 16, 32, 64)  #: truncation prefixes audited (full dim = 64)
+_MRL_PAIR_T = 0.40  #: the embedding_cosine_near_dup pair-feed threshold
+
+
+@register(
+    "embedding_matryoshka_fidelity",
+    oracle=f"""
+    WITH ks AS (SELECT unnest([{", ".join(str(k) for k in _MRL_DIMS)}]) AS k),
+    energy AS (
+      SELECT k.k,
+             avg(list_sum(list_transform(e.embedding[1:k.k], x -> (x::DOUBLE) * (x::DOUBLE)))
+                 / list_sum(list_transform(e.embedding, x -> (x::DOUBLE) * (x::DOUBLE))))
+               AS mef
+      FROM embeddings e CROSS JOIN ks k GROUP BY k.k
+    ),
+    cent AS (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS idx, {_DUCK_QV} AS qc
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {SEM_K})
+    ),
+    qv AS (SELECT vec_id, embedding, {_DUCK_QV} AS q FROM embeddings),
+    adist AS (
+      SELECT v.vec_id, v.embedding, c.idx,
+             -2 * list_dot_product(v.q, c.qc) + list_dot_product(c.qc, c.qc) AS d
+      FROM qv v CROSS JOIN cent c
+    ),
+    cells AS (
+      SELECT vec_id, embedding, idx AS cell
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, idx) AS rn
+            FROM adist)
+      WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.embedding AS va, b.embedding AS vb,
+             cast(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) AS cf
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= {_MRL_PAIR_T}
+    ),
+    deltas AS (
+      SELECT k.k,
+             count(*) AS n_pairs,
+             avg(abs(cast(list_cosine_similarity(p.va[1:k.k], p.vb[1:k.k]) AS DOUBLE) - p.cf)) AS mad,
+             max(abs(cast(list_cosine_similarity(p.va[1:k.k], p.vb[1:k.k]) AS DOUBLE) - p.cf)) AS mxd
+      FROM pairs p CROSS JOIN ks k GROUP BY k.k
+    )
+    SELECT e.k, d.n_pairs,
+           round(e.mef, 4) AS mean_energy_frac,
+           round(d.mad, 4) AS mean_abs_cos_delta,
+           round(d.mxd, 4) AS max_abs_cos_delta
+    FROM energy e JOIN deltas d USING (k)
+    """,
+    description=(
+        "Matryoshka truncation-fidelity audit: per prefix length, mean "
+        "retained norm energy and cosine drift on the near-dup pair feed"
+    ),
+    tags=("similarity", "quantize"),
+)
+def embedding_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Can you serve the index from the first k dims? (the Matryoshka
+    representation-learning question, Kusupati et al. 2022, asked of
+    an EXISTING embedding column): per prefix k, (1) mean fraction of
+    each vector's squared norm in its first k components, (2) how far
+    pairwise cosines move on the high-similarity pair feed — the pairs
+    whose ordering an ANN index must preserve. k = 64 is the identity
+    row (drift exactly 0), making the audit self-checking.
+
+    Scale shape: energy is one map-only pass with a 4-row literal
+    cross join (broadcast by construction); the pair feed is the
+    CELL-BLOCKED high-similarity join (the dedup_semantic_clusters
+    shape — IVF cells + cap_hot_cells bound the quadratic stage)
+    computed ONCE and fanned out 4x by the same literal frame; all
+    aggregates are k-bounded. Slices sit behind their own projection
+    so the HOF folds reference attributes (the repo-wide CollapseProject
+    discipline)."""
+    from crypto_etl_pipeline_spark.operators.similarity import _spread, dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ks = spark.createDataFrame([(k,) for k in _MRL_DIMS], "k INT")
+
+    base = _spread(emb, "vec_id").select("vec_id", "label", "embedding")
+    en_sliced = base.crossJoin(F.broadcast(ks)).select(
+        "k",
+        F.slice(F.col("embedding"), 1, F.col("k")).alias("_pre"),
+        F.col("embedding").alias("_full"),
+    )
+    energy = en_sliced.select(
+        "k",
+        (
+            F.aggregate(
+                F.transform(F.col("_pre"), lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            / F.aggregate(
+                F.transform(F.col("_full"), lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+        ).alias("_frac"),
+    ).groupBy("k").agg(F.avg("_frac").alias("mef"))
+
+    # Cell-blocked pair feed (the dedup_semantic_clusters shape): the
+    # O(block^2) cosine stage is bounded per IVF cell and capped by
+    # cap_hot_cells — the label-blocked all-pairs form measured 11x at
+    # 10x data (label blocks grow with the corpus); this one rides the
+    # SemDeDup scale path and stays SQL-replayable (seeded quantized
+    # cells, cap a no-op at oracle-compared SFs).
+    from crypto_etl_pipeline_spark.operators.similarity import (
+        cap_hot_cells,
+        ivf_assign_cells,
+        ivf_build_centroids,
+    )
+
+    cents = ivf_build_centroids(emb, k=SEM_K, iters=0)
+    cells = cap_hot_cells(
+        ivf_assign_cells(emb, cents).select(
+            F.col("neighbor_id").alias("vec_id"), "_cell", "_cvec"
+        ),
+        max_cell_size=SEM_CELL_CAP,
+        cell_col="_cell",
+    ).localCheckpoint(eager=False)
+    from crypto_etl_pipeline_spark.operators.similarity import pair_cosine_pd
+
+    a, b = cells.alias("a"), cells.alias("b")
+    # Arrow-batched numpy cosine over the candidate pairs (the
+    # dedup_semantic_clusters hot-path kernel — an interpreted HOF fold
+    # here measured 15 s at sf0.3); the surviving pairs (few) then pay
+    # the per-k sliced folds, which is negligible.
+    pairs = (
+        a.join(b, (F.col("a._cell") == F.col("b._cell")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a._cvec").alias("va"),
+            F.col("b._cvec").alias("vb"),
+            pair_cosine_pd()(F.col("a._cvec"), F.col("b._cvec")).alias("_cf"),
+        )
+        .where(F.col("_cf") >= _MRL_PAIR_T)
+    )
+    sliced = pairs.crossJoin(F.broadcast(ks)).select(
+        "k",
+        "_cf",
+        F.slice(F.col("va"), 1, F.col("k")).alias("_sa"),
+        F.slice(F.col("vb"), 1, F.col("k")).alias("_sb"),
+    )
+    ck = dot(F.col("_sa"), F.col("_sb")) / (norm(F.col("_sa")) * norm(F.col("_sb")))
+    deltas = (
+        sliced.withColumn("_d", F.abs(ck - F.col("_cf")))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.avg("_d").alias("mad"),
+            F.max("_d").alias("mxd"),
+        )
+    )
+    return energy.join(deltas, "k").select(
+        "k",
+        "n_pairs",
+        F.round("mef", 4).alias("mean_energy_frac"),
+        F.round("mad", 4).alias("mean_abs_cos_delta"),
+        F.round("mxd", 4).alias("max_abs_cos_delta"),
+    )

@@ -122,6 +122,9 @@ HEAVY = [
     # round-7 eighth wave
     "ab_mann_whitney_u",
     "event_attribution_linear",
+    # round-7 ninth wave
+    "parquet_footer_stats_audit",
+    "embedding_matryoshka_fidelity",
 ]
 
 

@@ -286,3 +286,43 @@ def test_attribution_conserves_revenue(registry, spark):
     assert abs(attributed - total) < 0.01 * len(rows)
     for r in rows.values():
         assert r["n_events"] > 0 and r["attributed_revenue"] > 0
+
+
+def test_footer_stats_match_pyarrow_direct(registry, spark):
+    import pyarrow.parquet as pq
+
+    rows = {
+        r["column_name"]: r
+        for r in registry["parquet_footer_stats_audit"].fn(spark, SF).collect()
+    }
+    assert set(rows) == {"l_extendedprice", "l_quantity", "l_discount", "l_tax"}
+    f = pq.ParquetFile(f"{SF}/lineitem.parquet")
+    idx = {n: i for i, n in enumerate(f.schema_arrow.names)}
+    for c, r in rows.items():
+        mn, mx, nv = float("inf"), float("-inf"), 0
+        for rg in range(f.metadata.num_row_groups):
+            st = f.metadata.row_group(rg).column(idx[c]).statistics
+            mn, mx, nv = min(mn, st.min), max(mx, st.max), nv + st.num_values
+        assert r["num_values"] == nv
+        assert abs(r["min_value"] - round(mn, 4)) < 1e-9
+        assert abs(r["max_value"] - round(mx, 4)) < 1e-9
+
+
+def test_matryoshka_monotone_fidelity(registry, spark):
+    rows = {
+        r["k"]: r
+        for r in registry["embedding_matryoshka_fidelity"].fn(spark, SF).collect()
+    }
+    assert set(rows) == {8, 16, 32, 64}
+    n_pairs = {r["n_pairs"] for r in rows.values()}
+    assert len(n_pairs) == 1 and n_pairs.pop() > 0
+    # energy retained grows with prefix length; full dim keeps it all
+    mefs = [rows[k]["mean_energy_frac"] for k in (8, 16, 32, 64)]
+    assert mefs == sorted(mefs)
+    assert abs(rows[64]["mean_energy_frac"] - 1.0) < 1e-9
+    # full-dim truncation is the identity: drift exactly 0
+    assert rows[64]["mean_abs_cos_delta"] == 0.0
+    assert rows[64]["max_abs_cos_delta"] == 0.0
+    for k, r in rows.items():
+        assert 0.0 < r["mean_energy_frac"] <= 1.0
+        assert 0.0 <= r["mean_abs_cos_delta"] <= r["max_abs_cos_delta"] <= 2.0
