@@ -191,6 +191,8 @@ HEADLINE = [
     # round-7 ninth wave: footer audit / matryoshka
     "parquet_footer_stats_audit",
     "embedding_matryoshka_fidelity",
+    # round-7 tenth wave: streaming MV
+    "stream_incremental_mv_merge",
 ]
 
 

@@ -53,6 +53,7 @@ _GATE_FIRST = (
     "event_attribution_linear",
     "parquet_footer_stats_audit",
     "embedding_matryoshka_fidelity",
+    "stream_incremental_mv_merge",
     "embedding_pca_top_component",
     "embedding_pca_by_label",
     "embedding_pca_residual_outliers",

@@ -673,7 +673,7 @@ _PII_SEED_PCT = 30
       FROM seeded
     ),
     agg AS (
-      SELECT source, count(*) AS n, sum(hit) AS k,
+      SELECT source, count(*) AS n, sum(hit)::BIGINT AS k,
              sum(hit) * 1.0 / count(*) AS p
       FROM flags GROUP BY source
     )

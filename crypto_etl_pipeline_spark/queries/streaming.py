@@ -1079,3 +1079,48 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=_checkpoint(),
         k=KMV_STREAM_K,
     )
+
+
+@register(
+    "stream_incremental_mv_merge",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           count(*)              AS n_events,
+           round(sum(value), 4)  AS sum_value,
+           round(min(value), 6)  AS min_value,
+           round(max(value), 6)  AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description=(
+        "Streaming materialized-view maintenance: per-micro-batch "
+        "count/sum/min/max partials merged into versioned MV snapshots "
+        "== one batch GROUP BY (the exact-aggregate continuous "
+        "aggregate)"
+    ),
+    tags=("streaming", "agg", "incremental"),
+)
+def stream_incremental_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming half of the lambda architecture whose batch half
+    is incremental_rollup_merge: event files arrive in micro-batches,
+    each reduces to (hour, type) count/sum/min/max partials, and the
+    running MV merges them (add / add / least / greatest — all
+    associative + commutative, so the drained state must equal the
+    oracle's single batch GROUP BY regardless of batch boundaries or
+    replay order). Versioned snapshots + strictly-below-batch-id
+    recovery give exactly-once MV maintenance; state is hours x types
+    regardless of stream length. Note min/max ARE maintainable here
+    because the MV is insert-only — under deletes they'd need the
+    full CDC snapshot path (run_cdc_stream)."""
+    from crypto_etl_pipeline_spark.streaming.incremental import (
+        read_event_stream,
+        run_mv_rollup_stream,
+    )
+
+    events = read_event_stream(spark, _stage_dir(sf_dir, copies=1))
+    return run_mv_rollup_stream(
+        events,
+        store_dir=_tmpdir("mv_rollup_"),
+        checkpoint_dir=_checkpoint(),
+    )

@@ -4042,16 +4042,16 @@ _NOVELTY_BATCH = 100
     ),
     per_batch AS (
       SELECT p.batch,
-             sum(p.n) AS n_gram_occurrences,
+             sum(p.n)::BIGINT AS n_gram_occurrences,
              count(*) AS n_distinct_grams,
-             sum(CASE WHEN f.first_batch = p.batch THEN 1 ELSE 0 END) AS n_new_grams
+             sum(CASE WHEN f.first_batch = p.batch THEN 1 ELSE 0 END)::BIGINT AS n_new_grams
       FROM per_batch_gram p JOIN first_seen f USING (g)
       GROUP BY p.batch
     )
     SELECT batch, n_gram_occurrences, n_distinct_grams, n_new_grams,
            round(n_new_grams * 1.0 / n_distinct_grams, 6) AS novelty_rate,
-           sum(n_new_grams) OVER (ORDER BY batch
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_vocab
+           (sum(n_new_grams) OVER (ORDER BY batch
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cumulative_vocab
     FROM per_batch
     """,
     description=(
@@ -4356,13 +4356,13 @@ def _lsh_sweep_oracle() -> str:
     )""")
         ctes.append(f"""stats{b} AS (
       SELECT count(*) AS n_candidates,
-             sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS n_verified
+             sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_verified
       FROM cand{b} c LEFT JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b
     )""")
         s_thresh = round((1.0 / b) ** (1.0 / r), 4)
         selects.append(
             f"""SELECT {b} AS bands, {r} AS rows_per_band,
-             {s_thresh} AS s_curve_thresh,
+             CAST({s_thresh} AS DOUBLE) AS s_curve_thresh,
              s.n_candidates, s.n_verified, nt.n_truth,
              CASE WHEN s.n_candidates > 0
                   THEN round(s.n_verified * 1.0 / s.n_candidates, 6) END AS precision,

@@ -784,3 +784,84 @@ def run_kmv_distinct_stream(
         label="KMV distinct stream",
         finalize=lambda final: kmv_estimate(final, k),
     )
+
+
+def run_mv_rollup_stream(
+    events: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+    retain_versions: int = 3,
+) -> DataFrame:
+    """Streaming materialized-view maintenance for the hourly rollup:
+    the EXACT-aggregate twin of run_sketch_rollup_stream, and the
+    streaming form of queries.timeseries.incremental_rollup_merge.
+
+    Each micro-batch reduces to (hour, event_type) partials —
+    count / sum / min / max, the four classic algebraic aggregates —
+    and merges into the running MV: counts and sums ADD, min/max FOLD
+    (least/greatest). All four merges are associative + commutative,
+    so replay order cannot change the result and the drained MV must
+    equal one batch GROUP BY over the whole stream — the correctness
+    contract the oracle replays. State size is hours x types
+    regardless of stream length; versioned snapshots + strictly-
+    below-batch-id recovery give the exactly-once discipline shared
+    by every store in this module.
+    """
+
+    def _reduce(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    def _merge(base: DataFrame, delta: DataFrame) -> DataFrame:
+        b, d = base.alias("b"), delta.alias("d")
+        j = b.join(
+            d,
+            (F.col("b.hour") == F.col("d.hour"))
+            & (F.col("b.event_type") == F.col("d.event_type")),
+            "full_outer",
+        )
+        return j.select(
+            F.coalesce(F.col("b.hour"), F.col("d.hour")).alias("hour"),
+            F.coalesce(F.col("b.event_type"), F.col("d.event_type")).alias("event_type"),
+            (F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))).alias("n"),
+            (
+                F.coalesce(F.col("b.s"), F.lit(0.0)) + F.coalesce(F.col("d.s"), F.lit(0.0))
+            ).alias("s"),
+            F.least(
+                F.coalesce(F.col("b.mn"), F.col("d.mn")),
+                F.coalesce(F.col("d.mn"), F.col("b.mn")),
+            ).alias("mn"),
+            F.greatest(
+                F.coalesce(F.col("b.mx"), F.col("d.mx")),
+                F.coalesce(F.col("d.mx"), F.col("b.mx")),
+            ).alias("mx"),
+        )
+
+    def _finalize(state: DataFrame) -> DataFrame:
+        return state.select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.round("s", 4).alias("sum_value"),
+            F.round("mn", 6).alias("min_value"),
+            F.round("mx", 6).alias("max_value"),
+        )
+
+    return _run_versioned_merge_stream(
+        events,
+        store_dir,
+        checkpoint_dir,
+        reduce_batch=_reduce,
+        merge=_merge,
+        timeout_sec=timeout_sec,
+        retain_versions=retain_versions,
+        label="mv rollup stream",
+        finalize=_finalize,
+    )

@@ -125,6 +125,8 @@ HEAVY = [
     # round-7 ninth wave
     "parquet_footer_stats_audit",
     "embedding_matryoshka_fidelity",
+    # round-7 tenth wave
+    "stream_incremental_mv_merge",
 ]
 
 

@@ -326,3 +326,54 @@ def test_matryoshka_monotone_fidelity(registry, spark):
     for k, r in rows.items():
         assert 0.0 < r["mean_energy_frac"] <= 1.0
         assert 0.0 <= r["mean_abs_cos_delta"] <= r["max_abs_cos_delta"] <= 2.0
+
+
+def test_stream_mv_merge_multibatch_equals_batch(registry, spark):
+    """Force MULTIPLE micro-batches (copies=3 staging) so the merge
+    path genuinely exercises cross-batch folding, then compare against
+    the one-shot batch aggregate of the same tripled input."""
+    from pyspark.sql import functions as F
+
+    from crypto_etl_pipeline_spark.queries.streaming import (
+        _checkpoint,
+        _stage_dir,
+        _tmpdir,
+    )
+    from crypto_etl_pipeline_spark.streaming.incremental import (
+        read_event_stream,
+        run_mv_rollup_stream,
+    )
+
+    staged = _stage_dir(SF, copies=3)
+    events = read_event_stream(spark, staged)
+    got = {
+        (r["hour_start"], r["event_type"]): r
+        for r in run_mv_rollup_stream(
+            events, store_dir=_tmpdir("mv_t_"), checkpoint_dir=_checkpoint()
+        ).collect()
+    }
+    want = {
+        (r["hour_start"], r["event_type"]): r
+        for r in spark.read.parquet(staged)
+        .select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k, g in got.items():
+        w = want[k]
+        assert g["n_events"] == w["n_events"]
+        assert abs(g["sum_value"] - w["sum_value"]) < 1e-3
+        assert abs(g["min_value"] - w["min_value"]) < 1e-6
+        assert abs(g["max_value"] - w["max_value"]) < 1e-6
