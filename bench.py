@@ -193,6 +193,7 @@ HEADLINE = [
     "embedding_matryoshka_fidelity",
     # round-7 tenth wave: streaming MV
     "stream_incremental_mv_merge",
+    "forecast_holt_daily_revenue",
 ]
 
 

@@ -54,6 +54,7 @@ _GATE_FIRST = (
     "parquet_footer_stats_audit",
     "embedding_matryoshka_fidelity",
     "stream_incremental_mv_merge",
+    "forecast_holt_daily_revenue",
     "embedding_pca_top_component",
     "embedding_pca_by_label",
     "embedding_pca_residual_outliers",

@@ -481,3 +481,115 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("max_value"),
     )
+
+
+# -- Holt linear-trend forecasting ---------------------------------------------
+
+#: Holt smoothing constants — exactly-representable doubles (0.5, 0.25)
+#: so (1 - beta) etc. introduce zero rounding and the python loop and
+#: the recursive-CTE oracle run bit-identical arithmetic
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.25
+
+
+@register(
+    "forecast_holt_daily_revenue",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY date_trunc('day', ts)) AS rn,
+             sum(value) AS y
+      FROM events WHERE event_type = 'purchase' OR event_type = 'view'
+      GROUP BY event_type, date_trunc('day', ts)
+    ),
+    init AS (
+      SELECT d1.event_type, 1 AS t, d1.y AS l, d2.y - d1.y AS b
+      FROM daily d1 JOIN daily d2
+        ON d1.event_type = d2.event_type AND d1.rn = 1 AND d2.rn = 2
+    ),
+    holt AS (
+      SELECT * FROM init
+      UNION ALL
+      SELECT h.event_type, h.t + 1,
+             {_HOLT_ALPHA} * d.y + (1 - {_HOLT_ALPHA}) * (h.l + h.b),
+             {_HOLT_BETA} * (({_HOLT_ALPHA} * d.y + (1 - {_HOLT_ALPHA}) * (h.l + h.b)) - h.l)
+               + (1 - {_HOLT_BETA}) * h.b
+      FROM holt h JOIN daily d
+        ON d.event_type = h.event_type AND d.rn = h.t + 1
+    ),
+    last AS (
+      SELECT event_type, max(rn) AS n_days FROM daily GROUP BY event_type
+    )
+    SELECT h.event_type, l.n_days,
+           round(h.l, 6) AS level,
+           round(h.b, 6) AS trend,
+           round(h.l + h.b, 6) AS forecast_1d,
+           round(h.l + 7 * h.b, 6) AS forecast_7d
+    FROM holt h JOIN last l
+      ON l.event_type = h.event_type AND h.t = l.n_days
+    """,
+    description=(
+        "Holt linear-trend forecast of daily revenue per event type "
+        "(alpha=0.5, beta=0.25; level/trend + 1-day and 7-day ahead)"
+    ),
+    tags=("timeseries", "ml", "iterative"),
+)
+def forecast_holt_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double exponential smoothing (Holt 1957) — the level+trend
+    forecaster between EWMA (no trend, ewma_user_purchase_value) and
+    the OLS trend fit (trend_regression_by_type, no recency
+    weighting): l_t = αy_t + (1-α)(l_(t-1)+b_(t-1)),
+    b_t = β(l_t-l_(t-1)) + (1-β)b_(t-1), forecast_h = l_T + h·b_T.
+
+    Scale shape: the corpus-scale stage is the daily aggregate
+    (map-side-combined); the sequential recurrence runs per series
+    over the BOUNDED day grid inside applyInPandas (the EWMA
+    discipline — groups are time-grid-sized, never corpus-sized; a
+    longer history would time-slice upstream). Cross-engine
+    determinism: α, β are exactly-representable doubles and the loop
+    mirrors the recursive-CTE arithmetic term for term, so both
+    engines run the identical IEEE sequence; daily-sum association
+    noise (~1e-9 abs) is contracted by the α<1 recursion and sits far
+    under the 1e-6 output grain."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isin("purchase", "view"))
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.sum("value").alias("y"))
+    )
+
+    a, b_ = _HOLT_ALPHA, _HOLT_BETA
+
+    def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day", kind="mergesort")
+        ys = pdf["y"].tolist()
+        lvl, tr = ys[0], ys[1] - ys[0]
+        for y in ys[1:]:
+            new_l = a * y + (1 - a) * (lvl + tr)
+            tr = b_ * (new_l - lvl) + (1 - b_) * tr
+            lvl = new_l
+        # raw state out; rounding happens JVM-side with F.round so the
+        # half-up rule matches the oracle (python round() is half-even)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [len(ys)],
+                "_l": [lvl],
+                "_b": [tr],
+            }
+        )
+
+    state = daily.groupBy("event_type").applyInPandas(
+        _holt, schema="event_type string, n_days long, _l double, _b double"
+    )
+    return state.select(
+        "event_type",
+        "n_days",
+        F.round("_l", 6).alias("level"),
+        F.round("_b", 6).alias("trend"),
+        F.round(F.col("_l") + F.col("_b"), 6).alias("forecast_1d"),
+        F.round(F.col("_l") + 7 * F.col("_b"), 6).alias("forecast_7d"),
+    )

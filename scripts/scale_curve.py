@@ -127,6 +127,7 @@ HEAVY = [
     "embedding_matryoshka_fidelity",
     # round-7 tenth wave
     "stream_incremental_mv_merge",
+    "forecast_holt_daily_revenue",
 ]
 
 

@@ -377,3 +377,35 @@ def test_stream_mv_merge_multibatch_equals_batch(registry, spark):
         assert abs(g["sum_value"] - w["sum_value"]) < 1e-3
         assert abs(g["min_value"] - w["min_value"]) < 1e-6
         assert abs(g["max_value"] - w["max_value"]) < 1e-6
+
+
+def test_holt_matches_dense_python_replay(registry, spark):
+    import duckdb
+
+    rows = {
+        r["event_type"]: r
+        for r in registry["forecast_holt_daily_revenue"].fn(spark, SF).collect()
+    }
+    assert set(rows) == {"purchase", "view"}
+    con = duckdb.connect()
+    for etype, r in rows.items():
+        ys = [
+            v[0]
+            for v in con.sql(
+                f"SELECT sum(value) FROM '{SF}/events.parquet' "
+                f"WHERE event_type='{etype}' "
+                "GROUP BY date_trunc('day', ts) ORDER BY date_trunc('day', ts)"
+            ).fetchall()
+        ]
+        assert r["n_days"] == len(ys) == 30
+        lvl, tr = ys[0], ys[1] - ys[0]
+        for y in ys[1:]:
+            nl = 0.5 * y + 0.5 * (lvl + tr)
+            tr = 0.25 * (nl - lvl) + 0.75 * tr
+            lvl = nl
+        assert abs(r["level"] - lvl) < 1e-4
+        assert abs(r["trend"] - tr) < 1e-4
+        assert abs(r["forecast_1d"] - (lvl + tr)) < 1e-4
+        assert abs(r["forecast_7d"] - (lvl + 7 * tr)) < 1e-4
+        # the forecast extrapolates the level along the trend line
+        assert (r["forecast_7d"] - r["forecast_1d"]) * r["trend"] >= 0
