@@ -194,6 +194,8 @@ HEADLINE = [
     # round-7 tenth wave: streaming MV
     "stream_incremental_mv_merge",
     "forecast_holt_daily_revenue",
+    "quantile_grouped_exact_histogram",
+    "text_langid_confusion",
 ]
 
 

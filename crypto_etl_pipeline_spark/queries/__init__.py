@@ -55,6 +55,8 @@ _GATE_FIRST = (
     "embedding_matryoshka_fidelity",
     "stream_incremental_mv_merge",
     "forecast_holt_daily_revenue",
+    "quantile_grouped_exact_histogram",
+    "text_langid_confusion",
     "embedding_pca_top_component",
     "embedding_pca_by_label",
     "embedding_pca_residual_outliers",

@@ -545,3 +545,125 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             frontier.select("start_node", F.lit(t).alias("step"), "node")
         )
     return out
+
+
+# -- grouped exact quantiles ---------------------------------------------------
+
+_GQ_PROBES = (0.5, 0.99)
+_GW1 = 512  # level-1 bin width in cents of events.value
+_GW2 = 16  # level-2 bin width
+
+
+@register(
+    "quantile_grouped_exact_histogram",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ),
+    n AS (SELECT event_type, count(*) AS n FROM v GROUP BY event_type),
+    r AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn
+      FROM v
+    ),
+    t AS (
+      SELECT n.event_type, CAST(p AS DOUBLE) AS p, n.n AS n_rows,
+             CAST(ceil(p * n.n) AS BIGINT) AS rank_k
+      FROM (VALUES ({_GQ_PROBES[0]}), ({_GQ_PROBES[1]})) ps(p) CROSS JOIN n
+    )
+    SELECT t.event_type, t.p, t.n_rows, t.rank_k, r.c AS value_cents,
+           round(r.c / 100.0, 2) AS value
+    FROM t JOIN r ON r.event_type = t.event_type AND r.rn = t.rank_k
+    """,
+    description=(
+        "Exact per-group p50/p99 of events.value via two-level "
+        "fixed-width histograms — every group refined in the SAME "
+        "pass per level, no per-group jobs"
+    ),
+    tags=("agg", "quantile", "iterative"),
+)
+def quantile_grouped_exact_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED form of quantile_exact_histogram — the shape that
+    matters operationally (per-tenant / per-type SLO percentiles):
+    histograms carry the group key, so level 1 is ONE map-side-combined
+    aggregate over (group, bin) for every group simultaneously and the
+    driver walk is over (groups x bins) bounded rows; level 2 filters
+    to each group's selected bin IN ONE predicate (OR over the bounded
+    selection set — pushed to the scan) and aggregates (group, bin2)
+    again. The final residual ranks resolve with one TakeOrdered+max
+    per (group, probe) over W2-wide slices. No per-group Spark jobs,
+    no global sort, no window over corpus rows.
+
+    Same exactness contract as the scalar version: rank arithmetic on
+    the exact cents grid; the oracle is the direct per-group
+    row_number = ceil(p*n) definition."""
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    ).select(
+        "event_type",
+        "c",
+        F.expr(f"c div {_GW1}").alias("b1"),
+        F.expr(f"(c % {_GW1}) div {_GW2}").alias("b2"),
+    )
+    # ONE level-1 histogram for all groups; bounded collect.
+    h1_rows = (
+        binned.groupBy("event_type", "b1").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    h1: dict[str, list[tuple[int, int]]] = {}
+    for r in h1_rows:
+        h1.setdefault(r["event_type"], []).append((r["b1"], r["cnt"]))
+    ns = {g: sum(c for _, c in bins) for g, bins in h1.items()}
+    lvl1: dict[tuple[str, float], tuple[int, int]] = {}
+    for g, bins in h1.items():
+        for p in _GQ_PROBES:
+            k = int(math.ceil(p * ns[g]))
+            cum = 0
+            for b1, cnt in sorted(bins):
+                if cum + cnt >= k:
+                    lvl1[(g, p)] = (b1, k - cum)
+                    break
+                cum += cnt
+    # ONE level-2 histogram over all (group, selected-b1) slices.
+    need = {(g, b1) for (g, _), (b1, _) in lvl1.items()}
+    pred = None
+    for g, b1 in sorted(need):
+        cond = (F.col("event_type") == g) & (F.col("b1") == b1)
+        pred = cond if pred is None else (pred | cond)
+    h2_rows = (
+        binned.where(pred)
+        .groupBy("event_type", "b1", "b2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    h2: dict[tuple[str, int], list[tuple[int, int]]] = {}
+    for r in h2_rows:
+        h2.setdefault((r["event_type"], r["b1"]), []).append((r["b2"], r["cnt"]))
+    out = None
+    for (g, p), (b1, k1) in sorted(lvl1.items()):
+        cum = 0
+        for b2, cnt in sorted(h2[(g, b1)]):
+            if cum + cnt >= k1:
+                k2 = k1 - cum
+                break
+            cum += cnt
+        piece = (
+            binned.where(
+                (F.col("event_type") == g) & (F.col("b1") == b1) & (F.col("b2") == b2)
+            )
+            .orderBy("c")
+            .limit(k2)
+            .agg(F.max("c").alias("value_cents"))
+            .select(
+                F.lit(g).alias("event_type"),
+                F.lit(float(p)).alias("p"),
+                F.lit(ns[g]).cast("long").alias("n_rows"),
+                F.lit(int(math.ceil(p * ns[g]))).cast("long").alias("rank_k"),
+                "value_cents",
+                F.round(F.col("value_cents") / 100.0, 2).alias("value"),
+            )
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out

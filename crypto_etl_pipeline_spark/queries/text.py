@@ -4484,3 +4484,48 @@ def dedup_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("precision"),
         F.round(F.col("n_verified") * 1.0 / F.col("n_truth"), 6).alias("recall"),
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT doc_id, lang AS lang_actual, {_duck_lang_id()} AS lang_pred
+      FROM documents
+    )
+    SELECT lang_actual, lang_pred, count(*) AS n,
+           lang_actual = lang_pred AS is_correct
+    FROM pred GROUP BY lang_actual, lang_pred
+    """,
+    description=(
+        "Language-ID confusion matrix: stopword-heuristic prediction "
+        "vs the labeled lang column (classifier evaluation surface)"
+    ),
+    tags=("text", "quality", "ml"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closes the eval loop on the lang_id heuristic: the synthetic
+    corpus carries ground-truth lang labels, so the confusion matrix
+    (actual x predicted with counts) is computable exactly — the
+    per-class view that tells a curation pipeline WHICH languages the
+    cheap stopword heuristic confuses before it gates corpus routing
+    on it. One expression pass (the oracled lang_id recipe) + one
+    map-side-combined aggregate over the languages² grid; row count
+    is bounded by (langs+1)² regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Hash-repartition before the expression pass: the compact text
+    # table arrives in one parquet split and lang_id runs one HOF
+    # stopword filter per candidate language — pinned to a single
+    # core this measured 7.9x at 10x data; spread it is ~linear (the
+    # _spread/_shingle_arrays discipline).
+    n_parts = spark.sparkContext.defaultParallelism
+    return (
+        docs.repartition(n_parts, F.col("doc_id"))
+        .select(
+            F.col("lang").alias("lang_actual"),
+            textops.lang_id(F.col("text")).alias("lang_pred"),
+        )
+        .groupBy("lang_actual", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("is_correct", F.col("lang_actual") == F.col("lang_pred"))
+    )

@@ -128,6 +128,8 @@ HEAVY = [
     # round-7 tenth wave
     "stream_incremental_mv_merge",
     "forecast_holt_daily_revenue",
+    "quantile_grouped_exact_histogram",
+    "text_langid_confusion",
 ]
 
 

@@ -409,3 +409,55 @@ def test_holt_matches_dense_python_replay(registry, spark):
         assert abs(r["forecast_7d"] - (lvl + 7 * tr)) < 1e-4
         # the forecast extrapolates the level along the trend line
         assert (r["forecast_7d"] - r["forecast_1d"]) * r["trend"] >= 0
+
+
+def test_grouped_quantile_matches_direct_sort(registry, spark):
+    import duckdb
+
+    rows = {
+        (r["event_type"], r["p"]): r
+        for r in registry["quantile_grouped_exact_histogram"].fn(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    groups = [
+        g[0]
+        for g in con.sql(
+            f"SELECT DISTINCT event_type FROM '{SF}/events.parquet' WHERE value IS NOT NULL"
+        ).fetchall()
+    ]
+    assert set(rows) == {(g, p) for g in groups for p in (0.5, 0.99)}
+    for g in groups:
+        cents = [
+            c[0]
+            for c in con.sql(
+                f"SELECT CAST(round(value*100,0) AS BIGINT) AS c "
+                f"FROM '{SF}/events.parquet' "
+                f"WHERE value IS NOT NULL AND event_type='{g}' ORDER BY c"
+            ).fetchall()
+        ]
+        for p in (0.5, 0.99):
+            r = rows[(g, p)]
+            k = math.ceil(p * len(cents))
+            assert r["n_rows"] == len(cents) and r["rank_k"] == k
+            assert r["value_cents"] == cents[k - 1]
+        assert rows[(g, 0.5)]["value_cents"] <= rows[(g, 0.99)]["value_cents"]
+
+
+def test_langid_confusion_partitions_and_diagonal(registry, spark):
+    rows = [
+        tuple(r) for r in registry["text_langid_confusion"].fn(spark, SF).collect()
+    ]
+    assert sum(r[2] for r in rows) == 500  # partitions the corpus
+    for actual, pred, n, ok in rows:
+        assert n > 0 and ok == (actual == pred)
+    # the synthetic corpus mixes stopwords across langs, so the cheap
+    # heuristic is WEAK here (~0.40 accuracy, below the 0.436 'en'
+    # majority) — exactly the fact this eval surface exists to expose;
+    # pin non-degeneracy, not quality
+    correct = sum(r[2] for r in rows if r[3])
+    assert 0.2 < correct / 500 < 0.95
+    # per actual language, counts sum to the label distribution
+    by_actual = {}
+    for actual, _, n, _ in rows:
+        by_actual[actual] = by_actual.get(actual, 0) + n
+    assert by_actual["en"] == 218 and sum(by_actual.values()) == 500
