@@ -196,6 +196,7 @@ HEADLINE = [
     "forecast_holt_daily_revenue",
     "quantile_grouped_exact_histogram",
     "text_langid_confusion",
+    "quality_cusum_drift_alarm",
 ]
 
 

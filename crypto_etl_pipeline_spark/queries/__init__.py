@@ -57,6 +57,7 @@ _GATE_FIRST = (
     "forecast_holt_daily_revenue",
     "quantile_grouped_exact_histogram",
     "text_langid_confusion",
+    "quality_cusum_drift_alarm",
     "embedding_pca_top_component",
     "embedding_pca_by_label",
     "embedding_pca_residual_outliers",

@@ -755,3 +755,133 @@ def pii_rate_wilson_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     )
+
+
+# -- CUSUM drift alarm ----------------------------------------------------------
+
+_CUSUM_K = 0.5  #: slack in sd units (detects >= 1 sd shifts fastest)
+_CUSUM_H = 4.0  #: alarm threshold in sd units (the classic h=4 design)
+
+
+@register(
+    "quality_cusum_drift_alarm",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY date_trunc('day', ts)) AS rn,
+             count(*)::DOUBLE AS y
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    stats AS (
+      SELECT event_type, avg(y) AS mu,
+             sqrt(sum((y - (SELECT avg(y) FROM daily d2
+                            WHERE d2.event_type = daily.event_type))
+                      * (y - (SELECT avg(y) FROM daily d2
+                              WHERE d2.event_type = daily.event_type)))
+                  / (count(*) - 1)) AS sd
+      FROM daily GROUP BY event_type
+    ),
+    cusum AS (
+      SELECT d.event_type, d.rn,
+             greatest(0.0, d.y - s.mu - {_CUSUM_K} * s.sd) AS cp,
+             greatest(0.0, s.mu - {_CUSUM_K} * s.sd - d.y) AS cn
+      FROM daily d JOIN stats s USING (event_type) WHERE d.rn = 1
+      UNION ALL
+      SELECT d.event_type, d.rn,
+             greatest(0.0, c.cp + d.y - s.mu - {_CUSUM_K} * s.sd),
+             greatest(0.0, c.cn + s.mu - {_CUSUM_K} * s.sd - d.y)
+      FROM cusum c
+      JOIN daily d ON d.event_type = c.event_type AND d.rn = c.rn + 1
+      JOIN stats s ON s.event_type = c.event_type
+    )
+    SELECT c.event_type, s.n_days,
+           round(st.mu, 4) AS mu, round(st.sd, 4) AS sd,
+           round(c.cp, 4) AS cusum_pos_final,
+           round(c.cn, 4) AS cusum_neg_final,
+           round(mx.max_cp, 4) AS cusum_pos_max,
+           mx.max_cp > {_CUSUM_H} * st.sd OR mx.max_cn > {_CUSUM_H} * st.sd
+             AS alarm
+    FROM cusum c
+    JOIN (SELECT event_type, max(rn) AS n_days FROM daily GROUP BY event_type) s
+      ON s.event_type = c.event_type AND c.rn = s.n_days
+    JOIN (SELECT event_type, max(cp) AS max_cp, max(cn) AS max_cn
+          FROM cusum GROUP BY event_type) mx
+      ON mx.event_type = c.event_type
+    JOIN stats st ON st.event_type = c.event_type
+    """,
+    description=(
+        "CUSUM drift alarm over daily event counts per type "
+        "(k=0.5sd slack, h=4sd alarm — the SPC control chart for "
+        "pipeline-volume regressions)"
+    ),
+    tags=("quality", "timeseries", "iterative"),
+)
+def quality_cusum_drift_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical process control for ingest volume (Page 1954): the
+    one-sided CUSUMs C+_t = max(0, C+_(t-1) + y_t - mu - k·sd) and
+    C-_t accumulate small sustained shifts that per-day z-score
+    alarms (rolling_zscore_anomaly) miss — THE monitor a pipeline
+    runs on its own daily row counts. Output per type: final and max
+    statistics plus the h=4sd alarm flag.
+
+    Scale shape: the corpus-scale stage is the daily count aggregate
+    (map-side-combined); mu/sd are a bounded per-type aggregate, and
+    the recurrence runs per series over the BOUNDED day grid inside
+    applyInPandas (the Holt/EWMA discipline). The recursive-CTE
+    oracle replays the recurrence term for term; sums feeding mu/sd
+    carry ~1e-9 association noise against the 1e-4 output grain."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+
+    k, h = _CUSUM_K, _CUSUM_H
+
+    def _cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day", kind="mergesort")
+        ys = pdf["y"].tolist()
+        n = len(ys)
+        mu = sum(ys) / n
+        sd = (sum((y - mu) * (y - mu) for y in ys) / (n - 1)) ** 0.5
+        cp = cn = 0.0
+        max_cp = max_cn = 0.0
+        for y in ys:
+            cp = max(0.0, cp + y - mu - k * sd)
+            cn = max(0.0, cn + mu - k * sd - y)  # same term order as the CTE
+            max_cp = max(max_cp, cp)
+            max_cn = max(max_cn, cn)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [n],
+                "_mu": [mu],
+                "_sd": [sd],
+                "_cp": [cp],
+                "_cn": [cn],
+                "_mxp": [max_cp],
+                "_mxn": [max_cn],
+            }
+        )
+
+    state = daily.groupBy("event_type").applyInPandas(
+        _cusum,
+        schema=(
+            "event_type string, n_days long, _mu double, _sd double, "
+            "_cp double, _cn double, _mxp double, _mxn double"
+        ),
+    )
+    return state.select(
+        "event_type",
+        "n_days",
+        F.round("_mu", 4).alias("mu"),
+        F.round("_sd", 4).alias("sd"),
+        F.round("_cp", 4).alias("cusum_pos_final"),
+        F.round("_cn", 4).alias("cusum_neg_final"),
+        F.round("_mxp", 4).alias("cusum_pos_max"),
+        ((F.col("_mxp") > h * F.col("_sd")) | (F.col("_mxn") > h * F.col("_sd"))).alias(
+            "alarm"
+        ),
+    )

@@ -130,6 +130,7 @@ HEAVY = [
     "forecast_holt_daily_revenue",
     "quantile_grouped_exact_histogram",
     "text_langid_confusion",
+    "quality_cusum_drift_alarm",
 ]
 
 

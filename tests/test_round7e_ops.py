@@ -461,3 +461,39 @@ def test_langid_confusion_partitions_and_diagonal(registry, spark):
     for actual, _, n, _ in rows:
         by_actual[actual] = by_actual.get(actual, 0) + n
     assert by_actual["en"] == 218 and sum(by_actual.values()) == 500
+
+
+def test_cusum_matches_dense_replay(registry, spark):
+    import duckdb
+
+    rows = {
+        r["event_type"]: r
+        for r in registry["quality_cusum_drift_alarm"].fn(spark, SF).collect()
+    }
+    assert len(rows) == 5
+    con = duckdb.connect()
+    for etype, r in rows.items():
+        ys = [
+            float(v[0])
+            for v in con.sql(
+                f"SELECT count(*) FROM '{SF}/events.parquet' "
+                f"WHERE event_type='{etype}' "
+                "GROUP BY date_trunc('day', ts) ORDER BY date_trunc('day', ts)"
+            ).fetchall()
+        ]
+        n = len(ys)
+        mu = sum(ys) / n
+        sd = (sum((y - mu) ** 2 for y in ys) / (n - 1)) ** 0.5
+        cp = cn = mxp = mxn = 0.0
+        for y in ys:
+            cp = max(0.0, cp + y - mu - 0.5 * sd)
+            cn = max(0.0, cn + mu - 0.5 * sd - y)
+            mxp, mxn = max(mxp, cp), max(mxn, cn)
+        assert r["n_days"] == n
+        assert abs(r["mu"] - mu) < 1e-3 and abs(r["sd"] - sd) < 1e-3
+        assert abs(r["cusum_pos_final"] - cp) < 1e-3
+        assert abs(r["cusum_neg_final"] - cn) < 1e-3
+        assert abs(r["cusum_pos_max"] - mxp) < 1e-3
+        assert r["alarm"] == (mxp > 4.0 * sd or mxn > 4.0 * sd)
+        # max statistics dominate finals by construction
+        assert r["cusum_pos_max"] >= r["cusum_pos_final"] - 1e-9
