@@ -40,9 +40,9 @@ def oracle_sql() -> dict[str, str]:
 
     Hash-based operators (MinHash/SimHash/LSH/IVF) derive their hashes
     from md5 / exact-integer projections, reproducible in DuckDB, so
-    they carry full oracles too. The few omissions are deliberate:
-    ops whose semantics SQL can't replay (Lloyd-refined centroids with
-    engine-specific FP association, mapInPandas codec stubs) — the
-    driver records the weaker rows-only check for those.
+    they carry full oracles too. Since round 6 EVERY registered query
+    carries a full oracle (iterative ops are unrolled or replayed via
+    recursive CTEs; approximation quality is additionally pytest-gated
+    where relevant) — the rows-only set is empty.
     """
     return _q.oracle_sql()

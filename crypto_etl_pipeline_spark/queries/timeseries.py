@@ -593,3 +593,91 @@ def forecast_holt_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("_l") + F.col("_b"), 6).alias("forecast_1d"),
         F.round(F.col("_l") + 7 * F.col("_b"), 6).alias("forecast_7d"),
     )
+
+
+# -- sweep-line interval aggregation -------------------------------------------
+
+
+@register(
+    "orders_backlog_sweepline",
+    oracle="""
+    WITH lifespan AS (
+      SELECT o.o_orderkey,
+             date_trunc('month', o.o_orderdate) AS m_open,
+             date_trunc('month', max(l.l_shipdate)) AS m_close
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, date_trunc('month', o.o_orderdate)
+    ),
+    opened AS (
+      SELECT m_open AS m, count(*) AS n_opened FROM lifespan GROUP BY m_open
+    ),
+    closed AS (
+      SELECT m_close AS m, count(*) AS n_closed FROM lifespan GROUP BY m_close
+    ),
+    merged AS (
+      SELECT coalesce(o.m, c.m) AS m,
+             coalesce(o.n_opened, 0) AS n_opened,
+             coalesce(c.n_closed, 0) AS n_closed
+      FROM opened o FULL OUTER JOIN closed c ON o.m = c.m
+    )
+    SELECT strftime(m, '%Y-%m') AS month,
+           n_opened, n_closed,
+           (sum(n_opened - n_closed) OVER (ORDER BY m
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+             AS backlog_eom
+    FROM merged
+    """,
+    description=(
+        "Sweep-line interval aggregation: monthly order backlog from "
+        "+1/-1 open/close boundary deltas and a month-grid cumulative "
+        "(orders open from orderdate to last shipment)"
+    ),
+    tags=("timeseries", "agg", "window"),
+)
+def orders_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many orders are IN FLIGHT at each point in time — the
+    interval-overlap count every ops dashboard needs, computed the
+    sweep-line way: an order contributes +1 at its open month and -1
+    at its close month (last shipment), so the backlog curve is one
+    cumulative sum over boundary DELTAS instead of an
+    interval-overlap join (which would be months x orders).
+
+    Scale shape: the per-order lifespan is one keyed aggregate (max
+    shipdate per order); open/close deltas are month-keyed aggregates
+    (bounded by the calendar); the cumulative window runs over the
+    ~80-month grid — never corpus rows (the repo-wide grid-window
+    discipline). At 100 TB nothing changes: boundary extraction is
+    map-side, the grid is still the calendar."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lifespan = (
+        orders.select("o_orderkey", F.date_trunc("month", "o_orderdate").alias("m_open"))
+        .join(
+            li.groupBy("l_orderkey").agg(
+                F.date_trunc("month", F.max("l_shipdate")).alias("m_close")
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select("o_orderkey", "m_open", "m_close")
+    )
+    opened = lifespan.groupBy(F.col("m_open").alias("m")).agg(
+        F.count(F.lit(1)).alias("n_opened")
+    )
+    closed = lifespan.groupBy(F.col("m_close").alias("m")).agg(
+        F.count(F.lit(1)).alias("n_closed")
+    )
+    merged = (
+        opened.join(closed, "m", "full_outer")
+        .select(
+            "m",
+            F.coalesce("n_opened", F.lit(0)).alias("n_opened"),
+            F.coalesce("n_closed", F.lit(0)).alias("n_closed"),
+        )
+    )
+    cum = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return merged.select(
+        F.date_format("m", "yyyy-MM").alias("month"),
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(cum).alias("backlog_eom"),
+    )

@@ -497,3 +497,28 @@ def test_cusum_matches_dense_replay(registry, spark):
         assert r["alarm"] == (mxp > 4.0 * sd or mxn > 4.0 * sd)
         # max statistics dominate finals by construction
         assert r["cusum_pos_max"] >= r["cusum_pos_final"] - 1e-9
+
+
+def test_backlog_sweepline_conserves_orders(registry, spark):
+    rows = sorted(
+        tuple(r) for r in registry["orders_backlog_sweepline"].fn(spark, SF).collect()
+    )
+    assert rows
+    months = [r[0] for r in rows]
+    assert months == sorted(months)
+    total_open = sum(r[1] for r in rows)
+    total_close = sum(r[2] for r in rows)
+    # every order opens once and closes once
+    assert total_open == total_close > 0
+    # backlog is the running delta sum, never negative, ends at zero
+    run = 0
+    for _, op, cl, eom in rows:
+        run += op - cl
+        assert eom == run
+        assert eom >= 0
+    assert rows[-1][3] == 0
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    n_orders = load_table(spark, SF, "orders").count()
+    # orders with no lineitems (if any) are excluded by the inner join
+    assert 0 < total_open <= n_orders
