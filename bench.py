@@ -197,6 +197,7 @@ HEADLINE = [
     "quantile_grouped_exact_histogram",
     "text_langid_confusion",
     "quality_cusum_drift_alarm",
+    "orders_backlog_sweepline",
 ]
 
 

@@ -58,6 +58,7 @@ _GATE_FIRST = (
     "quantile_grouped_exact_histogram",
     "text_langid_confusion",
     "quality_cusum_drift_alarm",
+    "orders_backlog_sweepline",
     "embedding_pca_top_component",
     "embedding_pca_by_label",
     "embedding_pca_residual_outliers",

@@ -131,6 +131,7 @@ HEAVY = [
     "quantile_grouped_exact_histogram",
     "text_langid_confusion",
     "quality_cusum_drift_alarm",
+    "orders_backlog_sweepline",
 ]
 
 
