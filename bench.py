@@ -198,6 +198,7 @@ HEADLINE = [
     "text_langid_confusion",
     "quality_cusum_drift_alarm",
     "orders_backlog_sweepline",
+    "user_activity_streaks",
 ]
 
 

@@ -59,6 +59,7 @@ _GATE_FIRST = (
     "text_langid_confusion",
     "quality_cusum_drift_alarm",
     "orders_backlog_sweepline",
+    "user_activity_streaks",
     "embedding_pca_top_component",
     "embedding_pca_by_label",
     "embedding_pca_residual_outliers",

@@ -652,3 +652,66 @@ def event_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("revenue") / F.col("total"), 6).alias("revenue_share"),
         )
     )
+
+
+# -- gaps and islands ----------------------------------------------------------
+
+
+@register(
+    "user_activity_streaks",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ),
+    grp AS (
+      SELECT user_id, d,
+             d - to_days(row_number() OVER (PARTITION BY user_id ORDER BY d)::INTEGER)
+               AS island
+      FROM active
+    ),
+    streaks AS (
+      SELECT user_id, island, count(*) AS len FROM grp GROUP BY user_id, island
+    )
+    SELECT len AS streak_len,
+           count(*) AS n_streaks,
+           count(DISTINCT user_id) AS n_users
+    FROM streaks GROUP BY len
+    """,
+    description=(
+        "Gaps-and-islands: consecutive-active-day streak histogram per "
+        "user (the date - row_number island trick)"
+    ),
+    tags=("behavior", "window", "agg"),
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical gaps-and-islands pattern: within a user's sorted
+    distinct active days, consecutive runs share the constant
+    (day - row_number) island key, so streaks fall out of one window
+    plus one aggregate — no self-join, no recursion. Output is the
+    corpus streak-length histogram (n_streaks, distinct users at that
+    length) — the engagement-persistence view behind retention
+    cohorts (cohort_weekly_retention counts who returns; this counts
+    how LONG they stay active without a break).
+
+    Scale shape: the distinct (user, day) reduction is the only
+    corpus-scale stage (map-side-combined); the island window is
+    partitioned per user over that user's active DAYS (calendar-
+    bounded, the asof/EWMA per-entity contract); both rollups are
+    keyed aggregates on bounded keys."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = active.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d").cast("date"), F.row_number().over(w)).alias("island"),
+    )
+    streaks = grp.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy(F.col("len").alias("streak_len")).agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

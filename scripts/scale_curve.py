@@ -132,6 +132,7 @@ HEAVY = [
     "text_langid_confusion",
     "quality_cusum_drift_alarm",
     "orders_backlog_sweepline",
+    "user_activity_streaks",
 ]
 
 

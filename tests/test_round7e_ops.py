@@ -522,3 +522,21 @@ def test_backlog_sweepline_conserves_orders(registry, spark):
     n_orders = load_table(spark, SF, "orders").count()
     # orders with no lineitems (if any) are excluded by the inner join
     assert 0 < total_open <= n_orders
+
+
+def test_streaks_conserve_active_days(registry, spark):
+    import duckdb
+
+    rows = sorted(
+        tuple(r) for r in registry["user_activity_streaks"].fn(spark, SF).collect()
+    )
+    assert rows
+    con = duckdb.connect()
+    n_active = con.sql(
+        f"SELECT count(*) FROM (SELECT DISTINCT user_id, date_trunc('day', ts) "
+        f"FROM '{SF}/events.parquet')"
+    ).fetchone()[0]
+    # streak lengths x counts partition the distinct (user, day) set
+    assert sum(ln * n for ln, n, _ in rows) == n_active
+    for ln, n_streaks, n_users in rows:
+        assert ln >= 1 and 1 <= n_users <= n_streaks
