@@ -199,6 +199,7 @@ HEADLINE = [
     "quality_cusum_drift_alarm",
     "orders_backlog_sweepline",
     "user_activity_streaks",
+    "privacy_dp_noised_counts",
 ]
 
 

@@ -60,6 +60,7 @@ _GATE_FIRST = (
     "quality_cusum_drift_alarm",
     "orders_backlog_sweepline",
     "user_activity_streaks",
+    "privacy_dp_noised_counts",
     "embedding_pca_top_component",
     "embedding_pca_by_label",
     "embedding_pca_residual_outliers",

@@ -885,3 +885,82 @@ def quality_cusum_drift_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alarm"
         ),
     )
+
+
+# -- differential-privacy release shape ----------------------------------------
+
+_DP_EPS = 1.0  #: epsilon for the count release (sensitivity 1 -> b = 1/eps)
+
+
+@register(
+    "privacy_dp_noised_counts",
+    oracle=f"""
+    WITH counts AS (
+      SELECT n.n_name AS nation, count(*) AS true_count
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    ),
+    u AS (
+      SELECT nation, true_count,
+             ('0x' || substr(md5(nation), 1, 12))::BIGINT / 281474976710656.0 - 0.5
+               AS uu
+      FROM counts
+    )
+    SELECT nation, true_count,
+           round(true_count
+                 - (1.0 / {_DP_EPS})
+                   * CASE WHEN uu >= 0 THEN 1.0 ELSE -1.0 END
+                   * ln(1.0 - 2.0 * abs(uu)), 4) AS released_count,
+           round(abs((1.0 / {_DP_EPS})
+                 * CASE WHEN uu >= 0 THEN 1.0 ELSE -1.0 END
+                 * ln(1.0 - 2.0 * abs(uu))), 4) AS abs_noise,
+           CAST({_DP_EPS} AS DOUBLE) AS epsilon
+    FROM u
+    """,
+    description=(
+        "Differential-privacy count release (Laplace mechanism, "
+        "sensitivity 1, eps=1): per-nation customer counts with "
+        "inverse-CDF noise — deterministic hash-uniform stand-in so "
+        "the release plumbing is oracle-testable"
+    ),
+    tags=("quality", "privacy"),
+)
+def privacy_dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The epsilon-DP release SHAPE (Dwork et al. 2006) for a
+    sensitivity-1 counting query: noised = true + Lap(1/eps) via the
+    inverse CDF -b*sign(u)*ln(1-2|u|) over u ~ U(-1/2, 1/2). The
+    uniform here is the md5 hash of the group key mapped to
+    [−0.5, 0.5) — a DETERMINISTIC stand-in so both engines draw the
+    identical noise and the whole release replays as SQL; a
+    production release swaps in a calibrated RNG (and publishes ONLY
+    released_count — true_count and abs_noise are audit columns for
+    this testing surface, alongside quality_kanonymity_audit and
+    pii_rate_wilson_by_source in the privacy family).
+
+    Scale shape: the group counts are one keyed aggregate (nations-
+    bounded); the noise projection is per-group arithmetic on the
+    bounded frame. The mechanism's shape — never release a raw
+    small-group count — is the complement to the k-anonymity audit's
+    detection of exactly those groups."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    from crypto_etl_pipeline_spark.operators.phash import md5_long
+
+    counts = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    uu = md5_long(F.col("nation"), 12) / F.lit(float(1 << 48)) - 0.5
+    noise = (
+        (1.0 / _DP_EPS)
+        * F.when(uu >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(1.0 - 2.0 * F.abs(uu))
+    )
+    return counts.select(
+        "nation",
+        "true_count",
+        F.round(F.col("true_count") - noise, 4).alias("released_count"),
+        F.round(F.abs(noise), 4).alias("abs_noise"),
+        F.lit(_DP_EPS).alias("epsilon"),
+    )

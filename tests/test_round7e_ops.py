@@ -540,3 +540,21 @@ def test_streaks_conserve_active_days(registry, spark):
     assert sum(ln * n for ln, n, _ in rows) == n_active
     for ln, n_streaks, n_users in rows:
         assert ln >= 1 and 1 <= n_users <= n_streaks
+
+
+def test_dp_release_noise_replay(registry, spark):
+    import hashlib
+    import math as m
+
+    rows = [
+        tuple(r) for r in registry["privacy_dp_noised_counts"].fn(spark, SF).collect()
+    ]
+    assert len(rows) == 25
+    for nation, true_count, released, abs_noise, eps in rows:
+        assert eps == 1.0 and true_count > 0
+        u = int(hashlib.md5(nation.encode()).hexdigest()[:12], 16) / (1 << 48) - 0.5
+        noise = -(1.0 / eps) * (1.0 if u >= 0 else -1.0) * m.log(1.0 - 2.0 * abs(u))
+        assert abs(released - (true_count + noise)) < 1e-3
+        assert abs(abs_noise - abs(noise)) < 1e-3
+        # Laplace b=1: noise is small relative to hundreds-sized counts
+        assert abs_noise < 25.0
