@@ -200,6 +200,7 @@ HEADLINE = [
     "orders_backlog_sweepline",
     "user_activity_streaks",
     "privacy_dp_noised_counts",
+    "ann_ivf_nprobe_sweep",
 ]
 
 

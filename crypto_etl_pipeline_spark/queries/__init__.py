@@ -61,6 +61,7 @@ _GATE_FIRST = (
     "orders_backlog_sweepline",
     "user_activity_streaks",
     "privacy_dp_noised_counts",
+    "ann_ivf_nprobe_sweep",
     "embedding_pca_top_component",
     "embedding_pca_by_label",
     "embedding_pca_residual_outliers",

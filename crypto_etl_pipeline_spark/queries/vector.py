@@ -1653,3 +1653,156 @@ def embedding_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("mad", 4).alias("mean_abs_cos_delta"),
         F.round("mxd", 4).alias("max_abs_cos_delta"),
     )
+
+
+# -- IVF nprobe tuning sweep ----------------------------------------------------
+
+_NPROBE_CONFIGS = (1, 2, 4)  #: probe counts swept (cells = IVF_K = 16)
+
+
+@register(
+    "ann_ivf_nprobe_sweep",
+    oracle=f"""
+    WITH cent AS MATERIALIZED (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS idx, {_DUCK_QV} AS qc
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {IVF_K})
+    ),
+    qv AS MATERIALIZED (SELECT vec_id, embedding, {_DUCK_QV} AS q FROM embeddings),
+    adist AS MATERIALIZED (
+      SELECT v.vec_id, c.idx,
+             -2 * list_dot_product(v.q, c.qc) + list_dot_product(c.qc, c.qc) AS d
+      FROM qv v CROSS JOIN cent c
+    ),
+    ranked_cells AS MATERIALIZED (
+      SELECT vec_id, idx,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, idx) AS rn
+      FROM adist
+    ),
+    cells AS (SELECT vec_id AS neighbor_id, idx AS cell FROM ranked_cells WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS query_id, idx AS cell, rn AS probe_rn
+               FROM ranked_cells WHERE vec_id < {N_QUERIES} AND rn <= {max(_NPROBE_CONFIGS)}),
+    cand AS MATERIALIZED (
+      SELECT p.query_id, c.neighbor_id, p.probe_rn,
+             round(cast(list_cosine_similarity(qe.embedding, ne.embedding) AS DOUBLE), 4) AS cos_sim
+      FROM qprobe p JOIN cells c USING (cell)
+      JOIN embeddings qe ON qe.vec_id = p.query_id
+      JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+      WHERE p.query_id != c.neighbor_id
+    ),
+    per_cfg AS MATERIALIZED (
+      SELECT np.np, c.query_id, c.neighbor_id, c.cos_sim,
+             row_number() OVER (PARTITION BY np.np, c.query_id
+                                ORDER BY c.cos_sim DESC, c.neighbor_id) AS rank
+      FROM cand c JOIN (VALUES {", ".join(f"({p})" for p in _NPROBE_CONFIGS)}) np(np)
+        ON c.probe_rn <= np.np
+    ),
+    truth AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(cast(list_cosine_similarity(q.embedding, e.embedding) AS DOUBLE), 4) DESC,
+                          e.vec_id) AS rank
+        FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rank <= {TOP_K}
+    ),
+    stats AS (
+      SELECT p.np AS nprobe,
+             count(DISTINCT (p.query_id, p.neighbor_id)) FILTER (WHERE p.rank <= {TOP_K})
+               AS n_returned,
+             count(*) FILTER (WHERE p.rank <= {TOP_K} AND t.query_id IS NOT NULL)
+               AS n_hits,
+             count(*) AS n_candidates
+      FROM per_cfg p LEFT JOIN truth t
+        ON t.query_id = p.query_id AND t.neighbor_id = p.neighbor_id
+      GROUP BY p.np
+    )
+    SELECT nprobe, n_candidates, n_returned,
+           round(n_hits * 1.0 / ({N_QUERIES} * {TOP_K}), 4) AS recall_at_{TOP_K}
+    FROM stats
+    """,
+    description=(
+        f"IVF tuning table: candidate volume and recall@{TOP_K} vs the "
+        f"exact top-{TOP_K} for nprobe in {_NPROBE_CONFIGS} over the "
+        "seeded 16-cell index"
+    ),
+    tags=("similarity", "iterative"),
+)
+def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF twin of dedup_lsh_parameter_sweep: nprobe buys recall
+    with candidate volume, and this table measures the exchange rate
+    on THIS corpus — candidates scanned, results returned, and
+    recall@{TOP_K} against the exact cosine top-{TOP_K}. Probe sets
+    nest (probe_rn <= 1 ⊂ <= 2 ⊂ <= 4), so recall is monotone in
+    nprobe by construction (pinned in tests).
+
+    Scale shape: cell assignment and probe ranking are computed ONCE
+    at the maximum nprobe and fanned out by a 3-row literal config
+    frame; per-config ranking windows are per-(config, query) over
+    cell-bounded candidates; the exact-truth pass is the brute-force
+    Arrow kernel (at 100 TB the truth column comes from a held-out
+    sample, not the full corpus — recall estimation needs only the
+    sampled queries, which is exactly this plan's query-side shape)."""
+    from crypto_etl_pipeline_spark.operators.similarity import (
+        _nearest_cells_pd,
+        brute_force_topk,
+        ivf_assign_cells,
+        ivf_build_centroids,
+        pair_cosine_pd,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_build_centroids(emb, k=IVF_K, iters=0)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).limit(N_QUERIES)
+    cells = ivf_assign_cells(emb, cents)
+    maxp = max(_NPROBE_CONFIGS)
+    qcells = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qvec"),
+        F.posexplode(
+            _nearest_cells_pd(cents, maxp)(F.col("embedding"))
+        ).alias("_pr0", "_cell"),
+    ).withColumn("probe_rn", F.col("_pr0") + 1)
+    cand = (
+        cells.join(F.broadcast(qcells), "_cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "probe_rn",
+            F.round(pair_cosine_pd()(F.col("_qvec"), F.col("_cvec")), 4).alias("cos_sim"),
+        )
+    )
+    cfgs = spark.createDataFrame([(p,) for p in _NPROBE_CONFIGS], "np INT")
+    from pyspark.sql.window import Window
+
+    per_cfg = cand.join(F.broadcast(cfgs), F.col("probe_rn") <= F.col("np")).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("np", "query_id").orderBy(
+                F.desc("cos_sim"), F.asc("neighbor_id")
+            )
+        ),
+    )
+    truth = brute_force_topk(emb, queries, k=TOP_K).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_t")
+    )
+    stats = (
+        per_cfg.join(truth, ["query_id", "neighbor_id"], "left")
+        .groupBy(F.col("np").alias("nprobe"))
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum((F.col("rank") <= TOP_K).cast("long")).alias("n_returned"),
+            F.sum(
+                ((F.col("rank") <= TOP_K) & F.col("_t").isNotNull()).cast("long")
+            ).alias("n_hits"),
+        )
+    )
+    return stats.select(
+        "nprobe",
+        "n_candidates",
+        "n_returned",
+        F.round(F.col("n_hits") * 1.0 / (N_QUERIES * TOP_K), 4).alias(
+            f"recall_at_{TOP_K}"
+        ),
+    )

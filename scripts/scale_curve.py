@@ -134,6 +134,7 @@ HEAVY = [
     "orders_backlog_sweepline",
     "user_activity_streaks",
     "privacy_dp_noised_counts",
+    "ann_ivf_nprobe_sweep",
 ]
 
 

@@ -558,3 +558,19 @@ def test_dp_release_noise_replay(registry, spark):
         assert abs(abs_noise - abs(noise)) < 1e-3
         # Laplace b=1: noise is small relative to hundreds-sized counts
         assert abs_noise < 25.0
+
+
+def test_nprobe_sweep_monotone_recall(registry, spark):
+    rows = {
+        r["nprobe"]: r for r in registry["ann_ivf_nprobe_sweep"].fn(spark, SF).collect()
+    }
+    assert set(rows) == {1, 2, 4}
+    for p, r in rows.items():
+        assert 0 <= r["recall_at_10"] <= 1.0
+        assert r["n_returned"] <= 10 * 10  # <= k per query
+        assert r["n_returned"] <= r["n_candidates"]
+    # probe sets nest, so candidates and recall are monotone in nprobe
+    assert rows[1]["n_candidates"] <= rows[2]["n_candidates"] <= rows[4]["n_candidates"]
+    assert rows[1]["recall_at_10"] <= rows[2]["recall_at_10"] <= rows[4]["recall_at_10"]
+    # at nprobe=4 the registry's recall gate level holds
+    assert rows[4]["recall_at_10"] >= 0.8
