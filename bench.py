@@ -201,6 +201,7 @@ HEADLINE = [
     "user_activity_streaks",
     "privacy_dp_noised_counts",
     "ann_ivf_nprobe_sweep",
+    "dedup_minhash_estimate_error",
 ]
 
 

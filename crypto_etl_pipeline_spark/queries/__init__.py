@@ -62,6 +62,7 @@ _GATE_FIRST = (
     "user_activity_streaks",
     "privacy_dp_noised_counts",
     "ann_ivf_nprobe_sweep",
+    "dedup_minhash_estimate_error",
     "embedding_pca_top_component",
     "embedding_pca_by_label",
     "embedding_pca_residual_outliers",

@@ -13,6 +13,8 @@ split of 'a b ' semantics agree (verified in tests).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -4528,4 +4530,138 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_actual", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("is_correct", F.col("lang_actual") == F.col("lang_pred"))
+    )
+
+
+@register(
+    "dedup_minhash_estimate_error",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+    ),
+    shl AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || '_' || t[i+1] || '_' || t[i+2]))
+             ELSE [] END AS s
+      FROM toks
+    ),
+    xs AS MATERIALIZED (
+      SELECT doc_id, {phash.duck_md5_long("gram", 8)} AS x
+      FROM (SELECT doc_id, unnest(s) AS gram FROM shl)
+    ),
+    hs AS MATERIALIZED (
+      SELECT doc_id, coef.i, min((coef.a * xs.x + coef.b) % {phash.P}) AS h
+      FROM xs CROSS JOIN {phash.duck_coef_values(32)}
+      GROUP BY doc_id, coef.i
+    ),
+    bands AS MATERIALIZED (
+      SELECT doc_id, i // 4 AS band,
+             {phash.duck_md5_long("string_agg(h::VARCHAR, '|' ORDER BY i)", 15)} AS bucket
+      FROM hs GROUP BY doc_id, i // 4
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / 32.0 AS j_est
+      FROM cand c
+      JOIN hs ha ON ha.doc_id = c.id_a
+      JOIN hs hb ON hb.doc_id = c.id_b AND hb.i = ha.i
+      GROUP BY c.id_a, c.id_b
+    ),
+    exact AS (
+      SELECT e.id_a, e.id_b, e.j_est,
+             len(list_intersect(a.s, b.s)) * 1.0
+               / len(list_distinct(list_concat(a.s, b.s))) AS j_exact
+      FROM est e JOIN shl a ON a.doc_id = e.id_a JOIN shl b ON b.doc_id = e.id_b
+    )
+    SELECT count(*) AS n_pairs,
+           round(avg(abs(j_est - j_exact)), 4) AS mean_abs_err,
+           round(max(abs(j_est - j_exact)), 4) AS max_abs_err,
+           round(avg(j_exact), 4) AS mean_exact,
+           avg(abs(j_est - j_exact)) <= 2.0 / sqrt(32.0) AS within_2se
+    FROM exact
+    """,
+    description=(
+        "MinHash estimator calibration: |estimated - exact| Jaccard "
+        "over the LSH candidate pairs, with the 2/sqrt(k) accuracy "
+        "contract (k=32 hashes)"
+    ),
+    tags=("dedup", "sketch"),
+)
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-calibration audit for MinHash (the cms_frequency_
+    contract discipline applied to Jaccard): over the production LSH
+    candidate pairs, compare the 32-hash match-fraction ESTIMATE with
+    the exact shingle Jaccard. The estimator is a mean of 32 Bernoulli
+    trials with p = J, so its standard error is sqrt(J(1-J)/32) <=
+    1/(2·sqrt(32)) ~ 0.088 — the compared surface carries the
+    mean/max absolute error plus the '<= 2/sqrt(k)' contract boolean
+    (the same estimate-never-bare rule every sketch in this repo
+    follows: estimates ship with their accuracy contract).
+
+    Scale shape: ONE shingle pass feeds signatures, candidates, AND
+    the exact verify (the LSH-sweep sharing discipline); the estimate
+    join is (pairs x 32) signature rows — pair-bounded; the exact
+    Jaccard rehydrates shingle sets only for candidate pairs."""
+    from crypto_etl_pipeline_spark.operators.dedup import (
+        _shingle_arrays,
+        lsh_buckets,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh_tbl = _shingle_arrays(docs, "text", "doc_id", 3)
+    sigs = minhash_signatures(
+        docs, num_hashes=32, shingle_df=sh_tbl
+    ).localCheckpoint(eager=False)
+    bk = lsh_buckets(sigs, num_hashes=32, num_bands=8)
+    x, y = bk.alias("x"), bk.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+    # estimate: fraction of matching signature components — flat column
+    # comparison after joining both signatures onto the pair
+    sa = sigs.select(F.col("doc_id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(32)])
+    sb = sigs.select(F.col("doc_id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(32)])
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(32)
+    )
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (matches / 32.0).alias("j_est"))
+    )
+    sets_a = sh_tbl.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("sa"))
+    sets_b = sh_tbl.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("sb"))
+    exact = (
+        est.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .select(
+            "j_est",
+            (
+                F.size(F.array_intersect("sa", "sb"))
+                / F.size(F.array_distinct(F.concat("sa", "sb")))
+            ).alias("j_exact"),
+        )
+    )
+    err = F.abs(F.col("j_est") - F.col("j_exact"))
+    return exact.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(err), 4).alias("mean_abs_err"),
+        F.round(F.max(err), 4).alias("max_abs_err"),
+        F.round(F.avg("j_exact"), 4).alias("mean_exact"),
+        (F.avg(err) <= 2.0 / math.sqrt(32.0)).alias("within_2se"),
     )

@@ -135,6 +135,7 @@ HEAVY = [
     "user_activity_streaks",
     "privacy_dp_noised_counts",
     "ann_ivf_nprobe_sweep",
+    "dedup_minhash_estimate_error",
 ]
 
 

@@ -574,3 +574,14 @@ def test_nprobe_sweep_monotone_recall(registry, spark):
     assert rows[1]["recall_at_10"] <= rows[2]["recall_at_10"] <= rows[4]["recall_at_10"]
     # at nprobe=4 the registry's recall gate level holds
     assert rows[4]["recall_at_10"] >= 0.8
+
+
+def test_minhash_estimate_contract(registry, spark):
+    r = registry["dedup_minhash_estimate_error"].fn(spark, SF).collect()[0]
+    assert r["n_pairs"] > 0
+    assert 0.0 <= r["mean_abs_err"] <= r["max_abs_err"] <= 1.0
+    assert 0.0 < r["mean_exact"] <= 1.0
+    # the audit's own contract: mean abs error within 2 standard
+    # errors of the 32-hash Bernoulli-mean estimator
+    assert r["within_2se"] is True
+    assert r["mean_abs_err"] <= 2.0 / math.sqrt(32.0)
