@@ -202,6 +202,7 @@ HEADLINE = [
     "privacy_dp_noised_counts",
     "ann_ivf_nprobe_sweep",
     "dedup_minhash_estimate_error",
+    "embedding_drift_centroid_shift",
 ]
 
 

@@ -63,6 +63,7 @@ _GATE_FIRST = (
     "privacy_dp_noised_counts",
     "ann_ivf_nprobe_sweep",
     "dedup_minhash_estimate_error",
+    "embedding_drift_centroid_shift",
     "embedding_pca_top_component",
     "embedding_pca_by_label",
     "embedding_pca_residual_outliers",

@@ -1806,3 +1806,94 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"recall_at_{TOP_K}"
         ),
     )
+
+
+# -- embedding drift ------------------------------------------------------------
+
+_DRIFT_GATE_PCT = 50  #: hash-gate split (A = residue < 50, B = rest)
+
+
+@register(
+    "embedding_drift_centroid_shift",
+    oracle=f"""
+    WITH split AS (
+      SELECT vec_id, label, embedding,
+             CASE WHEN (vec_id * 2654435761) % 100 < {_DRIFT_GATE_PCT}
+                  THEN 'A' ELSE 'B' END AS grp
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT s.label, s.grp, u.pos, u.x::DOUBLE AS x
+      FROM split s, LATERAL (
+        SELECT unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS pos
+      ) u
+    ),
+    moments AS (
+      SELECT label, grp, pos, sum(x) AS sx, count(*) AS n
+      FROM dims GROUP BY label, grp, pos
+    ),
+    wide AS (
+      SELECT a.label, a.pos,
+             a.sx / a.n AS ma, b.sx / b.n AS mb,
+             a.n AS na, b.n AS nb
+      FROM moments a JOIN moments b
+        ON a.label = b.label AND a.pos = b.pos
+       AND a.grp = 'A' AND b.grp = 'B'
+    )
+    SELECT label,
+           min(na)::BIGINT AS n_a,
+           min(nb)::BIGINT AS n_b,
+           round(sqrt(sum((ma - mb) * (ma - mb))), 4) AS centroid_shift_l2
+    FROM wide GROUP BY label
+    """,
+    description=(
+        "Embedding drift audit: per-label centroid L2 shift between "
+        "deterministic hash-split halves — the vector twin of the "
+        "KL/chi2/KS text-drift tests"
+    ),
+    tags=("similarity", "quality", "ab-test"),
+)
+def embedding_drift_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did the embedding distribution move? Per label, the L2 distance
+    between the centroids of two deterministic hash-split halves — on
+    an i.i.d. corpus this is the sampling-noise floor (~sqrt(dim/n)),
+    so a production run comparing WEEK-over-WEEK batches reads any
+    excess as drift (re-embed / re-index trigger). Completes the
+    drift family: KL and chi-square (token space), KS (value space),
+    centroid shift (vector space).
+
+    Scale shape: one posexplode to (label, grp, dim) rows, ONE
+    map-side-combined moment aggregation (dim x label x 2 rows out —
+    the PCA sufficient-statistic discipline), then label-bounded
+    arithmetic. Means divide only at the bounded stage; the compared
+    surface rounds at 1e-4, orders above sum-association noise."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    split = _spread(emb, "vec_id").select(
+        "label",
+        F.when(
+            (F.col("vec_id") * 2654435761) % 100 < _DRIFT_GATE_PCT, F.lit("A")
+        )
+        .otherwise(F.lit("B"))
+        .alias("grp"),
+        F.posexplode("embedding").alias("pos", "x"),
+    )
+    moments = split.groupBy("label", "grp", "pos").agg(
+        F.sum(F.col("x").cast("double")).alias("sx"), F.count(F.lit(1)).alias("n")
+    )
+    a = moments.where(F.col("grp") == "A").select(
+        "label", "pos", (F.col("sx") / F.col("n")).alias("ma"), F.col("n").alias("na")
+    )
+    b = moments.where(F.col("grp") == "B").select(
+        "label", "pos", (F.col("sx") / F.col("n")).alias("mb"), F.col("n").alias("nb")
+    )
+    wide = a.join(b, ["label", "pos"])
+    # n is the per-(label, grp, dim) member count — identical for
+    # every dim of a group, so min() recovers the group size
+    return wide.groupBy("label").agg(
+        F.min("na").alias("n_a"),
+        F.min("nb").alias("n_b"),
+        F.round(
+            F.sqrt(F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))), 4
+        ).alias("centroid_shift_l2"),
+    )

@@ -585,3 +585,27 @@ def test_minhash_estimate_contract(registry, spark):
     # errors of the 32-hash Bernoulli-mean estimator
     assert r["within_2se"] is True
     assert r["mean_abs_err"] <= 2.0 / math.sqrt(32.0)
+
+
+def test_embedding_drift_matches_numpy(registry, spark):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rows = {
+        r["label"]: r
+        for r in registry["embedding_drift_centroid_shift"].fn(spark, SF).collect()
+    }
+    assert len(rows) == 10
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pydict()
+    ids = np.asarray(t["vec_id"]); labels = np.asarray(t["label"])
+    X = np.asarray([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    grp_a = (ids * 2654435761) % 100 < 50
+    for lab, r in rows.items():
+        ma = X[(labels == lab) & grp_a].mean(axis=0)
+        mb = X[(labels == lab) & ~grp_a].mean(axis=0)
+        assert r["n_a"] == int(((labels == lab) & grp_a).sum())
+        assert r["n_b"] == int(((labels == lab) & ~grp_a).sum())
+        assert abs(r["centroid_shift_l2"] - float(np.sqrt(((ma - mb) ** 2).sum()))) < 1e-3
+        # i.i.d. halves: the shift sits at the sampling-noise floor,
+        # well under the typical vector norm (~1)
+        assert 0.0 < r["centroid_shift_l2"] < 1.0
