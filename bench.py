@@ -203,6 +203,7 @@ HEADLINE = [
     "ann_ivf_nprobe_sweep",
     "dedup_minhash_estimate_error",
     "embedding_drift_centroid_shift",
+    "corr_matrix_lineitem",
 ]
 
 

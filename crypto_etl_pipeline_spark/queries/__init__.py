@@ -64,6 +64,7 @@ _GATE_FIRST = (
     "ann_ivf_nprobe_sweep",
     "dedup_minhash_estimate_error",
     "embedding_drift_centroid_shift",
+    "corr_matrix_lineitem",
     "embedding_pca_top_component",
     "embedding_pca_by_label",
     "embedding_pca_residual_outliers",

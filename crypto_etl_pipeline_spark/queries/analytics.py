@@ -3028,3 +3028,61 @@ def parquet_footer_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("mn"), 4).alias("min_value"),
         F.round(F.max("mx"), 4).alias("max_value"),
     )
+
+
+# -- one-pass correlation matrix -------------------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "corr_matrix_lineitem",
+    oracle="".join(
+        ("    UNION ALL\n" if i else "")
+        + f"""    SELECT '{a}' AS col_a, '{b}' AS col_b,
+           round(corr({a}, {b}), 6) AS pearson_r, count(*) AS n
+    FROM lineitem\n"""
+        for i, (a, b) in enumerate(
+            (a, b)
+            for ia, a in enumerate(_CORR_COLS)
+            for b in _CORR_COLS[ia + 1 :]
+        )
+    ),
+    description=(
+        "Pearson correlation matrix over the lineitem measures — all "
+        "6 pairs from ONE aggregation pass (feature-redundancy screen)"
+    ),
+    tags=("stats", "agg"),
+)
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-redundancy screen before any modeling step: every
+    pairwise Pearson r over the numeric measures, computed in ONE
+    corpus pass — Spark evaluates all 6 corr() co-moment aggregates
+    side by side in a single partial+final aggregation (the matrix
+    generalization of corr_lineitem_price_qty), then a stack()
+    unpivots the 1-row frame into the (col_a, col_b, r) surface.
+    At 100 TB this is the difference between 1 scan and C(d,2) scans.
+    Cross-engine: both engines compute textbook sample correlation
+    from co-moments; 1e-12 association noise against the 1e-6 grain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b)
+        for ia, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[ia + 1 :]
+    ]
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.round(F.corr(a, b), 6).alias(f"r_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ],
+    )
+    stack_expr = ", ".join(
+        f"'{a}', '{b}', r_{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_expr}) AS (col_a, col_b, pearson_r)"
+        ),
+        "n",
+    )

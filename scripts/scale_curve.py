@@ -137,6 +137,7 @@ HEAVY = [
     "ann_ivf_nprobe_sweep",
     "dedup_minhash_estimate_error",
     "embedding_drift_centroid_shift",
+    "corr_matrix_lineitem",
 ]
 
 

@@ -609,3 +609,24 @@ def test_embedding_drift_matches_numpy(registry, spark):
         # i.i.d. halves: the shift sits at the sampling-noise floor,
         # well under the typical vector norm (~1)
         assert 0.0 < r["centroid_shift_l2"] < 1.0
+
+
+def test_corr_matrix_symmetry_and_bounds(registry, spark):
+    import duckdb
+
+    rows = [
+        tuple(r) for r in registry["corr_matrix_lineitem"].fn(spark, SF).collect()
+    ]
+    assert len(rows) == 6  # C(4,2) pairs
+    n = {r[3] for r in rows}
+    assert len(n) == 1
+    # upper triangle in declaration order: unique unordered pairs
+    assert len({frozenset((a, b)) for a, b, _, _ in rows}) == 6
+    con = duckdb.connect()
+    for col_a, col_b, r, _ in rows:
+        assert col_a != col_b
+        assert -1.0 <= r <= 1.0
+        want = con.sql(
+            f"SELECT corr({col_a}, {col_b}) FROM '{SF}/lineitem.parquet'"
+        ).fetchone()[0]
+        assert abs(r - want) < 1e-5
