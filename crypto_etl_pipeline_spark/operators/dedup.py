@@ -863,3 +863,149 @@ def excise_duplicated_spans(
         (F.size("_toks") - F.size(kept)).alias("n_removed"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# Shared exact shingle-posting pair feed (+ hot-shingle DF cap)
+# --------------------------------------------------------------------------
+
+def shingle_posting_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    block_col: str | None = None,
+    shingle_df_cap: int | None = None,
+    shingle_df: DataFrame | None = None,
+) -> DataFrame:
+    """THE exact near-dup pair feed: ``(id_a, id_b, inter, size_a,
+    size_b)`` for every document pair sharing >= 1 shingle, via a
+    shingle POSTING join (never docs² per block — a pair sharing zero
+    shingles has similarity 0 under any t > 0 and never materializes,
+    so cost scales with matched posting volume; SCALE.md r6 measured
+    the n² form at 6.7x growth where this one is sub-linear).
+
+    One implementation feeds dedup_ngram_jaccard_pairs,
+    dedup_containment_pairs, split_leakage_audit, source_overlap_matrix
+    and the CC cluster family (queries/text.py) — previously four
+    inline copies, one drift site per copy (VERDICT r7 task #7).
+
+    ``block_col``: optional blocking key (e.g. ``lang``) ANDed into the
+    posting join — pairs never form across blocks.
+
+    ``shingle_df_cap`` — the skew guard (VERDICT r7 "What's wrong" #1).
+    A shingle appearing in *f* docs contributes C(f, 2) join rows on
+    ONE shuffle key; a boilerplate-heavy crawl (license headers,
+    templated pages) puts f in the millions and turns the "sparse"
+    posting join quadratic on a single partition. With a cap, postings
+    whose per-(block, shingle) document frequency exceeds it are
+    dropped BEFORE the self-join — the ``cap_hot_buckets`` discipline
+    (operators/dedup.py:180) applied to the exact path. The DF count is
+    a window over the same (block, shingle) partitioning the join
+    shuffles on, so the cap adds no exchange of its own.
+
+    Capped semantics (documented, not hidden): ``inter`` then counts
+    only sub-cap shingles while ``size_a``/``size_b`` stay full set
+    sizes, so capped Jaccard/containment are UNDER-estimates and a pair
+    whose overlap is exclusively boilerplate disappears — exactly the
+    degenerate cluster the cap exists to absorb (collapse verbatim
+    copies upstream with :func:`exact_dedup`, prune boilerplate with
+    text_boilerplate_ngram_prune). Audit what a cap spills with
+    :func:`hot_shingle_spill` before choosing one; default ``None``
+    keeps the feed exact.
+
+    ``shingle_df``: pre-built ``(id_col, [block_col], _sh)`` distinct-
+    shingle-array table (e.g. a checkpointed :func:`_shingle_arrays`)
+    so a caller sharing the tokenizer pass with MinHash signatures
+    tokenizes once.
+    """
+    from pyspark.sql.window import Window
+
+    if shingle_df is not None:
+        sh = shingle_df
+    else:
+        n_parts = docs.sparkSession.sparkContext.defaultParallelism
+        cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
+        sh = (
+            docs.repartition(n_parts, F.col(id_col))
+            .select(*cols, tokens(F.col(text_col)).alias("_toks"))
+            .select(
+                *cols,
+                F.array_distinct(shingles_of(F.col("_toks"), shingle_n)).alias("_sh"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    sizes = sh.select(F.col(id_col), F.size("_sh").alias("_sz"))
+    post_cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
+    post = sh.select(*post_cols, F.explode("_sh").alias("_g"))
+    if shingle_df_cap is not None:
+        w = Window.partitionBy(*(([block_col] if block_col else []) + ["_g"]))
+        post = (
+            post.withColumn("_df", F.count(F.lit(1)).over(w))
+            .where(F.col("_df") <= shingle_df_cap)
+            .drop("_df")
+        )
+    a, b = post.alias("a"), post.alias("b")
+    cond = (F.col("a._g") == F.col("b._g")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    # NO broadcast hint: `sizes` is corpus-sized (one row per doc) —
+    # forcing it driver-side is the 100 TB anti-pattern. AQE broadcasts
+    # it at test scale and falls back to a shuffle join beyond the
+    # threshold.
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("size_b"))
+    return inter.join(sa, "id_a").join(sb, "id_b")
+
+
+def hot_shingle_spill(
+    docs: DataFrame,
+    shingle_df_cap: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    block_col: str | None = None,
+    shingle_df: DataFrame | None = None,
+) -> DataFrame:
+    """The spill metric for :func:`shingle_posting_pairs`'s cap — one
+    row per (block, shingle) a cap of ``shingle_df_cap`` would drop:
+    its document frequency and the C(df, 2) posting-join comparisons it
+    would otherwise have generated (the observability half of the cap;
+    a silent cap would read as full coverage — ``lsh_hot_buckets``
+    discipline)."""
+    if shingle_df is not None:
+        sh = shingle_df
+    else:
+        n_parts = docs.sparkSession.sparkContext.defaultParallelism
+        cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
+        sh = (
+            docs.repartition(n_parts, F.col(id_col))
+            .select(*cols, tokens(F.col(text_col)).alias("_toks"))
+            .select(
+                *cols,
+                F.array_distinct(shingles_of(F.col("_toks"), shingle_n)).alias("_sh"),
+            )
+        )
+    post_cols = ([F.col(block_col)] if block_col else []) + [
+        F.explode("_sh").alias("shingle")
+    ]
+    keys = ([block_col] if block_col else []) + ["shingle"]
+    return (
+        sh.select(*post_cols)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > shingle_df_cap)
+        .withColumn(
+            "skipped_comparisons",
+            (F.col("df") * (F.col("df") - 1) / 2).cast("long"),
+        )
+    )

@@ -75,3 +75,110 @@ def unbounded_broadcast_hints(df):
                 out.append((hit, head))
         stack.extend(_children(node))
     return out
+
+
+# --------------------------------------------------------------------------
+# Uncapped posting-self-join detector (VERDICT r7 task #5)
+# --------------------------------------------------------------------------
+#
+# The hazard: explode a corpus column to postings, then self-equi-join
+# ON THE EXPLODED VALUE (shingle, gram, token). A value appearing in
+# *f* rows contributes C(f, 2) join rows on ONE shuffle key — quadratic
+# on a boilerplate-heavy corpus. The guarded shape inserts a
+# Window-count DF filter between the Generate and the Join
+# (shingle_posting_pairs' shingle_df_cap); the lint taints attributes
+# derived from a Generate output and flags any equi-join whose key is
+# tainted on BOTH sides with no Aggregate/Limit/Window in between.
+# Joins of two exploded sides on a NON-exploded key (e.g. doc_id) are
+# fine: their fan-out is bounded per document, not per corpus.
+
+_TAINT_STOP = {"Aggregate", "GlobalLimit", "LocalLimit", "Window"}
+
+
+def _expr_attr_ids(expr):
+    """exprIds of every AttributeReference in an expression tree."""
+    out = set()
+    stack = [expr]
+    while stack:
+        e = stack.pop()
+        if e.getClass().getSimpleName() == "AttributeReference":
+            out.add(e.exprId().id())
+        cs = e.children()
+        for i in range(cs.size()):
+            stack.append(cs.apply(i))
+    return out
+
+
+def _generator_taint(node):
+    """exprIds of attributes derived from a Generate (explode) output
+    reachable from ``node`` without passing Aggregate/Limit/Window."""
+    name = node.getClass().getSimpleName()
+    if name in _TAINT_STOP:
+        return set()
+    taint = set()
+    for c in _children(node):
+        taint |= _generator_taint(c)
+    if name == "Generate":
+        out = node.generatorOutput()
+        for i in range(out.size()):
+            taint.add(out.apply(i).exprId().id())
+    elif name == "Project" and taint:
+        # aliases of tainted expressions propagate the taint under the
+        # alias's new exprId (explode(..).alias("_g") analyzes to
+        # Project(Alias(gen_out)) over Generate)
+        pl = node.projectList()
+        for i in range(pl.size()):
+            ne = pl.apply(i)
+            if ne.getClass().getSimpleName() == "Alias" and (
+                _expr_attr_ids(ne.child()) & taint
+            ):
+                taint.add(ne.exprId().id())
+    return taint
+
+
+def _equi_pairs(cond):
+    """(left_ids, right_ids) attribute-id sets per EqualTo between two
+    plain attribute references in a join condition."""
+    pairs = []
+    stack = [cond]
+    while stack:
+        e = stack.pop()
+        n = e.getClass().getSimpleName()
+        if n == "EqualTo":
+            l, r = e.left(), e.right()
+            if (
+                l.getClass().getSimpleName() == "AttributeReference"
+                and r.getClass().getSimpleName() == "AttributeReference"
+            ):
+                pairs.append((l.exprId().id(), r.exprId().id(), l.name(), r.name()))
+                continue
+        cs = e.children()
+        for i in range(cs.size()):
+            stack.append(cs.apply(i))
+    return pairs
+
+
+def uncapped_posting_self_joins(df):
+    """Return [(key_name, join_head)] for every join in ``df``'s
+    analyzed plan whose equi-key is a Generate (explode) output on BOTH
+    sides with no Aggregate/Limit/Window bound in between — the
+    uncapped posting-self-join shape (quadratic per hot key). The
+    df-capped feed passes (its Window count bounds the taint); exact-
+    by-contract queries carry an explicit waiver in
+    tests/test_registry_lint.py."""
+    out = []
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "Join" and node.condition().isDefined():
+            kids = list(_children(node))
+            if len(kids) == 2:
+                lt = _generator_taint(kids[0])
+                rt = _generator_taint(kids[1])
+                if lt and rt:
+                    for lid, rid, lname, rname in _equi_pairs(node.condition().get()):
+                        if (lid in lt and rid in rt) or (lid in rt and rid in lt):
+                            head = node.toString().split("\n", 1)[0]
+                            out.append((f"{lname}={rname}", head[:120]))
+        stack.extend(_children(node))
+    return out

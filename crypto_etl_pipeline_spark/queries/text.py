@@ -24,8 +24,10 @@ from crypto_etl_pipeline_spark.operators.dedup import (
     build_minhash_store,
     exact_dedup,
     hamming64,
+    hot_shingle_spill,
     incremental_near_dups,
     near_dup_pairs_minhash,
+    shingle_posting_pairs,
     simhash_signatures,
     winnow_fingerprints,
 )
@@ -172,6 +174,59 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, "text", "doc_id")
 
 
+#: document-frequency cap for the skew-guarded pair-feed variants — a
+#: shingle in > HOT_SHINGLE_DF_CAP docs is treated as boilerplate and
+#: dropped from the posting join (C(df,2) rows on ONE shuffle key
+#: otherwise). 4 is deliberately BELOW the fixture's max df (5) so the
+#: capped variants are non-vacuous at every test SF: the driver gate
+#: proves the capped path against a capped oracle, not against the
+#: uncapped output.
+HOT_SHINGLE_DF_CAP = 4
+
+
+def _capped_posting_ctes(cap: int, block: bool) -> str:
+    """DuckDB CTE chain mirroring operators/dedup.py
+    shingle_posting_pairs(shingle_df_cap=cap): posting lists, per-
+    (block, shingle) document frequency, DF-capped postings, pair
+    intersection counts, FULL set sizes joined back. Terminal CTE is
+    ``stats(id_a, id_b, inter, size_a, size_b)``."""
+    bcol = "lang, " if block else ""
+    bjoin = "a.lang = b.lang AND " if block else ""
+    return f"""
+    tok AS (
+      SELECT doc_id, lang, regexp_split_to_array(text, '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || '_' || t[i+1] || '_' || t[i+2]))
+             ELSE [] END AS s
+      FROM tok
+    ),
+    post AS (SELECT doc_id, {bcol}unnest(s) AS g FROM sh),
+    dfreq AS (SELECT {bcol}g, count(*) AS df FROM post GROUP BY {bcol}g),
+    kept AS (
+      SELECT p.doc_id, {"p.lang, " if block else ""}p.g
+      FROM post p JOIN dfreq USING ({bcol.rstrip(", ") + ", " if block else ""}g)
+      WHERE dfreq.df <= {cap}
+    ),
+    pinter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM kept a JOIN kept b
+        ON {bjoin}a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+    stats AS (
+      SELECT pinter.id_a, pinter.id_b, pinter.inter,
+             sa.sz AS size_a, sb.sz AS size_b
+      FROM pinter
+      JOIN sz sa ON sa.doc_id = pinter.id_a
+      JOIN sz sb ON sb.doc_id = pinter.id_b
+    )"""
+
+
 @register(
     "dedup_ngram_jaccard_pairs",
     oracle="""
@@ -199,53 +254,99 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Reformulated round 6 from the lang-blocked broadcast n^2
-    # intersect to a shingle POSTING join (the dedup_containment_pairs
-    # shape, r5): distinct shingles explode to (shingle, doc)
-    # postings, the self-join on (lang, shingle) counts |A∩B| as a
-    # hash aggregation, and |A∪B| = size_a + size_b - inter needs only
-    # the per-doc set sizes joined back. EXACT — a pair sharing zero
-    # shingles has Jaccard 0 and can never pass t > 0, so skipping it
-    # loses nothing — and cost scales with matched posting volume, not
-    # docs² per block: the 3x-scale fixture measured the n² form at
-    # 6.7x growth (SCALE.md r6) where posting volume grows ~linearly.
-    # The n² formulation survives only in the DuckDB oracle.
+    # intersect to a shingle POSTING join: the shared feed
+    # (operators/dedup.py shingle_posting_pairs) counts |A∩B| as a
+    # hash aggregation over shared shingles, and |A∪B| = size_a +
+    # size_b - inter needs only the per-doc set sizes joined back.
+    # EXACT — a pair sharing zero shingles has Jaccard 0 and can never
+    # pass t > 0 — and cost scales with matched posting volume, not
+    # docs² per block (SCALE.md r6 measured the n² form at 6.7x
+    # growth). The n² formulation survives only in the DuckDB oracle.
+    # Exact-by-contract: uncapped on purpose (the oracle-parity form);
+    # dedup_ngram_jaccard_pairs_capped is the skew-guarded variant.
     docs = load_table(spark, sf_dir, "documents")
-    n_parts = spark.sparkContext.defaultParallelism
-    sh = (
-        docs.repartition(n_parts, F.col("doc_id"))
-        .select(
-            "doc_id",
-            "lang",
-            F.array_distinct(textops.shingles(F.col("text"), 3)).alias("s"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    sizes = sh.select("doc_id", F.size("s").alias("sz"))
-    post = sh.select("doc_id", "lang", F.explode("s").alias("sh"))
-    a, b = post.alias("a"), post.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    # NO broadcast hint: `sizes` is corpus-sized (one row per doc) —
-    # forcing it driver-side is the 100 TB anti-pattern. AQE broadcasts
-    # it at test scale anyway and falls back to a shuffle join when the
-    # table outgrows the threshold.
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("size_b"))
+    stats = shingle_posting_pairs(docs, block_col="lang")
     jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .where(jac >= 0.05)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    return stats.where(jac >= 0.05).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     )
+
+
+@register(
+    "dedup_ngram_jaccard_pairs_capped",
+    oracle=f"""
+    WITH {_capped_posting_ctes(HOT_SHINGLE_DF_CAP, block=True)}
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (size_a + size_b - inter), 6) AS jaccard
+    FROM stats
+    WHERE inter * 1.0 / (size_a + size_b - inter) >= 0.05
+    """,
+    description=f"Skew-guarded n-gram Jaccard pairs: postings with per-(lang, shingle) df > {HOT_SHINGLE_DF_CAP} dropped before the self-join",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB posture of the exact pair feed (VERDICT r7 #1): a
+    shingle in *f* docs contributes C(f, 2) posting-join rows on ONE
+    shuffle key, so a boilerplate-heavy crawl (license headers,
+    templated pages) turns the "sparse" exact join quadratic on a
+    single partition. This variant threads shingle_df_cap through the
+    shared feed — postings whose document frequency exceeds the cap are
+    dropped before the self-join (the cap_hot_buckets discipline,
+    operators/dedup.py), making per-key join fan-out <= C(cap, 2) BY
+    CONSTRUCTION. Capped Jaccard is an under-estimate (inter counts
+    sub-cap shingles; sizes stay full), and the oracle mirrors the cap
+    exactly — the driver gate proves the guarded path, not just the
+    exact one. dedup_hot_shingle_spill is the observability half:
+    what mass the cap dropped."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = shingle_posting_pairs(
+        docs, block_col="lang", shingle_df_cap=HOT_SHINGLE_DF_CAP
+    )
+    jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    return stats.where(jac >= 0.05).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+@register(
+    "dedup_hot_shingle_spill",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, regexp_split_to_array(text, '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || '_' || t[i+1] || '_' || t[i+2]))
+             ELSE [] END AS s
+      FROM tok
+    ),
+    post AS (SELECT doc_id, lang, unnest(s) AS g FROM sh)
+    SELECT lang, g AS shingle, count(*)::BIGINT AS df,
+           (count(*) * (count(*) - 1) // 2)::BIGINT AS skipped_comparisons
+    FROM post GROUP BY lang, g
+    HAVING count(*) > {HOT_SHINGLE_DF_CAP}
+    """,
+    description=f"Hot-shingle spill audit: shingles a df-cap of {HOT_SHINGLE_DF_CAP} drops from the exact pair feed, with the C(df,2) comparisons each absorbs",
+    tags=("dedup", "quality"),
+)
+def dedup_hot_shingle_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The observability half of dedup_ngram_jaccard_pairs_capped
+    (lsh_hot_buckets discipline): a silent cap would read as full
+    coverage, so the spilled mass — which shingles were treated as
+    boilerplate and how many posting-join comparisons each absorbed —
+    is a first-class auditable query. One exchange (the groupBy on
+    (lang, shingle)); output is bounded by the number of hot shingles,
+    which is what makes it cheap to run BEFORE committing to a cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    return hot_shingle_spill(
+        docs, shingle_df_cap=HOT_SHINGLE_DF_CAP, block_col="lang"
+    ).select(
+        "lang", "shingle", F.col("df").cast("long").alias("df"), "skipped_comparisons"
+    )
+
+
 
 
 def _minhash_ctes(num_hashes: int = 32, num_bands: int = 8, threshold: float = 0.05) -> str:
@@ -1973,40 +2074,12 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured 9.5 s -> ~1 s at sf0.1 vs the broadcast-intersect
     variant). Thresholding on greatest(containment) is FP-edge-free:
     both ratios are exact small-integer quotients."""
+    # Exact-by-contract: uncapped on purpose (the oracle-parity form);
+    # see shingle_posting_pairs' shingle_df_cap for the skew guard.
     docs = load_table(spark, sf_dir, "documents")
-    n_parts = spark.sparkContext.defaultParallelism
-    sh = (
-        docs.repartition(n_parts, F.col("doc_id"))
-        .select(
-            "doc_id",
-            "lang",
-            F.array_distinct(textops.shingles(F.col("text"), 3)).alias("s"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    sizes = sh.select("doc_id", F.size("s").alias("sz"))
-    post = sh.select("doc_id", "lang", F.explode("s").alias("sh"))
-    a, b = post.alias("a"), post.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    # NO broadcast hint: `sizes` is corpus-sized (one row per doc) —
-    # forcing it driver-side is the 100 TB anti-pattern. AQE broadcasts
-    # it at test scale anyway and falls back to a shuffle join when the
-    # table outgrows the threshold.
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("size_b"))
+    stats = shingle_posting_pairs(docs, block_col="lang")
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .where(
+        stats.where(
             F.greatest(
                 F.col("inter") / F.col("size_a"), F.col("inter") / F.col("size_b")
             )
@@ -3329,35 +3402,67 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on doc_id. No lang block: a near-dup leaks regardless of
     which shard it sits in. Output is one row per leaked eval doc and
     offending train twin."""
+    return _leakage_audit(spark, sf_dir, leakage_tau=LEAK_TAU, shingle_df_cap=None)
+
+
+@register(
+    "split_leakage_audit_capped",
+    oracle=f"""
+    WITH {_capped_posting_ctes(HOT_SHINGLE_DF_CAP, block=False)},
+    p AS (
+      SELECT id_a, id_b,
+             round(inter * 1.0 / (size_a + size_b - inter), 6) AS jaccard
+      FROM stats
+      WHERE inter * 1.0 / (size_a + size_b - inter) >= {LEAK_TAU}
+    ),
+    sp AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR || '{LEAK_SALT}'), 1, 15))::BIGINT
+               % 1000000 < {int(LEAK_EVAL_RATE * 1_000_000)} AS is_eval
+      FROM tok
+    )
+    SELECT CASE WHEN sa.is_eval THEN p.id_a ELSE p.id_b END AS eval_doc_id,
+           CASE WHEN sa.is_eval THEN p.id_b ELSE p.id_a END AS train_doc_id,
+           p.jaccard
+    FROM p
+    JOIN sp sa ON sa.doc_id = p.id_a
+    JOIN sp sb ON sb.doc_id = p.id_b
+    WHERE sa.is_eval != sb.is_eval
+    """,
+    description=f"Skew-guarded split-contamination audit: the leakage straddle test over the df-capped (cap {HOT_SHINGLE_DF_CAP}) pair feed",
+    tags=("dedup", "sampling", "quality"),
+)
+def split_leakage_audit_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split_leakage_audit's governance variant for boilerplate-heavy
+    corpora: same hash-gated straddle test, pair feed df-capped (the
+    one uncapped posting join VERDICT r7 flagged). A leaked NEAR-dup
+    shares many non-boilerplate shingles, so the cap costs recall only
+    on pairs whose sole overlap is boilerplate — which are not leakage,
+    they are template reuse. Capped Jaccard under-estimates, so this
+    variant is strictly conservative (never reports MORE leakage)."""
+    return _leakage_audit(
+        spark, sf_dir, leakage_tau=LEAK_TAU, shingle_df_cap=HOT_SHINGLE_DF_CAP
+    )
+
+
+def _leakage_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    leakage_tau: float,
+    shingle_df_cap: int | None,
+) -> DataFrame:
+    """Shared body of split_leakage_audit and its capped governance
+    variant: the shingle_posting_pairs feed (exact when
+    ``shingle_df_cap`` is None, skew-guarded otherwise — capped
+    Jaccard is an under-estimate, see operators/dedup.py), thresholded
+    at ``leakage_tau``, straddle-tested against the hash gate."""
     from crypto_etl_pipeline_spark.operators.sampling import GATE, hash_gate
 
     docs = load_table(spark, sf_dir, "documents")
-    n_parts = spark.sparkContext.defaultParallelism
-    sh = (
-        docs.repartition(n_parts, F.col("doc_id"))
-        .select(
-            "doc_id",
-            F.array_distinct(textops.shingles(F.col("text"), 3)).alias("s"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    sizes = sh.select("doc_id", F.size("s").alias("sz"))
-    post = sh.select("doc_id", F.explode("s").alias("sh"))
-    a, b = post.alias("a"), post.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    # sizes is corpus-sized: no broadcast hint (AQE decides).
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("size_b"))
+    stats = shingle_posting_pairs(docs, shingle_df_cap=shingle_df_cap)
     jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
-    pairs = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .where(jac >= LEAK_TAU)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    pairs = stats.where(jac >= leakage_tau).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     )
     gate = docs.select(
         "doc_id",
@@ -3722,6 +3827,12 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bounded aggregation."""
     pairs = dedup_ngram_jaccard_pairs(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
+    return _source_overlap_rollup(pairs, docs)
+
+
+def _source_overlap_rollup(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """Shared source²-bounded rollup of a (id_a, id_b, jaccard) pair
+    feed — used by source_overlap_matrix and its df-capped variant."""
     sa = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
     sb = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
     lo, hi = F.least("_sa", "_sb"), F.greatest("_sa", "_sb")
@@ -3738,6 +3849,51 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
         )
     )
+
+
+@register(
+    "source_overlap_matrix_capped",
+    oracle=f"""
+    WITH {_capped_posting_ctes(HOT_SHINGLE_DF_CAP, block=True)},
+    p AS (
+      SELECT id_a, id_b,
+             round(inter * 1.0 / (size_a + size_b - inter), 6) AS jaccard
+      FROM stats
+      WHERE inter * 1.0 / (size_a + size_b - inter) >= 0.05
+    ),
+    src AS (SELECT doc_id, source FROM documents),
+    cells AS (
+      SELECT least(a.source, b.source) AS source_a,
+             greatest(a.source, b.source) AS source_b,
+             (a.source = b.source) AS within_source,
+             p.jaccard
+      FROM p JOIN src a ON a.doc_id = p.id_a JOIN src b ON b.doc_id = p.id_b
+    )
+    SELECT source_a, source_b, within_source,
+           count(*)::BIGINT AS n_pairs,
+           round(avg(jaccard), 6) AS mean_jaccard
+    FROM cells GROUP BY 1, 2, 3
+    """,
+    description=f"Skew-guarded cross-source near-dup matrix over the df-capped (cap {HOT_SHINGLE_DF_CAP}) pair feed",
+    tags=("dedup", "quality", "provenance"),
+)
+def source_overlap_matrix_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source_overlap_matrix's boilerplate-proof variant: same
+    source²-bounded governance rollup, pair feed df-capped so a
+    templated crawl source (every page sharing a license header)
+    cannot blow the posting self-join quadratic on one shuffle key.
+    Mean Jaccard per cell is computed over capped (under-estimated)
+    scores — conservative for the drop-this-source decision the matrix
+    exists to inform."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = shingle_posting_pairs(
+        docs, block_col="lang", shingle_df_cap=HOT_SHINGLE_DF_CAP
+    )
+    jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    pairs = stats.where(jac >= 0.05).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    )
+    return _source_overlap_rollup(pairs, docs)
 
 
 @register(
@@ -4420,22 +4576,15 @@ def dedup_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, num_hashes=_SWEEP_HASHES, shingle_df=sh_tbl
     ).localCheckpoint(eager=False)
 
-    # Exact truth via the posting join (no lang block): |A∩B| as a hash
-    # aggregation over shared shingles, sizes joined back (unhinted).
-    sizes = sh_tbl.select("doc_id", F.size("_sh").alias("sz"))
-    post = sh_tbl.select("doc_id", F.explode("_sh").alias("g"))
-    pa, pb = post.alias("a"), post.alias("b")
-    inter = (
-        pa.join(pb, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sza = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("size_a"))
-    szb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("size_b"))
+    # Exact truth via the shared posting-join feed (no lang block):
+    # |A∩B| as a hash aggregation over shared shingles, sizes joined
+    # back (unhinted). Exact-by-contract: uncapped — this IS the recall
+    # denominator, so capping it would bias every sweep row.
+    from crypto_etl_pipeline_spark.operators.dedup import shingle_posting_pairs
+
     jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
     truth = (
-        inter.join(sza, "id_a")
-        .join(szb, "id_b")
+        shingle_posting_pairs(docs, shingle_df=sh_tbl)
         .where(jac >= _SWEEP_TRUTH_J)
         .select("id_a", "id_b")
         .localCheckpoint(eager=False)

@@ -79,3 +79,93 @@ def test_no_cartesian_product_plans(name, spark, built_df):
         f"{name} plan-shape drift (run scripts/plan_fingerprints.py "
         f"--update if deliberate): {FINGERPRINTS.get(name)} -> {got}"
     )
+
+
+# --- posting-self-join lint (VERDICT r7 task #5) --------------------------
+#
+# Exact-by-contract waivers: each query below deliberately joins
+# exploded values without a DF cap, and each has a named reason. A NEW
+# query that flags must either thread a cap (shingle_posting_pairs'
+# shingle_df_cap / near_dup_pairs_minhash's bucket_cap) or be added
+# here WITH a reason — silent reintroduction of the uncapped shape
+# fails the suite.
+POSTING_SELF_JOIN_WAIVERS = {
+    # The exact pair-feed family: uncapped on purpose — these ARE the
+    # oracle-parity exact semantics; each has a registered _capped
+    # governance twin (dedup_ngram_jaccard_pairs_capped,
+    # split_leakage_audit_capped, source_overlap_matrix_capped) and
+    # dedup_hot_shingle_spill as the pre-cap audit.
+    "dedup_ngram_jaccard_pairs",
+    "dedup_containment_pairs",
+    "split_leakage_audit",
+    "source_overlap_matrix",
+    # Sweep truth side is the recall DENOMINATOR — capping it would
+    # bias every recall row; fixture-bounded by construction.
+    "dedup_lsh_parameter_sweep",
+    # LSH (band, bucket) candidate joins: collision-density-bounded by
+    # banding; cap_hot_buckets/bucket_cap is the guard when a corpus
+    # defeats banding (tests/test_lsh_bucket_cap.py), default-off for
+    # oracle parity.
+    "dedup_minhash_lsh",
+    "dedup_incremental_new_docs",
+    "dedup_minhash_estimate_error",
+    # Span dedup gram joins: matched-volume-bounded; boilerplate grams
+    # are pruned upstream (text_boilerplate_ngram_prune) at scale —
+    # operators/dedup.py duplicated_spans docstring.
+    "text_duplicated_spans",
+    "text_excise_duplicated_spans",
+    # Decontamination gram probes: the eval-set side is a tiny
+    # hash-gated slice, so per-gram fan-out is bounded by eval DF.
+    "decontaminate_eval_overlap",
+    "decontaminate_bloom_prefilter",
+    # PQ assignment join on (m, code): code domain is the fixed
+    # codebook size (k per subspace), fan-out bounded by construction.
+    "ann_pq_adc_topk",
+}
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_no_uncapped_posting_self_joins(name, built_df):
+    """Any equi-join whose key is a Generate (explode) output on BOTH
+    sides with no Aggregate/Limit/Window bound in between is the
+    uncapped posting-self-join shape — quadratic per hot key on a
+    boilerplate-heavy corpus (VERDICT r7 #1). Requires a DF cap or an
+    explicit waiver above."""
+    from crypto_etl_pipeline_spark.plans.lint import uncapped_posting_self_joins
+
+    if name in POSTING_SELF_JOIN_WAIVERS:
+        pytest.skip("exact-by-contract waiver (see POSTING_SELF_JOIN_WAIVERS)")
+    df = built_df(name, "/root/testdata/sf0.001")
+    hits = uncapped_posting_self_joins(df)
+    assert not hits, (
+        f"{name} self-joins on an exploded key with no DF cap: {hits} — "
+        "thread shingle_df_cap/bucket_cap or add an exact-by-contract "
+        "waiver with a reason"
+    )
+
+
+def test_posting_self_join_detector_is_live(spark):
+    """The detector itself: red on a raw exploded self-join, green once
+    the df-cap window sits between the explode and the join."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from crypto_etl_pipeline_spark.plans.lint import uncapped_posting_self_joins
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "b c d e")], "id long, text string"
+    )
+    post = docs.select("id", F.explode(F.split("text", " ")).alias("tok"))
+    a, b = post.alias("a"), post.alias("b")
+    raw = a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+    assert uncapped_posting_self_joins(raw), "raw posting self-join must flag"
+
+    w = Window.partitionBy("tok")
+    capped = post.withColumn("_df", F.count(F.lit(1)).over(w)).where(F.col("_df") <= 3).drop("_df")
+    ca, cb = capped.alias("a"), capped.alias("b")
+    guarded = ca.join(cb, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+    assert not uncapped_posting_self_joins(guarded), "df-capped join must pass"
+
+    # joining exploded sides on a NON-exploded key is fine (per-doc fanout)
+    onid = a.join(b, F.col("a.id") == F.col("b.id"))
+    assert not uncapped_posting_self_joins(onid)
