@@ -2967,7 +2967,8 @@ _FOOTER_COLS = ("l_extendedprice", "l_quantity", "l_discount", "l_tax")
         + f"""    SELECT '{c}' AS column_name,
            count({c})::BIGINT AS num_values,
            round(min({c}), 4) AS min_value,
-           round(max({c}), 4) AS max_value
+           round(max({c}), 4) AS max_value,
+           0::BIGINT AS n_missing_stats
     FROM lineitem\n"""
         for i, c in enumerate(_FOOTER_COLS)
     ),
@@ -3002,11 +3003,24 @@ def parquet_footer_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def read_footers(batches):
         import pyarrow.parquet as pq
+        from urllib.parse import unquote, urlparse
 
         for pdf in batches:
-            out = {"column_name": [], "num_values": [], "mn": [], "mx": []}
+            out = {
+                "column_name": [],
+                "num_values": [],
+                "mn": [],
+                "mx": [],
+                "missing_stats": [],
+            }
             for path in pdf["path"]:
-                f = pq.ParquetFile(path.replace("file:", ""))
+                # proper URI parse, not a prefix strip: inputFiles()
+                # returns file:///... locally but s3a://bucket/... etc.
+                # on a cluster (non-local schemes pass through to the
+                # pyarrow filesystem dispatcher)
+                u = urlparse(path)
+                local = unquote(u.path) if u.scheme in ("", "file") else path
+                f = pq.ParquetFile(local)
                 schema_names = f.schema_arrow.names
                 idx = {n: i for i, n in enumerate(schema_names)}
                 for rg in range(f.metadata.num_row_groups):
@@ -3014,19 +3028,36 @@ def parquet_footer_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                         col_meta = f.metadata.row_group(rg).column(idx[c])
                         st = col_meta.statistics
                         out["column_name"].append(c)
-                        out["num_values"].append(int(st.num_values))
-                        out["mn"].append(float(st.min))
-                        out["mx"].append(float(st.max))
+                        if st is None or st.min is None or st.max is None:
+                            # writer omitted stats, or an all-null
+                            # chunk: exactly the malformed case this
+                            # audit exists to catch — surface it as an
+                            # explicit failure row (n_missing_stats>0
+                            # and/or null min/max vs the oracle's data
+                            # recompute), never an executor exception
+                            out["num_values"].append(int(col_meta.num_values))
+                            out["mn"].append(None)
+                            out["mx"].append(None)
+                            out["missing_stats"].append(1)
+                        else:
+                            out["num_values"].append(int(st.num_values))
+                            out["mn"].append(float(st.min))
+                            out["mx"].append(float(st.max))
+                            out["missing_stats"].append(0)
             yield pd.DataFrame(out)
 
     per_rg = files_df.mapInPandas(
         read_footers,
-        schema="column_name STRING, num_values LONG, mn DOUBLE, mx DOUBLE",
+        schema=(
+            "column_name STRING, num_values LONG, mn DOUBLE, mx DOUBLE, "
+            "missing_stats LONG"
+        ),
     )
     return per_rg.groupBy("column_name").agg(
         F.sum("num_values").alias("num_values"),
         F.round(F.min("mn"), 4).alias("min_value"),
         F.round(F.max("mx"), 4).alias("max_value"),
+        F.sum("missing_stats").cast("long").alias("n_missing_stats"),
     )
 
 

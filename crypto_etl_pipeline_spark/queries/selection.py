@@ -294,7 +294,7 @@ def quantile_exact_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CAL_DIM = 256  # same hashed-feature space as text_lr_score_fixed
 _CAL_BIN_MILLI = 2000  # margin-bin width: 2.0 in integer thousandths
-_CAL_SHIFT = 100000  # shift before integer div so floor == truncation
+_CAL_SHIFT = 100000  # keeps bin ids readable; sign-safety comes from the explicit floor div below, not from this dominating the margin range
 
 
 def _duck_quality_ok() -> str:
@@ -398,9 +398,17 @@ def model_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = docs.select(
         "doc_id", (quality_label(F.col("text")) == "ok").cast("int").alias("y")
     )
+    # DuckDB's `//` FLOORS while Spark's `div` TRUNCATES — they agree
+    # only while the shifted value stays non-negative, i.e. margin >=
+    # -_CAL_SHIFT/1000. Rather than trusting the shift to dominate any
+    # corpus's worst-case margin, make the Spark side a true floor
+    # division in exact integer arithmetic: subtract the non-negative
+    # pmod first, then the truncating div of an exact multiple IS the
+    # floor — sign-safe with no FP round-trip.
+    _shifted = f"(CAST(round(margin * 1000, 0) AS BIGINT) + {_CAL_SHIFT})"
     binned = margins.join(labels, "doc_id").select(
         F.expr(
-            f"(CAST(round(margin * 1000, 0) AS BIGINT) + {_CAL_SHIFT}) "
+            f"({_shifted} - pmod({_shifted}, {_CAL_BIN_MILLI})) "
             f"div {_CAL_BIN_MILLI}"
         ).alias("bin"),
         sigmoid(F.col("margin")).alias("score"),
@@ -553,6 +561,13 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             adj_t.join(F.broadcast(frontier), adj_t.src == frontier.node)
             .where(F.col("rn") == idx)
             .select("start_node", F.col("dst").alias("node"))
+            # Cut the lineage each step (same discipline as the
+            # adjacency/pairs frames): without this, step t's frontier
+            # AND every unioned output branch lazily re-derive all
+            # prior steps' joins, so executed work grows quadratically
+            # in walk length — invisible at _WALK_STEPS=4, a wall at
+            # production T.
+            .localCheckpoint(eager=False)
         )
         out = out.unionByName(
             frontier.select("start_node", F.lit(t).alias("step"), "node")

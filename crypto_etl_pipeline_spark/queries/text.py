@@ -4609,7 +4609,6 @@ def dedup_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.lit(b).alias("bands"),
                 F.lit(r).alias("rows_per_band"),
-                F.lit(round((1.0 / b) ** (1.0 / r), 4)).alias("s_curve_thresh"),
                 "id_a",
                 "id_b",
             )
@@ -4618,9 +4617,30 @@ def dedup_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = cands.join(
         truth.withColumn("_t", F.lit(1)), ["id_a", "id_b"], "left"
     )
-    per = joined.groupBy("bands", "rows_per_band", "s_curve_thresh").agg(
+    agg = joined.groupBy("bands", "rows_per_band").agg(
         F.count(F.lit(1)).alias("n_candidates"),
         F.sum(F.coalesce(F.col("_t"), F.lit(0))).alias("n_verified"),
+    )
+    # Left-join the stats onto a LITERAL config frame: a config whose
+    # LSH join yields zero candidates has no group to aggregate, so a
+    # bare groupBy would drop its row entirely while the oracle's
+    # per-config UNION ALL always emits one (n_candidates=0, recall 0)
+    # — a latent parity break on sparser corpora / higher thresholds.
+    cfg = spark.createDataFrame(
+        [
+            (b, r, float(round((1.0 / b) ** (1.0 / r), 4)))
+            for b, r in _SWEEP_CONFIGS
+        ],
+        "bands int, rows_per_band int, s_curve_thresh double",
+    )
+    # agg is Aggregate-bounded (<= one row per config) — broadcast is
+    # structurally safe and keeps the literal-frame join off SMJ.
+    per = cfg.join(F.broadcast(agg), ["bands", "rows_per_band"], "left").select(
+        "bands",
+        "rows_per_band",
+        "s_curve_thresh",
+        F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce("n_verified", F.lit(0)).cast("long").alias("n_verified"),
     )
     return per.crossJoin(F.broadcast(n_truth)).select(
         "bands",
@@ -4633,7 +4653,12 @@ def dedup_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_candidates") > 0,
             F.round(F.col("n_verified") * 1.0 / F.col("n_candidates"), 6),
         ).alias("precision"),
-        F.round(F.col("n_verified") * 1.0 / F.col("n_truth"), 6).alias("recall"),
+        # n_truth = 0 (a corpus with no near-dups at all) must yield a
+        # NULL recall, not an ANSI divide-by-zero executor error
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(F.col("n_verified") * 1.0 / F.col("n_truth"), 6),
+        ).alias("recall"),
     )
 
 

@@ -831,9 +831,20 @@ def run_mv_rollup_stream(
             F.coalesce(F.col("b.hour"), F.col("d.hour")).alias("hour"),
             F.coalesce(F.col("b.event_type"), F.col("d.event_type")).alias("event_type"),
             (F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))).alias("n"),
-            (
-                F.coalesce(F.col("b.s"), F.lit(0.0)) + F.coalesce(F.col("d.s"), F.lit(0.0))
-            ).alias("s"),
+            # NULL-sum SQL semantics: a partial is NULL either because
+            # the side is absent from the outer join OR because every
+            # value in its group was NULL — in both cases only coalesce
+            # to 0 when at least one side carries a real partial, so an
+            # all-NULL group drains as NULL exactly like the oracle's
+            # single-batch GROUP BY (batch-equivalence contract).
+            F.when(
+                F.col("b.s").isNull() & F.col("d.s").isNull(), F.lit(None)
+            )
+            .otherwise(
+                F.coalesce(F.col("b.s"), F.lit(0.0))
+                + F.coalesce(F.col("d.s"), F.lit(0.0))
+            )
+            .alias("s"),
             F.least(
                 F.coalesce(F.col("b.mn"), F.col("d.mn")),
                 F.coalesce(F.col("d.mn"), F.col("b.mn")),

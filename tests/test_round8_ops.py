@@ -168,3 +168,89 @@ def test_capped_differs_from_uncapped_on_skew_fixture(spark, tmp_path):
     n_exact, n_capped = exact.count(), capped.count()
     assert n_exact >= N_BOILER_PAIRS + 1
     assert n_capped == 1
+
+
+# --- ADVICE r7 regression tests -------------------------------------------
+
+
+def test_lsh_sweep_emits_all_configs_on_dupless_corpus(spark, tmp_path):
+    """A corpus with no near-dups yields ZERO LSH candidates for every
+    config; the sweep must still emit one row per config with
+    n_candidates=0 (the oracle's per-config UNION ALL always does) —
+    previously the groupBy over an empty candidate set dropped the
+    rows entirely."""
+    rows = [
+        (i, "en", f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g w{i}h", "web")
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, source string"
+    )
+    path = os.path.join(tmp_path, "documents.parquet")
+    docs.toPandas().to_parquet(path)
+    got = {
+        r["bands"]: r
+        for r in REGISTRY["dedup_lsh_parameter_sweep"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {4, 8, 16}, "one row per config even with zero candidates"
+    for b, r in got.items():
+        assert r["n_candidates"] == 0 and r["n_verified"] == 0
+        assert r["n_truth"] == 0
+        assert r["precision"] is None
+        assert r["rows_per_band"] == 32 // b
+
+
+def test_footer_audit_survives_missing_statistics(spark, tmp_path):
+    """A writer that omits column statistics is exactly the malformed
+    case the audit exists to catch — it must surface missing-stats
+    chunks as n_missing_stats > 0 with null min/max, not crash the
+    executor on float(None)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(
+        {
+            "l_extendedprice": [1.5, 2.5, 3.5],
+            "l_quantity": [1.0, 2.0, 3.0],
+            "l_discount": [0.1, 0.2, 0.3],
+            "l_tax": [0.01, 0.02, 0.03],
+        }
+    )
+    path = os.path.join(tmp_path, "lineitem.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf), path, write_statistics=False)
+
+    rows = {
+        r["column_name"]: r
+        for r in REGISTRY["parquet_footer_stats_audit"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {"l_extendedprice", "l_quantity", "l_discount", "l_tax"}
+    for r in rows.values():
+        assert r["n_missing_stats"] >= 1, "stats-less chunk must be reported"
+        assert r["min_value"] is None and r["max_value"] is None
+        assert r["num_values"] == 3
+
+
+def test_calibration_floor_div_handles_negative_shifted_values(spark):
+    """The bin expression must FLOOR (DuckDB // semantics), not
+    truncate, for margins below -_CAL_SHIFT/1000 — the pmod form is
+    sign-safe in exact integer arithmetic."""
+    import math
+
+    from crypto_etl_pipeline_spark.queries.selection import _CAL_BIN_MILLI, _CAL_SHIFT
+
+    margins = [-250.0, -150.3, -100.2501, -100.0, -0.01, 0.0, 42.73, 199.999]
+    df = spark.createDataFrame([(m,) for m in margins], "margin double")
+    shifted = f"(CAST(round(margin * 1000, 0) AS BIGINT) + {_CAL_SHIFT})"
+    got = [
+        r["bin"]
+        for r in df.select(
+            F.expr(
+                f"({shifted} - pmod({shifted}, {_CAL_BIN_MILLI})) div {_CAL_BIN_MILLI}"
+            ).alias("bin")
+        ).collect()
+    ]
+    want = [
+        math.floor((round(m * 1000) + _CAL_SHIFT) / _CAL_BIN_MILLI) for m in margins
+    ]
+    assert got == want
