@@ -247,19 +247,27 @@ def main() -> None:
     }
     # Per-query timings go to a committed artifact; stdout gets the full
     # line FIRST and then a compact summary line LAST.  The driver keeps
-    # only a stdout tail, and the 90+-query dict overflowed it in round 5
-    # (BENCH_r05.json "parsed": null) — the compact final line always
-    # lands inside any tail buffer.
+    # only a ~2000-char stdout tail, and the 90+-query dict overflowed
+    # it in round 5 (BENCH_r05.json "parsed": null) — the compact final
+    # line always lands inside any tail buffer.  A 160+-query dict is
+    # ~5 KB and can never fit that tail, so the final line carries the
+    # most self-containment the artifact admits (VERDICT r7 task #6):
+    # the slowest-query map (the rows any plan audit starts from), the
+    # sha256 of the canonical full per-query dict, and the committed
+    # file that dict lives in — tamper-evident without the full 5 KB.
+    import hashlib
+
+    file_text = json.dumps(full, indent=1, sort_keys=True) + "\n"
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
             "w",
         ) as fh:
-            json.dump(full, fh, indent=1, sort_keys=True)
-            fh.write("\n")
+            fh.write(file_text)
     except OSError:
         pass
     print(json.dumps(full))
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
     print(
         json.dumps(
             {
@@ -270,6 +278,9 @@ def main() -> None:
                 "passes": 2,
                 "agg": "min",
                 "sf": sf_val,
+                "slowest": slowest,
+                "bench_full_sha256": hashlib.sha256(file_text.encode()).hexdigest(),
+                "queries_file": "BENCH_FULL.json",
             }
         )
     )

@@ -30,114 +30,97 @@ from crypto_etl_pipeline_spark.queries import selection  # noqa: F401, E402
 
 
 # The driver's correctness gate samples the FIRST entries of queries(),
-# so ordering is rotated each round to cycle coverage: this round leads
-# with the round-6 operator families the official gate has not yet
-# sampled (PCA / KMV / k-core / KS / Bloom / recursive CTE / VARIANT /
-# JL) plus every query whose join plan changed in the round-7
-# de-hinting sweep (forced fact-table broadcasts removed — the plans
-# must re-prove themselves under AQE-decided strategies).
+# so ordering is rotated each round to cycle coverage. Union of the
+# r1-r7 samples = 110 distinct names; this round leads with the four
+# new round-8 skew-guard queries and then draws EXCLUSIVELY from the
+# 171-query never-sampled pool (VERDICT r7 residual gap #1 / task #3):
+# the de-hinted star stragglers, the sampling family, exact-money /
+# ANSI / null-semantics suites, the as-of/range/SCD2 join family, the
+# pair-feed exact queries, and two streaming drains.
 _GATE_FIRST = (
-    # round-7 fifth/sixth waves — newest queries lead so the official
-    # gate samples them in their first round
-    "kcenter_coreset_selection",
-    "quantile_exact_histogram",
-    "model_calibration_bins",
-    "graph_random_walks",
-    "incremental_rollup_merge",
-    "pii_rate_wilson_by_source",
-    "text_ngram_novelty_curve",
-    "basket_association_rules",
-    "text_zipf_heaps_fit",
-    "dedup_lsh_parameter_sweep",
-    "ab_mann_whitney_u",
-    "event_attribution_linear",
-    "parquet_footer_stats_audit",
-    "embedding_matryoshka_fidelity",
-    "stream_incremental_mv_merge",
-    "forecast_holt_daily_revenue",
-    "quantile_grouped_exact_histogram",
-    "text_langid_confusion",
-    "quality_cusum_drift_alarm",
-    "orders_backlog_sweepline",
-    "user_activity_streaks",
-    "privacy_dp_noised_counts",
-    "ann_ivf_nprobe_sweep",
-    "dedup_minhash_estimate_error",
-    "embedding_drift_centroid_shift",
-    "corr_matrix_lineitem",
-    "embedding_pca_top_component",
-    "embedding_pca_by_label",
-    "embedding_pca_residual_outliers",
-    "sketch_kmv_audience_overlap",
-    "stream_kmv_distinct",
-    "kcore_trade_graph",
-    "ab_ks_test",
-    "decontaminate_bloom_prefilter",
-    "sql_recursive_hierarchy_rollup",
-    "variant_props_shred",
-    "embedding_random_projection",
-    "ann_jl_projected_topk",
-    # round-7 retrieval/data-selection family — new this round, so it
-    # enters the official gate immediately
-    "bm25_topk_retrieval",
-    "text_bigram_lm_perplexity",
-    "dsir_importance_weights",
-    "quality_kanonymity_audit",
-    "split_leakage_audit",
-    "ann_hard_negative_topk",
-    "token_budget_epoch_allocation",
-    "label_propagation_communities",
-    "tokenizer_fertility_by_lang",
-    "truncation_loss_by_context",
-    "quality_filter_funnel",
-    "embedding_anisotropy_by_label",
-    "oov_rate_by_lang",
-    "source_overlap_matrix",
-    "ann_pq_adc_topk",
-    "layout_skipping_audit",
+    # round-8 skew-guard wave (new this round)
+    "dedup_ngram_jaccard_pairs_capped",
+    "dedup_hot_shingle_spill",
+    "split_leakage_audit_capped",
+    "source_overlap_matrix_capped",
+    # never-sampled: joins and stars
+    "asof_join_purchase_click",
+    "bucketed_join_colocated",
+    "range_join_click_before_purchase",
+    "scd2_point_in_time_join",
+    "dpp_partitioned_star_probe",
+    "fuzzy_match_suppliers",
+    "skew_salted_join",
+    "skew_two_phase_distinct",
+    "join_skew_profile",
+    "join_cardinality_estimate",
+    "q6_forecast_revenue",
+    "q11_important_suppliers",
+    "q12_linestatus_priority",
+    "scalar_subquery_rich_suppliers",
+    # never-sampled: sampling / splits
+    "sample_pps_documents",
+    "sample_stratified_exact",
+    "sample_weighted_ares",
+    "sample_by_key",
+    "stratified_fixed_k_sample",
+    "consistent_universe_sample",
+    "corpus_hash_split",
+    "corpus_mix_sample",
+    "cap_docs_per_source",
+    # never-sampled: typed/ANSI/null semantics
+    "decimal_exact_money_agg",
+    "ansi_try_arithmetic",
+    "null_semantics_suite",
+    "csv_corrupt_record_audit",
+    "cube_order_status_priority",
+    "grouping_sets_status_priority",
+    "cdc_apply_changeset",
+    "ab_welch_t_test",
+    # never-sampled: dedup/text exact family
+    "dedup_containment_pairs",
+    "dedup_prefix_filter_pairs",
+    "dedup_semantic_clusters",
+    "dedup_canonical_by_quality",
     "dedup_cluster_size_histogram",
-    "dedup_soft_weights_by_source",
-    "active_learning_margin_topk",
-    "curriculum_phase_schedule",
-    "hybrid_rrf_retrieval",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_item_customers",
-    "q18_large_volume_orders",
-    "q15_top_supplier",
-    "q2_cheapest_supplier",
-    "q20_big_promo_suppliers",
-    "q21_last_shipping_suppliers",
-    "q16_parts_supplier_counts",
-    "q14_promo_revenue_share",
-    "q19_disjunctive_revenue",
-    "q17_small_quantity_revenue",
-    "q3_top_revenue_orders",
-    "q5_nation_revenue",
-    "pagerank_trade_graph",
-    "degree_distribution_trade_graph",
-    "quality_referential_audit",
-    "bpe_encode_token_counts",
-    "stream_static_enrich",
-    "ann_brute_force_topk",
-    "ann_lsh_bucketed_topk",
-    "ann_ivf_topk",
+    "decontaminate_eval_overlap",
+    "text_duplicated_spans",
+    "text_excise_duplicated_spans",
+    "text_boilerplate_ngram_prune",
+    "inverted_index_postings",
+    "tfidf_top_terms",
+    "text_lr_score_fixed",
+    "text_gopher_filters",
+    "text_entropy_signals",
+    "text_chi2_source_quality",
+    "vocab_coverage_curve",
+    # never-sampled: vectors
     "ann_ivf_refined_topk",
     "ann_ivf_persisted_probe",
     "ann_mmr_diversified_topk",
-    "bucketed_join_colocated",
-    "corpus_mix_temperature",
-    "cap_docs_per_source",
-    "quality_percentile_normalize",
-    "text_gopher_filters",
-    "bpe_train_merges",
-    "dedup_canonical_by_quality",
-    "sample_stratified_exact",
-    "sample_weighted_ares",
-    "hll_sketch_mergeable_rollup",
-    "rolling_wau_hll",
-    "graph_triangle_count",
+    "embedding_int8_quantize",
+    "embedding_norm_stats",
+    # never-sampled: semi-structured / window / quality
+    "pivot_user_event_values",
+    "unpivot_customer_metrics",
+    "map_type_event_counts",
+    "json_extract_props_stats",
+    "semistructured_props_paths",
+    "window_rank_suite",
+    "window_ntile_quartiles",
+    "window_rolling_7d_spend",
+    "rolling_zscore_anomaly",
+    "profile_events_table",
+    "quality_rule_report",
+    "reconcile_checksum_events",
+    "partitioned_write_prune_read",
+    "zorder_layout_events",
+    "multimodal_real_decode_ppm",
+    "pipeline_training_prep",
+    "pipeline_curation_v2",
+    # never-sampled: streaming drains (two — they are the slow rows)
+    "stream_hourly_rollup",
+    "stream_dedup_within_watermark",
 )
 
 
