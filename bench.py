@@ -204,6 +204,12 @@ HEADLINE = [
     "dedup_minhash_estimate_error",
     "embedding_drift_centroid_shift",
     "corr_matrix_lineitem",
+    # round-8 surface: pair-feed skew guards + sampled k-center
+    "dedup_ngram_jaccard_pairs_capped",
+    "dedup_hot_shingle_spill",
+    "split_leakage_audit_capped",
+    "source_overlap_matrix_capped",
+    "kcenter_sampled_assign",
 ]
 
 

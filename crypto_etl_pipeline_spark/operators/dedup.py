@@ -869,6 +869,33 @@ def excise_duplicated_spans(
 # Shared exact shingle-posting pair feed (+ hot-shingle DF cap)
 # --------------------------------------------------------------------------
 
+def _posting_shingles(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    block_col: str | None,
+) -> DataFrame:
+    """(id, [block], _sh) distinct-shingle arrays, repartitioned by id
+    and CHECKPOINTED. The checkpoint is not just reuse: Catalyst's
+    infer-filters-from-Generate otherwise pushes a size()/isnotnull
+    filter containing the FULL shingle HOF expression below the
+    repartition, re-running the tokenizer over the raw (single-split)
+    parquet scan on one core — measured 18 s vs ~1 s at sf0.1 on the
+    spill query before this was shared."""
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
+    return (
+        docs.repartition(n_parts, F.col(id_col))
+        .select(*cols, tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            *cols,
+            F.array_distinct(shingles_of(F.col("_toks"), shingle_n)).alias("_sh"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
 def shingle_posting_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -921,20 +948,11 @@ def shingle_posting_pairs(
     """
     from pyspark.sql.window import Window
 
-    if shingle_df is not None:
-        sh = shingle_df
-    else:
-        n_parts = docs.sparkSession.sparkContext.defaultParallelism
-        cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
-        sh = (
-            docs.repartition(n_parts, F.col(id_col))
-            .select(*cols, tokens(F.col(text_col)).alias("_toks"))
-            .select(
-                *cols,
-                F.array_distinct(shingles_of(F.col("_toks"), shingle_n)).alias("_sh"),
-            )
-            .localCheckpoint(eager=False)
-        )
+    sh = (
+        shingle_df
+        if shingle_df is not None
+        else _posting_shingles(docs, text_col, id_col, shingle_n, block_col)
+    )
     sizes = sh.select(F.col(id_col), F.size("_sh").alias("_sz"))
     post_cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
     post = sh.select(*post_cols, F.explode("_sh").alias("_g"))
@@ -982,19 +1000,11 @@ def hot_shingle_spill(
     would otherwise have generated (the observability half of the cap;
     a silent cap would read as full coverage — ``lsh_hot_buckets``
     discipline)."""
-    if shingle_df is not None:
-        sh = shingle_df
-    else:
-        n_parts = docs.sparkSession.sparkContext.defaultParallelism
-        cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
-        sh = (
-            docs.repartition(n_parts, F.col(id_col))
-            .select(*cols, tokens(F.col(text_col)).alias("_toks"))
-            .select(
-                *cols,
-                F.array_distinct(shingles_of(F.col("_toks"), shingle_n)).alias("_sh"),
-            )
-        )
+    sh = (
+        shingle_df
+        if shingle_df is not None
+        else _posting_shingles(docs, text_col, id_col, shingle_n, block_col)
+    )
     post_cols = ([F.col(block_col)] if block_col else []) + [
         F.explode("_sh").alias("shingle")
     ]

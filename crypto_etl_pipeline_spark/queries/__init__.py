@@ -39,6 +39,7 @@ from crypto_etl_pipeline_spark.queries import selection  # noqa: F401, E402
 # pair-feed exact queries, and two streaming drains.
 _GATE_FIRST = (
     # round-8 skew-guard wave (new this round)
+    "kcenter_sampled_assign",
     "dedup_ngram_jaccard_pairs_capped",
     "dedup_hot_shingle_spill",
     "split_leakage_audit_capped",

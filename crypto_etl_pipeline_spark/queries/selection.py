@@ -171,6 +171,162 @@ def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- sampled (driver-loop-free) k-center ---------------------------------------
+
+_KC_SAMPLE_N = 48  #: fixed-size hash-ordered sample (driver state bound)
+_KC_SALT = "kcenter-sample-v1"
+
+
+def _kcenter_sampled_oracle(k: int, n_sample: int) -> str:
+    """Sampled Gonzalez, SQL-replayed: fixed-size hash-order-statistic
+    sample -> unrolled greedy over the sample (the _kcenter_oracle
+    recurrence restricted to it) -> one corpus-wide nearest-center
+    assignment with (distance, sel_order) tie-break -> per-center
+    rollup."""
+    gate = f"('0x' || substr(md5(vec_id::VARCHAR || '{_KC_SALT}'), 1, 15))::BIGINT % 1000000"
+    ctes = [
+        f"""qq AS MATERIALIZED (
+      SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS qq
+      FROM (SELECT vec_id, {_DUCK_Q} AS q FROM embeddings)
+    )""",
+        f"""s AS MATERIALIZED (
+      SELECT vec_id, q, qq FROM qq ORDER BY {gate}, vec_id LIMIT {n_sample}
+    )""",
+        """c0 AS MATERIALIZED (
+      SELECT vec_id, q, qq FROM s ORDER BY vec_id LIMIT 1
+    )""",
+        """d1 AS MATERIALIZED (
+      SELECT v.vec_id, v.q, v.qq,
+             v.qq - 2 * CAST(list_dot_product(v.q, c.q) AS BIGINT) + c.qq AS d
+      FROM s v CROSS JOIN c0 c
+    )""",
+    ]
+    for i in range(1, k):
+        ctes.append(f"""c{i} AS MATERIALIZED (
+      SELECT vec_id, q, qq, d FROM d{i} ORDER BY d DESC, vec_id LIMIT 1
+    )""")
+        if i < k - 1:
+            ctes.append(f"""d{i + 1} AS MATERIALIZED (
+      SELECT v.vec_id, v.q, v.qq,
+             least(v.d, v.qq - 2 * CAST(list_dot_product(v.q, c.q) AS BIGINT) + c.qq) AS d
+      FROM d{i} v CROSS JOIN c{i} c
+    )""")
+    centers = ["SELECT 0 AS sel_order, vec_id, q, qq FROM c0"] + [
+        f"SELECT {i}, vec_id, q, qq FROM c{i}" for i in range(1, k)
+    ]
+    ctes.append("centers AS MATERIALIZED (" + "\n      UNION ALL ".join(centers) + ")")
+    ctes.append("""a AS MATERIALIZED (
+      SELECT v.vec_id, c.sel_order, c.vec_id AS center_vec_id,
+             v.qq - 2 * CAST(list_dot_product(v.q, c.q) AS BIGINT) + c.qq AS d
+      FROM qq v CROSS JOIN centers c
+    )""")
+    ctes.append("""r AS (
+      SELECT vec_id, sel_order, center_vec_id, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, sel_order) AS rn
+      FROM a
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT sel_order, center_vec_id,
+           count(*)::BIGINT AS n_assigned,
+           max(d)::BIGINT AS radius_d2q
+    FROM r WHERE rn = 1 GROUP BY 1, 2"""
+    )
+
+
+@register(
+    "kcenter_sampled_assign",
+    oracle=_kcenter_sampled_oracle(K_CENTERS, _KC_SAMPLE_N),
+    description=(
+        f"Driver-loop-free k-center: Gonzalez over a fixed {_KC_SAMPLE_N}-"
+        f"vector hash-ordered sample, then ONE distributed nearest-center "
+        f"assignment pass (per-center population + coverage radius)"
+    ),
+    tags=("similarity", "sampling"),
+)
+def kcenter_sampled_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kcenter_coreset_selection without the K sequential driver rounds
+    (VERDICT r7 task #8): the exact variant's per-round argmax is a full
+    corpus job, inherent to greedy — this is the scale path for K past
+    single digits. (1) a FIXED-SIZE uniform sample via hash order
+    statistics (TakeOrderedAndProject on the md5 gate: driver state is
+    _KC_SAMPLE_N rows regardless of corpus size — a rate-based sample
+    would grow with the data); (2) Gonzalez runs driver-side over the
+    sample in exact quantized-integer arithmetic (zero Spark jobs);
+    (3) ONE distributed map pass assigns every corpus vector to its
+    nearest center — K flat distance columns behind their own
+    projection (HOF folds evaluated once each, never re-inlined),
+    least() + first-match CASE for the (distance, sel_order) tie-break
+    — and an 8-key aggregation yields per-center population and
+    coverage radius. 2-approximation on the sample's coverage; the
+    radius column is exactly the audit a user checks it with.
+    Everything is md5/integer-deterministic, so the full pipeline
+    (sample -> greedy -> assignment) replays bit-identically in the
+    DuckDB oracle."""
+    from crypto_etl_pipeline_spark.operators.sampling import hash_gate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = (
+        _spread(emb, "vec_id")
+        .select("vec_id", _qvec(F.col("embedding")).alias("q"))
+        .withColumn("qq", _dot_long(F.col("q"), F.col("q")))
+        .localCheckpoint(eager=False)
+    )
+    sample = (
+        base.withColumn("_g", hash_gate(F.col("vec_id"), _KC_SALT))
+        .orderBy("_g", "vec_id")
+        .limit(_KC_SAMPLE_N)
+        .collect()
+    )
+    pts = [(int(r["vec_id"]), [int(x) for x in r["q"]], int(r["qq"])) for r in sample]
+    pts.sort(key=lambda p: p[0])
+
+    def _d2(a: list[int], b: list[int]) -> int:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    centers = [pts[0]]
+    dmin = {vid: _d2(q, pts[0][1]) for vid, q, _ in pts}
+    for _ in range(1, K_CENTERS):
+        far = max(pts, key=lambda p: (dmin[p[0]], -p[0]))
+        centers.append(far)
+        for vid, q, _ in pts:
+            d = _d2(q, far[1])
+            if d < dmin[vid]:
+                dmin[vid] = d
+
+    def dist_to(cq: list[int]) -> Column:
+        carr = F.array(*[F.lit(v).cast("long") for v in cq])
+        c2 = sum(v * v for v in cq)
+        return F.col("qq") - 2 * _dot_long(F.col("q"), carr) + F.lit(c2).cast("long")
+
+    # distances behind their own projection: least()/CASE reference
+    # flat attributes, so each HOF fold runs once per row
+    dists = base.select(
+        "vec_id", *[dist_to(c[1]).alias(f"_d{i}") for i, c in enumerate(centers)]
+    ).withColumn("_dmin", F.least(*[F.col(f"_d{i}") for i in range(K_CENTERS)]))
+    sel: Column | None = None
+    for i in range(K_CENTERS):
+        cond = F.col(f"_d{i}") == F.col("_dmin")
+        sel = F.when(cond, F.lit(i)) if sel is None else sel.when(cond, F.lit(i))
+    rollup = (
+        dists.select(sel.alias("sel_order"), F.col("_dmin").alias("d"))
+        .groupBy("sel_order")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            F.max("d").cast("long").alias("radius_d2q"),
+        )
+    )
+    cmap = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(centers)],
+        "sel_order INT, center_vec_id BIGINT",
+    )
+    return rollup.join(cmap, "sel_order").select(
+        "sel_order", "center_vec_id", "n_assigned", "radius_d2q"
+    )
+
+
 # -- exact quantile via histogram refinement ---------------------------------
 
 _Q_PROBES = (0.5, 0.9, 0.99)

@@ -254,3 +254,65 @@ def test_calibration_floor_div_handles_negative_shifted_values(spark):
         math.floor((round(m * 1000) + _CAL_SHIFT) / _CAL_BIN_MILLI) for m in margins
     ]
     assert got == want
+
+
+# --- sampled (driver-loop-free) k-center -----------------------------------
+
+
+def test_kcenter_sampled_assign_python_replay(spark):
+    """Independent full replay in pure Python (not the DuckDB oracle):
+    hash-ordered fixed-size sample -> Gonzalez greedy -> nearest-center
+    assignment -> per-center rollup must match the distributed plan
+    bit-for-bit (exact quantized-integer distances)."""
+    import hashlib
+    import math
+
+    from crypto_etl_pipeline_spark.queries.selection import (
+        _KC_SALT,
+        _KC_SAMPLE_N,
+        K_CENTERS,
+        _SCALE,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["kcenter_sampled_assign"].fn(spark, SF).collect()
+    )
+
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    vecs = {
+        int(r.vec_id): [math.floor(float(x) * _SCALE) for x in r.embedding]
+        for r in emb.itertuples()
+    }
+
+    def gate(vid: int) -> int:
+        h = hashlib.md5(f"{vid}{_KC_SALT}".encode()).hexdigest()
+        return int(h[:15], 16) % 1_000_000
+
+    sample = sorted(vecs, key=lambda v: (gate(v), v))[:_KC_SAMPLE_N]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    centers = [min(sample)]
+    dmin = {v: d2(vecs[v], vecs[centers[0]]) for v in sample}
+    for _ in range(1, K_CENTERS):
+        far = max(sample, key=lambda v: (dmin[v], -v))
+        centers.append(far)
+        for v in sample:
+            dmin[v] = min(dmin[v], d2(vecs[v], vecs[far]))
+
+    assign: dict[int, list] = {}
+    for vid, q in vecs.items():
+        best = min(
+            (d2(q, vecs[c]), i) for i, c in enumerate(centers)
+        )
+        assign.setdefault(best[1], []).append(best[0])
+    want = sorted(
+        (i, centers[i], len(ds), max(ds)) for i, ds in assign.items()
+    )
+    assert got == want
+    assert sum(r[2] for r in got) == len(vecs)
