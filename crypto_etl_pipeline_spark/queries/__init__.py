@@ -40,6 +40,7 @@ from crypto_etl_pipeline_spark.queries import selection  # noqa: F401, E402
 _GATE_FIRST = (
     # round-8 skew-guard wave (new this round)
     "kcenter_sampled_assign",
+    "dedup_simhash_banded_pairs",
     "dedup_ngram_jaccard_pairs_capped",
     "dedup_hot_shingle_spill",
     "split_leakage_audit_capped",

@@ -458,6 +458,122 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(docs, "text", "doc_id")
 
 
+SIMHASH_HAM_K = 3  #: max hamming distance for a banded-simhash pair
+_SH_BANDS = 4  #: 60 bits / 4 bands of 15 — pigeonhole-exact for k=3
+_SH_BITS = 15
+_SIMHASH_CTE = f"""
+    tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t FROM documents
+    ),
+    hs AS (SELECT doc_id, {phash.duck_md5_long("t", 15)} AS x FROM tok),
+    bits AS (
+      SELECT doc_id, r.b,
+             sum(CASE WHEN (x >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hs CROSS JOIN range(60) r(b)
+      GROUP BY doc_id, r.b
+    ),
+    sig AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END)::BIGINT AS simhash
+      FROM bits GROUP BY doc_id
+    )"""
+
+
+@register(
+    "dedup_simhash_banded_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    post AS (
+      SELECT doc_id, simhash, r.b AS band,
+             (simhash >> (r.b * {_SH_BITS})) & {(1 << _SH_BITS) - 1} AS bucket
+      FROM sig CROSS JOIN range({_SH_BANDS}) r(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM post a JOIN post b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAM_K}
+    """,
+    description=(
+        f"Banded-SimHash near-dup pairs (Manku et al. WWW'07): 60-bit "
+        f"signature split into {_SH_BANDS} bands — EXACT retrieval of all "
+        f"pairs within hamming {SIMHASH_HAM_K} by pigeonhole, at "
+        f"bucket-join cost"
+    ),
+    tags=("dedup",),
+)
+def dedup_simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hamming-space member of the dedup scale-path family (MinHash
+    covers set-Jaccard, this covers SimHash's weighted-token geometry —
+    Manku et al.'s web-crawl dedup design). Pigeonhole makes the
+    banding EXACT, not approximate: two 60-bit signatures within
+    hamming k=3 differ in at most 3 of the 4 bands, so they MATCH
+    EXACTLY in at least one band and
+    are guaranteed to collide — zero recall loss, unlike MinHash-LSH's
+    probabilistic s-curve. Cost scales with per-bucket collision
+    density (the shuffle key is (band, 15-bit-prefix)); a boilerplate
+    corpus that degenerates the buckets takes the same cap discipline
+    as the LSH path (cap_hot_buckets — here left uncapped for oracle
+    parity, the signatures themselves collapse verbatim copies to ONE
+    bucket row per band so the degenerate case is bounded by distinct
+    signatures, not docs). Signatures carry through the join, so
+    verification is a popcount on columns already in hand — no
+    rehydration join."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = simhash_signatures(docs, "text", "doc_id")
+    mask = (1 << _SH_BITS) - 1
+    bb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), b * _SH_BITS)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bucket"),
+                )
+                for b in range(_SH_BANDS)
+            ]
+        )
+    )
+    post = (
+        sig.select("doc_id", "simhash", bb.alias("bb"))
+        .select(
+            "doc_id",
+            "simhash",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+        # one materialization feeds BOTH self-join branches: the 60-
+        # column signature aggregation is the dominant cost and would
+        # otherwise run twice (ReuseExchange dedups exchanges, not the
+        # map-side partial-agg work feeding two alias lineages)
+        .localCheckpoint(eager=False)
+    )
+    a, b = post.alias("a"), post.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = hamming64(F.col("sa"), F.col("sb"))
+    return cand.where(ham <= SIMHASH_HAM_K).select(
+        "id_a", "id_b", ham.cast("long").alias("hamming")
+    )
+
+
 @register(
     "multimodal_binary_stats",
     oracle="""

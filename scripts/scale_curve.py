@@ -144,6 +144,7 @@ HEAVY = [
     "split_leakage_audit_capped",
     "source_overlap_matrix_capped",
     "kcenter_sampled_assign",
+    "dedup_simhash_banded_pairs",
 ]
 
 

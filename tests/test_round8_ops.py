@@ -316,3 +316,32 @@ def test_kcenter_sampled_assign_python_replay(spark):
     )
     assert got == want
     assert sum(r[2] for r in got) == len(vecs)
+
+
+# --- banded SimHash pairs ----------------------------------------------------
+
+
+def test_simhash_banded_pairs_pigeonhole_exact(spark):
+    """The banding must retrieve EXACTLY the hamming<=k pair set (the
+    pigeonhole guarantee, not an s-curve approximation): brute-force
+    all-pairs popcount over the collected signatures is the truth."""
+    from crypto_etl_pipeline_spark.queries.text import SIMHASH_HAM_K
+
+    SF = "/root/testdata/sf0.001"
+    sigs = {
+        int(r["doc_id"]): int(r["simhash"])
+        for r in REGISTRY["dedup_simhash"].fn(spark, SF).collect()
+    }
+    ids = sorted(sigs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= SIMHASH_HAM_K:
+                want.add((a, b, h))
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in REGISTRY["dedup_simhash_banded_pairs"].fn(spark, SF).collect()
+    }
+    assert got == want
+    assert want, "fixture must contain at least one hamming<=k pair"
