@@ -15,7 +15,11 @@ SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from crypto_etl_pipeline_spark.session import get_spark
 
-    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
+    s = get_spark(
+        app_name="tests",
+        master=os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[4]"),
+        shuffle_partitions=8,
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()

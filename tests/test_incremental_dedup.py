@@ -10,6 +10,7 @@ plan shape.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from crypto_etl_pipeline_spark.operators.dedup import (
@@ -28,16 +29,30 @@ def _pairs_set(df):
     return {(r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()}
 
 
-def test_incremental_equals_batch_restricted_to_new(spark):
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    return docs, docs.where(F.col("doc_id") % 2 == 0), docs.where(F.col("doc_id") % 2 == 1)
+
+
+@pytest.fixture(scope="module")
+def store_old(corpus):
+    """ONE default-batch store build shared by the equivalence,
+    round-trip, and no-recompute tests — the build (tokenize + 32-hash
+    signatures + banding, eagerly materialized) was the dominant cost
+    of this module when each test rebuilt it."""
+    _, old, _ = corpus
+    return build_minhash_store(old)
+
+
+def test_incremental_equals_batch_restricted_to_new(corpus, store_old):
     """batch(old ∪ new) == batch(old) ∪ incremental(new, store(old)) —
     the doubled-corpus equivalence, on the real documents table."""
-    docs = load_table(spark, SF_SMOKE, "documents")
-    old = docs.where(F.col("doc_id") % 2 == 0)
-    new = docs.where(F.col("doc_id") % 2 == 1)
+    docs, old, new = corpus
 
     batch_full = _pairs_set(near_dup_pairs_minhash(docs, threshold=THRESHOLD))
     batch_old = _pairs_set(near_dup_pairs_minhash(old, threshold=THRESHOLD))
-    inc, _ = incremental_near_dups(new, build_minhash_store(old), threshold=THRESHOLD)
+    inc, _ = incremental_near_dups(new, store_old, threshold=THRESHOLD)
     inc_pairs = _pairs_set(inc)
 
     assert batch_old | inc_pairs == batch_full
@@ -47,15 +62,13 @@ def test_incremental_equals_batch_restricted_to_new(spark):
     assert all(a % 2 == 1 or b % 2 == 1 for a, b, _ in inc_pairs)
 
 
-def test_updated_store_matches_batch_rebuild(spark, tmp_path):
+def test_updated_store_matches_batch_rebuild(spark, tmp_path, corpus, store_old):
     """The updated store returned by incremental_near_dups must equal a
     from-scratch store over the full corpus (so the NEXT incremental run
     starts from exactly batch state), and survive a parquet round-trip."""
-    docs = load_table(spark, SF_SMOKE, "documents")
-    old = docs.where(F.col("doc_id") % 2 == 0)
-    new = docs.where(F.col("doc_id") % 2 == 1)
+    docs, _old, new = corpus
 
-    _, updated = incremental_near_dups(new, build_minhash_store(old), threshold=THRESHOLD)
+    _, updated = incremental_near_dups(new, store_old, threshold=THRESHOLD)
     updated.save(str(tmp_path / "store"))
     loaded = MinhashStore.load(spark, str(tmp_path / "store"))
 
@@ -138,16 +151,14 @@ def test_append_batch_leaves_old_partitions_untouched(spark, tmp_path):
     ) == {"b_old", "b_new"}
 
 
-def test_incremental_store_side_is_lookup_not_recompute(spark, tmp_path):
+def test_incremental_store_side_is_lookup_not_recompute(spark, tmp_path, corpus, store_old):
     """With the store loaded from parquet, the incremental plan's corpus
     side must be a FileScan of the store tables — the old documents'
     text is not an input, so re-tokenizing the corpus is structurally
     impossible; assert the plan reads the store parquet directly."""
-    docs = load_table(spark, SF_SMOKE, "documents")
-    old = docs.where(F.col("doc_id") % 2 == 0)
-    new = docs.where(F.col("doc_id") % 2 == 1)
+    docs, _old, new = corpus
 
-    build_minhash_store(old).save(str(tmp_path / "store"))
+    store_old.save(str(tmp_path / "store"))
     store = MinhashStore.load(spark, str(tmp_path / "store"))
     pairs, _ = incremental_near_dups(new, store, threshold=THRESHOLD)
 

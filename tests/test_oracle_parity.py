@@ -56,11 +56,23 @@ def test_oracle_parity(name, spark, duck, built_df):
         f"hash-reds these even on identical values; cast to DOUBLE"
     )
     spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
 
-    res = duck.execute(spec.oracle)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    # Overlap the two engines: DuckDB evaluates the oracle in a worker
+    # thread while Spark collects (the heavy n²-form dedup oracles cost
+    # ~5-12 s each; the overlap saves min(spark, duck) per query —
+    # ~1 min across the registry). Safe: exactly one statement runs on
+    # the shared connection, and the main thread doesn't touch it
+    # until .result().
+    import concurrent.futures
+
+    def _run_duck():
+        res = duck.execute(spec.oracle)
+        return [d[0] for d in res.description], res.fetchall()
+
+    with concurrent.futures.ThreadPoolExecutor(1) as ex:
+        fut = ex.submit(_run_duck)
+        spark_rows = [tuple(r) for r in sdf.collect()]
+        duck_cols, duck_rows = fut.result()
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"

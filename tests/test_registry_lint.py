@@ -65,7 +65,10 @@ def test_no_cartesian_product_plans(name, spark, built_df):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
     from plan_fingerprints import fingerprint
 
-    from crypto_etl_pipeline_spark.plans.lint import unbounded_broadcast_hints
+    from crypto_etl_pipeline_spark.plans.lint import (
+        unbounded_broadcast_hints,
+        uncapped_posting_self_joins,
+    )
 
     df = built_df(name, "/root/testdata/sf0.001")
     hints = unbounded_broadcast_hints(df)
@@ -73,6 +76,19 @@ def test_no_cartesian_product_plans(name, spark, built_df):
         f"{name} force-broadcasts a frame derived from SF-scaled "
         f"table(s) {[t for t, _ in hints]} with no Aggregate/Limit bound"
     )
+    # 4. Posting-self-join lint (VERDICT r7 task #5), same plan build:
+    #    an equi-join whose key is a Generate (explode) output on BOTH
+    #    sides with no Aggregate/Limit/Window bound is quadratic per
+    #    hot key on a boilerplate-heavy corpus. Requires a DF cap
+    #    (shingle_posting_pairs' shingle_df_cap / bucket_cap) or an
+    #    explicit exact-by-contract waiver below.
+    if name not in POSTING_SELF_JOIN_WAIVERS:
+        hits = uncapped_posting_self_joins(df)
+        assert not hits, (
+            f"{name} self-joins on an exploded key with no DF cap: "
+            f"{hits} — thread shingle_df_cap/bucket_cap or add an "
+            "exact-by-contract waiver with a reason"
+        )
     got = fingerprint(df)
     assert got["cartesian"] == 0, f"{name} plans a CartesianProduct"
     assert got == FINGERPRINTS.get(name), (
@@ -122,26 +138,6 @@ POSTING_SELF_JOIN_WAIVERS = {
     # codebook size (k per subspace), fan-out bounded by construction.
     "ann_pq_adc_topk",
 }
-
-
-@pytest.mark.parametrize("name", BATCH_QUERIES)
-def test_no_uncapped_posting_self_joins(name, built_df):
-    """Any equi-join whose key is a Generate (explode) output on BOTH
-    sides with no Aggregate/Limit/Window bound in between is the
-    uncapped posting-self-join shape — quadratic per hot key on a
-    boilerplate-heavy corpus (VERDICT r7 #1). Requires a DF cap or an
-    explicit waiver above."""
-    from crypto_etl_pipeline_spark.plans.lint import uncapped_posting_self_joins
-
-    if name in POSTING_SELF_JOIN_WAIVERS:
-        pytest.skip("exact-by-contract waiver (see POSTING_SELF_JOIN_WAIVERS)")
-    df = built_df(name, "/root/testdata/sf0.001")
-    hits = uncapped_posting_self_joins(df)
-    assert not hits, (
-        f"{name} self-joins on an exploded key with no DF cap: {hits} — "
-        "thread shingle_df_cap/bucket_cap or add an exact-by-contract "
-        "waiver with a reason"
-    )
 
 
 def test_posting_self_join_detector_is_live(spark):
