@@ -211,6 +211,8 @@ HEADLINE = [
     "source_overlap_matrix_capped",
     "kcenter_sampled_assign",
     "dedup_simhash_banded_pairs",
+    "dedup_paragraph_first_wins",
+    "dedup_cascade_report",
 ]
 
 

@@ -166,8 +166,15 @@ def uncapped_posting_self_joins(df):
     df-capped feed passes (its Window count bounds the taint); exact-
     by-contract queries carry an explicit waiver in
     tests/test_registry_lint.py."""
+    analyzed = df._jdf.queryExecution().analyzed()
+    # cheap prefilter: the taint walk is a py4j-heavy recursion, and
+    # most plans contain no Generate at all — one toString() decides
+    # whether the walk can possibly find anything
+    head = analyzed.toString()
+    if "Generate" not in head or "Join" not in head:
+        return []
     out = []
-    stack = [df._jdf.queryExecution().analyzed()]
+    stack = [analyzed]
     while stack:
         node = stack.pop()
         if node.getClass().getSimpleName() == "Join" and node.condition().isDefined():

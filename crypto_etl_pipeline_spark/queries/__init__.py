@@ -41,6 +41,8 @@ _GATE_FIRST = (
     # round-8 skew-guard wave (new this round)
     "kcenter_sampled_assign",
     "dedup_simhash_banded_pairs",
+    "dedup_paragraph_first_wins",
+    "dedup_cascade_report",
     "dedup_ngram_jaccard_pairs_capped",
     "dedup_hot_shingle_spill",
     "split_leakage_audit_capped",

@@ -349,7 +349,12 @@ def dedup_hot_shingle_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _minhash_ctes(num_hashes: int = 32, num_bands: int = 8, threshold: float = 0.05) -> str:
+def _minhash_ctes(
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.05,
+    source: str = "documents",
+) -> str:
     """DuckDB CTE chain reproducing near_dup_pairs_minhash exactly:
     md5_long(shingle, 8) -> Carter-Wegman fan-out (same inlined A/B/P
     constants as the Spark plan) -> per-doc min -> '|'-joined band
@@ -360,7 +365,7 @@ def _minhash_ctes(num_hashes: int = 32, num_bands: int = 8, threshold: float = 0
                    / len(list_distinct(list_concat(a.s, b.s)))"""
     return f"""
     toks AS (
-      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM {source}
     ),
     shl AS (
       SELECT doc_id,
@@ -4972,4 +4977,177 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(err), 4).alias("max_abs_err"),
         F.round(F.avg("j_exact"), 4).alias("mean_exact"),
         (F.avg(err) <= 2.0 / math.sqrt(32.0)).alias("within_2se"),
+    )
+
+
+# -- corpus-wide first-wins paragraph dedup (CCNet discipline) ---------------
+
+PARA_W = 24  #: tokens per paragraph-chunk for the first-wins pass
+
+
+@register(
+    "dedup_paragraph_first_wins",
+    oracle=rf"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
+    ),
+    para AS MATERIALIZED (
+      SELECT doc_id, idx,
+             md5(array_to_string(
+               list_slice(t, idx * {PARA_W} + 1, (idx + 1) * {PARA_W}), ' ')) AS h
+      FROM (
+        SELECT doc_id, t,
+               unnest(generate_series(0, (len(t) - 1) // {PARA_W})) AS idx
+        FROM toks WHERE len(t) > 0
+      )
+    ),
+    ranked AS (
+      SELECT doc_id, idx,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+      FROM para
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_paragraphs,
+           count(*) FILTER (rn = 1)::BIGINT AS n_kept,
+           count(*) FILTER (rn > 1)::BIGINT AS n_dropped,
+           round(count(*) FILTER (rn > 1) * 1.0 / count(*), 6) AS dup_frac
+    FROM ranked GROUP BY doc_id
+    """,
+    description=(
+        f"CCNet-style corpus-wide paragraph dedup: {PARA_W}-token chunks, "
+        f"first occurrence (doc_id, idx) wins, per-doc kept/dropped report"
+    ),
+    tags=("dedup", "chunking"),
+)
+def dedup_paragraph_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granular dedup (CCNet, Wenzek et al. 2020): pair-based
+    near-dup catches COPIED DOCUMENTS, but a crawl's dominant
+    redundancy is repeated passages inside otherwise-distinct pages
+    (navigation, license text, syndicated fragments). The corpus-wide
+    discipline is hash-per-paragraph, first occurrence wins — one
+    deterministic tie-break (lowest (doc_id, idx)) so replays agree.
+    Paragraphs here are fixed {PARA_W}-token chunks (the synthetic
+    corpus has no newlines; real corpora would split on blank lines
+    upstream — the engine shape is identical).
+
+    Scale shape: explode to (doc, idx, md5) — the md5 is computed
+    behind the checkpointed token table so InferFiltersFromGenerate
+    cannot re-inline the tokenizer (SCALE.md r8) — then ONE window over
+    the hash (hash-partitioned shuffle; a million-fold repeated
+    boilerplate paragraph lands on one partition but row_number is
+    linear within it), then a doc-keyed rollup. At 100 TB this is two
+    exchanges total, both on keys with bounded skew amplification."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(n_parts, F.col("doc_id"))
+        .select("doc_id", textops.tokens(F.col("text")).alias("_t"))
+        .where(F.size("_t") > 0)
+        .localCheckpoint(eager=False)
+    )
+    para = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.floor((F.size("_t") - 1) / F.lit(PARA_W)).cast("int")
+                ),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("_t"), i * PARA_W + 1, PARA_W), " ")
+                ),
+            )
+        ).alias("idx", "h"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "idx")
+    ranked = para.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("n_dropped"),
+        F.round(
+            F.sum((F.col("rn") > 1).cast("long")) / F.count(F.lit(1)), 6
+        ).alias("dup_frac"),
+    )
+
+
+# -- dedup cascade funnel ------------------------------------------------------
+
+
+@register(
+    "dedup_cascade_report",
+    oracle=f"""
+    WITH RECURSIVE
+    fp AS MATERIALIZED (
+      SELECT doc_id,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    keep1 AS MATERIALIZED (
+      SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp
+    ),
+    surv AS MATERIALIZED (
+      SELECT d.* FROM documents d JOIN keep1 USING (doc_id)
+    ),
+    {_minhash_ctes(source="surv")},
+    edges AS MATERIALIZED (
+      SELECT id_a AS a, id_b AS b FROM mh_pairs
+      UNION SELECT id_b, id_a FROM mh_pairs
+    ),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM surv
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    cl AS MATERIALIZED (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+    n0 AS (SELECT count(*) AS n FROM documents),
+    n1 AS (SELECT count(*) AS n FROM surv),
+    n2 AS (SELECT count(*) AS n FROM cl WHERE cluster_id = id)
+    SELECT 0 AS stage, 'raw' AS stage_name,
+           n0.n::BIGINT AS docs_in, 0::BIGINT AS docs_removed, n0.n::BIGINT AS docs_out
+    FROM n0
+    UNION ALL
+    SELECT 1, 'exact_dedup', n0.n::BIGINT, (n0.n - n1.n)::BIGINT, n1.n::BIGINT
+    FROM n0 CROSS JOIN n1
+    UNION ALL
+    SELECT 2, 'near_dup_clusters', n1.n::BIGINT, (n1.n - n2.n)::BIGINT, n2.n::BIGINT
+    FROM n1 CROSS JOIN n2
+    """,
+    description=(
+        "Dedup cascade funnel: exact (hash-groupBy) -> MinHash-LSH cluster "
+        "keep-one, with per-stage in/removed/out counts — the governance "
+        "report a corpus owner reads before training"
+    ),
+    tags=("dedup", "pipeline", "quality"),
+)
+def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production dedup is a CASCADE, cheapest first: exact fingerprint
+    dedup collapses verbatim copies at hash-groupBy cost (and, by
+    removing the degenerate clusters, bounds the near-dup stage's
+    bucket sizes — the reason cap_hot_buckets can afford to drop what
+    it drops), then MinHash-LSH + connected components collapses the
+    near-dup clusters that survive, keeping the min-id canonical per
+    cluster. This query runs the two stages end-to-end and reports the
+    funnel — the per-stage removal accounting that tells a corpus
+    owner WHERE the redundancy lives (verbatim mirrors vs edited
+    copies). Each stage reuses the oracled operators (exact_dedup,
+    near_dup_pairs_minhash, dedup_clusters); output is 3 rows."""
+    from crypto_etl_pipeline_spark.operators.cluster import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+    canon = exact_dedup(docs, "text", "doc_id").select("doc_id")
+    surv = docs.join(canon, "doc_id").localCheckpoint(eager=False)
+    n1 = surv.count()
+    pairs = near_dup_pairs_minhash(surv, threshold=0.05).select("id_a", "id_b")
+    clusters = dedup_clusters(surv, pairs)
+    n2 = clusters.where(F.col("is_canonical")).count()
+    return spark.createDataFrame(
+        [
+            (0, "raw", n0, 0, n0),
+            (1, "exact_dedup", n0, n0 - n1, n1),
+            (2, "near_dup_clusters", n1, n1 - n2, n2),
+        ],
+        "stage INT, stage_name STRING, docs_in BIGINT, docs_removed BIGINT, docs_out BIGINT",
     )

@@ -145,6 +145,8 @@ HEAVY = [
     "source_overlap_matrix_capped",
     "kcenter_sampled_assign",
     "dedup_simhash_banded_pairs",
+    "dedup_paragraph_first_wins",
+    "dedup_cascade_report",
 ]
 
 

@@ -1,9 +1,9 @@
 """Registry-wide hygiene lints: metadata completeness and a plan-level
 scale guard over every registered query.
 
-Each parametrized case builds its query's plan ONCE and runs all three
-plan checks on it (cartesian, broadcast-hint boundedness, fingerprint
-snapshot) — the fingerprint guard used to be a second full-registry
+Each parametrized case builds its query's plan ONCE and runs all four
+plan checks on it (cartesian, broadcast-hint boundedness, posting-
+self-join cap, fingerprint snapshot) — the fingerprint guard used to be a second full-registry
 pass in test_scale_patterns.py, ~2 min of duplicated plan builds.
 """
 

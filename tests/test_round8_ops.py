@@ -345,3 +345,66 @@ def test_simhash_banded_pairs_pigeonhole_exact(spark):
     }
     assert got == want
     assert want, "fixture must contain at least one hamming<=k pair"
+
+
+# --- paragraph first-wins dedup + cascade funnel ----------------------------
+
+
+def test_paragraph_dedup_conservation_and_first_wins(spark):
+    from crypto_etl_pipeline_spark.queries.text import PARA_W
+
+    SF = "/root/testdata/sf0.001"
+    rows = {r["doc_id"]: r for r in REGISTRY["dedup_paragraph_first_wins"].fn(spark, SF).collect()}
+    # conservation per doc, and chunk count matches ceil(len/W)
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    for r in rows.values():
+        assert r["n_kept"] + r["n_dropped"] == r["n_paragraphs"]
+    for t in docs.itertuples():
+        n_tok = len(t.text.split())
+        if n_tok:
+            assert rows[t.doc_id]["n_paragraphs"] == (n_tok - 1) // PARA_W + 1
+    # global: kept == number of distinct paragraph hashes
+    import hashlib
+
+    seen = {}
+    for t in sorted(docs.itertuples(), key=lambda x: x.doc_id):
+        toks = t.text.split()
+        for i in range(0, (len(toks) - 1) // PARA_W + 1 if toks else 0):
+            h = hashlib.md5(" ".join(toks[i * PARA_W : (i + 1) * PARA_W]).encode()).hexdigest()
+            seen.setdefault(h, (t.doc_id, i))
+    assert sum(r["n_kept"] for r in rows.values()) == len(seen)
+    # first-wins: a duplicated paragraph is kept by exactly the lowest
+    # (doc_id, idx) occurrence — assert via a constructed corpus
+    two = spark.createDataFrame(
+        [
+            (1, "en", " ".join(f"w{i}" for i in range(PARA_W)), "web"),
+            (2, "en", " ".join(f"w{i}" for i in range(PARA_W)), "web"),
+        ],
+        "doc_id long, lang string, text string, source string",
+    )
+    import os as _os
+
+    tmp = "/tmp/para_dedup_fixture"
+    _os.makedirs(tmp, exist_ok=True)
+    two.toPandas().to_parquet(f"{tmp}/documents.parquet")
+    out = {r["doc_id"]: r for r in REGISTRY["dedup_paragraph_first_wins"].fn(spark, tmp).collect()}
+    assert out[1]["n_kept"] == 1 and out[1]["n_dropped"] == 0
+    assert out[2]["n_kept"] == 0 and out[2]["n_dropped"] == 1
+
+
+def test_cascade_report_stage_algebra(spark):
+    SF = "/root/testdata/sf0.001"
+    rows = {r["stage"]: r for r in REGISTRY["dedup_cascade_report"].fn(spark, SF).collect()}
+    assert [rows[i]["stage_name"] for i in (0, 1, 2)] == [
+        "raw", "exact_dedup", "near_dup_clusters",
+    ]
+    for i in (0, 1, 2):
+        assert rows[i]["docs_in"] - rows[i]["docs_removed"] == rows[i]["docs_out"]
+    assert rows[0]["docs_out"] == rows[1]["docs_in"]
+    assert rows[1]["docs_out"] == rows[2]["docs_in"]
+    # stage counts agree with the oracled building blocks
+    n_exact = REGISTRY["dedup_exact"].fn(spark, SF).count()
+    assert rows[1]["docs_out"] == n_exact
+    assert rows[2]["docs_out"] <= rows[1]["docs_out"]
