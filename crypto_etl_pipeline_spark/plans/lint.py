@@ -64,11 +64,17 @@ def unbounded_broadcast_hints(df):
     """Return [(table, hint_node_string_head)] for every broadcast hint
     in ``df``'s analyzed plan whose subtree reaches an SF-scaled scan
     with no Aggregate/Limit in between."""
+    analyzed = df._jdf.queryExecution().analyzed()
+    # cheap prefilter: the node walk is thousands of py4j round-trips
+    # on a large plan, and most registry queries carry no hint at all —
+    # one toString() decides whether the walk can find anything
+    if "ResolvedHint" not in analyzed.toString():
+        return []
     out = []
-    stack = [df._jdf.queryExecution().analyzed()]
+    stack = [analyzed]
     while stack:
         node = stack.pop()
-        if node.getClass().getSimpleName() == "ResolvedHint" and "broadcast" in node.hints().toString().lower():
+        if node.getClass().getSimpleName() == "ResolvedHint" and "broadcast" in node.hints().toString().lower():  # noqa: E501
             hit = _fact_scan_below(node)
             if hit is not None:
                 head = node.toString().split("\n", 1)[0]

@@ -18,7 +18,7 @@ def spark():
     s = get_spark(
         app_name="tests",
         master=os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[4]"),
-        shuffle_partitions=8,
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "8")),
     )
     s.sparkContext.setLogLevel("ERROR")
     yield s

@@ -408,3 +408,57 @@ def test_cascade_report_stage_algebra(spark):
     n_exact = REGISTRY["dedup_exact"].fn(spark, SF).count()
     assert rows[1]["docs_out"] == n_exact
     assert rows[2]["docs_out"] <= rows[1]["docs_out"]
+
+
+# --- MV rollup NULL-sum semantics (ADVICE r7 #3 regression) ------------------
+
+
+def test_mv_rollup_all_null_group_drains_as_null_sum(spark, tmp_path):
+    """A group whose values are ALL NULL must drain with sum_value NULL
+    (SQL sum semantics, the batch-equivalence contract) — the merge
+    used to coalesce NULL partials to 0.0. A group that gains a real
+    value in a later batch must still fold correctly."""
+    import datetime
+
+    import pandas as pd
+
+    from crypto_etl_pipeline_spark.queries.streaming import _checkpoint, _tmpdir
+    from crypto_etl_pipeline_spark.streaming.incremental import (
+        read_event_stream,
+        run_mv_rollup_stream,
+    )
+
+    t = datetime.datetime(2026, 8, 1, 10, 30)
+    inp = str(tmp_path / "arrivals")
+    import os as _os
+
+    _os.makedirs(inp)
+    # batch 1: 'allnull' group NULL-valued; 'mixed' group NULL-valued
+    pd.DataFrame(
+        {
+            "ts": [t, t],
+            "event_type": ["allnull", "mixed"],
+            "value": [None, None],
+        }
+    ).to_parquet(f"{inp}/b1.parquet")
+    # batch 2: 'allnull' stays NULL; 'mixed' gains a real value
+    pd.DataFrame(
+        {
+            "ts": [t, t],
+            "event_type": ["allnull", "mixed"],
+            "value": [None, 7.5],
+        }
+    ).to_parquet(f"{inp}/b2.parquet")
+
+    events = read_event_stream(spark, inp, max_files_per_trigger=1)
+    out = {
+        r["event_type"]: r
+        for r in run_mv_rollup_stream(
+            events, store_dir=_tmpdir("mvnull_"), checkpoint_dir=_checkpoint()
+        ).collect()
+    }
+    assert out["allnull"]["n_events"] == 2
+    assert out["allnull"]["sum_value"] is None
+    assert out["allnull"]["min_value"] is None
+    assert out["mixed"]["n_events"] == 2
+    assert abs(out["mixed"]["sum_value"] - 7.5) < 1e-9
