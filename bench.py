@@ -213,6 +213,7 @@ HEADLINE = [
     "dedup_simhash_banded_pairs",
     "dedup_paragraph_first_wins",
     "dedup_cascade_report",
+    "orc_roundtrip_documents",
 ]
 
 

@@ -626,6 +626,60 @@ def roundtrip_jsonl_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orc_roundtrip_documents",
+    oracle="""
+    SELECT lang, source,
+           count(*)::BIGINT AS n_docs,
+           sum(length(text))::BIGINT AS total_chars,
+           md5(string_agg(md5(text), '' ORDER BY doc_id)) AS content_digest
+    FROM documents
+    GROUP BY lang, source
+    """,
+    description="ORC sink -> source roundtrip (Spark's second columnar format): per-(lang, source) counts plus an order-pinned content digest vs the direct-parquet oracle",
+    tags=("source", "sink", "agg"),
+)
+def orc_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC coverage for the format surface (Spark ships the reader/
+    writer natively; Hive-heavy lakes are ORC-first): documents go out
+    as snappy ORC and come back, and the oracle aggregates the ORIGINAL
+    parquet — so a row drop, encoding corruption, or string mangling in
+    the ORC path breaks the value hash. The content digest is an
+    order-pinned md5-of-md5s (ORDER BY doc_id inside the aggregate on
+    both engines), which catches byte-level text corruption that
+    count/sum rollups cannot. Zlib-vs-snappy and stripe sizing are
+    format knobs, not semantics — defaults here."""
+    from crypto_etl_pipeline_spark.sources.sinks import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = scratch_dir("docs_orc_") + "/documents"
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("doc_id").alias("k"),
+                                    F.md5("text").alias("h"),
+                                )
+                            )
+                        ),
+                        lambda s: s.h,
+                    ),
+                )
+            ).alias("content_digest"),
+        )
+    )
+
+
+@register(
     "partitioned_write_prune_read",
     oracle="""
     SELECT l_linestatus,

@@ -147,6 +147,7 @@ HEAVY = [
     "dedup_simhash_banded_pairs",
     "dedup_paragraph_first_wins",
     "dedup_cascade_report",
+    "orc_roundtrip_documents",
 ]
 
 
