@@ -214,6 +214,7 @@ HEADLINE = [
     "dedup_paragraph_first_wins",
     "dedup_cascade_report",
     "orc_roundtrip_documents",
+    "dedup_paragraph_excise",
 ]
 
 

@@ -5151,3 +5151,91 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "stage INT, stage_name STRING, docs_in BIGINT, docs_removed BIGINT, docs_out BIGINT",
     )
+
+
+@register(
+    "dedup_paragraph_excise",
+    oracle=rf"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
+    ),
+    para AS MATERIALIZED (
+      SELECT doc_id, idx,
+             array_to_string(
+               list_slice(t, idx * {PARA_W} + 1, (idx + 1) * {PARA_W}), ' ') AS chunk
+      FROM (
+        SELECT doc_id, t,
+               unnest(generate_series(0, (len(t) - 1) // {PARA_W})) AS idx
+        FROM toks WHERE len(t) > 0
+      )
+    ),
+    ranked AS (
+      SELECT doc_id, idx, chunk,
+             row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS rn
+      FROM para
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_paragraphs,
+           count(*) FILTER (rn = 1)::BIGINT AS n_kept,
+           string_agg(chunk, ' ' ORDER BY idx) FILTER (rn = 1) AS clean_text
+    FROM ranked GROUP BY doc_id
+    """,
+    description=(
+        "The APPLY half of paragraph dedup: per-doc text reassembled from "
+        "first-wins-surviving chunks (NULL when every chunk was a repeat)"
+    ),
+    tags=("dedup", "chunking"),
+)
+def dedup_paragraph_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_paragraph_first_wins REPORTS; this APPLIES — each doc is
+    rebuilt from only its first-occurrence chunks, in original order
+    (the text a training pipeline would actually pack). A doc whose
+    every chunk already appeared earlier in the corpus comes back with
+    clean_text NULL (fully redundant — drop it), matching SQL's
+    filtered-aggregate-over-zero-rows semantics exactly. Same two-
+    exchange shape as the report (hash window + doc rollup); the
+    shuffle carries the chunk text because reassembly needs it — at
+    100 TB you run the REPORT first (hash-only shuffle) and excise only
+    the partitions the report implicates."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(n_parts, F.col("doc_id"))
+        .select("doc_id", textops.tokens(F.col("text")).alias("_t"))
+        .where(F.size("_t") > 0)
+        .localCheckpoint(eager=False)
+    )
+    para = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.floor((F.size("_t") - 1) / F.lit(PARA_W)).cast("int")
+                ),
+                lambda i: F.array_join(F.slice(F.col("_t"), i * PARA_W + 1, PARA_W), " "),
+            )
+        ).alias("idx", "chunk"),
+    )
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "idx")
+    ranked = para.withColumn("rn", F.row_number().over(w))
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("rn") == 1,
+                    F.struct(F.col("idx").alias("i"), F.col("chunk").alias("c")),
+                )
+            )
+        ),
+        lambda s: s.c,
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+        F.when(
+            F.sum((F.col("rn") == 1).cast("long")) > 0,
+            F.array_join(kept_sorted, " "),
+        ).alias("clean_text"),
+    )

@@ -148,6 +148,7 @@ HEAVY = [
     "dedup_paragraph_first_wins",
     "dedup_cascade_report",
     "orc_roundtrip_documents",
+    "dedup_paragraph_excise",
 ]
 
 

@@ -462,3 +462,26 @@ def test_mv_rollup_all_null_group_drains_as_null_sum(spark, tmp_path):
     assert out["allnull"]["min_value"] is None
     assert out["mixed"]["n_events"] == 2
     assert abs(out["mixed"]["sum_value"] - 7.5) < 1e-9
+
+
+def test_paragraph_excise_rebuilds_and_nulls_fully_redundant(spark, tmp_path):
+    from crypto_etl_pipeline_spark.queries.text import PARA_W
+
+    text = " ".join(f"w{i}" for i in range(PARA_W))
+    uniq = " ".join(f"u{i}" for i in range(PARA_W))
+    docs = spark.createDataFrame(
+        [
+            (1, "en", text, "web"),          # keeps its one chunk
+            (2, "en", f"{text} {uniq}", "web"),  # chunk0 dropped, chunk1 kept
+            (3, "en", text, "web"),          # fully redundant -> NULL
+        ],
+        "doc_id long, lang string, text string, source string",
+    )
+    docs.toPandas().to_parquet(os.path.join(tmp_path, "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["dedup_paragraph_excise"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["clean_text"] == text
+    assert out[2]["clean_text"] == uniq and out[2]["n_kept"] == 1
+    assert out[3]["clean_text"] is None and out[3]["n_kept"] == 0
