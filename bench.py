@@ -215,6 +215,7 @@ HEADLINE = [
     "dedup_cascade_report",
     "orc_roundtrip_documents",
     "dedup_paragraph_excise",
+    "dedup_simhash_hamming_calibration",
 ]
 
 

@@ -45,6 +45,7 @@ _GATE_FIRST = (
     "dedup_cascade_report",
     "orc_roundtrip_documents",
     "dedup_paragraph_excise",
+    "dedup_simhash_hamming_calibration",
     "dedup_ngram_jaccard_pairs_capped",
     "dedup_hot_shingle_spill",
     "split_leakage_audit_capped",

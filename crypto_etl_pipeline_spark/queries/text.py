@@ -5239,3 +5239,88 @@ def dedup_paragraph_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(kept_sorted, " "),
         ).alias("clean_text"),
     )
+
+
+@register(
+    "dedup_simhash_hamming_calibration",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    post AS (
+      SELECT doc_id, simhash, r.b AS band,
+             (simhash >> (r.b * {_SH_BITS})) & {(1 << _SH_BITS) - 1} AS bucket
+      FROM sig CROSS JOIN range({_SH_BANDS}) r(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM post a JOIN post b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAM_K}
+    ),
+    sh AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN len(regexp_split_to_array(text, '\\s+')) >= 3 THEN
+               list_distinct(list_transform(
+                 generate_series(1, len(regexp_split_to_array(text, '\\s+')) - 2),
+                 i -> regexp_split_to_array(text, '\\s+')[i] || '_' ||
+                      regexp_split_to_array(text, '\\s+')[i+1] || '_' ||
+                      regexp_split_to_array(text, '\\s+')[i+2]))
+             ELSE [] END AS s
+      FROM documents
+    ),
+    scored AS (
+      SELECT c.hamming,
+             len(list_intersect(a.s, b.s)) * 1.0
+               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+    )
+    SELECT hamming::BIGINT AS hamming,
+           count(*)::BIGINT AS n_pairs,
+           round(avg(jaccard), 6) AS mean_jaccard,
+           round(min(jaccard), 6) AS min_jaccard,
+           count(*) FILTER (jaccard >= 0.5)::BIGINT AS n_above_half
+    FROM scored GROUP BY hamming
+    """,
+    description=(
+        f"SimHash-vs-Jaccard calibration: for each hamming distance <= "
+        f"{SIMHASH_HAM_K} (pigeonhole-complete band retrieval), the exact "
+        f"shingle-Jaccard distribution of the retrieved pairs"
+    ),
+    tags=("dedup", "similarity"),
+)
+def dedup_simhash_hamming_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The calibration table that lets a corpus owner choose a SimHash
+    hamming threshold in JACCARD terms (the policy language the rest of
+    the dedup stack speaks): for every pair the banding retrieves —
+    complete for hamming <= 3 by pigeonhole — join back the exact
+    shingle Jaccard (set rehydration only for the retrieved pairs,
+    never all pairs) and aggregate per hamming distance. A hamming
+    level whose min_jaccard is high is safe to auto-dedup; one whose
+    distribution straddles 0.5 needs the exact verifier. Both stages
+    reuse oracled operators (banded pairs; shingle sets), and the
+    output is <= 4 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_simhash_banded_pairs(spark, sf_dir)
+    sh = (
+        docs.repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+        .select("doc_id", textops.tokens(F.col("text")).alias("_t"))
+        .select(
+            "doc_id",
+            F.array_distinct(textops.shingles_of(F.col("_t"), 3)).alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
+    scored = (
+        pairs.join(sa, "id_a").join(sb, "id_b").select("hamming", jac.alias("j"))
+    )
+    return scored.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("j"), 6).alias("mean_jaccard"),
+        F.round(F.min("j"), 6).alias("min_jaccard"),
+        F.sum((F.col("j") >= 0.5).cast("long")).alias("n_above_half"),
+    )

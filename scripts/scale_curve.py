@@ -149,6 +149,7 @@ HEAVY = [
     "dedup_cascade_report",
     "orc_roundtrip_documents",
     "dedup_paragraph_excise",
+    "dedup_simhash_hamming_calibration",
 ]
 
 
