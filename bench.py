@@ -216,6 +216,7 @@ HEADLINE = [
     "orc_roundtrip_documents",
     "dedup_paragraph_excise",
     "dedup_simhash_hamming_calibration",
+    "dedup_semantic_threshold_sweep",
 ]
 
 

@@ -46,6 +46,7 @@ _GATE_FIRST = (
     "orc_roundtrip_documents",
     "dedup_paragraph_excise",
     "dedup_simhash_hamming_calibration",
+    "dedup_semantic_threshold_sweep",
     "dedup_ngram_jaccard_pairs_capped",
     "dedup_hot_shingle_spill",
     "split_leakage_audit_capped",

@@ -1897,3 +1897,115 @@ def embedding_drift_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFram
             F.sqrt(F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))), 4
         ).alias("centroid_shift_l2"),
     )
+
+
+SEM_SWEEP_TAUS = (0.35, 0.5, 0.7, 0.9)  #: cosine thresholds swept
+
+
+def _sem_sweep_oracle() -> str:
+    """One cell assignment + one within-cell cosine pass (MATERIALIZED),
+    then per-tau stats via UNION ALL — a config with zero pairs still
+    emits its row (the dedup_lsh_parameter_sweep lesson, ADVICE r7 #1)."""
+    ctes = f"""
+    cent AS MATERIALIZED (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS idx, {_DUCK_QV} AS qc
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {SEM_K})
+    ),
+    qv AS MATERIALIZED (SELECT vec_id, embedding, {_DUCK_QV} AS q FROM embeddings),
+    adist AS (
+      SELECT v.vec_id, v.embedding, c.idx,
+             -2 * list_dot_product(v.q, c.qc) + list_dot_product(c.qc, c.qc) AS d
+      FROM qv v CROSS JOIN cent c
+    ),
+    cells AS MATERIALIZED (
+      SELECT vec_id, embedding, idx AS cell
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, idx) AS rn
+            FROM adist)
+      WHERE rn = 1
+    ),
+    scored AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS sim
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )"""
+    selects = []
+    for tau in SEM_SWEEP_TAUS:
+        selects.append(f"""SELECT CAST({tau} AS DOUBLE) AS tau,
+           (SELECT count(*) FROM scored WHERE sim >= {tau})::BIGINT AS n_pairs,
+           (SELECT round(avg(sim), 6) FROM scored WHERE sim >= {tau}) AS mean_sim,
+           (SELECT count(DISTINCT v) FROM (
+              SELECT id_a AS v FROM scored WHERE sim >= {tau}
+              UNION ALL SELECT id_b FROM scored WHERE sim >= {tau}))::BIGINT AS n_docs""")
+    return "WITH " + ctes + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@register(
+    "dedup_semantic_threshold_sweep",
+    oracle=_sem_sweep_oracle(),
+    description=(
+        f"Semantic-dedup tuning table: within-cell cosine pairs computed "
+        f"ONCE, pair/doc counts fanned across taus {SEM_SWEEP_TAUS}"
+    ),
+    tags=("dedup", "similarity"),
+)
+def dedup_semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup tuning question is WHERE to set tau (the paper
+    sweeps it against downstream perplexity): this emits the corpus-side
+    half of that sweep — how many pairs and how many affected documents
+    each candidate threshold implies. ONE cell assignment + ONE
+    Arrow-batched within-cell cosine pass (checkpointed), then every
+    tau row is a cheap aggregate over the same scored pair table —
+    cost is the pair pass, not pairs × taus. Similarities round to the
+    4-decimal grid BEFORE thresholding on both engines, so tau
+    boundaries cannot drift cross-engine. Every tau emits a row even
+    with zero pairs (ungrouped aggregates; the LSH-sweep zero-candidate
+    lesson). Output is len(taus) rows."""
+    from crypto_etl_pipeline_spark.operators.similarity import (
+        cap_hot_cells,
+        ivf_assign_cells,
+        ivf_build_centroids,
+        pair_cosine_pd,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_build_centroids(emb, k=SEM_K, iters=0)
+    cells = cap_hot_cells(
+        ivf_assign_cells(emb, cents).select(
+            F.col("neighbor_id").alias("vec_id"), "_cell", "_cvec"
+        ),
+        max_cell_size=SEM_CELL_CAP,
+        cell_col="_cell",
+    ).localCheckpoint(eager=False)
+    a, b = cells.alias("a"), cells.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("a._cell") == F.col("b._cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(
+                pair_cosine_pd()(F.col("a._cvec"), F.col("b._cvec")).cast("double"), 4
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for tau in SEM_SWEEP_TAUS:
+        p = scored.where(F.col("sim") >= tau)
+        stats = p.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg("sim"), 6).alias("mean_sim"),
+        )
+        nd = (
+            p.select(F.explode(F.array("id_a", "id_b")).alias("v"))
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        )
+        row = stats.crossJoin(F.broadcast(nd)).select(
+            F.lit(float(tau)).alias("tau"), "n_pairs", "mean_sim", "n_docs"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -150,6 +150,7 @@ HEAVY = [
     "orc_roundtrip_documents",
     "dedup_paragraph_excise",
     "dedup_simhash_hamming_calibration",
+    "dedup_semantic_threshold_sweep",
 ]
 
 
