@@ -5324,3 +5324,68 @@ def dedup_simhash_hamming_calibration(spark: SparkSession, sf_dir: str) -> DataF
         F.round(F.min("j"), 6).alias("min_jaccard"),
         F.sum((F.col("j") >= 0.5).cast("long")).alias("n_above_half"),
     )
+
+
+@register(
+    "dedup_token_savings_by_source",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS MATERIALIZED ({_PAIR_SQL}),
+    edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    cl AS MATERIALIZED (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+    tok AS (
+      SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS n_tokens, source
+      FROM documents
+    )
+    SELECT t.source,
+           sum(t.n_tokens)::BIGINT AS total_tokens,
+           sum(CASE WHEN cl.cluster_id = t.doc_id THEN t.n_tokens ELSE 0 END)::BIGINT
+             AS kept_tokens,
+           sum(CASE WHEN cl.cluster_id <> t.doc_id THEN t.n_tokens ELSE 0 END)::BIGINT
+             AS saved_tokens,
+           round(sum(CASE WHEN cl.cluster_id <> t.doc_id THEN t.n_tokens ELSE 0 END)
+                 * 1.0 / sum(t.n_tokens), 6) AS savings_frac
+    FROM tok t JOIN cl ON cl.id = t.doc_id
+    GROUP BY t.source
+    """,
+    description=(
+        "Token-weighted dedup savings per source: tokens kept vs removed "
+        "under keep-one-per-near-dup-cluster — the budget number, not the "
+        "doc count"
+    ),
+    tags=("dedup", "quality", "provenance"),
+)
+def dedup_token_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training budgets are spent in TOKENS, not documents — a source
+    whose duplicates are its longest pages saves far more compute than
+    its doc-count dedup_ratio suggests (dedup_soft_weights_by_source is
+    the doc-count view; this is the token-weighted one a budget owner
+    acts on). Reuses the oracle-checked CC cluster feed; the token
+    count is one map-side expression; the rollup is source-bounded.
+    kept = canonical (min-id) docs' tokens; saved = every other cluster
+    member's tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters_connected_components(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens"),
+    )
+    kept = F.when(F.col("is_canonical"), F.col("n_tokens")).otherwise(F.lit(0))
+    saved = F.when(~F.col("is_canonical"), F.col("n_tokens")).otherwise(F.lit(0))
+    return (
+        tok.join(clusters, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(kept).cast("long").alias("kept_tokens"),
+            F.sum(saved).cast("long").alias("saved_tokens"),
+            F.round(F.sum(saved) / F.sum("n_tokens"), 6).alias("savings_frac"),
+        )
+    )

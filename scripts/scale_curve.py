@@ -151,6 +151,7 @@ HEAVY = [
     "dedup_paragraph_excise",
     "dedup_simhash_hamming_calibration",
     "dedup_semantic_threshold_sweep",
+    "dedup_token_savings_by_source",
 ]
 
 
