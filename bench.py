@@ -218,6 +218,7 @@ HEADLINE = [
     "dedup_simhash_hamming_calibration",
     "dedup_semantic_threshold_sweep",
     "dedup_token_savings_by_source",
+    "dedup_cluster_source_purity",
 ]
 
 

@@ -48,6 +48,7 @@ _GATE_FIRST = (
     "dedup_simhash_hamming_calibration",
     "dedup_semantic_threshold_sweep",
     "dedup_token_savings_by_source",
+    "dedup_cluster_source_purity",
     "dedup_ngram_jaccard_pairs_capped",
     "dedup_hot_shingle_spill",
     "split_leakage_audit_capped",

@@ -5389,3 +5389,68 @@ def dedup_token_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum(saved) / F.sum("n_tokens"), 6).alias("savings_frac"),
         )
     )
+
+
+@register(
+    "dedup_cluster_source_purity",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS MATERIALIZED ({_PAIR_SQL}),
+    edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    cl AS MATERIALIZED (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+    per AS (
+      SELECT cl.cluster_id,
+             count(*) AS cluster_size,
+             count(DISTINCT d.source) AS n_sources,
+             count(DISTINCT d.lang) AS n_langs
+      FROM cl JOIN documents d ON d.doc_id = cl.id
+      GROUP BY cl.cluster_id
+      HAVING count(*) > 1
+    )
+    SELECT n_sources,
+           count(*)::BIGINT AS n_clusters,
+           sum(cluster_size)::BIGINT AS n_docs,
+           round(avg(cluster_size), 6) AS mean_size,
+           max(n_langs)::BIGINT AS max_langs
+    FROM per GROUP BY n_sources
+    """,
+    description=(
+        "Near-dup cluster source purity: multi-member clusters bucketed by "
+        "how many sources they span — cross-source clusters are the "
+        "syndication/mirror signal"
+    ),
+    tags=("dedup", "quality", "provenance"),
+)
+def dedup_cluster_source_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-source duplication is internal redundancy (dedup it and
+    move on); a cluster SPANNING sources means the same content arrives
+    through multiple crawl channels — the syndication/mirror pattern
+    where the right fix is upstream (drop the mirror feed), not
+    per-pair dedup. Reuses the oracle-checked CC feed; the per-cluster
+    label profile is one aggregation keyed on cluster_id, and the
+    output is bounded by the distinct n_sources values (≤ source
+    count), so everything after the feed is bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters_connected_components(spark, sf_dir)
+    per = (
+        clusters.join(docs.select("doc_id", "source", "lang"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.countDistinct("source").alias("n_sources"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .where(F.col("cluster_size") > 1)
+    )
+    return per.groupBy("n_sources").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+        F.round(F.avg("cluster_size"), 6).alias("mean_size"),
+        F.max("n_langs").cast("long").alias("max_langs"),
+    )
