@@ -219,6 +219,7 @@ HEADLINE = [
     "dedup_semantic_threshold_sweep",
     "dedup_token_savings_by_source",
     "dedup_cluster_source_purity",
+    "ann_ivf_recall_at_k",
 ]
 
 

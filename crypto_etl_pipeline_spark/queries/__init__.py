@@ -49,6 +49,7 @@ _GATE_FIRST = (
     "dedup_semantic_threshold_sweep",
     "dedup_token_savings_by_source",
     "dedup_cluster_source_purity",
+    "ann_ivf_recall_at_k",
     "dedup_ngram_jaccard_pairs_capped",
     "dedup_hot_shingle_spill",
     "split_leakage_audit_capped",

@@ -2009,3 +2009,95 @@ def dedup_semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFram
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+RECALL_KS = (1, 5, 10)  #: recall@k levels reported
+
+
+def _recall_oracle() -> str:
+    """Compose the two already-verified oracles (IVF probe, brute
+    truth) and reduce to recall@k rows — nested WITHs are legal inside
+    MATERIALIZED CTE bodies."""
+    ann_sql = _REG["ann_ivf_topk"].oracle
+    truth_sql = _REG["ann_brute_force_topk"].oracle
+    selects = []
+    for k in RECALL_KS:
+        selects.append(f"""SELECT {k} AS k,
+           (SELECT count(*) FROM j
+             WHERE a_rank <= {k} AND t_rank IS NOT NULL AND t_rank <= {k})::BIGINT AS n_hits,
+           ({k} * (SELECT count(DISTINCT query_id) FROM truth))::BIGINT AS n_possible,
+           round((SELECT count(*) FROM j
+                   WHERE a_rank <= {k} AND t_rank IS NOT NULL AND t_rank <= {k}) * 1.0
+                 / ({k} * (SELECT count(DISTINCT query_id) FROM truth)), 6) AS recall
+    """)
+    return f"""
+    WITH ann AS MATERIALIZED ({ann_sql}),
+    truth AS MATERIALIZED ({truth_sql}),
+    j AS MATERIALIZED (
+      SELECT a.query_id, a.neighbor_id, a.rank AS a_rank, t.rank AS t_rank
+      FROM ann a LEFT JOIN truth t USING (query_id, neighbor_id)
+    )
+    """ + "\n    UNION ALL ".join(selects)
+
+
+@register(
+    "ann_ivf_recall_at_k",
+    oracle=_recall_oracle(),
+    description=(
+        f"IVF retrieval quality surface: recall@k for k in {RECALL_KS} "
+        f"against the exact brute-force truth (nprobe={IVF_NPROBE})"
+    ),
+    tags=("similarity", "ml"),
+)
+def ann_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE retrieval eval number — recall@k of the approximate index
+    against exact truth, the metric every ANN paper reports and every
+    index rollout gates on (the nprobe sweep reports candidate VOLUME;
+    this reports result QUALITY at fixed nprobe across k levels). Both
+    rankings are deterministic (4-decimal cosine grid, neighbor-id
+    tie-break), so recall is exact, not sampled. One left join of the
+    two top-k tables (both query-count-bounded), then every k level is
+    a conditional aggregate over the SAME joined frame — one pass, not
+    one join per k. Composes the two already-oracled feeds; the SQL
+    replay nests their verified oracles verbatim."""
+    from crypto_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_build_centroids,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_build_centroids(emb, k=IVF_K, iters=0)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).limit(N_QUERIES)
+    ann = ivf_topk(emb, queries, cents, k=TOP_K, nprobe=IVF_NPROBE).select(
+        "query_id", "neighbor_id", F.col("rank").alias("a_rank")
+    )
+    truth = brute_force_topk(emb, queries, k=TOP_K).select(
+        "query_id", "neighbor_id", F.col("rank").alias("t_rank")
+    ).localCheckpoint(eager=False)
+    j = ann.join(truth, ["query_id", "neighbor_id"], "left").localCheckpoint(
+        eager=False
+    )
+    nq = truth.select("query_id").distinct().count()
+    hits = j.agg(
+        *[
+            F.sum(
+                (
+                    (F.col("a_rank") <= k)
+                    & F.col("t_rank").isNotNull()
+                    & (F.col("t_rank") <= k)
+                ).cast("long")
+            ).alias(f"h{k}")
+            for k in RECALL_KS
+        ]
+    )
+    out = None
+    for k in RECALL_KS:
+        row = hits.select(
+            F.lit(k).alias("k"),
+            F.col(f"h{k}").alias("n_hits"),
+            F.lit(k * nq).cast("long").alias("n_possible"),
+            F.round(F.col(f"h{k}") / F.lit(k * nq), 6).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
