@@ -119,6 +119,13 @@ _QUICK_ORACLE = {
     # over the split gate)
     "quality_kanonymity_audit",
     "split_leakage_audit",
+    # round-8 families: df-capped pair feed, banded simhash,
+    # paragraph first-wins, sampled k-center, IVF recall surface
+    "dedup_ngram_jaccard_pairs_capped",
+    "dedup_simhash_banded_pairs",
+    "dedup_paragraph_first_wins",
+    "kcenter_sampled_assign",
+    "ann_ivf_recall_at_k",
 }
 
 
