@@ -231,7 +231,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    names = [n for n in HEADLINE if n in REGISTRY]
+    # Bench the ENTIRE registry, headline order first (VERDICT r8 task
+    # #2: 119 registered queries had never been in a BENCH_FULL pass —
+    # the round-8 19.9 s Generate pathology was invisible to oracles
+    # and found only by timing). Headline names keep their positions so
+    # per-query diffs against prior rounds stay aligned; the long tail
+    # of sub-second shapes appends in registry order. New queries are
+    # benched automatically from the round they are registered.
+    headline = [n for n in HEADLINE if n in REGISTRY]
+    names = headline + [n for n in REGISTRY if n not in set(HEADLINE)]
 
     # Warmup at the smallest SF: JIT, codegen caches, parquet footer
     # reads, and Python worker spawn for the pandas_udf-backed queries.
@@ -251,15 +259,21 @@ def main() -> None:
                 timings[name] = dt
 
     total = round(sum(timings.values()), 3)
+    headline_total = round(sum(timings[n] for n in headline), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = {
-        "metric": "headline_queries_total_wall",
+        "metric": "registry_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "passes": 2,
         "agg": "min",
         "sf": sf_val,
+        # headline subtotal: the 177-query surface benched through r8,
+        # kept for round-over-round continuity now that `value` covers
+        # the whole registry
+        "headline_value": headline_total,
+        "n_headline": len(headline),
     }
     # Per-query timings go to a committed artifact; stdout gets the full
     # line FIRST and then a compact summary line LAST.  The driver keeps
@@ -274,32 +288,40 @@ def main() -> None:
     import hashlib
 
     file_text = json.dumps(full, indent=1, sort_keys=True) + "\n"
+    # Only attest the sha/file when the write actually landed (ADVICE
+    # r8 #3: a swallowed OSError used to leave the summary pointing at
+    # a stale or absent file — defeating the tamper-evidence the field
+    # exists for).
+    wrote_ok = False
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
             "w",
         ) as fh:
             fh.write(file_text)
+        wrote_ok = True
     except OSError:
         pass
     print(json.dumps(full))
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(timings),
-                "passes": 2,
-                "agg": "min",
-                "sf": sf_val,
-                "slowest": slowest,
-                "bench_full_sha256": hashlib.sha256(file_text.encode()).hexdigest(),
-                "queries_file": "BENCH_FULL.json",
-            }
-        )
-    )
+    summary = {
+        "metric": "registry_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "passes": 2,
+        "agg": "min",
+        "sf": sf_val,
+        "headline_value": headline_total,
+        "n_headline": len(headline),
+        "slowest": slowest,
+    }
+    if wrote_ok:
+        summary["bench_full_sha256"] = hashlib.sha256(file_text.encode()).hexdigest()
+        summary["queries_file"] = "BENCH_FULL.json"
+    else:
+        summary["bench_full_write_failed"] = True
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -221,7 +221,11 @@ def lsh_hot_buckets(buckets: DataFrame, bucket_cap: int) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_ids"))
         .where(F.col("n_ids") > bucket_cap)
         .withColumn(
-            "skipped_comparisons", (F.col("n_ids") * (F.col("n_ids") - 1) / 2).cast("long")
+            # integer `div` (not `/`): exact past 2^53, matching SQL's
+            # integer floor division — same fix as hot_shingle_spill
+            # (ADVICE r8 #1)
+            "skipped_comparisons",
+            F.expr("n_ids * (n_ids - 1) div 2"),
         )
     )
 
@@ -248,11 +252,40 @@ def near_dup_pairs_minhash(
     exact drop/recall semantics and :func:`lsh_hot_buckets` for the
     spill metric.
     """
-    sh_tbl = _shingle_arrays(df, text_col, id_col, shingle_n)
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, shingle_df=sh_tbl)
-    buckets = lsh_buckets(sigs, id_col, num_hashes, num_bands)
+    buckets, sh_tbl = minhash_buckets(df, text_col, id_col, num_hashes, num_bands, shingle_n)
     if bucket_cap is not None:
         buckets = cap_hot_buckets(buckets, bucket_cap)
+    return near_dup_pairs_from_buckets(buckets, sh_tbl, id_col, threshold)
+
+
+def minhash_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """The candidate-generation half of :func:`near_dup_pairs_minhash`,
+    exposed so a caller that needs the bucket table for more than the
+    pair join — the cascade report reads the :func:`lsh_hot_buckets`
+    spill off the same frame — shares ONE tokenize/hash/band pass.
+    Returns ``(buckets, shingle_table)``; feed both to
+    :func:`near_dup_pairs_from_buckets` for the verified pairs."""
+    sh_tbl = _shingle_arrays(df, text_col, id_col, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, shingle_df=sh_tbl)
+    return lsh_buckets(sigs, id_col, num_hashes, num_bands), sh_tbl
+
+
+def near_dup_pairs_from_buckets(
+    buckets: DataFrame,
+    sh_tbl: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate join + exact-Jaccard verification over a prebuilt
+    (possibly capped) bucket table — the second half of
+    :func:`near_dup_pairs_minhash`."""
     left = buckets.alias("l")
     right = buckets.alias("r")
     cand = (
@@ -1015,7 +1048,11 @@ def hot_shingle_spill(
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > shingle_df_cap)
         .withColumn(
+            # integer `div`, not `/`: Spark's `/` promotes to double and
+            # loses exactness past 2^53 (df >~ 9.5e7 — plausible for the
+            # boilerplate-skew corpora this audit targets), drifting from
+            # the oracle's exact integer floor division (ADVICE r8 #1)
             "skipped_comparisons",
-            (F.col("df") * (F.col("df") - 1) / 2).cast("long"),
+            F.expr("df * (df - 1) div 2"),
         )
     )

@@ -354,15 +354,32 @@ def _minhash_ctes(
     num_bands: int = 8,
     threshold: float = 0.05,
     source: str = "documents",
+    bucket_cap: int | None = None,
 ) -> str:
     """DuckDB CTE chain reproducing near_dup_pairs_minhash exactly:
     md5_long(shingle, 8) -> Carter-Wegman fan-out (same inlined A/B/P
     constants as the Spark plan) -> per-doc min -> '|'-joined band
     buckets -> (band, bucket) self-join -> exact-Jaccard verification.
-    Terminal CTE is ``mh_pairs(id_a, id_b, jaccard)``."""
+    Terminal CTE is ``mh_pairs(id_a, id_b, jaccard)``.
+
+    ``bucket_cap`` mirrors cap_hot_buckets exactly (drop (band, bucket)
+    groups larger than the cap before candidate generation) — unlike
+    the xxhash sub-cell split in cap_hot_cells, the count-based bucket
+    cap IS SQL-replayable, so capped Spark plans can be oracled even
+    where the cap engages. None leaves the SQL text byte-identical to
+    the pre-cap form (existing oracles' hashes unchanged)."""
     rpb = num_hashes // num_bands
     jac = """len(list_intersect(a.s, b.s)) * 1.0
                    / len(list_distinct(list_concat(a.s, b.s)))"""
+    cand_src = "bands"
+    cap_cte = ""
+    if bucket_cap is not None:
+        cand_src = "bands_capped"
+        cap_cte = f"""
+    bands_capped AS (
+      SELECT doc_id, band, bucket FROM bands
+      QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {bucket_cap}
+    ),"""
     return f"""
     toks AS (
       SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM {source}
@@ -388,10 +405,10 @@ def _minhash_ctes(
       SELECT doc_id, i // {rpb} AS band,
              {phash.duck_md5_long("string_agg(h::VARCHAR, '|' ORDER BY i)", 15)} AS bucket
       FROM hs GROUP BY doc_id, i // {rpb}
-    ),
+    ),{cap_cte}
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
+      FROM {cand_src} a JOIN {cand_src} b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     ),
     ss AS (SELECT doc_id, list_distinct(g) AS s FROM shl),
@@ -5075,6 +5092,14 @@ def dedup_paragraph_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- dedup cascade funnel ------------------------------------------------------
 
 
+#: per-(band, bucket) size cap for the cascade's near-dup stage — the
+#: production guard against boilerplate-degenerate LSH buckets. The
+#: count-based cap is SQL-replayable (unlike the xxhash sub-cell split),
+#: so the oracle mirrors it exactly even where it engages; the spill it
+#: absorbs is a first-class column of the funnel, never silent.
+CASCADE_BUCKET_CAP = 16
+
+
 @register(
     "dedup_cascade_report",
     oracle=f"""
@@ -5090,7 +5115,12 @@ def dedup_paragraph_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv AS MATERIALIZED (
       SELECT d.* FROM documents d JOIN keep1 USING (doc_id)
     ),
-    {_minhash_ctes(source="surv")},
+    {_minhash_ctes(source="surv", bucket_cap=CASCADE_BUCKET_CAP)},
+    spill AS (
+      SELECT coalesce(sum(c * (c - 1) // 2), 0)::BIGINT AS n
+      FROM (SELECT count(*) AS c FROM bands GROUP BY band, bucket
+            HAVING count(*) > {CASCADE_BUCKET_CAP})
+    ),
     edges AS MATERIALIZED (
       SELECT id_a AS a, id_b AS b FROM mh_pairs
       UNION SELECT id_b, id_a FROM mh_pairs
@@ -5101,22 +5131,55 @@ def dedup_paragraph_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.id
     ),
     cl AS MATERIALIZED (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+    surv2 AS MATERIALIZED (
+      SELECT s.* FROM surv s JOIN cl ON cl.id = s.doc_id AND cl.cluster_id = cl.id
+    ),
+    ptoks AS MATERIALIZED (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM surv2
+    ),
+    para AS MATERIALIZED (
+      SELECT doc_id, idx,
+             md5(array_to_string(
+               list_slice(t, idx * {PARA_W} + 1, (idx + 1) * {PARA_W}), ' ')) AS h
+      FROM (
+        SELECT doc_id, t,
+               unnest(generate_series(0, (len(t) - 1) // {PARA_W})) AS idx
+        FROM ptoks WHERE len(t) > 0
+      )
+    ),
+    pranked AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+      FROM para
+    ),
+    pkept AS (
+      SELECT doc_id, max(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS any_kept
+      FROM pranked GROUP BY doc_id
+    ),
     n0 AS (SELECT count(*) AS n FROM documents),
     n1 AS (SELECT count(*) AS n FROM surv),
-    n2 AS (SELECT count(*) AS n FROM cl WHERE cluster_id = id)
+    n2 AS (SELECT count(*) AS n FROM cl WHERE cluster_id = id),
+    n3r AS (SELECT count(*) AS n FROM pkept WHERE any_kept = 0)
     SELECT 0 AS stage, 'raw' AS stage_name,
-           n0.n::BIGINT AS docs_in, 0::BIGINT AS docs_removed, n0.n::BIGINT AS docs_out
+           n0.n::BIGINT AS docs_in, 0::BIGINT AS docs_removed, n0.n::BIGINT AS docs_out,
+           0::BIGINT AS spilled_comparisons
     FROM n0
     UNION ALL
-    SELECT 1, 'exact_dedup', n0.n::BIGINT, (n0.n - n1.n)::BIGINT, n1.n::BIGINT
+    SELECT 1, 'exact_dedup', n0.n::BIGINT, (n0.n - n1.n)::BIGINT, n1.n::BIGINT, 0::BIGINT
     FROM n0 CROSS JOIN n1
     UNION ALL
-    SELECT 2, 'near_dup_clusters', n1.n::BIGINT, (n1.n - n2.n)::BIGINT, n2.n::BIGINT
-    FROM n1 CROSS JOIN n2
+    SELECT 2, 'near_dup_clusters', n1.n::BIGINT, (n1.n - n2.n)::BIGINT, n2.n::BIGINT,
+           spill.n
+    FROM n1 CROSS JOIN n2 CROSS JOIN spill
+    UNION ALL
+    SELECT 3, 'paragraph_dedup', n2.n::BIGINT, n3r.n::BIGINT, (n2.n - n3r.n)::BIGINT,
+           0::BIGINT
+    FROM n2 CROSS JOIN n3r
     """,
     description=(
-        "Dedup cascade funnel: exact (hash-groupBy) -> MinHash-LSH cluster "
-        "keep-one, with per-stage in/removed/out counts — the governance "
+        "Dedup cascade funnel: exact (hash-groupBy) -> capped MinHash-LSH "
+        "cluster keep-one -> paragraph first-wins excision, with per-stage "
+        "in/removed/out counts and the LSH bucket-cap spill — the governance "
         "report a corpus owner reads before training"
     ),
     tags=("dedup", "pipeline", "quality"),
@@ -5125,31 +5188,106 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production dedup is a CASCADE, cheapest first: exact fingerprint
     dedup collapses verbatim copies at hash-groupBy cost (and, by
     removing the degenerate clusters, bounds the near-dup stage's
-    bucket sizes — the reason cap_hot_buckets can afford to drop what
-    it drops), then MinHash-LSH + connected components collapses the
-    near-dup clusters that survive, keeping the min-id canonical per
-    cluster. This query runs the two stages end-to-end and reports the
-    funnel — the per-stage removal accounting that tells a corpus
-    owner WHERE the redundancy lives (verbatim mirrors vs edited
-    copies). Each stage reuses the oracled operators (exact_dedup,
-    near_dup_pairs_minhash, dedup_clusters); output is 3 rows."""
+    bucket sizes), then capped MinHash-LSH + connected components
+    collapses the near-dup clusters that survive (min-id canonical per
+    cluster), then the paragraph-level first-wins pass (CCNet) removes
+    the documents whose every {PARA_W}-token chunk already appeared
+    earlier in the surviving corpus — the exact doc -> near doc ->
+    paragraph stack a production curation pipeline runs end-to-end
+    (VERDICT r8 task #6).
+
+    Two governance disciplines are wired into the output itself
+    (task #8): the near-dup stage runs with cap_hot_buckets
+    ({CASCADE_BUCKET_CAP} per (band, bucket)) and reports the
+    comparisons the cap absorbed as the ``spilled_comparisons`` column
+    — cascade consumers see the spill without running the
+    lsh_hot_buckets audit separately, and a silent cap cannot read as
+    full coverage. The count-based cap is SQL-replayable, so the
+    DuckDB oracle mirrors the capped semantics exactly even where the
+    cap engages (tests/test_round9_ops cascade fixture).
+
+    Scale shape: the bucket table is built ONCE (minhash_buckets) and
+    lazily checkpointed — the spill aggregate and both candidate-join
+    branches read the same materialization instead of re-running the
+    tokenize/hash/band pass per consumer (the r8 self-join lesson).
+    Each stage reuses the oracled operators (exact_dedup,
+    near_dup_pairs_from_buckets, dedup_clusters, the paragraph window);
+    output is 4 rows."""
+    from pyspark.sql.window import Window
+
     from crypto_etl_pipeline_spark.operators.cluster import dedup_clusters
+    from crypto_etl_pipeline_spark.operators.dedup import (
+        cap_hot_buckets,
+        lsh_hot_buckets,
+        minhash_buckets,
+        near_dup_pairs_from_buckets,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
     canon = exact_dedup(docs, "text", "doc_id").select("doc_id")
     surv = docs.join(canon, "doc_id").localCheckpoint(eager=False)
     n1 = surv.count()
-    pairs = near_dup_pairs_minhash(surv, threshold=0.05).select("id_a", "id_b")
+
+    buckets, sh_tbl = minhash_buckets(surv)
+    buckets = buckets.localCheckpoint(eager=False)
+    spilled = (
+        lsh_hot_buckets(buckets, CASCADE_BUCKET_CAP)
+        .agg(F.coalesce(F.sum("skipped_comparisons"), F.lit(0)).alias("n"))
+        .collect()[0]["n"]
+    )
+    pairs = near_dup_pairs_from_buckets(
+        cap_hot_buckets(buckets, CASCADE_BUCKET_CAP), sh_tbl, threshold=0.05
+    ).select("id_a", "id_b")
     clusters = dedup_clusters(surv, pairs)
-    n2 = clusters.where(F.col("is_canonical")).count()
+    surv2 = (
+        surv.join(
+            clusters.where(F.col("is_canonical")).select("doc_id"), "doc_id"
+        )
+        .localCheckpoint(eager=False)
+    )
+    n2 = surv2.count()
+
+    # paragraph first-wins over the survivors (same shape as
+    # dedup_paragraph_first_wins: checkpointed token table below the
+    # explode, ONE hash window, doc rollup)
+    n_parts = spark.sparkContext.defaultParallelism
+    toks = (
+        surv2.repartition(n_parts, F.col("doc_id"))
+        .select("doc_id", textops.tokens(F.col("text")).alias("_t"))
+        .where(F.size("_t") > 0)
+        .localCheckpoint(eager=False)
+    )
+    para = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.floor((F.size("_t") - 1) / F.lit(PARA_W)).cast("int")
+                ),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("_t"), i * PARA_W + 1, PARA_W), " ")
+                ),
+            )
+        ).alias("idx", "h"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "idx")
+    n3_removed = (
+        para.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(F.max((F.col("rn") == 1).cast("int")).alias("any_kept"))
+        .where(F.col("any_kept") == 0)
+        .count()
+    )
     return spark.createDataFrame(
         [
-            (0, "raw", n0, 0, n0),
-            (1, "exact_dedup", n0, n0 - n1, n1),
-            (2, "near_dup_clusters", n1, n1 - n2, n2),
+            (0, "raw", n0, 0, n0, 0),
+            (1, "exact_dedup", n0, n0 - n1, n1, 0),
+            (2, "near_dup_clusters", n1, n1 - n2, n2, spilled),
+            (3, "paragraph_dedup", n2, n3_removed, n2 - n3_removed, 0),
         ],
-        "stage INT, stage_name STRING, docs_in BIGINT, docs_removed BIGINT, docs_out BIGINT",
+        "stage INT, stage_name STRING, docs_in BIGINT, docs_removed BIGINT, "
+        "docs_out BIGINT, spilled_comparisons BIGINT",
     )
 
 
@@ -5270,8 +5408,10 @@ def dedup_paragraph_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT c.hamming,
-             len(list_intersect(a.s, b.s)) * 1.0
-               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+             CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                  ELSE len(list_intersect(a.s, b.s)) * 1.0
+                       / len(list_distinct(list_concat(a.s, b.s)))
+             END AS jaccard
       FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
     )
     SELECT hamming::BIGINT AS hamming,
@@ -5314,7 +5454,10 @@ def dedup_simhash_hamming_calibration(spark: SparkSession, sf_dir: str) -> DataF
     )
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
-    jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
+    # textops.jaccard guards union == 0 (two sub-3-token docs in a band
+    # bucket would otherwise yield 0/0 → NULL / ANSI error); the oracle
+    # mirrors the guard with an explicit CASE (ADVICE r8 #4)
+    jac = textops.jaccard(F.col("sa"), F.col("sb"))
     scored = (
         pairs.join(sa, "id_a").join(sb, "id_b").select("hamming", jac.alias("j"))
     )

@@ -1969,6 +1969,15 @@ def dedup_semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFram
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ivf_build_centroids(emb, k=SEM_K, iters=0)
+    # cap_hot_cells bounds the quadratic within-cell stage (same guard
+    # as dedup_semantic_clusters). PARITY CAVEAT (ADVICE r8 #2): the
+    # xxhash64 sub-cell split is not SQL-replayable, so the DuckDB
+    # oracle pairs within RAW IVF cells — the cap must be a NO-OP at
+    # parity SFs (max cell size <= SEM_CELL_CAP, which a pre-registered
+    # assertion test checks at sf0.01/sf0.1: tests/test_round9_ops.py)
+    # for the two engines to agree. At 100x corpus the cap engages and
+    # the Spark side intentionally undercounts vs an uncapped oracle —
+    # the spill is what dedup_semantic_clusters' docstring documents.
     cells = cap_hot_cells(
         ivf_assign_cells(emb, cents).select(
             F.col("neighbor_id").alias("vec_id"), "_cell", "_cvec"

@@ -1,7 +1,9 @@
 from __future__ import annotations
 
+import json
 import os
 import sys
+import time
 
 import pytest
 
@@ -9,6 +11,50 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SESSION_T0: float | None = None
+
+
+def pytest_sessionstart(session):
+    global _SESSION_T0
+    _SESSION_T0 = time.perf_counter()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Record the full-suite gate cost to GATE_COST.json (VERDICT r8
+    task #4: replace the dead fixed ≤10:00 wall-clock bar with a tested
+    per-query budget). Only a complete, PASSING, unfiltered run records
+    — partial/marked runs never masquerade as the gate measurement.
+    tests/test_gate_budget.py asserts the recorded cost against the
+    budget on every subsequent run (including the quick tier)."""
+    if _SESSION_T0 is None or exitstatus != 0:
+        return
+    opt = session.config.option
+    if getattr(opt, "markexpr", "") or getattr(opt, "keyword", ""):
+        return
+    if session.testscollected < 1500:  # file-scoped run, not the suite
+        return
+    try:
+        from crypto_etl_pipeline_spark.queries import REGISTRY
+
+        n_registry = len(REGISTRY)
+    except Exception:
+        return
+    wall = round(time.perf_counter() - _SESSION_T0, 1)
+    payload = {
+        "suite_wall_s": wall,
+        "n_tests": session.testscollected,
+        "n_registry": n_registry,
+        "per_query_s": round(wall / n_registry, 3),
+        "recorded_unix": int(time.time()),
+    }
+    try:
+        with open(os.path.join(_REPO_ROOT, "GATE_COST.json"), "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass
 
 
 @pytest.fixture(scope="session")
