@@ -347,6 +347,164 @@ def dedup_hot_shingle_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILER_FRAC = 0.3  #: text_boilerplate_ngram_prune's keep threshold
+
+
+@register(
+    "dedup_prune_vs_cap_report",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, lang, regexp_split_to_array(text, '\\s+') AS t FROM documents
+    ),
+    g5 AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 5 THEN
+               list_distinct(list_transform(generate_series(1, len(t) - 4),
+                 i -> t[i] || '_' || t[i+1] || '_' || t[i+2] || '_'
+                      || t[i+3] || '_' || t[i+4]))
+             ELSE [] END AS g
+      FROM toks
+    ),
+    u AS MATERIALIZED (
+      SELECT doc_id, len(g) AS n_grams, uu.gram
+      FROM g5, LATERAL unnest(g) AS uu(gram)
+      WHERE len(g) > 0
+    ),
+    boiler AS (SELECT gram FROM u GROUP BY gram HAVING count(*) >= 2),
+    score AS (
+      SELECT u.doc_id, count(b.gram) * 1.0 / u.n_grams AS frac
+      FROM u LEFT JOIN boiler b USING (gram)
+      GROUP BY u.doc_id, u.n_grams
+    ),
+    dropped AS (SELECT doc_id FROM score WHERE frac >= {_BOILER_FRAC}),
+    sh AS MATERIALIZED (
+      SELECT doc_id, lang,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || '_' || t[i+1] || '_' || t[i+2]))
+             ELSE [] END AS s
+      FROM toks
+    ),
+    post AS MATERIALIZED (SELECT doc_id, lang, unnest(s) AS g FROM sh),
+    fullhot AS (
+      SELECT count(*)::BIGINT AS nh,
+             coalesce(sum(c * (c - 1) // 2), 0)::BIGINT AS sk
+      FROM (SELECT count(*) AS c FROM post GROUP BY lang, g
+            HAVING count(*) > {HOT_SHINGLE_DF_CAP})
+    ),
+    prunedhot AS (
+      SELECT count(*)::BIGINT AS nh,
+             coalesce(sum(c * (c - 1) // 2), 0)::BIGINT AS sk
+      FROM (SELECT count(*) AS c FROM post
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+            GROUP BY lang, g HAVING count(*) > {HOT_SHINGLE_DF_CAP})
+    )
+    SELECT 'full' AS variant,
+           (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+           nh AS n_hot_shingles, sk AS skipped_comparisons
+    FROM fullhot
+    UNION ALL
+    SELECT 'pruned',
+           (SELECT count(*) FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped))::BIGINT,
+           nh, sk
+    FROM prunedhot
+    """,
+    description=(
+        f"Prune-vs-cap composition: hot-shingle comparisons a df-cap of "
+        f"{HOT_SHINGLE_DF_CAP} must absorb on the full corpus vs after the "
+        f"boilerplate prune (frac >= {_BOILER_FRAC} dropped) — measures how "
+        f"much of the cap's work the upstream prune removes"
+    ),
+    tags=("dedup", "quality", "pipeline"),
+)
+def dedup_prune_vs_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shingle_posting_pairs' docstring (operators/dedup.py) claims the
+    PRODUCTION answer to boilerplate-quadratic posting joins is pruning
+    upstream, with the df-cap as the last-line guard — this query
+    MEASURES that claim (VERDICT r8 task #7): the hot-shingle audit
+    (df > {cap}, C(df,2) absorbed comparisons) on the full corpus vs
+    on the corpus after text_boilerplate_ngram_prune's keep filter
+    (docs with >= 30% boilerplate 5-grams dropped). The delta between
+    the two ``skipped_comparisons`` values is exactly the work the
+    prune takes off the cap.
+
+    Scale shape: ONE tokenizer pass (checkpointed token table) feeds
+    both gram widths (5-gram prune signal, 3-shingle posting feed);
+    the boilerplate gram set is a filtered aggregate AQE broadcasts
+    into the left-semi scoring join; both spill aggregates are
+    hash-groupBys over the same checkpointed posting table (the pruned
+    one behind a doc-keyed anti-join). Driver state is four bounded
+    scalars — no corpus-sized collect. Output is 2 rows."""
+    from crypto_etl_pipeline_spark.operators.textops import shingles_of, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(n_parts, F.col("doc_id"))
+        .select("doc_id", "lang", tokens(F.col("text")).alias("_t"))
+        .localCheckpoint(eager=False)
+    )
+    g5 = (
+        toks.select(
+            "doc_id", F.array_distinct(shingles_of(F.col("_t"), 5)).alias("_g")
+        )
+        .localCheckpoint(eager=False)
+        .where(F.size("_g") > 0)
+    )
+    u = g5.select("doc_id", F.size("_g").alias("_ng"), F.explode("_g").alias("gram"))
+    boiler = (
+        u.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .where(F.col("_d") >= 2)
+        .select("gram")
+    )
+    hits = (
+        u.join(boiler, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_nb"))
+    )
+    dropped = (
+        g5.select("doc_id", F.size("_g").alias("_ng"))
+        .join(hits, "doc_id", "left")
+        .where(F.coalesce(F.col("_nb"), F.lit(0)) / F.col("_ng") >= _BOILER_FRAC)
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    post = (
+        toks.select(
+            "doc_id",
+            "lang",
+            F.array_distinct(shingles_of(F.col("_t"), 3)).alias("_s"),
+        )
+        .localCheckpoint(eager=False)
+        .select("doc_id", "lang", F.explode("_s").alias("shingle"))
+    )
+
+    def _hot(p):
+        row = (
+            p.groupBy("lang", "shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > HOT_SHINGLE_DF_CAP)
+            .agg(
+                F.count(F.lit(1)).alias("nh"),
+                F.coalesce(F.sum(F.expr("df * (df - 1) div 2")), F.lit(0)).alias("sk"),
+            )
+            .collect()[0]
+        )
+        return row["nh"], row["sk"]
+
+    n_full = docs.count()
+    n_pruned = docs.join(dropped, "doc_id", "left_anti").count()
+    full_nh, full_sk = _hot(post)
+    pruned_nh, pruned_sk = _hot(post.join(dropped, "doc_id", "left_anti"))
+    return spark.createDataFrame(
+        [
+            ("full", n_full, full_nh, full_sk),
+            ("pruned", n_pruned, pruned_nh, pruned_sk),
+        ],
+        "variant STRING, n_docs BIGINT, n_hot_shingles BIGINT, skipped_comparisons BIGINT",
+    )
 
 
 def _minhash_ctes(
@@ -536,15 +694,27 @@ def dedup_simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACTLY in at least one band and
     are guaranteed to collide — zero recall loss, unlike MinHash-LSH's
     probabilistic s-curve. Cost scales with per-bucket collision
-    density (the shuffle key is (band, 15-bit-prefix)); a boilerplate
-    corpus that degenerates the buckets takes the same cap discipline
-    as the LSH path (cap_hot_buckets — here left uncapped for oracle
-    parity, the signatures themselves collapse verbatim copies to ONE
-    bucket row per band so the degenerate case is bounded by distinct
-    signatures, not docs). Signatures carry through the join, so
-    verification is a popcount on columns already in hand — no
-    rehydration join."""
+    density (the shuffle key is (band, 15-bit-prefix)), and the posting
+    table carries one row per (doc, band) — near-identical documents
+    therefore FLOOD a bucket exactly like the LSH/hot-shingle cases
+    (the round-8 docstring claimed distinct signatures bound this;
+    they don't — each doc is its own posting row). This query stays
+    uncapped as the exact-by-contract oracle-parity form;
+    dedup_simhash_banded_pairs_capped is the governance twin
+    (cap engaged even at gate SF — natural 15-bit-prefix skew) and
+    dedup_simhash_hot_bucket_spill audits what the cap absorbs.
+    Signatures carry through the join, so verification is a popcount
+    on columns already in hand — no rehydration join."""
     docs = load_table(spark, sf_dir, "documents")
+    post = _simhash_post(docs)
+    return _simhash_pairs_from_post(post)
+
+
+def _simhash_post(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash, band, bucket) posting table — checkpointed so
+    ONE 60-column signature aggregation feeds both self-join branches
+    (and any spill audit): ReuseExchange dedups exchanges, not the
+    map-side partial-agg work feeding two alias lineages."""
     sig = simhash_signatures(docs, "text", "doc_id")
     mask = (1 << _SH_BITS) - 1
     bb = F.explode(
@@ -560,7 +730,7 @@ def dedup_simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    post = (
+    return (
         sig.select("doc_id", "simhash", bb.alias("bb"))
         .select(
             "doc_id",
@@ -568,12 +738,13 @@ def dedup_simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bb.band").alias("band"),
             F.col("bb.bucket").alias("bucket"),
         )
-        # one materialization feeds BOTH self-join branches: the 60-
-        # column signature aggregation is the dominant cost and would
-        # otherwise run twice (ReuseExchange dedups exchanges, not the
-        # map-side partial-agg work feeding two alias lineages)
         .localCheckpoint(eager=False)
     )
+
+
+def _simhash_pairs_from_post(post: DataFrame) -> DataFrame:
+    """Candidate join + popcount verify over a (possibly capped)
+    simhash posting table."""
     a, b = post.alias("a"), post.alias("b")
     cand = (
         a.join(
@@ -593,6 +764,105 @@ def dedup_simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham = hamming64(F.col("sa"), F.col("sb"))
     return cand.where(ham <= SIMHASH_HAM_K).select(
         "id_a", "id_b", ham.cast("long").alias("hamming")
+    )
+
+
+SIMHASH_BUCKET_CAP = 16  #: per-(band, 15-bit-prefix) posting cap for the governance twin
+
+_SH_POST_SQL = f"""
+    post AS MATERIALIZED (
+      SELECT doc_id, simhash, r.b AS band,
+             (simhash >> (r.b * {_SH_BITS})) & {(1 << _SH_BITS) - 1} AS bucket
+      FROM sig CROSS JOIN range({_SH_BANDS}) r(b)
+    )"""
+
+
+@register(
+    "dedup_simhash_banded_pairs_capped",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    {_SH_POST_SQL},
+    post_capped AS (
+      SELECT doc_id, simhash, band, bucket FROM post
+      QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {SIMHASH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM post_capped a JOIN post_capped b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAM_K}
+    """,
+    description=(
+        f"Skew-guarded banded-SimHash pairs: (band, bucket) postings larger "
+        f"than {SIMHASH_BUCKET_CAP} dropped before the self-join — the "
+        f"hamming-space twin of dedup_ngram_jaccard_pairs_capped"
+    ),
+    tags=("dedup",),
+)
+def dedup_simhash_banded_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB posture of the banded-SimHash feed (VERDICT r8 task
+    #3): a block of near-identical documents shares ALL 4 band buckets
+    — hamming-0/1 twins collide everywhere — so a boilerplate corpus
+    turns the candidate join C(f, 2)-quadratic on a handful of
+    (band, bucket) keys, the exact analogue of the hot-shingle case
+    (measured on the boilerplate fixture: SCALE.md round 9).
+    cap_hot_buckets threads here unchanged — the posting already
+    carries band/bucket columns.
+
+    Recall semantics: pigeonhole guarantees a hamming<=3 pair at least
+    one EXACT band match; the pair is lost only if every such band is
+    capped — i.e. only members of a >cap-doc near-identical block,
+    which is precisely the mass to handle as a CLUSTER upstream (exact
+    dedup for verbatim copies; the spill audit names the rest). The
+    count-based cap is SQL-replayable, and NATURAL 15-bit-prefix skew
+    engages it even at the gate SF (bucket of 27 at sf0.01) — the
+    driver row proves engaged-cap parity, not a no-op."""
+    from crypto_etl_pipeline_spark.operators.dedup import cap_hot_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    post = _simhash_post(docs)
+    return _simhash_pairs_from_post(
+        cap_hot_buckets(post, SIMHASH_BUCKET_CAP)
+    )
+
+
+@register(
+    "dedup_simhash_hot_bucket_spill",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    {_SH_POST_SQL}
+    SELECT band::BIGINT AS band, bucket::BIGINT AS bucket,
+           count(*)::BIGINT AS n_ids,
+           (count(*) * (count(*) - 1) // 2)::BIGINT AS skipped_comparisons
+    FROM post GROUP BY band, bucket
+    HAVING count(*) > {SIMHASH_BUCKET_CAP}
+    """,
+    description=(
+        f"Hot simhash-bucket spill audit: (band, bucket) postings a cap of "
+        f"{SIMHASH_BUCKET_CAP} drops, with the C(n,2) candidate comparisons "
+        f"each absorbs"
+    ),
+    tags=("dedup", "quality"),
+)
+def dedup_simhash_hot_bucket_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The observability half of dedup_simhash_banded_pairs_capped
+    (lsh_hot_buckets discipline, reusing that exact operator — the
+    simhash posting carries the same band/bucket columns): every
+    bucket the cap drops, its occupancy, and the absorbed comparison
+    count. One exchange (the (band, bucket) groupBy); output bounded
+    by the number of hot buckets. Non-empty even at the gate SF —
+    natural 15-bit-prefix skew, not just adversarial corpora."""
+    from crypto_etl_pipeline_spark.operators.dedup import lsh_hot_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_hot_buckets(_simhash_post(docs), SIMHASH_BUCKET_CAP).select(
+        F.col("band").cast("long").alias("band"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_ids").cast("long").alias("n_ids"),
+        "skipped_comparisons",
     )
 
 

@@ -154,6 +154,12 @@ HEAVY = [
     "dedup_token_savings_by_source",
     "dedup_cluster_source_purity",
     "ann_ivf_recall_at_k",
+    # round-9 surface: capped simhash twin + spill, prune-vs-cap
+    # composition, 4-stage cascade (re-measured after the paragraph
+    # stage + spill wiring landed)
+    "dedup_simhash_banded_pairs_capped",
+    "dedup_simhash_hot_bucket_spill",
+    "dedup_prune_vs_cap_report",
 ]
 
 

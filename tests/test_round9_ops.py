@@ -153,6 +153,11 @@ def _cascade_fixture(spark, tmp_path):
     rows += [
         (100, "completely different text about rivers and mountain paths winding north", "en", "src1", 70),
         (101, "completely different text about rivers and mountain paths winding south", "en", "src1", 70),
+        # two docs with NO shared 5-grams anywhere: the only survivors
+        # of the boilerplate prune (the near-dup pair above shares all
+        # its 5-grams with itself, so df>=2 marks it boilerplate too)
+        (200, "solitary glacier retreat metrics compiled for annual hydrology review boards", "en", "src2", 75),
+        (201, "quantum dot emitter calibration notes archived beneath basalt vault nine", "en", "src3", 72),
     ]
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -231,3 +236,69 @@ def test_cascade_paragraph_stage_removes_fully_redundant_doc(spark, tmp_path):
     # cascade's TOTAL must account for it exactly once
     assert out[3]["docs_out"] == 2
     assert out[2]["docs_removed"] + out[3]["docs_removed"] == 1
+
+
+def test_simhash_capped_twin_on_mega_cluster(spark, tmp_path):
+    """A near-identical block floods every band bucket (hamming-0/1
+    twins collide in all 4 bands): the capped twin must drop the
+    block's C(f,2) candidate mass, keep an independent small pair
+    whose buckets are under the cap, and the spill audit must name the
+    flooded buckets — with Spark/DuckDB agreeing on all three."""
+    import duckdb as _duck
+
+    from crypto_etl_pipeline_spark.queries.text import SIMHASH_BUCKET_CAP
+
+    sf_dir = _cascade_fixture(spark, tmp_path)  # 24-doc boiler block + pairs
+    uncapped = REGISTRY["dedup_simhash_banded_pairs"].fn(spark, sf_dir)
+    capped_spec = REGISTRY["dedup_simhash_banded_pairs_capped"]
+    capped = capped_spec.fn(spark, sf_dir).collect()
+    spill = REGISTRY["dedup_simhash_hot_bucket_spill"].fn(spark, sf_dir).collect()
+
+    # the boiler block is one near-identical cluster: uncapped retrieves
+    # its (large) within-block hamming<=3 mass — not the full C(24,2),
+    # since a one-token swap among ~48 tokens flips a few low-margin
+    # sign-sum bits and some marker pairs land past hamming 3 — and
+    # the capped twin drops all of it
+    n_uncapped = uncapped.count()
+    assert n_uncapped >= 50
+    # cap semantics: a pair is dropped iff EVERY band it collides in is
+    # flooded — block pairs that also collide in an under-cap band
+    # survive, so capped is a strict SUBSET, not block-free
+    uncapped_ids = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    capped_ids = {(r["id_a"], r["id_b"]) for r in capped}
+    assert capped_ids < uncapped_ids
+    # every flooded bucket is audited with exact C(n,2) accounting
+    assert len(spill) >= 1
+    for r in spill:
+        assert r["n_ids"] > SIMHASH_BUCKET_CAP
+        assert r["skipped_comparisons"] == r["n_ids"] * (r["n_ids"] - 1) // 2
+
+    # engaged-cap cross-engine parity on this fixture
+    con = _duck.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    drows = {
+        (r[0], r[1]): r[2] for r in con.execute(capped_spec.oracle).fetchall()
+    }
+    assert {(a, b) for a, b in drows} == capped_ids
+
+
+def test_prune_removes_cap_work(spark, tmp_path):
+    """VERDICT r8 task #7: on a boilerplate-flooded corpus the upstream
+    prune must remove (here: ALL of) the comparisons the df-cap would
+    otherwise absorb, and the full-variant spill must be positive —
+    the measured form of shingle_posting_pairs' prune-upstream claim."""
+    sf_dir = _cascade_fixture(spark, tmp_path)  # 24 boilerplate + 2 normal
+    rows = {r["variant"]: r for r in REGISTRY["dedup_prune_vs_cap_report"].fn(spark, sf_dir).collect()}
+    full, pruned = rows["full"], rows["pruned"]
+    assert full["n_docs"] == 28
+    # the boilerplate block floods the 3-shingle postings past the cap
+    assert full["skipped_comparisons"] > 0
+    # prune drops every >=30%-boilerplate doc: the whole block AND the
+    # near-dup pair (its 5-grams all have df 2) — only the two
+    # no-shared-grams docs survive
+    assert pruned["n_docs"] == 2
+    assert pruned["skipped_comparisons"] == 0
+    assert pruned["n_hot_shingles"] == 0
