@@ -588,6 +588,74 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_minhash(docs, threshold=0.05)
 
 
+MINHASH_BUCKET_CAP = 16  #: per-(band, bucket) cap for the LSH governance twin
+
+
+@register(
+    "dedup_minhash_lsh_capped",
+    oracle=f"""WITH {_minhash_ctes(bucket_cap=MINHASH_BUCKET_CAP)}
+    SELECT id_a, id_b, jaccard FROM mh_pairs""",
+    description=(
+        f"Skew-guarded MinHash-LSH pairs: (band, bucket) postings larger "
+        f"than {MINHASH_BUCKET_CAP} dropped before the candidate self-join"
+    ),
+    tags=("dedup",),
+)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The governance twin of dedup_minhash_lsh, completing the cap
+    discipline across all three pair feeds (shingle postings: r8;
+    simhash bands and LSH buckets: r9). LSH buckets are md5 of the
+    full band signature, so only genuinely similar docs collide —
+    natural bucket occupancy stays tiny and the cap is a no-op on
+    honest corpora — but a near-identical boilerplate block shares
+    every band signature and floods its buckets C(f,2)-quadratic,
+    exactly like the simhash case (engaged-cap fixture:
+    tests/test_round9_ops.py). Count-based cap, SQL-replayed exactly;
+    dedup_lsh_hot_bucket_spill is the observability half."""
+    docs = load_table(spark, sf_dir, "documents")
+    return near_dup_pairs_minhash(
+        docs, threshold=0.05, bucket_cap=MINHASH_BUCKET_CAP
+    )
+
+
+@register(
+    "dedup_lsh_hot_bucket_spill",
+    oracle=f"""WITH {_minhash_ctes()}
+    SELECT band::BIGINT AS band, bucket::BIGINT AS bucket,
+           count(*)::BIGINT AS n_ids,
+           (count(*) * (count(*) - 1) // 2)::BIGINT AS skipped_comparisons
+    FROM bands GROUP BY band, bucket
+    HAVING count(*) > {MINHASH_BUCKET_CAP}""",
+    description=(
+        f"Hot LSH-bucket spill audit: (band, bucket) groups a cap of "
+        f"{MINHASH_BUCKET_CAP} drops, with the C(n,2) candidate comparisons "
+        f"each absorbs"
+    ),
+    tags=("dedup", "quality"),
+)
+def dedup_lsh_hot_bucket_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lsh_hot_buckets over the shared minhash bucket table — what
+    dedup_minhash_lsh_capped's cap would drop and the comparison mass
+    each hot bucket absorbs. Empty on honest corpora at tested SFs
+    (signature-keyed buckets only collide for near-dups); non-empty
+    exactly when a near-identical block floods the banding — the
+    signal to collapse that block upstream (exact_dedup) or treat it
+    as a cluster rather than pairwise."""
+    from crypto_etl_pipeline_spark.operators.dedup import (
+        lsh_hot_buckets,
+        minhash_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    buckets, _sh = minhash_buckets(docs)
+    return lsh_hot_buckets(buckets, MINHASH_BUCKET_CAP).select(
+        F.col("band").cast("long").alias("band"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_ids").cast("long").alias("n_ids"),
+        "skipped_comparisons",
+    )
+
+
 @register(
     "dedup_incremental_new_docs",
     oracle=f"""WITH {_minhash_ctes()}

@@ -203,6 +203,14 @@ def main() -> None:
                 best = dt if best is None or dt < best else best
             results.setdefault(n, {})[sf_label] = round(best, 3)
             print(f"{sf_label} {n}: {best:.3f}s", flush=True)
+            # Drop this query's localCheckpoint RDDs before timing the
+            # next one: at sf3 the accumulated checkpoint blocks of 8
+            # prior queries starved storage memory and inflated
+            # dedup_prune_vs_cap_report 18.0 s vs 6.0 s isolated
+            # (round-9 measurement artifact — the curve must measure
+            # PLANS, not the harness's leftover cache pressure).
+            for _rid, _rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+                _rdd.unpersist()
 
     rows = []
     for n in names:

@@ -285,6 +285,43 @@ def test_simhash_capped_twin_on_mega_cluster(spark, tmp_path):
     assert {(a, b) for a, b in drows} == capped_ids
 
 
+def test_lsh_capped_twin_on_mega_cluster(spark, tmp_path):
+    """LSH buckets key on the md5 of the full band signature, so the
+    near-identical block floods them exactly like the simhash case:
+    spill non-empty with exact C(n,2) accounting, capped a strict
+    subset of uncapped, engaged-cap cross-engine parity."""
+    import duckdb as _duck
+
+    from crypto_etl_pipeline_spark.queries.text import MINHASH_BUCKET_CAP
+
+    sf_dir = _cascade_fixture(spark, tmp_path)
+    uncapped_ids = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    capped_spec = REGISTRY["dedup_minhash_lsh_capped"]
+    capped_ids = {
+        (r["id_a"], r["id_b"]) for r in capped_spec.fn(spark, sf_dir).collect()
+    }
+    spill = REGISTRY["dedup_lsh_hot_bucket_spill"].fn(spark, sf_dir).collect()
+
+    # the 24-doc block pairs at jaccard ~1 in the uncapped feed
+    assert len(uncapped_ids) >= (_BOILER_N * (_BOILER_N - 1)) // 2
+    assert capped_ids < uncapped_ids
+    assert len(spill) >= 1
+    for r in spill:
+        assert r["n_ids"] > MINHASH_BUCKET_CAP
+        assert r["skipped_comparisons"] == r["n_ids"] * (r["n_ids"] - 1) // 2
+
+    con = _duck.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    drows = {(r[0], r[1]) for r in con.execute(capped_spec.oracle).fetchall()}
+    assert drows == capped_ids
+
+
 def test_prune_removes_cap_work(spark, tmp_path):
     """VERDICT r8 task #7: on a boilerplate-flooded corpus the upstream
     prune must remove (here: ALL of) the comparisons the df-cap would
