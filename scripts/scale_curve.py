@@ -160,6 +160,8 @@ HEAVY = [
     "dedup_simhash_banded_pairs_capped",
     "dedup_simhash_hot_bucket_spill",
     "dedup_prune_vs_cap_report",
+    "dedup_minhash_lsh_capped",
+    "dedup_lsh_hot_bucket_spill",
 ]
 
 
