@@ -536,15 +536,22 @@ def winnow_fingerprints(
     from pyspark.sql.window import Window
 
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    grams = (
+    # The gram-array table is checkpointed BEFORE the posexplode:
+    # without it, InferFiltersFromGenerate pushes a size()/isnotnull
+    # filter containing the full tokenize+shingle HOF below the
+    # repartition, re-running the tokenizer over the raw single-split
+    # scan on one core (the round-8 Generate pathology; found here by
+    # the round-9 full-registry bench — 16.3 s -> 1.9 s at sf0.1).
+    arr = (
         df.repartition(n_parts, F.col(id_col))
         .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
         .select(F.col(id_col), shingles_of(F.col("_toks"), k).alias("_grams"))
-        .select(
-            F.col(id_col),
-            F.size("_grams").alias("_m"),
-            F.posexplode("_grams").alias("_pos", "_g"),
-        )
+        .localCheckpoint(eager=False)
+    )
+    grams = arr.select(
+        F.col(id_col),
+        F.size("_grams").alias("_m"),
+        F.posexplode("_grams").alias("_pos", "_g"),
     )
     hashed = grams.select(id_col, "_m", "_pos", F.md5(F.col("_g")).alias("_h"))
     win = Window.partitionBy(id_col).orderBy("_pos").rowsBetween(Window.currentRow, w - 1)
