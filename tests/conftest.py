@@ -172,6 +172,11 @@ _QUICK_ORACLE = {
     "dedup_paragraph_first_wins",
     "kcenter_sampled_assign",
     "ann_ivf_recall_at_k",
+    # round-9 families: engaged-cap simhash twin, prune-vs-cap
+    # composition, per-band LSH occupancy/spill profile
+    "dedup_simhash_banded_pairs_capped",
+    "dedup_prune_vs_cap_report",
+    "dedup_lsh_hot_bucket_spill",
 }
 
 
