@@ -1249,14 +1249,10 @@ PQ_SHORTLIST = 100  #: ADC candidates exactly re-ranked per query. Config
 #: re-rank measures 0.85-0.90 (sf0.01/sf0.001), pytest-gated >= 0.75.
 
 
-def _pq_oracle() -> str:
-    """Unrolled PQ train/encode/ADC chain as SQL: per subspace, the
-    _lloyd_ivf_oracle training triple (seed -> assign -> floor-quantized
-    mean) over the SLICED embedding, then corpus codes and the
-    query-side asymmetric-distance lookup table; ADC is one
-    (m, code)-join + per-pair sum. All distances use the floor-quantized
-    exact-integer contract, so ADC scores are equal integers across
-    engines (not merely rank-equal)."""
+def _pq_subspace_ctes() -> list[str]:
+    """Per-subspace PQ training/encode/LUT CTEs, shared by _pq_oracle
+    and _ivf_pq_oracle (the hybrid restricts ADC to probed IVF cells
+    but trains/encodes identically)."""
     scale = float(LSH_SCALE)
     ctes = []
     for m in range(PQ_M):
@@ -1309,17 +1305,19 @@ def _pq_oracle() -> str:
       FROM q{m} v CROSS JOIN cent1_{m} c
       WHERE v.vec_id < {N_QUERIES}
     )""")
+    return ctes
+
+
+def _pq_chain(ctes: list[str], adc_sql: str) -> str:
+    """codes/lut unions + the ADC->shortlist->exact-re-rank tail over
+    a caller-supplied adc body (unrestricted for ann_pq_adc_topk;
+    probe-restricted for the IVF+PQ hybrid)."""
     codes = " UNION ALL ".join(f"SELECT * FROM code_{m}" for m in range(PQ_M))
     luts = " UNION ALL ".join(f"SELECT * FROM lut_{m}" for m in range(PQ_M))
     tail = f""",
     codes AS ({codes}),
     lut AS ({luts}),
-    adc AS (
-      SELECT l.query_id, c.neighbor_id, sum(l.d) AS adc_dist
-      FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
-      WHERE l.query_id != c.neighbor_id
-      GROUP BY 1, 2
-    ),
+    adc AS ({adc_sql}),
     short AS (
       SELECT query_id, neighbor_id FROM (
         SELECT query_id, neighbor_id,
@@ -1350,6 +1348,64 @@ def _pq_oracle() -> str:
     return "WITH " + ",\n    ".join(ctes) + tail
 
 
+_PQ_ADC_SQL = """
+      SELECT l.query_id, c.neighbor_id, sum(l.d) AS adc_dist
+      FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+      WHERE l.query_id != c.neighbor_id
+      GROUP BY 1, 2
+    """
+
+
+def _pq_oracle() -> str:
+    """Unrolled PQ train/encode/ADC chain as SQL: per subspace, the
+    _lloyd_ivf_oracle training triple (seed -> assign -> floor-quantized
+    mean) over the SLICED embedding, then corpus codes and the
+    query-side asymmetric-distance lookup table; ADC is one
+    (m, code)-join + per-pair sum. All distances use the floor-quantized
+    exact-integer contract, so ADC scores are equal integers across
+    engines (not merely rank-equal)."""
+    return _pq_chain(_pq_subspace_ctes(), _PQ_ADC_SQL)
+
+
+def _ivf_pq_oracle() -> str:
+    """The hybrid index's oracle: the PQ train/encode/LUT chain plus
+    the ann_ivf_topk cell/probe CTEs (verbatim contract — same seeded
+    centroids, same floor-quantized integer distances), with ADC
+    restricted to (query, neighbor) pairs whose neighbor cell is in
+    the query's nprobe probe set."""
+    ctes = _pq_subspace_ctes()
+    ctes.append(f"""ivf_cent AS MATERIALIZED (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS idx, {_DUCK_QV} AS qc
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {IVF_K})
+    )""")
+    ctes.append(f"""ivf_qv AS MATERIALIZED (
+      SELECT vec_id, {_DUCK_QV} AS q FROM embeddings
+    )""")
+    ctes.append("""ivf_ranked AS MATERIALIZED (
+      SELECT vec_id, idx,
+             row_number() OVER (PARTITION BY vec_id ORDER BY
+               -2 * list_dot_product(v.q, c.qc) + list_dot_product(c.qc, c.qc), idx) AS rn
+      FROM ivf_qv v CROSS JOIN ivf_cent c
+    )""")
+    ctes.append("""ivf_cells AS MATERIALIZED (
+      SELECT vec_id AS neighbor_id, idx AS cell FROM ivf_ranked WHERE rn = 1
+    )""")
+    ctes.append(f"""ivf_probe AS MATERIALIZED (
+      SELECT vec_id AS query_id, idx AS cell
+      FROM ivf_ranked WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+    )""")
+    adc = """
+      SELECT l.query_id, c.neighbor_id, sum(l.d) AS adc_dist
+      FROM codes c
+      JOIN ivf_cells ce ON ce.neighbor_id = c.neighbor_id
+      JOIN ivf_probe p ON p.cell = ce.cell
+      JOIN lut l ON l.query_id = p.query_id AND l.m = c.m AND l.code = c.code
+      WHERE l.query_id != c.neighbor_id
+      GROUP BY 1, 2
+    """
+    return _pq_chain(ctes, adc)
+
+
 @register(
     "ann_pq_adc_topk",
     oracle=_pq_oracle(),
@@ -1378,9 +1434,25 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     train/encode/prune/re-rank chain replays in SQL. Recall vs exact
     L2 is pytest-gated at >= 0.75 (measured 0.85-0.90; the no-re-rank
     M=4/K=8 variant measured 0.23 — see PQ_SHORTLIST note)."""
-    from functools import reduce
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).limit(N_QUERIES)
+    codes, lut = _pq_codes_lut(emb, q)
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    return _adc_shortlist_rerank(adc, q, emb)
 
-    from pyspark.sql.window import Window
+
+def _pq_codes_lut(emb, q):
+    """PQ train + encode + query LUT — the shared first half of
+    ann_pq_adc_topk and ann_ivf_pq_topk. Returns (codes, lut):
+    codes = (neighbor_id, m, code) for the corpus, lut = (query_id, m,
+    code, d) for the Limit-bounded query frame (N x M x K rows, the
+    lint-recognized broadcast side)."""
+    from functools import reduce
 
     from crypto_etl_pipeline_spark.operators.similarity import (
         _centroid_dists_pd,
@@ -1388,8 +1460,6 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spread,
         pq_train_codebooks,
     )
-
-    emb = load_table(spark, sf_dir, "embeddings")
 
     def sub(m: int):
         return F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM)
@@ -1424,7 +1494,6 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("_mc"),
     ).select("neighbor_id", F.col("_mc.m").alias("m"), F.col("_mc.code").alias("code"))
-    q = emb.where(F.col("vec_id") < N_QUERIES).limit(N_QUERIES)
     lut_wide = q.select(
         F.col("vec_id").alias("query_id"),
         *[
@@ -1443,12 +1512,18 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(PQ_M)
         ],
     )
-    adc = (
-        codes.join(F.broadcast(lut), ["m", "code"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("d").alias("adc_dist"))
-    )
+    return codes, lut
+
+
+def _adc_shortlist_rerank(adc, q, emb):
+    """ADC shortlist -> exact re-rank tail shared by the PQ queries.
+    Three sequential double-fold dot products (same expansion and
+    element order as the oracle's list_dot_product, so the values —
+    not just ranks — agree). Query vectors ride a broadcast of the
+    Limit-bounded frame; the neighbor-vector join is per-query-bounded
+    (<= shortlist rows)."""
+    from pyspark.sql.window import Window
+
     w_adc = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")
     )
@@ -1457,11 +1532,6 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") <= PQ_SHORTLIST)
         .select("query_id", "neighbor_id")
     )
-    # Exact re-rank of the ADC shortlist: three sequential double-fold
-    # dot products (same expansion and element order as the oracle's
-    # list_dot_product, so the values — not just ranks — agree). Query
-    # vectors ride a broadcast of the Limit-bounded frame; the
-    # neighbor-vector join is per-query-bounded (<= shortlist rows).
     dd = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -1489,6 +1559,66 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "l2_dist", "rank")
     )
+
+
+@register(
+    "ann_ivf_pq_topk",
+    oracle=_ivf_pq_oracle(),
+    description=(
+        "IVF+PQ hybrid ANN (the production FAISS IndexIVFPQ shape): coarse "
+        "IVF cells prune the corpus to nprobe probe sets, PQ codes ADC-rank "
+        "the survivors, exact re-rank decides — fully oracled end-to-end"
+    ),
+    tags=("similarity", "quantize", "iterative"),
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two prune stages a production vector index composes
+    (IndexIVFPQ): the coarse quantizer (IVF cells, seeded iters=0 —
+    the ann_ivf_topk contract verbatim) restricts each query to its
+    IVF_NPROBE nearest cells' members, the PQ codes (ann_pq_adc_topk's
+    codebooks verbatim) ADC-rank only those survivors, and the ADC
+    shortlist is exactly re-ranked against raw vectors. At 100 TB this
+    is the memory/compute double win: the scan touches nprobe/k of the
+    corpus (cell id = partition column -> partition pruning) and each
+    touched vector costs M=8 LUT lookups instead of a 64-term dot —
+    neither single-stage query offers both.
+
+    Plan shape: the candidate set (qprobe x cells join — broadcast of
+    the N_QUERIES x nprobe probe frame) lands BEFORE the ADC join, so
+    the (m, code) LUT join and the pair aggregation run on the probed
+    subset only. Everything downstream (shortlist window, exact
+    re-rank) is the shared _adc_shortlist_rerank tail. Both stage
+    contracts are floor-quantized exact integers, so the full
+    IVF-assign/probe/train/encode/ADC/re-rank chain replays in SQL."""
+    from crypto_etl_pipeline_spark.operators.similarity import (
+        _nearest_cells_pd,
+        ivf_assign_cells,
+        ivf_build_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).limit(N_QUERIES)
+    cents = ivf_build_centroids(emb, k=IVF_K, iters=0)
+    cells = ivf_assign_cells(emb, cents).select("neighbor_id", "_cell")
+    qprobe = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(_nearest_cells_pd(cents, IVF_NPROBE)(F.col("embedding"))).alias(
+            "_cell"
+        ),
+    )
+    cand = (
+        cells.join(F.broadcast(qprobe), "_cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    codes, lut = _pq_codes_lut(emb, q)
+    adc = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    return _adc_shortlist_rerank(adc, q, emb)
 
 
 # -- Matryoshka truncation fidelity --------------------------------------------

@@ -162,6 +162,7 @@ HEAVY = [
     "dedup_prune_vs_cap_report",
     "dedup_minhash_lsh_capped",
     "dedup_lsh_hot_bucket_spill",
+    "ann_ivf_pq_topk",
 ]
 
 

@@ -137,6 +137,10 @@ POSTING_SELF_JOIN_WAIVERS = {
     # PQ assignment join on (m, code): code domain is the fixed
     # codebook size (k per subspace), fan-out bounded by construction.
     "ann_pq_adc_topk",
+    # Same (m, code) LUT join, further bounded: the IVF+PQ hybrid's
+    # ADC runs only on the probed-cell candidate set and the LUT side
+    # is the Limit-bounded N_QUERIES x M x K broadcast frame.
+    "ann_ivf_pq_topk",
 }
 
 

@@ -331,6 +331,41 @@ def test_lsh_capped_twin_on_mega_cluster(spark, tmp_path):
     assert drows == capped_ids
 
 
+def test_ivf_pq_hybrid_recall_vs_exact_l2(spark):
+    """The IVF+PQ hybrid is doubly approximate (coarse cells prune,
+    codes rank): the oracle pins the algorithm, this pins its quality —
+    recall@10 of the probe-restricted ADC + exact re-rank against the
+    exact L2 top-10. Measured 0.90-0.92 at sf0.001/sf0.01 — the IVF
+    restriction slightly IMPROVES on PQ-alone's 0.85-0.90 here, because
+    the probe set removes far-away vectors whose quantized codes
+    otherwise crowd the ADC shortlist. Deterministic, no RNG."""
+    import numpy as np
+    import pyarrow.parquet as pa_pq
+
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_ivf_pq_topk"].fn(spark, SF_GATE).collect()
+    }
+    t = pa_pq.read_table(f"{SF_GATE}/embeddings.parquet").to_pydict()
+    ids = np.asarray(t["vec_id"])
+    X = np.asarray([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    exact = set()
+    for qid in range(10):
+        qi = int(np.where(ids == qid)[0][0])
+        d = ((X[qi] - X) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))
+        picked = 0
+        for j in order:
+            if ids[j] == qid:
+                continue
+            exact.add((qid, int(ids[j])))
+            picked += 1
+            if picked == 10:
+                break
+    assert len(got) == len(exact) == 100
+    assert len(got & exact) / len(exact) >= 0.8
+
+
 def test_prune_removes_cap_work(spark, tmp_path):
     """VERDICT r8 task #7: on a boilerplate-flooded corpus the upstream
     prune must remove (here: ALL of) the comparisons the df-cap would
