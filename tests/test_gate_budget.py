@@ -26,14 +26,15 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: per-query all-in budget (seconds of full-suite wall per registered
 #: query). Measured trend: r7 ~2.6, r8 2.2 (quiet host) / 2.5 (loaded),
-#: r9 2.99 (301 queries, 1935 tests — the round added 5 queries, the
-#: heavy capped-twin fixture tests, and ~5% host drift vs the r8 bench
-#: baseline). The budget is a REGRESSION TRIPWIRE set one notch above
-#: the last measured cost, not an aspiration: it fails the gate the
-#: round the suite actually regresses, and gets ratcheted DOWN when
-#: the suite is profiled down. Sub-5-minute iteration lives in the
-#: quick tier (`pytest -m quick`), not in loosening this bar.
-GATE_BUDGET_S = 3.25
+#: r9 2.56 quiet (771.6 s / 302, 1941 tests) after a 2.99 loaded-host
+#: reading earlier the same round — same code, ~17% host spread, the
+#: noise family BASELINE.md has characterized since r3. The budget is
+#: a REGRESSION TRIPWIRE set one notch above the quiet-host cost, not
+#: an aspiration: it fails the round the suite actually regresses and
+#: ratchets DOWN when the suite is profiled down. Sub-5-minute
+#: iteration lives in the quick tier (`pytest -m quick`), not in
+#: loosening this bar.
+GATE_BUDGET_S = 3.0
 
 #: how many registered-but-not-yet-benched names are tolerable — new
 #: queries land between bench passes; anything beyond a round's worth
