@@ -1621,6 +1621,99 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adc_shortlist_rerank(adc, q, emb)
 
 
+@register(
+    "ann_ivf_incremental_assign",
+    oracle=f"""
+    WITH old AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+    ),
+    cent AS MATERIALIZED (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS idx, {_DUCK_QV} AS qc
+      FROM (SELECT vec_id, embedding FROM old ORDER BY vec_id LIMIT {IVF_K})
+    ),
+    newv AS (SELECT vec_id, {_DUCK_QV} AS q FROM embeddings WHERE vec_id % 2 = 1),
+    oldq AS (SELECT vec_id, {_DUCK_QV} AS q FROM old),
+    assign_new AS (
+      SELECT vec_id, idx AS cell FROM (
+        SELECT v.vec_id, c.idx,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 -2 * list_dot_product(v.q, c.qc) + list_dot_product(c.qc, c.qc), c.idx) AS rn
+        FROM newv v CROSS JOIN cent c)
+      WHERE rn = 1
+    ),
+    assign_old AS (
+      SELECT vec_id, idx AS cell FROM (
+        SELECT v.vec_id, c.idx,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 -2 * list_dot_product(v.q, c.qc) + list_dot_product(c.qc, c.qc), c.idx) AS rn
+        FROM oldq v CROSS JOIN cent c)
+      WHERE rn = 1
+    ),
+    before AS (SELECT cell, count(*) AS n FROM assign_old GROUP BY cell),
+    adds AS (SELECT cell, count(*) AS n FROM assign_new GROUP BY cell)
+    SELECT a.vec_id, a.cell::BIGINT AS cell,
+           coalesce(b.n, 0)::BIGINT AS cell_size_before,
+           ad.n::BIGINT AS batch_adds
+    FROM assign_new a
+    LEFT JOIN before b USING (cell)
+    JOIN adds ad USING (cell)
+    """,
+    description=(
+        "Incremental IVF ingest: a new embedding batch assigned against the "
+        "PERSISTED index's centroids (no retrain, no corpus recompute), with "
+        "per-cell before/after occupancy accounting"
+    ),
+    tags=("similarity", "incremental"),
+)
+def ann_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-side twin of dedup_incremental_new_docs: even vec_ids
+    play the already-indexed corpus (the persisted IVF store), odd
+    vec_ids are the new ingest batch. The index's parameters — the
+    seeded centroids — come from the OLD corpus only (the incremental
+    contract: ingest never retrains or re-assigns the store), and the
+    new batch costs ONE Arrow-batched assignment map pass. At 100 TB
+    this is the streaming-embedding ingest path: the assignment table
+    is persisted partitioned by cell (ivf_assign_cells docstring), a
+    daily batch appends only its own rows, and probes prune partitions
+    exactly as before the append. Per-cell before/batch occupancy
+    rides along so index maintenance (cell splits, re-balancing — the
+    operational signal IVF deployments watch) reads off the same
+    output. Equivalence ``incremental(new, store(old)) == batch(old ∪
+    new) restricted to new`` holds structurally (assignment is
+    per-vector given fixed centroids) and is pinned as a regression
+    test against accidental centroid drift from including batch data
+    (tests/test_round9_ops.py). Floor-quantized integer distances, so
+    the assignment replays exactly in SQL."""
+    from crypto_etl_pipeline_spark.operators.similarity import (
+        ivf_assign_cells,
+        ivf_build_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    cents = ivf_build_centroids(old, k=IVF_K, iters=0)
+    new_assign = ivf_assign_cells(new, cents).select(
+        F.col("neighbor_id").alias("vec_id"), F.col("_cell").cast("long").alias("cell")
+    )
+    before = (
+        ivf_assign_cells(old, cents)
+        .groupBy(F.col("_cell").cast("long").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("_nb"))
+    )
+    adds = new_assign.groupBy("cell").agg(F.count(F.lit(1)).alias("batch_adds"))
+    return (
+        new_assign.join(F.broadcast(before), "cell", "left")
+        .join(F.broadcast(adds), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(F.col("_nb"), F.lit(0)).alias("cell_size_before"),
+            "batch_adds",
+        )
+    )
+
+
 # -- Matryoshka truncation fidelity --------------------------------------------
 
 _MRL_DIMS = (8, 16, 32, 64)  #: truncation prefixes audited (full dim = 64)

@@ -163,6 +163,7 @@ HEAVY = [
     "dedup_minhash_lsh_capped",
     "dedup_lsh_hot_bucket_spill",
     "ann_ivf_pq_topk",
+    "ann_ivf_incremental_assign",
 ]
 
 

@@ -366,6 +366,42 @@ def test_ivf_pq_hybrid_recall_vs_exact_l2(spark):
     assert len(got & exact) / len(exact) >= 0.8
 
 
+def test_ivf_incremental_equals_batch_restricted(spark):
+    """The incremental-ingest contract: assigning the new batch against
+    the PERSISTED store's centroids must equal the full-corpus batch
+    assignment restricted to the new ids — and the centroids must come
+    from the OLD corpus only (this is the regression: building them
+    from old ∪ new would silently drift every future assignment)."""
+    from pyspark.sql import functions as F
+
+    from crypto_etl_pipeline_spark.operators.similarity import (
+        ivf_assign_cells,
+        ivf_build_centroids,
+    )
+    from crypto_etl_pipeline_spark.queries.vector import IVF_K
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_GATE, "embeddings")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    cents_old = ivf_build_centroids(old, k=IVF_K, iters=0)
+
+    inc = {
+        (r["vec_id"], r["cell"])
+        for r in REGISTRY["ann_ivf_incremental_assign"].fn(spark, SF_GATE).collect()
+    }
+    batch = {
+        (r["neighbor_id"], int(r["_cell"]))
+        for r in ivf_assign_cells(emb, cents_old).collect()
+        if r["neighbor_id"] % 2 == 1
+    }
+    assert inc == batch
+    # centroid provenance: the store's seeds are the IVF_K lowest EVEN
+    # ids — different from the full-corpus seeds (lowest ids overall),
+    # so equality above would break if the query retrained on old ∪ new
+    cents_full = ivf_build_centroids(emb, k=IVF_K, iters=0)
+    assert cents_old != cents_full
+
+
 def test_prune_removes_cap_work(spark, tmp_path):
     """VERDICT r8 task #7: on a boilerplate-flooded corpus the upstream
     prune must remove (here: ALL of) the comparisons the df-cap would
