@@ -3583,6 +3583,96 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOREMI_ETA = 0.25  #: mix-update step size (exactly representable — the Holt lesson)
+
+
+@register(
+    "corpus_mix_doremi_update",
+    oracle=f"""
+    WITH l AS (
+      SELECT source, 1.0 / (1.0 + n_chars / 256.0) AS loss FROM documents
+    ),
+    per AS (
+      SELECT source, count(*) AS n_docs, avg(loss) AS avg_loss
+      FROM l GROUP BY source
+    ),
+    tot AS (SELECT count(*) AS n, avg(loss) AS overall FROM l),
+    raw AS (
+      SELECT p.source, p.n_docs,
+             p.n_docs * 1.0 / t.n AS w_old,
+             p.avg_loss,
+             p.avg_loss - t.overall AS excess,
+             (p.n_docs * 1.0 / t.n) * (1 + {DOREMI_ETA} * (p.avg_loss - t.overall))
+               AS w_raw
+      FROM per p CROSS JOIN tot t
+    ),
+    z AS (SELECT sum(w_raw) AS z FROM raw)
+    SELECT source, n_docs::BIGINT AS n_docs,
+           round(w_old, 6) AS w_old,
+           round(avg_loss, 6) AS avg_loss,
+           round(excess, 6) AS excess_loss,
+           round(w_raw / z.z, 6) AS w_new
+    FROM raw CROSS JOIN z
+    """,
+    description=(
+        "DoReMi-style loss-driven mix reweighting: per-source excess loss vs "
+        "the corpus mean drives one linearized multiplicative-weights update "
+        "of the sampling mix (eta=0.25), renormalized"
+    ),
+    tags=("sampling", "text", "pipeline"),
+)
+def corpus_mix_doremi_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FEEDBACK half of data-mix optimization that
+    corpus_mix_temperature's size-only shares lack (DoReMi, Xie et al.
+    2023: domain weights follow the domains a proxy model finds HARD —
+    excess loss — via multiplicative weights). One update step:
+    per-source mean loss vs the corpus mean, then
+    w_new ∝ w_old * (1 + eta * excess), renormalized. Production runs
+    this between proxy-training epochs with model losses; here the
+    per-doc loss is a deterministic rational proxy
+    (1 / (1 + n_chars/256) — divisor a power of two, every term exact)
+    so the update ALGEBRA is what the oracle pins. The exp() form of
+    multiplicative weights is deliberately linearized: exp is the one
+    transcendental whose libm-vs-JVM ULP differences the repo's
+    cross-engine contract cannot bound (the pow() note on
+    corpus_mix_temperature), while (1 + eta*x) with eta = 0.25 exactly
+    representable keeps every operation rational — same fixed-point
+    direction, first-order identical for the small excesses a real mix
+    step sees.
+
+    Scale shape: ONE groupBy(source) aggregation over the corpus plus
+    two broadcast scalar join-backs (corpus mean, normalizer) — the
+    mix table is source-cardinality-bounded at any corpus size; the
+    update itself never touches the driver beyond those scalars."""
+    docs = load_table(spark, sf_dir, "documents")
+    loss = (F.lit(1.0) / (F.lit(1.0) + F.col("n_chars") / F.lit(256.0))).alias("loss")
+    l = docs.select("source", loss)
+    per = l.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("loss").alias("_avg")
+    )
+    tot = l.agg(F.count(F.lit(1)).alias("_n"), F.avg("loss").alias("_overall"))
+    raw = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        (F.col("n_docs") * F.lit(1.0) / F.col("_n")).alias("_w_old"),
+        F.col("_avg"),
+        (F.col("_avg") - F.col("_overall")).alias("_excess"),
+        (
+            (F.col("n_docs") * F.lit(1.0) / F.col("_n"))
+            * (F.lit(1) + F.lit(DOREMI_ETA) * (F.col("_avg") - F.col("_overall")))
+        ).alias("_w_raw"),
+    )
+    z = raw.agg(F.sum("_w_raw").alias("_z"))
+    return raw.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.round("_w_old", 6).alias("w_old"),
+        F.round("_avg", 6).alias("avg_loss"),
+        F.round("_excess", 6).alias("excess_loss"),
+        F.round(F.col("_w_raw") / F.col("_z"), 6).alias("w_new"),
+    )
+
+
 SOURCE_CAP = 15  #: max docs retained per source (C4-style domain cap)
 
 

@@ -402,6 +402,23 @@ def test_ivf_incremental_equals_batch_restricted(spark):
     assert cents_old != cents_full
 
 
+def test_doremi_update_direction_and_normalization(spark):
+    """The mix-update algebra: old and new weights each sum to 1, and
+    the update moves weight TOWARD sources whose mean loss exceeds the
+    corpus mean (the DoReMi direction) and away from the easy ones."""
+    rows = REGISTRY["corpus_mix_doremi_update"].fn(spark, SF_GATE).collect()
+    assert len(rows) >= 2
+    assert sum(r["w_old"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert sum(r["w_new"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    for r in rows:
+        if r["excess_loss"] > 1e-6:
+            assert r["w_new"] > r["w_old"] * (1 + 1e-9) or r["w_new"] >= r["w_old"]
+        elif r["excess_loss"] < -1e-6:
+            assert r["w_new"] < r["w_old"] + 1e-9
+    # somebody must actually move (the proxy loss is not constant)
+    assert any(abs(r["w_new"] - r["w_old"]) > 1e-7 for r in rows)
+
+
 def test_prune_removes_cap_work(spark, tmp_path):
     """VERDICT r8 task #7: on a boilerplate-flooded corpus the upstream
     prune must remove (here: ALL of) the comparisons the df-cap would
