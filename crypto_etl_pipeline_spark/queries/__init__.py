@@ -31,74 +31,77 @@ from crypto_etl_pipeline_spark.queries import selection  # noqa: F401, E402
 
 # The driver's correctness gate samples the FIRST 50 entries of
 # queries(), so ordering is rotated each round to cycle coverage.
-# Union of the r1-r8 samples = 160 distinct names. Round 9 (VERDICT r8
-# task #1) leads with the only three names that ever showed a red
-# driver row (all three MATCH in the judge's r8 sweep, but none has a
-# green DRIVER row yet), then draws the remaining 47 EXCLUSIVELY from
-# the 136-query never-sampled pool: the TPC-H stars, the window/date
-# family, five streaming drains, the text/dedup analysis family, the
-# ANN variants, graph/sketch, multimodal, and the pipeline composites.
+# Union of the r1-r9 samples = 207 distinct names; never-sampled pool
+# after r9 = 97. Round 10 (VERDICT r9 task #2) leads with the round's
+# only red row (inverted_index_postings, driver-canon TypeError on its
+# array column, now stringified — deliberate re-inclusion), the latent
+# twin array_agg_order_history, and the 8 round-9 queries, then draws
+# the rest EXCLUSIVELY from the never-sampled pool: the remaining
+# streaming drains, the multimodal UDF family, the text-analysis tail,
+# packing/tokenizer, retrieval/mixing, quality, and timeseries.
 _GATE_FIRST = (
-    # ever-red trio: red in r1/r2 (no_oracle / mismatch), fixed since,
-    # judge-MATCH in r8 — this round closes their driver loop for good
-    "ann_lsh_bucketed_topk",
-    "ann_ivf_topk",
-    "pipeline_dedup_corpus",
-    # never-sampled: TPC-H stars
-    "q2_cheapest_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_item_customers",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_parts_supplier_counts",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q20_big_promo_suppliers",
-    "q21_last_shipping_suppliers",
-    # never-sampled: window / date / analytics
-    "window_rank_suite",
-    "window_rolling_7d_spend",
-    "window_dense_rank_lead",
-    "window_ntile_quartiles",
-    "funnel_conversion",
-    "date_shipping_delay",
-    "having_big_customers",
-    "pivot_user_event_values",
-    # never-sampled: streaming drains
-    "stream_hourly_rollup",
-    "stream_dedup_within_watermark",
-    "stream_interval_join_outer",
-    "stream_sessionize_stateful",
-    "stream_static_enrich",
-    # never-sampled: text / dedup analysis
-    "bpe_train_merges",
-    "text_lr_train_quality",
-    "tfidf_top_terms",
-    "text_gopher_filters",
-    "dedup_cluster_size_histogram",
-    "decontaminate_eval_overlap",
-    "text_duplicated_spans",
+    # r9's only red: array<long> output broke the driver canonicalizer;
+    # output now array_join'ed (judge-MATCH post-fix) — re-included so
+    # the fix gets an official green row
     "inverted_index_postings",
-    # never-sampled: ANN / embedding
-    "ann_pq_adc_topk",
-    "ann_ivf_persisted_probe",
-    "ann_mmr_diversified_topk",
-    "embedding_int8_quantize",
-    "embedding_norm_stats",
-    # never-sampled: graph / sketch
-    "pagerank_trade_graph",
-    "graph_triangle_count",
-    "hll_sketch_mergeable_rollup",
-    "cms_frequency_contract",
-    # never-sampled: multimodal
-    "multimodal_real_decode_ppm",
-    "multimodal_decode_mapinpandas",
-    # never-sampled: pipeline composites / profiling
-    "pipeline_historical_clean",
-    "pipeline_training_prep",
-    "profile_events_table",
+    # latent same-class twin, never sampled, stringified this round
+    "array_agg_order_history",
+    # the 8 round-9 queries (judge-MATCH in the r9 sweep, no driver row)
+    "dedup_prune_vs_cap_report",
+    "dedup_simhash_banded_pairs_capped",
+    "dedup_simhash_hot_bucket_spill",
+    "dedup_minhash_lsh_capped",
+    "dedup_lsh_hot_bucket_spill",
+    "ann_ivf_pq_topk",
+    "ann_ivf_incremental_assign",
+    "corpus_mix_doremi_update",
+    # never-sampled: remaining streaming drains
+    "stream_heavy_hitters",
+    "stream_interval_join",
+    "stream_interval_join_full",
+    "stream_sketch_quantiles",
+    "stream_sketch_rollup",
+    # never-sampled: multimodal UDF family
+    "multimodal_audio_resample",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    # never-sampled: text-analysis tail
+    "text_bigram_lm_score",
+    "text_boilerplate_ngram_prune",
+    "text_cdc_chunks",
+    "text_chi2_source_quality",
+    "text_chunk_documents",
+    "text_chunk_documents_udtf",
+    "text_entropy_signals",
+    "text_excise_duplicated_spans",
+    "text_heavy_hitter_tokens",
+    "text_kl_source_drift",
+    # never-sampled: ANN / packing / tokenizer
+    "ann_ivf_refined_topk",
+    "pack_ffd_bins",
+    "pack_training_sequences",
+    "tokenizer_pair_stats",
+    "vocab_coverage_curve",
+    "oov_rate_by_lang",
+    "bpe_encode_token_counts",
+    # never-sampled: retrieval / selection / mixing
+    "active_learning_margin_topk",
+    "hybrid_rrf_retrieval",
+    "curriculum_phase_schedule",
+    "corpus_mix_temperature",
+    "dedup_soft_weights_by_source",
+    # never-sampled: quality / governance
+    "quality_completeness_events",
+    "quality_rule_report",
+    "quality_referential_audit",
+    # never-sampled: timeseries / behavior / layout
+    "ohlc_hourly_bars",
+    "vwap_daily",
+    "rolling_wau",
+    "rfm_segmentation",
+    "event_transition_matrix",
+    "partitioned_write_prune_read",
 )
 
 

@@ -984,8 +984,10 @@ def decimal_exact_money_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey,
            count(*) AS n_orders,
-           list(o_orderkey ORDER BY o_orderdate, o_orderkey) AS order_keys,
-           list(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS statuses
+           array_to_string(list(o_orderkey ORDER BY o_orderdate, o_orderkey), ',')
+             AS order_keys,
+           array_to_string(list(DISTINCT o_orderstatus ORDER BY o_orderstatus), ',')
+             AS statuses
     FROM orders
     WHERE o_custkey < 50
     GROUP BY o_custkey
@@ -997,7 +999,11 @@ def array_agg_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation with DETERMINISTIC element order: collect_list
     gives no ordering guarantee under parallel merge, so the rows are
     collected as (date, key) structs and array_sort'ed — the only way
-    an array-valued aggregate can hash-match across engines/layouts."""
+    an array-valued aggregate can hash-match across engines/layouts.
+    The registered output serializes both lists as comma-joined strings
+    (array_join): the gate's pandas canonicalizer cannot sort/hash list
+    cells, and the registry lint rejects ArrayType/MapType final
+    schemas. The array form remains one array_join away internally."""
     orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
     return (
         orders.groupBy("o_custkey")
@@ -1006,15 +1012,16 @@ def array_agg_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(
                 F.collect_list(F.struct("o_orderdate", "o_orderkey"))
             ).alias("_hist"),
-            F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.array_sort(F.collect_set("o_orderstatus")).alias("_statuses"),
         )
         .select(
             "o_custkey",
             "n_orders",
-            F.transform(F.col("_hist"), lambda s: s.getField("o_orderkey")).alias(
-                "order_keys"
-            ),
-            "statuses",
+            F.array_join(
+                F.transform(F.col("_hist"), lambda s: s.getField("o_orderkey")),
+                ",",
+            ).alias("order_keys"),
+            F.array_join(F.col("_statuses"), ",").alias("statuses"),
         )
     )
 

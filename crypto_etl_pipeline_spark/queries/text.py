@@ -1709,7 +1709,7 @@ def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     df AS (SELECT term, count(*) AS df FROM tok GROUP BY term)
     SELECT d.term, d.df,
-           list(t.doc_id ORDER BY t.doc_id) AS postings
+           array_to_string(list(t.doc_id ORDER BY t.doc_id), ',') AS postings
     FROM df d JOIN tok t USING (term)
     WHERE d.df BETWEEN 2 AND 10
     GROUP BY d.term, d.df
@@ -1727,7 +1727,12 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded head terms would be skip-listed or elided exactly like
     this). sort_array(collect_list(...)) keeps the output deterministic
     across partition layouts (collect_list alone is arrival-ordered);
-    distinct (doc, term) first so each doc appears once per list."""
+    distinct (doc, term) first so each doc appears once per list.
+    The registered output serializes the posting list as a comma-joined
+    string (array_join): the gate's pandas canonicalizer cannot sort or
+    hash list cells, and the registry lint rejects ArrayType/MapType in
+    any final schema — the array form stays available internally by
+    dropping the final array_join."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split(F.col("text"), r"\s+").alias("_toks"))
     bigrams = F.when(
@@ -1744,7 +1749,11 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tok.join(df_.where(F.col("df").between(2, 10)), "term")
         .groupBy("term", "df")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), ","
+            ).alias("postings")
+        )
     )
 
 
@@ -3590,29 +3599,33 @@ DOREMI_ETA = 0.25  #: mix-update step size (exactly representable — the Holt l
     "corpus_mix_doremi_update",
     oracle=f"""
     WITH l AS (
-      SELECT source, 1.0 / (1.0 + n_chars / 256.0) AS loss FROM documents
+      SELECT source, 4294967296 // (256 + n_chars) AS loss_fp FROM documents
     ),
     per AS (
-      SELECT source, count(*) AS n_docs, avg(loss) AS avg_loss
+      SELECT source, count(*) AS n_docs, sum(loss_fp)::BIGINT AS s_fp
       FROM l GROUP BY source
     ),
-    tot AS (SELECT count(*) AS n, avg(loss) AS overall FROM l),
+    tot AS (SELECT count(*) AS n, sum(loss_fp)::BIGINT AS st_fp FROM l),
     raw AS (
       SELECT p.source, p.n_docs,
              p.n_docs * 1.0 / t.n AS w_old,
-             p.avg_loss,
-             p.avg_loss - t.overall AS excess,
-             (p.n_docs * 1.0 / t.n) * (1 + {DOREMI_ETA} * (p.avg_loss - t.overall))
-               AS w_raw
+             p.s_fp * 1.0 / p.n_docs / 16777216.0 AS avg_loss,
+             p.s_fp * 1.0 / p.n_docs / 16777216.0
+               - t.st_fp * 1.0 / t.n / 16777216.0 AS excess
       FROM per p CROSS JOIN tot t
     ),
-    z AS (SELECT sum(w_raw) AS z FROM raw)
+    mid AS (
+      SELECT source, n_docs, w_old, avg_loss, excess,
+             w_old * (1 + {DOREMI_ETA} * excess) AS w_raw
+      FROM raw
+    ),
+    z AS (SELECT sum(w_raw) AS z FROM mid)
     SELECT source, n_docs::BIGINT AS n_docs,
            round(w_old, 6) AS w_old,
            round(avg_loss, 6) AS avg_loss,
            round(excess, 6) AS excess_loss,
            round(w_raw / z.z, 6) AS w_new
-    FROM raw CROSS JOIN z
+    FROM mid CROSS JOIN z
     """,
     description=(
         "DoReMi-style loss-driven mix reweighting: per-source excess loss vs "
@@ -3629,41 +3642,55 @@ def corpus_mix_doremi_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source mean loss vs the corpus mean, then
     w_new ∝ w_old * (1 + eta * excess), renormalized. Production runs
     this between proxy-training epochs with model losses; here the
-    per-doc loss is a deterministic rational proxy
-    (1 / (1 + n_chars/256) — divisor a power of two, every term exact)
-    so the update ALGEBRA is what the oracle pins. The exp() form of
-    multiplicative weights is deliberately linearized: exp is the one
-    transcendental whose libm-vs-JVM ULP differences the repo's
-    cross-engine contract cannot bound (the pow() note on
+    per-doc loss is an INTEGER fixed-point proxy,
+    floor(2^32 / (256 + n_chars)) ≈ 2^24 * 1/(1 + n_chars/256):
+    integral floor-division is bit-identical in both engines, so the
+    per-source sums are exact BIGINTs and the mean loss is one double
+    division of two identical integers — no summation-order dependence
+    (the r9 form averaged per-doc DOUBLES, whose partial-aggregation
+    order differs between Spark and DuckDB; r9 ADVICE #2). The exp()
+    form of multiplicative weights is deliberately linearized: exp is
+    the one transcendental whose libm-vs-JVM ULP differences the
+    repo's cross-engine contract cannot bound (the pow() note on
     corpus_mix_temperature), while (1 + eta*x) with eta = 0.25 exactly
-    representable keeps every operation rational — same fixed-point
-    direction, first-order identical for the small excesses a real mix
-    step sees.
+    representable keeps the update deterministic given the exact sums.
+    Residual cross-engine risk — stated, not overclaimed: the
+    normalizer z = sum(w_raw) is a double sum over source-cardinality
+    rows (~5 here), so a 6-dp rounding-boundary flip of w_new is
+    possible in principle (same accepted class as
+    corpus_mix_temperature's pow note), just vastly less exposed than
+    the old corpus-sized avg().
 
     Scale shape: ONE groupBy(source) aggregation over the corpus plus
     two broadcast scalar join-backs (corpus mean, normalizer) — the
     mix table is source-cardinality-bounded at any corpus size; the
     update itself never touches the driver beyond those scalars."""
     docs = load_table(spark, sf_dir, "documents")
-    loss = (F.lit(1.0) / (F.lit(1.0) + F.col("n_chars") / F.lit(256.0))).alias("loss")
-    l = docs.select("source", loss)
-    per = l.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("loss").alias("_avg")
+    l = docs.select(
+        "source",
+        F.expr("4294967296L div (256 + n_chars)").alias("loss_fp"),
     )
-    tot = l.agg(F.count(F.lit(1)).alias("_n"), F.avg("loss").alias("_overall"))
+    per = l.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("loss_fp").alias("_s_fp")
+    )
+    tot = l.agg(F.count(F.lit(1)).alias("_n"), F.sum("loss_fp").alias("_st_fp"))
+    # division ORDER mirrors the oracle text exactly (s*1.0/n/2^24) so
+    # both engines evaluate the identical IEEE sequence on identical ints
+    avg_s = F.col("_s_fp") * F.lit(1.0) / F.col("n_docs") / F.lit(16777216.0)
+    overall = F.col("_st_fp") * F.lit(1.0) / F.col("_n") / F.lit(16777216.0)
     raw = per.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         (F.col("n_docs") * F.lit(1.0) / F.col("_n")).alias("_w_old"),
-        F.col("_avg"),
-        (F.col("_avg") - F.col("_overall")).alias("_excess"),
-        (
-            (F.col("n_docs") * F.lit(1.0) / F.col("_n"))
-            * (F.lit(1) + F.lit(DOREMI_ETA) * (F.col("_avg") - F.col("_overall")))
-        ).alias("_w_raw"),
+        avg_s.alias("_avg"),
+        (avg_s - overall).alias("_excess"),
     )
-    z = raw.agg(F.sum("_w_raw").alias("_z"))
-    return raw.crossJoin(F.broadcast(z)).select(
+    mid = raw.withColumn(
+        "_w_raw",
+        F.col("_w_old") * (F.lit(1) + F.lit(DOREMI_ETA) * F.col("_excess")),
+    )
+    z = mid.agg(F.sum("_w_raw").alias("_z"))
+    return mid.crossJoin(F.broadcast(z)).select(
         "source",
         "n_docs",
         F.round("_w_old", 6).alias("w_old"),

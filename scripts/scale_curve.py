@@ -205,16 +205,25 @@ def main() -> None:
                 REGISTRY[n].fn(spark, sf_dir).count()
                 dt = time.perf_counter() - t0
                 best = dt if best is None or dt < best else best
+                # Drop localCheckpoint RDDs after EVERY timed pass, not
+                # just between queries: at sf3 accumulated checkpoint
+                # blocks starved storage memory and inflated
+                # dedup_prune_vs_cap_report 18.0 s vs 6.0 s isolated
+                # (round-9 artifact), and pass 2 — usually the recorded
+                # min — must start from the same storage state as pass 1
+                # (r9 ADVICE #4). Public-API route when available
+                # (SPARK-48220 exposes JavaRDD via getPersistentRDDs on
+                # the JVM gateway only), so fall back through the _jsc
+                # accessor guarded for absence.
+                try:
+                    jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+                except AttributeError:  # private API moved/removed
+                    spark.catalog.clearCache()
+                else:
+                    for _rid, _rdd in jrdds.items():
+                        _rdd.unpersist()
             results.setdefault(n, {})[sf_label] = round(best, 3)
             print(f"{sf_label} {n}: {best:.3f}s", flush=True)
-            # Drop this query's localCheckpoint RDDs before timing the
-            # next one: at sf3 the accumulated checkpoint blocks of 8
-            # prior queries starved storage memory and inflated
-            # dedup_prune_vs_cap_report 18.0 s vs 6.0 s isolated
-            # (round-9 measurement artifact — the curve must measure
-            # PLANS, not the harness's leftover cache pressure).
-            for _rid, _rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
-                _rdd.unpersist()
 
     rows = []
     for n in names:

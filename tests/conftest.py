@@ -24,11 +24,19 @@ def pytest_sessionstart(session):
 def pytest_sessionfinish(session, exitstatus):
     """Record the full-suite gate cost to GATE_COST.json (VERDICT r8
     task #4: replace the dead fixed ≤10:00 wall-clock bar with a tested
-    per-query budget). Only a complete, PASSING, unfiltered run records
-    — partial/marked runs never masquerade as the gate measurement.
-    tests/test_gate_budget.py asserts the recorded cost against the
-    budget on every subsequent run (including the quick tier)."""
-    if _SESSION_T0 is None or exitstatus != 0:
+    per-query budget). Any COMPLETE, unfiltered run records — exitstatus
+    0 (all green) or 1 (test failures, but every test still executed,
+    so the wall measurement is honest). Recording used to require
+    exitstatus==0, which SELF-WEDGED the gate (r9 ADVICE #1): one
+    loaded-host recording over budget made test_gate_budget fail every
+    later full run, and the failure in turn blocked re-recording — the
+    only recovery was hand-deleting the artifact. Interrupted/usage-
+    error runs (exitstatus >= 2) still never record. The file keeps the
+    last few recordings as `history`; tests/test_gate_budget.py asserts
+    the MIN of that history (the quiet-host trend) against the budget,
+    so a single loaded-host run cannot trip the gate but a real
+    regression — which raises every reading — still fails it."""
+    if _SESSION_T0 is None or exitstatus not in (0, 1):
         return
     opt = session.config.option
     if getattr(opt, "markexpr", "") or getattr(opt, "keyword", ""):
@@ -47,13 +55,27 @@ def pytest_sessionfinish(session, exitstatus):
         "n_tests": session.testscollected,
         "n_registry": n_registry,
         "per_query_s": round(wall / n_registry, 3),
+        "passing": exitstatus == 0,
         "recorded_unix": int(time.time()),
     }
+    path = os.path.join(_REPO_ROOT, "GATE_COST.json")
     try:
-        with open(os.path.join(_REPO_ROOT, "GATE_COST.json"), "w") as fh:
-            json.dump(payload, fh, indent=1, sort_keys=True)
+        history = []
+        if os.path.exists(path):
+            with open(path) as fh:
+                prev = json.load(fh)
+            history = prev.get("history", [])
+            if not history and "per_query_s" in prev:  # pre-history format
+                history = [
+                    {k: prev[k] for k in payload if k in prev}
+                ]
+        history.append(payload)
+        payload_out = dict(payload)
+        payload_out["history"] = history[-5:]
+        with open(path, "w") as fh:
+            json.dump(payload_out, fh, indent=1, sort_keys=True)
             fh.write("\n")
-    except OSError:
+    except (OSError, ValueError):
         pass
 
 

@@ -26,15 +26,20 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: per-query all-in budget (seconds of full-suite wall per registered
 #: query). Measured trend: r7 ~2.6, r8 2.2 (quiet host) / 2.5 (loaded),
-#: r9 2.56 quiet (771.6 s / 302, 1941 tests) after a 2.99 loaded-host
-#: reading earlier the same round — same code, ~17% host spread, the
-#: noise family BASELINE.md has characterized since r3. The budget is
-#: a REGRESSION TRIPWIRE set one notch above the quiet-host cost, not
-#: an aspiration: it fails the round the suite actually regresses and
-#: ratchets DOWN when the suite is profiled down. Sub-5-minute
-#: iteration lives in the quick tier (`pytest -m quick`), not in
-#: loosening this bar.
-GATE_BUDGET_S = 3.0
+#: r9 2.56 quiet / 2.99 loaded — same code, ~17% host spread, the
+#: noise family BASELINE.md has characterized since r3. Since r10 the
+#: assertion runs against the MIN of the recorded history (the
+#: quiet-host trend, per r9 ADVICE #1): a single loaded-host reading
+#: can no longer trip the gate, so the budget sits one notch above the
+#: QUIET cost rather than above the loaded band. It fails the round the
+#: suite actually regresses (a real regression raises every reading,
+#: including the min) and ratchets DOWN when the suite is profiled
+#: down. Sub-5-minute iteration lives in the quick tier
+#: (`pytest -m quick`), not in loosening this bar.
+#: 2.9 covers the carried-over r9 single loaded-host reading (2.815,
+#: old no-history format); ratchets again once a quiet-host r10 run
+#: lands in the history.
+GATE_BUDGET_S = 2.9
 
 #: how many registered-but-not-yet-benched names are tolerable — new
 #: queries land between bench passes; anything beyond a round's worth
@@ -49,10 +54,14 @@ def test_per_query_gate_cost_within_budget():
         pytest.skip("GATE_COST.json not recorded yet (no full-suite run on this tree)")
     with open(path) as fh:
         rec = json.load(fh)
-    assert rec["per_query_s"] <= GATE_BUDGET_S, (
-        f"full-suite gate cost {rec['per_query_s']} s/query "
-        f"({rec['suite_wall_s']} s / {rec['n_registry']} queries) exceeds "
-        f"the {GATE_BUDGET_S} s/query budget — profile the suite before "
+    history = rec.get("history") or [rec]
+    best = min(h["per_query_s"] for h in history)
+    assert best <= GATE_BUDGET_S, (
+        f"full-suite gate cost min over last {len(history)} recorded "
+        f"run(s) = {best} s/query (latest: {rec['suite_wall_s']} s / "
+        f"{rec['n_registry']} queries) exceeds the {GATE_BUDGET_S} "
+        f"s/query budget — every recent run is over, so this is a real "
+        f"suite regression, not host noise; profile the suite before "
         f"growing the registry further"
     )
     # staleness guard: the recording must be from a tree whose registry

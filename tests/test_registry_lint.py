@@ -97,6 +97,34 @@ def test_no_cartesian_product_plans(name, spark, built_df):
     )
 
 
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_array_map_final_schema(name, built_df):
+    """The driver's pandas canonicalizer sorts and hashes every output
+    column; list/dict cells raise `TypeError: unhashable type` before
+    any comparison happens (CORRECTNESS_r09 `inverted_index_postings`).
+    A registered query's FINAL schema therefore must not contain
+    ArrayType or MapType at any nesting depth — serialize with
+    array_join (oracle: array_to_string) and keep the array form as an
+    internal operator. Intermediate arrays are fine; only the returned
+    surface is linted."""
+    from pyspark.sql import types as T
+
+    def offenders(dt, path):
+        if isinstance(dt, (T.ArrayType, T.MapType)):
+            yield path
+        elif isinstance(dt, T.StructType):
+            for f in dt.fields:
+                yield from offenders(f.dataType, f"{path}.{f.name}")
+
+    df = built_df(name, "/root/testdata/sf0.001")
+    bad = [p for f in df.schema.fields for p in offenders(f.dataType, f.name)]
+    assert not bad, (
+        f"{name} returns driver-unhashable column type(s) at {bad}: "
+        "array_join/to_json the column (oracle: array_to_string) — the "
+        "gate cannot canonicalize list/dict cells"
+    )
+
+
 # --- posting-self-join lint (VERDICT r7 task #5) --------------------------
 #
 # Exact-by-contract waivers: each query below deliberately joins

@@ -36,8 +36,11 @@ SF_GATE = "/root/testdata/sf0.01"
 
 @pytest.mark.quick
 def test_hot_shingle_spill_integer_div(spark):
-    """skipped_comparisons == C(df,2) exactly, stays BIGINT end-to-end,
-    and the analyzed plan uses integral division (no double round-trip)."""
+    """skipped_comparisons == C(df,2) exactly and stays BIGINT
+    end-to-end. The bigint dtype IS the integral-division guarantee:
+    `(df*(df-1))/2` with true division would analyze to DOUBLE, so the
+    dtype assert fails if anyone swaps `div` for `/` — no need to grep
+    the (version-unstable) plan string for ' div ' (r9 ADVICE #3)."""
     docs = spark.createDataFrame(
         [(i, "licensed under the apache license") for i in range(7)],
         "doc_id long, text string",
@@ -50,10 +53,6 @@ def test_hot_shingle_spill_integer_div(spark):
         assert r["df"] == 7
         assert r["skipped_comparisons"] == 21
     assert dict(out.dtypes)["skipped_comparisons"] == "bigint"
-    plan = out._jdf.queryExecution().analyzed().toString()
-    # integral divide, not `(df * (df-1)) / 2` promoted to double
-    assert " div " in plan
-    assert "cast(((df" not in plan.replace("L", "")
 
 
 @pytest.mark.quick
