@@ -467,6 +467,67 @@ def multimodal_real_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_real_resample_wav",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             8000 + (n_chars % 5) * 2000 AS src_rate,
+             n_chars % 200 + 20          AS n_samples
+      FROM documents
+    ),
+    rs AS (
+      SELECT doc_id, src_rate, n_samples,
+             n_samples * 4000 // src_rate AS out_samples
+      FROM base
+    ),
+    chk AS (
+      SELECT r.doc_id,
+             sum(((r.doc_id * 31 + (g.i * r.src_rate // 4000) * 7) % 65536)
+                 - 32768)::BIGINT AS pcm_sum
+      FROM rs r, LATERAL unnest(generate_series(0, r.out_samples - 1)) AS g(i)
+      GROUP BY r.doc_id
+    )
+    SELECT r.doc_id,
+           r.src_rate::INT      AS src_rate,
+           r.n_samples::BIGINT  AS n_samples,
+           r.out_samples::BIGINT AS out_samples,
+           (r.out_samples * 1000 // 4000)::BIGINT AS duration_ms,
+           c.pcm_sum
+    FROM rs r JOIN chk c USING (doc_id)
+    """,
+    description="REAL audio decode+resample: valid RIFF/WAVE PCM16 payloads parsed by a chunk-walking byte parser, ZOH-resampled to 4 kHz in mapInPandas — rates, counts, and the resampled sample SUM oracled",
+    tags=("multimodal",),
+)
+def multimodal_real_resample_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio twin of multimodal_real_decode_ppm (r9 VERDICT task
+    #5: promote one more real codec out of stub-land). Each document
+    becomes a VALID RIFF/WAVE container — 'RIFF' header, 16-byte PCM
+    'fmt ' chunk, int16-LE 'data' frames (multimodal/binary.py
+    wav_serialize) — with per-doc sample rate and length derived from
+    n_chars, then the REAL parser (wav_decode: chunk walker, struct
+    unpack, numpy frame decode) extracts the rate from the HEADER BYTES
+    and zero-order-hold-resamples to 4 kHz. The oracle recomputes
+    src_rate/n_samples from n_chars, out_samples from the exact integer
+    resample arithmetic, and pcm_sum by replaying the ZOH index map
+    over the deterministic sample sequence — a stub that skips byte
+    parsing cannot produce the right sum because the rate (and thus the
+    index stride) varies per document. resample_audio_stub remains the
+    labeled metadata-only fallback for non-WAV payloads.
+
+    Scale shape: one Arrow-batched map stage, partition-preserving,
+    payloads never leave their split; at 100 TB this is the canonical
+    embarrassingly-parallel media pass (decode cost ~ bytes scanned,
+    no shuffle)."""
+    from crypto_etl_pipeline_spark.multimodal.binary import (
+        attach_wav_payloads,
+        resample_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resample_audio(attach_wav_payloads(docs), dst_rate=4_000)
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id, f.i - 1 AS frame_no, (f.i - 1) * 256 AS "offset"

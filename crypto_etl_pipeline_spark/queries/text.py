@@ -3666,6 +3666,24 @@ def corpus_mix_doremi_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix table is source-cardinality-bounded at any corpus size; the
     update itself never touches the driver beyond those scalars."""
     docs = load_table(spark, sf_dir, "documents")
+    return _doremi_weights(docs).select(
+        "source",
+        "n_docs",
+        F.round("_w_old", 6).alias("w_old"),
+        F.round("_avg", 6).alias("avg_loss"),
+        F.round("_excess", 6).alias("excess_loss"),
+        F.round("_w_new", 6).alias("w_new"),
+    )
+
+
+def _doremi_weights(docs: DataFrame) -> DataFrame:
+    """One DoReMi multiplicative-weights step over a documents frame ->
+    per-source (n_docs, _w_old, _avg, _excess, _w_new), weights
+    UNROUNDED so compositions (corpus_mix_doremi_sample) derive rates
+    from the exact update before any display rounding. See
+    corpus_mix_doremi_update's docstring for the determinism contract
+    (integer fixed-point loss sums; the ~source-cardinality z-sum is
+    the one accepted double summation)."""
     l = docs.select(
         "source",
         F.expr("4294967296L div (256 + n_chars)").alias("loss_fp"),
@@ -3690,13 +3708,104 @@ def corpus_mix_doremi_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_w_old") * (F.lit(1) + F.lit(DOREMI_ETA) * F.col("_excess")),
     )
     z = mid.agg(F.sum("_w_raw").alias("_z"))
-    return mid.crossJoin(F.broadcast(z)).select(
+    return mid.crossJoin(F.broadcast(z)).withColumn(
+        "_w_new", F.col("_w_raw") / F.col("_z")
+    )
+
+
+DOREMI_BUDGET = 300  #: doc budget the updated mix is drawn under
+
+
+@register(
+    "corpus_mix_doremi_sample",
+    oracle=f"""
+    WITH l AS (
+      SELECT source, 4294967296 // (256 + n_chars) AS loss_fp FROM documents
+    ),
+    per AS (
+      SELECT source, count(*) AS n_docs, sum(loss_fp)::BIGINT AS s_fp
+      FROM l GROUP BY source
+    ),
+    tot AS (SELECT count(*) AS n, sum(loss_fp)::BIGINT AS st_fp FROM l),
+    raw AS (
+      SELECT p.source, p.n_docs,
+             p.n_docs * 1.0 / t.n AS w_old,
+             p.s_fp * 1.0 / p.n_docs / 16777216.0
+               - t.st_fp * 1.0 / t.n / 16777216.0 AS excess
+      FROM per p CROSS JOIN tot t
+    ),
+    mid AS (
+      SELECT source, n_docs,
+             w_old * (1 + {DOREMI_ETA} * excess) AS w_raw
+      FROM raw
+    ),
+    z AS (SELECT sum(w_raw) AS z FROM mid),
+    r AS (
+      SELECT source, n_docs, w_raw / z.z AS w_new,
+             least(1.0, {DOREMI_BUDGET} * (w_raw / z.z) / n_docs) AS rate
+      FROM mid CROSS JOIN z
+    )
+    SELECT r.source,
+           r.n_docs::BIGINT AS n_docs,
+           round(r.w_new, 6) AS w_new,
+           round(r.rate, 6) AS rate,
+           sum(CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR || 'doremi-v1'), 1, 15))::BIGINT
+                         % 1000000 < floor(r.rate * 1000000)::BIGINT
+                    THEN 1 ELSE 0 END)::BIGINT AS n_sampled
+    FROM documents d JOIN r ON d.source = r.source
+    GROUP BY r.source, r.n_docs, r.w_new, r.rate
+    """,
+    description=(
+        "DoReMi mixing closed end-to-end: the loss-updated weights converted "
+        "to per-source rates under a doc budget and drawn as a deterministic "
+        "hash-Bernoulli sample"
+    ),
+    tags=("sampling", "text", "pipeline"),
+)
+def corpus_mix_doremi_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weight -> sample loop corpus_mix_doremi_update leaves open
+    (r9 VERDICT task #6): the UPDATED weights become per-source
+    sampling rates under a fixed doc budget
+    (rate = min(1, BUDGET * w_new / n_docs), the corpus_mix_temperature
+    conversion) and the draw is the md5 hash gate — reproducible across
+    runs/engines/layouts, unlike df.sample(). Rates derive from the
+    UNROUNDED weights (_doremi_weights), so the gate cut replays the
+    exact update, not its 6-dp display form.
+
+    Scale shape: the whole weight computation is source-cardinality-
+    bounded, joined back as ONE broadcast; the sample pass is a single
+    scan + hash per row with a map-side aggregate. Same accepted
+    boundary risk as corpus_mix_temperature: floor(rate*GATE) sits on a
+    double, a grid-boundary flip is possible in principle."""
+    from crypto_etl_pipeline_spark.operators.sampling import GATE, hash_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    r = _doremi_weights(docs).select(
         "source",
         "n_docs",
-        F.round("_w_old", 6).alias("w_old"),
-        F.round("_avg", 6).alias("avg_loss"),
-        F.round("_excess", 6).alias("excess_loss"),
-        F.round(F.col("_w_raw") / F.col("_z"), 6).alias("w_new"),
+        "_w_new",
+        F.least(
+            F.lit(1.0), F.lit(DOREMI_BUDGET) * F.col("_w_new") / F.col("n_docs")
+        ).alias("_rate"),
+    )
+    g = docs.join(F.broadcast(r), "source").select(
+        "source",
+        "n_docs",
+        "_w_new",
+        "_rate",
+        hash_gate(F.col("doc_id"), "doremi-v1").alias("_gate"),
+        F.floor(F.col("_rate") * GATE).cast("long").alias("_cut"),
+    )
+    return g.groupBy("source", "n_docs", "_w_new", "_rate").agg(
+        F.sum(F.when(F.col("_gate") < F.col("_cut"), 1).otherwise(0)).alias(
+            "n_sampled"
+        )
+    ).select(
+        "source",
+        "n_docs",
+        F.round("_w_new", 6).alias("w_new"),
+        F.round("_rate", 6).alias("rate"),
+        "n_sampled",
     )
 
 
