@@ -287,6 +287,42 @@ def main() -> None:
     # file that dict lives in — tamper-evident without the full 5 KB.
     import hashlib
 
+    # Shared-median host ratio vs the PREVIOUS committed bench at the
+    # same SF (r9 VERDICT task #8): driver runs are consistently 7-35%
+    # hotter than quiet-host runs, and every round re-derives "is this
+    # host noise or a plan regression?" by hand. A UNIFORM shared-set
+    # median ratio = host load; outlier structure on top of a ~1.0
+    # median = real per-query change. Computed before the overwrite so
+    # the summary line is self-interpreting.
+    bench_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    shared_median_ratio = None
+    n_shared = 0
+    try:
+        with open(bench_path) as fh:
+            prev = json.load(fh)
+        if prev.get("sf") == sf_val:
+            ratios = sorted(
+                timings[n] / prev["queries"][n]
+                for n in timings
+                if prev["queries"].get(n, 0) > 0.0
+            )
+            n_shared = len(ratios)
+            if n_shared:
+                mid = n_shared // 2
+                shared_median_ratio = round(
+                    ratios[mid]
+                    if n_shared % 2
+                    else (ratios[mid - 1] + ratios[mid]) / 2,
+                    3,
+                )
+    except (OSError, ValueError, KeyError):
+        pass
+    if shared_median_ratio is not None:
+        full["shared_median_ratio_vs_prev"] = shared_median_ratio
+        full["n_shared_vs_prev"] = n_shared
+
     file_text = json.dumps(full, indent=1, sort_keys=True) + "\n"
     # Only attest the sha/file when the write actually landed (ADVICE
     # r8 #3: a swallowed OSError used to leave the summary pointing at
@@ -294,10 +330,7 @@ def main() -> None:
     # exists for).
     wrote_ok = False
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
-            "w",
-        ) as fh:
+        with open(bench_path, "w") as fh:
             fh.write(file_text)
         wrote_ok = True
     except OSError:
@@ -316,6 +349,9 @@ def main() -> None:
         "n_headline": len(headline),
         "slowest": slowest,
     }
+    if shared_median_ratio is not None:
+        summary["shared_median_ratio_vs_prev"] = shared_median_ratio
+        summary["n_shared_vs_prev"] = n_shared
     if wrote_ok:
         summary["bench_full_sha256"] = hashlib.sha256(file_text.encode()).hexdigest()
         summary["queries_file"] = "BENCH_FULL.json"

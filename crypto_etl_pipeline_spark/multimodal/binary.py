@@ -381,20 +381,24 @@ WAV_DECODED_SCHEMA = StructType(
 )
 
 
-def wav_serialize(doc_id: int, src_rate: int, n_samples: int) -> bytes:
+def wav_serialize(doc_id: int, src_rate: int, n_samples: int, step: int = 7) -> bytes:
     """Serialize a canonical RIFF/WAVE PCM container: 12-byte RIFF
     header, 16-byte 'fmt ' chunk (format 1 = integer PCM, mono,
     16-bit), 'data' chunk of little-endian int16 frames. The test
     raster is the deterministic sequence
-    s_j = ((doc_id*31 + j*7) % 65536) - 32768 — SQL-replayable, so the
-    oracle can recompute the post-resample sample sum independently of
-    this writer AND of the parser."""
+    s_j = ((doc_id*31 + j*step) % 65536) - 32768 — SQL-replayable, so
+    the oracle can recompute the post-resample sample sum independently
+    of this writer AND of the parser. ``step`` sets the per-sample
+    stride: 7 (default) gives a slow sawtooth (near-constant within a
+    short window — the resample contract), a large prime like 7919
+    wraps the int16 range inside every analysis window (high in-window
+    variance — the energy/VAD contract)."""
     import struct
 
     import numpy as np
 
     j = np.arange(n_samples, dtype=np.int64)
-    samples = ((doc_id * 31 + j * 7) % 65536 - 32768).astype("<i2")
+    samples = ((doc_id * 31 + j * step) % 65536 - 32768).astype("<i2")
     data = samples.tobytes()
     return (
         b"RIFF"
@@ -505,16 +509,116 @@ def resample_audio(media: DataFrame, dst_rate: int = 4_000) -> DataFrame:
     return media.mapInPandas(gen, schema=WAV_DECODED_SCHEMA)
 
 
-def attach_wav_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def vad_energy_windows(media: DataFrame, window: int = 16) -> DataFrame:
+    """Per-WINDOW short-time energy over REAL decoded PCM: parse each
+    RIFF/WAVE payload (wav_decode), split the frames into consecutive
+    full windows of ``window`` samples (trailing remainder dropped —
+    the contract), and emit one row per (doc, window) with the int64
+    sum of squares. DELIBERATELY stops here: the kernel decodes at the
+    data edge; thresholding, activity ratios, and segment runs are
+    DataFrame work downstream (window functions / gaps-and-islands),
+    where Catalyst owns them — the decode-at-edge / analyze-in-engine
+    split a 100 TB speech-curation pass wants."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, ws, sums = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, _ch, s = wav_decode(bytes(payload))
+                n_win = len(s) // window
+                if n_win == 0:
+                    continue
+                sq = (
+                    s[: n_win * window].astype(np.int64).reshape(n_win, window)
+                    ** 2
+                ).sum(axis=1)
+                ids.extend([int(doc_id)] * n_win)
+                ws.extend(range(n_win))
+                sums.extend(int(x) for x in sq)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "w": pd.array(ws, dtype="int64"),
+                    "sum_sq": pd.array(sums, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        gen,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("w", LongType()),
+                StructField("sum_sq", LongType()),
+            ]
+        ),
+    )
+
+
+def pixel_gray_rows(media: DataFrame) -> DataFrame:
+    """REAL pixel decode fanned out to one row per pixel: decode_pixels
+    parses the PPM/BMP payload to an (h, w, 3) uint8 array; each pixel
+    becomes (doc_id, width, height, pix, gray) with pix the row-major
+    index and gray the exact integer r+g+b (no /3 — division would
+    round and break SQL replay). Like vad_energy_windows this kernel
+    stops at decode: thresholding and hash assembly are engine work
+    downstream. Row volume ~ payload bytes / 3 — the fan-out is
+    bytes-proportional, never corpus-quadratic."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, ws, hs, pix, gray = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = decode_pixels(bytes(payload))  # (h, w, 3) uint8
+                h, w = arr.shape[0], arr.shape[1]
+                g = arr.astype(np.int64).sum(axis=2).reshape(-1)  # row-major
+                n = h * w
+                ids.extend([int(doc_id)] * n)
+                ws.extend([w] * n)
+                hs.extend([h] * n)
+                pix.extend(range(n))
+                gray.extend(int(x) for x in g)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "pix": pd.array(pix, dtype="int64"),
+                    "gray": pd.array(gray, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        gen,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("width", IntegerType()),
+                StructField("height", IntegerType()),
+                StructField("pix", LongType()),
+                StructField("gray", LongType()),
+            ]
+        ),
+    )
+
+
+def attach_wav_payloads(
+    docs: DataFrame, id_col: str = "doc_id", step: int = 7
+) -> DataFrame:
     """VALID RIFF/WAVE payloads per document, parameterized ONLY by
     (doc_id, n_chars) so the oracle derives every expected output from
     table columns: src_rate = 8000 + (n_chars%5)*2000 (five distinct
     rates — the resampler must actually READ the header, a constant
     rate would let a hardcoded decoder pass), n_samples =
-    n_chars%200 + 20. Serialization runs in an Arrow batch because WAV
-    headers contain raw little-endian bytes >= 0x80 that string
-    expressions + UTF-8 encode would mangle (unlike the all-ASCII PPM
-    header built JVM-side)."""
+    n_chars%200 + 20, sample stride ``step`` (wav_serialize).
+    Serialization runs in an Arrow batch because WAV headers contain
+    raw little-endian bytes >= 0x80 that string expressions + UTF-8
+    encode would mangle (unlike the all-ASCII PPM header built
+    JVM-side)."""
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     sized = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -528,7 +632,7 @@ def attach_wav_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"].values,
                     "payload": [
-                        wav_serialize(int(d), int(r), int(n))
+                        wav_serialize(int(d), int(r), int(n), step=step)
                         for d, r, n in zip(pdf["doc_id"], pdf["_rate"], pdf["_n"])
                     ],
                 }

@@ -95,13 +95,14 @@ _GATE_FIRST = (
     "quality_completeness_events",
     "quality_rule_report",
     "quality_referential_audit",
-    # never-sampled: timeseries / behavior / layout
-    "ohlc_hourly_bars",
-    "vwap_daily",
-    "rolling_wau",
-    "rfm_segmentation",
-    "event_transition_matrix",
-    "partitioned_write_prune_read",
+    # NEW this round — gated immediately so they never join the
+    # never-sampled pool (timeseries/behavior tail returns in r11)
+    "multimodal_real_resample_wav",
+    "corpus_mix_doremi_sample",
+    "multimodal_audio_vad_segments",
+    "multimodal_image_phash_dedup",
+    "fuzzy_match_suppliers_capped",
+    "fuzzy_block_spill",
 )
 
 

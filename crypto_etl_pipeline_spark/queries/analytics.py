@@ -779,7 +779,7 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            dirty_id = s_suppkey AS exact_entity
     FROM ranked WHERE rk = 1
     """,
-    description="Record linkage: blocked fuzzy join (prefix block + levenshtein rank)",
+    description="Record linkage: blocked fuzzy join (prefix block + levenshtein rank) — UNCAPPED exact form; see the _capped twin for the scale path",
     tags=("linkage", "join", "window"),
 )
 def fuzzy_match_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -789,7 +789,19 @@ def fuzzy_match_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance 1 from SEVERAL same-prefix suppliers, so the deterministic
     (dist, name) tie-break can pick a neighbor — `exact_entity` reports
     linkage accuracy honestly rather than pretending blocking+edit
-    distance is exact."""
+    distance is exact.
+
+    SCALE CORRECTION (round 10): the r9 note called this 'a scale-safe
+    linkage shape — no cartesian'. That was WRONG on this name
+    distribution: 'Supplier#%09d' names share ONE prefix-14 block up to
+    key 10M, so the 'blocked' join is the all-pairs join on a single
+    key — measured 4.0 s at sf0.1 collapsing to a single-task >400 s
+    DNF at sf1.0 (SCALE.md r10). This uncapped form stays registered as
+    the exact-by-contract oracle-parity surface at gate/bench SF;
+    fuzzy_match_suppliers_capped + fuzzy_block_spill are the governed
+    scale path (same cap discipline as the shingle/simhash/LSH feeds),
+    and the capped twin replaces this one in the scale-curve HEAVY
+    set."""
     from crypto_etl_pipeline_spark.operators.linkage import blocked_fuzzy_join
 
     supp = load_table(spark, sf_dir, "supplier")
@@ -818,6 +830,144 @@ def fuzzy_match_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("matched_id"),
         "dist",
         (F.col("dirty_id") == F.col("s_suppkey")).alias("exact_entity"),
+    )
+
+
+FUZZY_BLOCK_CAP = 64  #: max right-side rows per fuzzy block (engaged at gate SF)
+
+
+@register(
+    "fuzzy_match_suppliers_capped",
+    oracle=f"""
+    WITH dirty AS (
+      SELECT s_suppkey AS dirty_id,
+             CASE WHEN s_suppkey % 2 = 1
+                  THEN substr(s_name, 1, 17) || 'X' ELSE s_name END AS dirty_name
+      FROM supplier
+    ),
+    capped AS (
+      SELECT s_suppkey, s_name, substr(s_name, 1, 14) AS blk
+      FROM supplier
+      QUALIFY row_number() OVER (PARTITION BY substr(s_name, 1, 14)
+                                 ORDER BY s_name) <= {FUZZY_BLOCK_CAP}
+    ),
+    cand AS (
+      SELECT d.dirty_id, d.dirty_name, s.s_suppkey, s.s_name,
+             levenshtein(d.dirty_name, s.s_name) AS dist
+      FROM dirty d JOIN capped s
+        ON substr(d.dirty_name, 1, 14) = s.blk
+      WHERE levenshtein(d.dirty_name, s.s_name) <= 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY dirty_id
+                                   ORDER BY dist, s_name) AS rk
+      FROM cand
+    )
+    SELECT dirty_id, dirty_name, s_suppkey AS matched_id, dist,
+           dirty_id = s_suppkey AS exact_entity
+    FROM ranked WHERE rk = 1
+    """,
+    description=f"Governed fuzzy linkage: the blocked join under a per-block right-side cap ({FUZZY_BLOCK_CAP}, QUALIFY-replayable) — the scale path for degenerate blocking keys",
+    tags=("linkage", "join", "window", "governance"),
+)
+def fuzzy_match_suppliers_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The governed twin of fuzzy_match_suppliers (whose prefix-14
+    block is ONE corpus-sized key on TPC-H names — all-pairs, single
+    task, >400 s DNF at sf1.0; see its docstring). block_cap keeps the
+    first FUZZY_BLOCK_CAP right-side names per block in order, so
+    per-block comparisons are |left| * cap — LINEAR in the corpus even
+    when blocking degenerates completely. The cap is a count-based
+    window, so DuckDB replays it with QUALIFY and the parity row tests
+    ENGAGED-cap agreement at every SF (the gate corpus already has a
+    100-row block vs cap 64). Matches lost to the cap are counted by
+    fuzzy_block_spill, never silent — the same guard triad (cap +
+    audit + adversarial measurement) as the shingle/simhash/LSH pair
+    feeds."""
+    from crypto_etl_pipeline_spark.operators.linkage import blocked_fuzzy_join
+
+    supp = load_table(spark, sf_dir, "supplier")
+    dirty = supp.select(
+        F.col("s_suppkey").alias("dirty_id"),
+        F.when(
+            F.col("s_suppkey") % 2 == 1,
+            F.concat(F.substring("s_name", 1, 17), F.lit("X")),
+        )
+        .otherwise(F.col("s_name"))
+        .alias("dirty_name"),
+    )
+    best = blocked_fuzzy_join(
+        dirty,
+        supp.select("s_suppkey", "s_name"),
+        left_id="dirty_id",
+        left_text="dirty_name",
+        right_text="s_name",
+        block=lambda c: F.substring(c, 1, 14),
+        max_dist=2,
+        top_k=1,
+        block_cap=FUZZY_BLOCK_CAP,
+    )
+    return best.select(
+        "dirty_id",
+        "dirty_name",
+        F.col("s_suppkey").alias("matched_id"),
+        "dist",
+        (F.col("dirty_id") == F.col("s_suppkey")).alias("exact_entity"),
+    )
+
+
+@register(
+    "fuzzy_block_spill",
+    oracle=f"""
+    WITH lb AS (
+      SELECT substr(CASE WHEN s_suppkey % 2 = 1
+                         THEN substr(s_name, 1, 17) || 'X' ELSE s_name END,
+                    1, 14) AS block,
+             count(*) AS n_left
+      FROM supplier GROUP BY 1
+    ),
+    rb AS (
+      SELECT substr(s_name, 1, 14) AS block, count(*) AS n_right
+      FROM supplier GROUP BY 1
+    )
+    SELECT coalesce(lb.block, rb.block) AS block,
+           coalesce(n_left, 0)::BIGINT  AS n_left,
+           coalesce(n_right, 0)::BIGINT AS n_right,
+           coalesce(least(n_right, {FUZZY_BLOCK_CAP}), 0)::BIGINT AS kept_right,
+           (coalesce(n_left, 0)
+              * (coalesce(n_right, 0)
+                 - coalesce(least(n_right, {FUZZY_BLOCK_CAP}), 0)))::BIGINT
+             AS skipped_comparisons
+    FROM lb FULL JOIN rb ON lb.block = rb.block
+    """,
+    description="Audit half of the fuzzy block cap: per-block occupancy and the exact comparison count the cap absorbed",
+    tags=("linkage", "governance"),
+)
+def fuzzy_block_spill_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What fuzzy_match_suppliers_capped dropped: per block, both side
+    sizes, kept right rows, and n_left * (n_right - kept) absorbed
+    comparisons — the number that explains the capped twin's flat
+    scale curve (at sf1.0 the single degenerate block absorbs
+    10,000 * 9,936 comparisons; the uncapped query EXECUTES them).
+    Always one row per occupied block, so the parity row is never
+    vacuous."""
+    from crypto_etl_pipeline_spark.operators.linkage import fuzzy_block_spill
+
+    supp = load_table(spark, sf_dir, "supplier")
+    dirty = supp.select(
+        F.when(
+            F.col("s_suppkey") % 2 == 1,
+            F.concat(F.substring("s_name", 1, 17), F.lit("X")),
+        )
+        .otherwise(F.col("s_name"))
+        .alias("dirty_name"),
+    )
+    return fuzzy_block_spill(
+        dirty,
+        supp.select("s_name"),
+        left_text="dirty_name",
+        right_text="s_name",
+        block=lambda c: F.substring(c, 1, 14),
+        block_cap=FUZZY_BLOCK_CAP,
     )
 
 

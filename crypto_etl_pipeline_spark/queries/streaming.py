@@ -445,13 +445,25 @@ def multimodal_real_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_etl_pipeline_spark.multimodal.binary import decode_image
 
     docs = load_table(spark, sf_dir, "documents")
+    return decode_image(_ppm_media(docs), codec="real").drop("checksum").select(
+        "doc_id", "width", "height", "n_bytes"
+    )
+
+
+def _ppm_media(docs: DataFrame) -> DataFrame:
+    """VALID binary PPM(P6) per document, built with pure JVM
+    expressions (the header is all-ASCII so UTF-8 encode is
+    byte-exact): 'P6\\n{w} {h}\\n255\\n' + raster of exactly w*h*3
+    bytes drawn from the text, rpad-extended with 'x'. Dims derive from
+    byte length (w = n%13+1, h = n%7+1) so every oracle recomputes them
+    from the table. Shared by the real-decode and phash queries."""
     sized = docs.select(
         "doc_id",
         "text",
         (F.octet_length(F.col("text")) % 13 + 1).alias("w"),
         (F.octet_length(F.col("text")) % 7 + 1).alias("h"),
     )
-    media = sized.select(
+    return sized.select(
         "doc_id",
         F.encode(
             F.concat(
@@ -461,8 +473,88 @@ def multimodal_real_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "UTF-8",
         ).alias("payload"),
     )
-    return decode_image(media, codec="real").drop("checksum").select(
-        "doc_id", "width", "height", "n_bytes"
+
+
+@register(
+    "multimodal_image_phash_dedup",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) % 13 + 1 AS w,
+             octet_length(encode(text)) % 7 + 1  AS h
+      FROM documents
+    ),
+    pad AS (
+      SELECT doc_id, w, h,
+             text || repeat('x', greatest(w*h*3 - length(text), 0)) AS t
+      FROM dims
+    ),
+    px AS (
+      SELECT p.doc_id, p.w, p.h, g.i AS pix,
+             ord(substr(p.t, 3*g.i + 1, 1)) + ord(substr(p.t, 3*g.i + 2, 1))
+               + ord(substr(p.t, 3*g.i + 3, 1)) AS gray
+      FROM pad p, LATERAL unnest(generate_series(0, p.w*p.h - 1)) AS g(i)
+    ),
+    bits AS (
+      SELECT doc_id, w, h, pix,
+             CASE WHEN gray * (w*h) > sum(gray) OVER (PARTITION BY doc_id)
+                  THEN '1' ELSE '0' END AS b
+      FROM px
+    ),
+    ph AS (
+      SELECT doc_id, w, h, string_agg(b, '' ORDER BY pix) AS phash
+      FROM bits GROUP BY doc_id, w, h
+    )
+    SELECT doc_id, w::INT AS width, h::INT AS height, phash,
+           (count(*) OVER (PARTITION BY w, h, phash) - 1)::BIGINT AS n_dup_peers
+    FROM ph
+    """,
+    description="Image near-dup building block: average-hash (aHash) over REAL decoded PPM pixels, assembled engine-side, exact perceptual-dup peers counted per hash",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing joins the dedup surface: the Arrow
+    kernel (multimodal/binary.pixel_gray_rows) runs the REAL PPM codec
+    and fans out one (pix, gray=r+g+b) row per pixel; everything after
+    is engine work — the aHash threshold is a doc-keyed window
+    (gray * n_pixels > total_gray, integer-exact: no mean division to
+    round), the hash assembles via array_sort(collect_list) so bit
+    order is layout-independent, and dup peers come from a
+    (width, height, phash) window count, NO self-join. On a real image
+    corpus the payloads would be camera files and this exact plan finds
+    re-encodes/brightness-shifted copies that byte-level md5 misses.
+
+    Scale shape: pixel fan-out is bytes-proportional; the two window
+    passes key on doc_id and on the hash value (bounded groups); at
+    100 TB banding the phash prefix into the established simhash
+    cap+spill machinery is one groupBy away."""
+    from pyspark.sql.window import Window
+
+    from crypto_etl_pipeline_spark.multimodal.binary import pixel_gray_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    px = pixel_gray_rows(_ppm_media(docs))
+    bits = px.withColumn(
+        "b",
+        F.when(
+            F.col("gray") * (F.col("width") * F.col("height"))
+            > F.sum("gray").over(Window.partitionBy("doc_id")),
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    ph = bits.groupBy("doc_id", "width", "height").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pix", "b"))),
+                lambda s: s.getField("b"),
+            ),
+            "",
+        ).alias("phash")
+    )
+    return ph.withColumn(
+        "n_dup_peers",
+        F.count(F.lit(1)).over(Window.partitionBy("width", "height", "phash"))
+        - F.lit(1),
     )
 
 
@@ -525,6 +617,119 @@ def multimodal_real_resample_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return resample_audio(attach_wav_payloads(docs), dst_rate=4_000)
+
+
+@register(
+    "multimodal_audio_vad_segments",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, n_chars % 200 + 20 AS n_samples FROM documents
+    ),
+    samp AS (
+      SELECT b.doc_id, g.i // 16 AS w,
+             ((b.doc_id * 31 + g.i * 7919) % 65536) - 32768 AS s
+      FROM base b,
+           LATERAL unnest(generate_series(0, (b.n_samples // 16) * 16 - 1)) AS g(i)
+    ),
+    wen AS (
+      SELECT doc_id, w, sum(s * s)::BIGINT AS sum_sq
+      FROM samp GROUP BY doc_id, w
+    ),
+    act AS (
+      SELECT doc_id, w,
+             CASE WHEN sum_sq >= 5700000000 THEN 1 ELSE 0 END AS a
+      FROM wen
+    ),
+    runs AS (
+      SELECT doc_id, a,
+             w - row_number() OVER (PARTITION BY doc_id, a ORDER BY w) AS grp
+      FROM act
+    ),
+    runlen AS (
+      SELECT doc_id, grp, count(*) AS rl
+      FROM runs WHERE a = 1 GROUP BY doc_id, grp
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_windows, sum(a)::BIGINT AS n_active
+      FROM act GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           g.n_windows::BIGINT AS n_windows,
+           g.n_active,
+           round(g.n_active * 1.0 / g.n_windows, 6) AS active_frac,
+           coalesce(max(r.rl), 0)::BIGINT AS longest_active_run
+    FROM agg g LEFT JOIN runlen r ON g.doc_id = r.doc_id
+    GROUP BY g.doc_id, g.n_windows, g.n_active
+    """,
+    description="Speech-curation VAD shape: short-time energy per 16-sample window over REAL decoded PCM, thresholded to activity ratio + longest active run (gaps-and-islands)",
+    tags=("multimodal", "window"),
+)
+def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection, the decode-at-edge / analyze-in-engine
+    split: the Arrow kernel (multimodal/binary.vad_energy_windows) only
+    parses the RIFF container and emits one (doc, window, sum-of-
+    squares) row per 16-sample window; thresholding, the activity
+    ratio, and the LONGEST ACTIVE RUN (the segmentation statistic an
+    audio-curation filter keys on) are DataFrame work — a gaps-and-
+    islands window pass (w - row_number over (doc, active)) Catalyst
+    plans like any sessionization. Payloads use stride 7919 (wraps the
+    int16 range inside every window, so energies vary window-to-window;
+    stride-7 payloads would make every window of a doc near-identical)
+    and the threshold sits at the uniform-PCM expected energy
+    16 * 32768^2 / 3 ≈ 5.7e9, splitting windows both ways. All energy
+    arithmetic is exact int64 — sums, threshold, and run lengths replay
+    in SQL term-for-term.
+
+    Scale shape: one partition-preserving Arrow pass (rows out ~
+    samples/16), then hash aggregation + two doc-keyed window passes —
+    everything keys on doc_id, so the exchanges reuse one
+    partitioning; nothing is corpus-global."""
+    from pyspark.sql.window import Window
+
+    from crypto_etl_pipeline_spark.multimodal.binary import (
+        attach_wav_payloads,
+        vad_energy_windows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wen = vad_energy_windows(
+        attach_wav_payloads(docs, step=7919), window=16
+    )
+    act = wen.select(
+        "doc_id",
+        "w",
+        F.when(F.col("sum_sq") >= 5_700_000_000, 1).otherwise(0).alias("a"),
+    )
+    grp = act.withColumn(
+        "grp",
+        F.col("w")
+        - F.row_number().over(
+            Window.partitionBy("doc_id", "a").orderBy("w")
+        ),
+    )
+    runlen = (
+        grp.where(F.col("a") == 1)
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("rl"))
+    )
+    agg = act.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("a").alias("n_active"),
+    )
+    return (
+        agg.join(runlen, "doc_id", "left")
+        .groupBy("doc_id", "n_windows", "n_active")
+        .agg(F.coalesce(F.max("rl"), F.lit(0)).alias("longest_active_run"))
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_active",
+            F.round(F.col("n_active") * F.lit(1.0) / F.col("n_windows"), 6).alias(
+                "active_frac"
+            ),
+            "longest_active_run",
+        )
+    )
 
 
 @register(

@@ -164,6 +164,19 @@ HEAVY = [
     "dedup_lsh_hot_bucket_spill",
     "ann_ivf_pq_topk",
     "ann_ivf_incremental_assign",
+    # round-10: first-time-benched >=3 s queries that never had a
+    # curve (r9 VERDICT task #3) + the round's new queries. NOTE:
+    # fuzzy_match_suppliers itself is deliberately NOT here — its
+    # prefix-14 block is one corpus-sized key, measured 4.0 s at sf0.1
+    # -> single-task >400 s DNF at sf1.0 (SCALE.md r10); the capped
+    # twin is the governed scale path and carries the curve.
+    "profile_events_table",
+    "multimodal_real_resample_wav",
+    "corpus_mix_doremi_sample",
+    "fuzzy_match_suppliers_capped",
+    "fuzzy_block_spill",
+    "multimodal_audio_vad_segments",
+    "multimodal_image_phash_dedup",
 ]
 
 

@@ -88,6 +88,124 @@ def test_zoh_resample_arithmetic():
     assert list(up[:5]) == [0, 0, 0, 1, 1]  # floor(i*4/10)
 
 
+# --- fuzzy-block cap (the round's scale catch) -----------------------------
+
+
+@pytest.mark.quick
+def test_fuzzy_block_cap_bounds_comparisons(spark):
+    """On a degenerate blocking key (every name shares the prefix) the
+    capped join compares |left| * cap pairs, and the spill audit
+    accounts for exactly the remainder."""
+    from crypto_etl_pipeline_spark.operators.linkage import (
+        blocked_fuzzy_join,
+        fuzzy_block_spill,
+    )
+
+    names = spark.createDataFrame(
+        [(i, f"Supplier#{i:09d}") for i in range(30)], "id long, name string"
+    )
+    block = lambda c: F.substring(c, 1, 14)  # noqa: E731 — one block for all 30
+    out = blocked_fuzzy_join(
+        names, names.selectExpr("name AS rname"),
+        left_id="id", left_text="name", right_text="rname",
+        block=block, max_dist=2, top_k=1, block_cap=10,
+    )
+    rows = out.collect()
+    # capped right side = lexicographic first 10 names (ids 0-9): every
+    # match must reference a KEPT name; ids 0-9 self-match at dist 0
+    kept = {f"Supplier#{i:09d}" for i in range(10)}
+    assert rows and all(r["rname"] in kept for r in rows)
+    by_id = {r["id"]: r for r in rows}
+    for i in range(10):
+        assert by_id[i]["dist"] == 0 and by_id[i]["rname"] == f"Supplier#{i:09d}"
+    spill = fuzzy_block_spill(
+        names, names.selectExpr("name AS rname"),
+        left_text="name", right_text="rname", block=block, block_cap=10,
+    ).collect()
+    assert len(spill) == 1
+    s = spill[0]
+    assert (s["n_left"], s["n_right"], s["kept_right"]) == (30, 30, 10)
+    assert s["skipped_comparisons"] == 30 * 20
+
+
+def test_fuzzy_capped_engaged_matches_uncapped_survivors(spark):
+    """At gate SF the cap (64) is ENGAGED against the single 100-row
+    block: every dirty row whose best match survives in the kept-64
+    set must get the SAME answer as the uncapped query; rows whose
+    candidates were all capped away disappear (counted by the spill
+    audit, 100 * 36)."""
+    uncapped = {
+        r["dirty_id"]: (r["matched_id"], r["dist"])
+        for r in REGISTRY["fuzzy_match_suppliers"].fn(spark, SF_GATE).collect()
+    }
+    capped = {
+        r["dirty_id"]: (r["matched_id"], r["dist"])
+        for r in REGISTRY["fuzzy_match_suppliers_capped"].fn(spark, SF_GATE).collect()
+    }
+    assert set(capped) <= set(uncapped)
+    # kept-64 set is the lexicographic first 64 names = keys 0..63; a
+    # capped answer may only differ by falling back to a WORSE-or-equal
+    # candidate, never a better one — and on digit-edit names the cap
+    # MUST actually degrade someone (e.g. even keys >= 64 self-match at
+    # dist 0 uncapped but their own name is capped away)
+    degraded = 0
+    for k, (mid, dist) in capped.items():
+        u_mid, u_dist = uncapped[k]
+        assert mid < 64  # every capped answer references a kept name
+        if u_mid < 64:  # uncapped winner survived the cap
+            assert (mid, dist) == (u_mid, u_dist)
+        else:
+            assert dist >= u_dist
+            degraded += dist > u_dist
+    assert degraded > 0
+    spill = {
+        r["block"]: r
+        for r in REGISTRY["fuzzy_block_spill"].fn(spark, SF_GATE).collect()
+    }
+    assert len(spill) == 1
+    s = next(iter(spill.values()))
+    assert s["skipped_comparisons"] == s["n_left"] * (s["n_right"] - 64)
+
+
+# --- real-codec analytics: VAD + phash -------------------------------------
+
+
+def test_vad_segments_consistency(spark):
+    """Window counts follow n_samples//16; runs are bounded by active
+    counts; both active and inactive windows occur corpus-wide (the
+    stride-7919 design point)."""
+    rows = REGISTRY["multimodal_audio_vad_segments"].fn(spark, SF_GATE).collect()
+    assert len(rows) == 500
+    assert any(r["n_active"] > 0 for r in rows)
+    assert any(r["n_active"] < r["n_windows"] for r in rows)
+    for r in rows:
+        assert 1 <= r["n_windows"] <= 13  # n_samples in 20..219
+        assert 0 <= r["n_active"] <= r["n_windows"]
+        assert r["longest_active_run"] <= r["n_active"]
+        assert (r["longest_active_run"] > 0) == (r["n_active"] > 0)
+
+
+def test_phash_bits_and_peers(spark):
+    """Hash length == width*height; bits are balanced-ish (threshold at
+    the mean splits); peer counts are symmetric (every member of a
+    dup group reports the same group size - 1)."""
+    from collections import Counter
+
+    rows = REGISTRY["multimodal_image_phash_dedup"].fn(spark, SF_GATE).collect()
+    assert len(rows) == 500
+    groups = Counter((r["width"], r["height"], r["phash"]) for r in rows)
+    for r in rows:
+        assert len(r["phash"]) == r["width"] * r["height"]
+        assert set(r["phash"]) <= {"0", "1"}
+        # strict-> threshold: a 1-pixel or uniform image is all-'0'
+        # (gray*n > total is false when gray == mean), so per-row
+        # bit balance only holds for multi-pixel varied rasters
+        assert r["n_dup_peers"] == groups[(r["width"], r["height"], r["phash"])] - 1
+    # corpus-wide, both bit values must occur (the threshold splits)
+    assert any("1" in r["phash"] for r in rows)
+    assert any("0" in r["phash"] for r in rows)
+
+
 # --- DoReMi weight -> sample composition (r9 VERDICT task #6) -------------
 
 
