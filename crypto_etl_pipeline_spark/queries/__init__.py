@@ -94,9 +94,9 @@ _GATE_FIRST = (
     # never-sampled: quality / governance
     "quality_completeness_events",
     "quality_rule_report",
-    "quality_referential_audit",
     # NEW this round — gated immediately so they never join the
     # never-sampled pool (timeseries/behavior tail returns in r11)
+    "entity_resolution_clusters",
     "multimodal_real_resample_wav",
     "corpus_mix_doremi_sample",
     "multimodal_audio_vad_segments",

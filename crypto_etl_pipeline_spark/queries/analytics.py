@@ -916,6 +916,85 @@ def fuzzy_match_suppliers_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "entity_resolution_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    dirty AS MATERIALIZED (
+      SELECT s_suppkey AS dirty_id,
+             CASE WHEN s_suppkey % 2 = 1
+                  THEN substr(s_name, 1, 17) || 'X' ELSE s_name END AS dirty_name
+      FROM supplier
+    ),
+    capped AS MATERIALIZED (
+      SELECT s_suppkey, s_name, substr(s_name, 1, 14) AS blk
+      FROM supplier
+      QUALIFY row_number() OVER (PARTITION BY substr(s_name, 1, 14)
+                                 ORDER BY s_name) <= {FUZZY_BLOCK_CAP}
+    ),
+    ranked AS MATERIALIZED (
+      SELECT d.dirty_id, s.s_suppkey,
+             row_number() OVER (PARTITION BY d.dirty_id
+                                ORDER BY levenshtein(d.dirty_name, s.s_name),
+                                         s.s_name) AS rk
+      FROM dirty d JOIN capped s
+        ON substr(d.dirty_name, 1, 14) = s.blk
+      WHERE levenshtein(d.dirty_name, s.s_name) <= 2
+    ),
+    m AS MATERIALIZED (
+      SELECT dirty_id, s_suppkey AS matched_id
+      FROM ranked WHERE rk = 1 AND dirty_id <> s_suppkey
+    ),
+    edges AS MATERIALIZED (
+      SELECT dirty_id AS a, matched_id AS b FROM m
+      UNION SELECT matched_id, dirty_id FROM m
+    ),
+    reach(id, label) AS (
+      SELECT s_suppkey, s_suppkey FROM supplier
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.id
+    )
+    SELECT id AS s_suppkey,
+           min(label)::BIGINT AS entity_id,
+           min(label) = id    AS is_canonical
+    FROM reach GROUP BY id
+    """,
+    description="Entity resolution end-to-end: capped fuzzy matches as an identity graph, connected components as entities (match -> cluster, the standard ER pipeline)",
+    tags=("linkage", "iterative", "dedup"),
+)
+def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLUSTER step fuzzy matching feeds in a real ER pipeline:
+    best-match pairs from the GOVERNED (capped) fuzzy join become
+    undirected identity edges, and the same iterative min-label
+    connected-components operator the dedup surface uses
+    (operators/cluster.py — per-iteration work distributed, loop over
+    edge ENDPOINTS only, singletons rejoin at the end) resolves
+    transitive entities: if dirty A matched B and dirty C matched B,
+    A/B/C are one entity even though A and C never compared. The DuckDB
+    twin is recursive-CTE reachability over the identical QUALIFY-
+    capped edge set.
+
+    Scale shape: edge volume <= |dirty| (one best match each), so the
+    CC loop iterates over a match-bounded sliver of the corpus; the
+    expensive stage remains the capped candidate join, already
+    linear-in-corpus under the block cap."""
+    from crypto_etl_pipeline_spark.operators.cluster import connected_components
+
+    supp = load_table(spark, sf_dir, "supplier")
+    matches = fuzzy_match_suppliers_capped(spark, sf_dir)
+    edges = matches.where(F.col("dirty_id") != F.col("matched_id")).select(
+        F.col("dirty_id").alias("src"), F.col("matched_id").alias("dst")
+    )
+    cc = connected_components(
+        supp.select(F.col("s_suppkey").alias("id")), edges
+    )
+    return cc.select(
+        F.col("id").alias("s_suppkey"),
+        F.col("component").alias("entity_id"),
+        (F.col("component") == F.col("id")).alias("is_canonical"),
+    )
+
+
+@register(
     "fuzzy_block_spill",
     oracle=f"""
     WITH lb AS (

@@ -177,6 +177,7 @@ HEAVY = [
     "fuzzy_block_spill",
     "multimodal_audio_vad_segments",
     "multimodal_image_phash_dedup",
+    "entity_resolution_clusters",
 ]
 
 

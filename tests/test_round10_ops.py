@@ -167,6 +167,33 @@ def test_fuzzy_capped_engaged_matches_uncapped_survivors(spark):
     assert s["skipped_comparisons"] == s["n_left"] * (s["n_right"] - 64)
 
 
+def test_entity_resolution_transitive(spark):
+    """Entities are the transitive closure of best matches: every match
+    edge joins its endpoints' entities, labels are component minima,
+    and the entity map covers every supplier exactly once."""
+    matches = REGISTRY["fuzzy_match_suppliers_capped"].fn(spark, SF_GATE).collect()
+    ents = {
+        r["s_suppkey"]: r["entity_id"]
+        for r in REGISTRY["entity_resolution_clusters"].fn(spark, SF_GATE).collect()
+    }
+    assert len(ents) == 100  # every supplier labeled exactly once
+    merged = 0
+    for m in matches:
+        assert ents[m["dirty_id"]] == ents[m["matched_id"]]
+        merged += m["dirty_id"] != m["matched_id"]
+    assert merged > 0  # corruption really merges entities
+    # labels are component minima: some entity holds >1 member and its
+    # id is the smallest member
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for k, e in ents.items():
+        members[e].append(k)
+    assert any(len(v) > 1 for v in members.values())
+    for e, v in members.items():
+        assert e == min(v)
+
+
 # --- real-codec analytics: VAD + phash -------------------------------------
 
 
