@@ -91,12 +91,11 @@ _GATE_FIRST = (
     "curriculum_phase_schedule",
     "corpus_mix_temperature",
     "dedup_soft_weights_by_source",
-    # never-sampled: quality / governance
-    "quality_completeness_events",
-    "quality_rule_report",
     # NEW this round — gated immediately so they never join the
-    # never-sampled pool (timeseries/behavior tail returns in r11)
+    # never-sampled pool (quality/timeseries tail returns in r11)
     "entity_resolution_clusters",
+    "multimodal_phash_banded_pairs",
+    "multimodal_phash_bucket_spill",
     "multimodal_real_resample_wav",
     "corpus_mix_doremi_sample",
     "multimodal_audio_vad_segments",

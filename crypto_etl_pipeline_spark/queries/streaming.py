@@ -475,10 +475,10 @@ def _ppm_media(docs: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_image_phash_dedup",
-    oracle="""
-    WITH dims AS (
+#: shared oracle CTE chain producing ph(doc_id, w, h, phash) — the SQL
+#: replay of _phash_frame (real pixel decode -> integer aHash)
+_PHASH_SQL = """
+    dims AS (
       SELECT doc_id, text,
              octet_length(encode(text)) % 13 + 1 AS w,
              octet_length(encode(text)) % 7 + 1  AS h
@@ -501,10 +501,17 @@ def _ppm_media(docs: DataFrame) -> DataFrame:
                   THEN '1' ELSE '0' END AS b
       FROM px
     ),
-    ph AS (
+    ph AS MATERIALIZED (
       SELECT doc_id, w, h, string_agg(b, '' ORDER BY pix) AS phash
       FROM bits GROUP BY doc_id, w, h
     )
+"""
+
+
+@register(
+    "multimodal_image_phash_dedup",
+    oracle=f"""
+    WITH {_PHASH_SQL}
     SELECT doc_id, w::INT AS width, h::INT AS height, phash,
            (count(*) OVER (PARTITION BY w, h, phash) - 1)::BIGINT AS n_dup_peers
     FROM ph
@@ -530,6 +537,20 @@ def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap+spill machinery is one groupBy away."""
     from pyspark.sql.window import Window
 
+    ph = _phash_frame(spark, sf_dir)
+    return ph.withColumn(
+        "n_dup_peers",
+        F.count(F.lit(1)).over(Window.partitionBy("width", "height", "phash"))
+        - F.lit(1),
+    )
+
+
+def _phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, width, height, phash) over REAL decoded pixels — the
+    shared feed of the phash dedup/pair queries; see
+    multimodal_image_phash_dedup's docstring for the contract."""
+    from pyspark.sql.window import Window
+
     from crypto_etl_pipeline_spark.multimodal.binary import pixel_gray_rows
 
     docs = load_table(spark, sf_dir, "documents")
@@ -542,7 +563,7 @@ def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("1"),
         ).otherwise(F.lit("0")),
     )
-    ph = bits.groupBy("doc_id", "width", "height").agg(
+    return bits.groupBy("doc_id", "width", "height").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pix", "b"))),
@@ -551,10 +572,189 @@ def multimodal_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "",
         ).alias("phash")
     )
-    return ph.withColumn(
-        "n_dup_peers",
-        F.count(F.lit(1)).over(Window.partitionBy("width", "height", "phash"))
-        - F.lit(1),
+
+
+PHASH_BANDS = 4  #: hamming<=3 pigeonhole: one of 4 bands must match exactly
+PHASH_BUCKET_CAP = 16  #: max docs per (w, h, band, bits) bucket
+
+
+def _phash_posting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (doc, band): the phash split into PHASH_BANDS
+    contiguous substrings by exact integer arithmetic
+    (start = (b*L) div BANDS, mirrored as // in the oracle). Bands
+    partition the bit string, so hamming(a,b) <= BANDS-1 forces at
+    least one band to match exactly — the same pigeonhole the simhash
+    feed relies on, valid at ANY hash length."""
+    ph = _phash_frame(spark, sf_dir)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(
+                    f"substring(phash, ({b}*length(phash)) div {PHASH_BANDS} + 1,"
+                    f" (({b}+1)*length(phash)) div {PHASH_BANDS}"
+                    f" - ({b}*length(phash)) div {PHASH_BANDS})"
+                ).alias("bits"),
+            )
+            for b in range(PHASH_BANDS)
+        ]
+    )
+    return ph.select(
+        "doc_id",
+        "width",
+        "height",
+        "phash",
+        F.explode(bands).alias("_b"),
+    ).select(
+        "doc_id",
+        "width",
+        "height",
+        "phash",
+        F.col("_b.band").alias("band"),
+        F.col("_b.bits").alias("bits"),
+    )
+
+
+@register(
+    "multimodal_phash_banded_pairs",
+    oracle=f"""
+    WITH {_PHASH_SQL},
+    post AS MATERIALIZED (
+      SELECT doc_id, w, h, phash, t.band,
+             substr(phash, (t.band*len(phash))//{PHASH_BANDS} + 1,
+                    ((t.band+1)*len(phash))//{PHASH_BANDS}
+                    - (t.band*len(phash))//{PHASH_BANDS}) AS bits
+      FROM ph, (SELECT unnest([0,1,2,3]) AS band) t
+    ),
+    capped AS MATERIALIZED (
+      SELECT * FROM post
+      QUALIFY count(*) OVER (PARTITION BY w, h, band, bits)
+              <= {PHASH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.w, a.h,
+             a.phash AS pa, b.phash AS pb
+      FROM capped a JOIN capped b
+        ON a.w = b.w AND a.h = b.h AND a.band = b.band AND a.bits = b.bits
+       AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT id_a, id_b, w, h,
+             len(list_filter(generate_series(1, len(pa)),
+                             i -> substr(pa, i, 1) <> substr(pb, i, 1)))
+               AS hamming
+      FROM cand
+    )
+    SELECT id_a, id_b, w::INT AS width, h::INT AS height,
+           hamming::BIGINT AS hamming
+    FROM scored WHERE hamming <= {PHASH_BANDS - 1}
+    """,
+    description=f"Image near-dup PAIRS: banded perceptual-hash candidate join (pigeonhole-exact to hamming {PHASH_BANDS - 1}), bucket-capped from birth ({PHASH_BUCKET_CAP}, QUALIFY-replayable)",
+    tags=("multimodal", "dedup", "join", "governance"),
+)
+def multimodal_phash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-side twin of dedup_simhash_banded_pairs_capped, and
+    the FIFTH pair feed — born WITH its guard rather than retrofitted
+    (shingles r8, simhash/LSH r9, fuzzy blocks r10): tiny or uniform
+    images share degenerate all-'0' hashes, so (w, h, band, bits)
+    buckets flood exactly like simhash band buckets on boilerplate; the
+    count-based bucket cap is in the plan from day one and the spill
+    audit below makes every absorbed comparison visible. Banding is
+    pigeonhole-EXACT for hamming <= 3 (bands partition the bits, so <=3
+    flips cannot touch all 4 bands); the hamming verify runs a bounded
+    HOF over candidate pairs only, with exact-dup (hamming 0) pairs
+    retained so the feed composes with the cluster step.
+
+    Scale shape: posting = 4 rows/doc; the candidate join shuffles on
+    its own (w, h, band, bits) key, which the cap window also rides —
+    no extra exchange; per-bucket fan-out <= C(cap, 2) structurally."""
+    from pyspark.sql.window import Window
+
+    post = _phash_posting(spark, sf_dir)
+    occ = Window.partitionBy("width", "height", "band", "bits")
+    capped = post.withColumn("_occ", F.count(F.lit(1)).over(occ)).where(
+        F.col("_occ") <= PHASH_BUCKET_CAP
+    )
+    a = capped.select(
+        F.col("doc_id").alias("id_a"),
+        "width",
+        "height",
+        "band",
+        "bits",
+        F.col("phash").alias("pa"),
+    )
+    b = capped.select(
+        F.col("doc_id").alias("id_b"),
+        "width",
+        "height",
+        "band",
+        "bits",
+        F.col("phash").alias("pb"),
+    )
+    cand = (
+        a.join(b, ["width", "height", "band", "bits"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "width", "height", "pa", "pb")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "hamming",
+        F.expr(
+            "cast(size(filter(sequence(1, length(pa)),"
+            " i -> substring(pa, i, 1) <> substring(pb, i, 1))) as bigint)"
+        ),
+    )
+    return scored.where(F.col("hamming") <= PHASH_BANDS - 1).select(
+        "id_a", "id_b", "width", "height", "hamming"
+    )
+
+
+@register(
+    "multimodal_phash_bucket_spill",
+    oracle=f"""
+    WITH {_PHASH_SQL},
+    post AS MATERIALIZED (
+      SELECT doc_id, w, h, phash, t.band,
+             substr(phash, (t.band*len(phash))//{PHASH_BANDS} + 1,
+                    ((t.band+1)*len(phash))//{PHASH_BANDS}
+                    - (t.band*len(phash))//{PHASH_BANDS}) AS bits
+      FROM ph, (SELECT unnest([0,1,2,3]) AS band) t
+    ),
+    occ AS (
+      SELECT band, w, h, bits, count(*) AS n
+      FROM post GROUP BY band, w, h, bits
+    )
+    SELECT band,
+           count(*)::BIGINT AS n_buckets,
+           max(n)::BIGINT   AS max_occupancy,
+           sum(CASE WHEN n > {PHASH_BUCKET_CAP} THEN 1 ELSE 0 END)::BIGINT
+             AS n_hot,
+           sum(CASE WHEN n > {PHASH_BUCKET_CAP}
+                    THEN (n * (n - 1)) // 2 ELSE 0 END)::BIGINT
+             AS skipped_comparisons
+    FROM occ GROUP BY band
+    """,
+    description="Audit half of the phash bucket cap: per-band occupancy profile + absorbed C(n,2) comparisons (always PHASH_BANDS rows)",
+    tags=("multimodal", "dedup", "governance"),
+)
+def multimodal_phash_bucket_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-BAND occupancy rollup of the phash posting (the
+    dedup_lsh_hot_bucket_spill shape): bucket counts, the deepest
+    bucket, hot-bucket count, and the exact C(n,2) comparisons the cap
+    absorbs. Always PHASH_BANDS rows, so the parity row is never
+    vacuous even when the cap is a no-op on honest corpora."""
+    post = _phash_posting(spark, sf_dir)
+    occ = post.groupBy("band", "width", "height", "bits").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    hot = F.col("n") > PHASH_BUCKET_CAP
+    return occ.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_occupancy"),
+        F.sum(F.when(hot, 1).otherwise(0)).alias("n_hot"),
+        F.sum(
+            F.when(hot, F.expr("(n * (n - 1)) div 2")).otherwise(F.lit(0))
+        ).alias("skipped_comparisons"),
     )
 
 

@@ -178,6 +178,8 @@ HEAVY = [
     "multimodal_audio_vad_segments",
     "multimodal_image_phash_dedup",
     "entity_resolution_clusters",
+    "multimodal_phash_banded_pairs",
+    "multimodal_phash_bucket_spill",
 ]
 
 

@@ -36,10 +36,11 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: including the min) and ratchets DOWN when the suite is profiled
 #: down. Sub-5-minute iteration lives in the quick tier
 #: (`pytest -m quick`), not in loosening this bar.
-#: 2.9 covers the carried-over r9 single loaded-host reading (2.815,
-#: old no-history format); ratchets again once a quiet-host r10 run
-#: lands in the history.
-GATE_BUDGET_S = 2.9
+#: r10 quiet-host recording: 754.0 s / 311 queries = 2.424 s/query
+#: (2,310 tests) — below the r9 2.55 target despite +7 queries, so the
+#: tripwire ratchets 3.0 -> 2.9 -> 2.6 (one notch above the recorded
+#: quiet cost; the min-of-history assertion absorbs loaded-host runs).
+GATE_BUDGET_S = 2.6
 
 #: how many registered-but-not-yet-benched names are tolerable — new
 #: queries land between bench passes; anything beyond a round's worth
