@@ -35,10 +35,12 @@ from crypto_etl_pipeline_spark.queries import selection  # noqa: F401, E402
 # after r9 = 97. Round 10 (VERDICT r9 task #2) leads with the round's
 # only red row (inverted_index_postings, driver-canon TypeError on its
 # array column, now stringified — deliberate re-inclusion), the latent
-# twin array_agg_order_history, and the 8 round-9 queries, then draws
-# the rest EXCLUSIVELY from the never-sampled pool: the remaining
-# streaming drains, the multimodal UDF family, the text-analysis tail,
-# packing/tokenizer, retrieval/mixing, quality, and timeseries.
+# twin array_agg_order_history, the 8 round-9 queries, and the TEN new
+# round-10 queries (gated at birth so they never join the pool), then
+# fills the rest from the never-sampled pool: the remaining streaming
+# drains, the multimodal UDF family, the text-analysis tail,
+# packing/tokenizer, and retrieval/mixing. The quality/timeseries/
+# layout tail (~56 names) rotates in across r11-r12.
 _GATE_FIRST = (
     # r9's only red: array<long> output broke the driver canonicalizer;
     # output now array_join'ed (judge-MATCH post-fix) — re-included so
@@ -90,7 +92,6 @@ _GATE_FIRST = (
     "hybrid_rrf_retrieval",
     "curriculum_phase_schedule",
     "corpus_mix_temperature",
-    "dedup_soft_weights_by_source",
     # NEW this round — gated immediately so they never join the
     # never-sampled pool (quality/timeseries tail returns in r11)
     "entity_resolution_clusters",
@@ -102,6 +103,7 @@ _GATE_FIRST = (
     "multimodal_image_phash_dedup",
     "fuzzy_match_suppliers_capped",
     "fuzzy_block_spill",
+    "join_key_skew_audit",
 )
 
 

@@ -3044,6 +3044,98 @@ def _zonemap_oracle() -> str:
 
 
 @register(
+    "join_key_skew_audit",
+    oracle="""
+    WITH k AS MATERIALIZED (
+      SELECT 'events.user_id' AS key, count(*) AS n
+      FROM events GROUP BY user_id
+      UNION ALL
+      SELECT 'lineitem.l_orderkey', count(*) FROM lineitem GROUP BY l_orderkey
+      UNION ALL
+      SELECT 'orders.o_custkey', count(*) FROM orders GROUP BY o_custkey
+    ),
+    t AS MATERIALIZED (
+      SELECT key, sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+             max(n)::BIGINT AS max_per_key
+      FROM k GROUP BY key
+    ),
+    hot AS (
+      SELECT k.key, count(*)::BIGINT AS n_hot_keys
+      FROM k JOIN t ON k.key = t.key
+      WHERE k.n * t.n_keys > 2 * t.n_rows
+      GROUP BY k.key
+    )
+    SELECT t.key, t.n_rows, t.n_keys, t.max_per_key,
+           round(t.max_per_key * t.n_keys * 1.0 / t.n_rows, 6) AS imbalance,
+           coalesce(h.n_hot_keys, 0)::BIGINT AS n_hot_keys,
+           ((t.max_per_key * t.n_keys + t.n_rows - 1) // t.n_rows)::BIGINT
+             AS suggested_salt
+    FROM t LEFT JOIN hot h ON t.key = h.key
+    """,
+    description="Join-key skew diagnostic: per candidate key, rows/keys/max, imbalance factor, hot-key count, and the integer salting factor the skew join would need",
+    tags=("join", "agg", "governance"),
+)
+def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DIAGNOSTIC that tells you when skew_salted_join (and AQE's
+    skew handling) is needed, before a straggler task tells you in
+    production: per join-key candidate, the key-count profile — max
+    rows per key, the imbalance factor max/avg, the hot-key count
+    (keys holding > 2x the mean, decided by the INTEGER cross-multiplied
+    form n * n_keys > 2 * n_rows so no division rounds), and the
+    salting factor ceil(max/avg) computed with exact integer ceiling
+    arithmetic. At 100 TB this is one groupBy-count per key column —
+    map-side combined, output key-cardinality-bounded — and its
+    imbalance column is precisely the number that decides between a
+    plain shuffle join, AQE skew splitting, and explicit salting.
+
+    The window-over-group trick in the oracle (count(*) OVER
+    (PARTITION BY key) inside the per-key aggregate) is avoided Spark-
+    side: hotness is computed per key-count row against the audit's
+    own totals via a broadcast join-back of the 3-row totals frame."""
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    counts = None
+    for label, df, col in (
+        ("events.user_id", ev, "user_id"),
+        ("lineitem.l_orderkey", li, "l_orderkey"),
+        ("orders.o_custkey", orders, "o_custkey"),
+    ):
+        c = df.groupBy(F.col(col)).agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(label).alias("key"), "n"
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    totals = counts.groupBy("key").agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_per_key"),
+    )
+    hot = (
+        counts.join(F.broadcast(totals), "key")
+        .where(F.col("n") * F.col("n_keys") > 2 * F.col("n_rows"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_hot_keys"))
+    )
+    return (
+        totals.join(hot, "key", "left")
+        .select(
+            "key",
+            "n_rows",
+            "n_keys",
+            "max_per_key",
+            F.round(
+                F.col("max_per_key") * F.col("n_keys") * F.lit(1.0) / F.col("n_rows"),
+                6,
+            ).alias("imbalance"),
+            F.coalesce("n_hot_keys", F.lit(0)).alias("n_hot_keys"),
+            F.expr(
+                "(max_per_key * n_keys + n_rows - 1) div n_rows"
+            ).alias("suggested_salt"),
+        )
+    )
+
+
+@register(
     "layout_skipping_audit",
     oracle=_zonemap_oracle(),
     description="Zone-map file-skipping effectiveness: time-bucketed vs Morton-bucketed layout scored against user-id point predicates",

@@ -180,6 +180,7 @@ HEAVY = [
     "entity_resolution_clusters",
     "multimodal_phash_banded_pairs",
     "multimodal_phash_bucket_spill",
+    "join_key_skew_audit",
 ]
 
 

