@@ -87,11 +87,15 @@ _GATE_FIRST = (
     "vocab_coverage_curve",
     "oov_rate_by_lang",
     "bpe_encode_token_counts",
-    # never-sampled: retrieval / selection / mixing
-    "active_learning_margin_topk",
-    "hybrid_rrf_retrieval",
-    "curriculum_phase_schedule",
-    "corpus_mix_temperature",
+    # round-10b wave (training-batch prep) — gated at birth; the four
+    # retrieval/mixing drains they displace (active_learning_margin_topk,
+    # hybrid_rrf_retrieval, curriculum_phase_schedule,
+    # corpus_mix_temperature — all judge-MATCH in the r9 sweep) return
+    # to the pool for the r11 rotation
+    "ccnet_quality_buckets",
+    "cluster_balanced_sample",
+    "span_corruption_mask_stats",
+    "length_bucketed_batching",
     # NEW this round — gated immediately so they never join the
     # never-sampled pool (quality/timeseries tail returns in r11)
     "entity_resolution_clusters",

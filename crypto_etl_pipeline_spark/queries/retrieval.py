@@ -616,3 +616,129 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(_RRF_TOPK)
+
+
+@register(
+    "ccnet_quality_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, tk.token, tk.pos FROM documents,
+        LATERAL (
+          SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token,
+                 generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS pos
+        ) tk
+    ),
+    bi AS (
+      SELECT doc_id, lang, token AS w1,
+             lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM tok
+    ),
+    bi2 AS (SELECT doc_id, lang, w1, w2 FROM bi WHERE w2 IS NOT NULL),
+    doc_bi AS (
+      SELECT doc_id, lang, w1, w2, count(*) AS n FROM bi2
+      GROUP BY doc_id, lang, w1, w2
+    ),
+    train_bi AS (
+      SELECT w1, w2, sum(n) AS cb FROM doc_bi WHERE lang = 'en'
+      GROUP BY w1, w2
+    ),
+    dtr AS (SELECT count(DISTINCT doc_id) AS d FROM doc_bi WHERE lang = 'en'),
+    scored AS (
+      SELECT d.doc_id, d.lang,
+             sum(d.n)::BIGINT AS n_big,
+             sum(CASE WHEN cb IS NULL OR cb * 20 < dtr.d THEN d.n ELSE 0 END)::BIGINT
+               AS n_rare
+      FROM doc_bi d LEFT JOIN train_bi USING (w1, w2) CROSS JOIN dtr
+      GROUP BY d.doc_id, d.lang
+    ),
+    tot AS (SELECT sum(n_rare)::BIGINT AS s_rare, sum(n_big)::BIGINT AS s_big
+            FROM scored),
+    b AS (
+      SELECT lang,
+             CASE WHEN n_rare * s_big * 10 < n_big * s_rare * 8  THEN 'head'
+                  WHEN n_rare * s_big * 10 < n_big * s_rare * 12 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             n_rare, n_big
+      FROM scored CROSS JOIN tot
+    )
+    SELECT lang, bucket, count(*) AS n_docs,
+           sum(n_rare)::BIGINT AS rare_bigrams,
+           sum(n_big)::BIGINT  AS total_bigrams,
+           round(sum(n_rare) * 1.0 / sum(n_big), 4) AS rare_frac
+    FROM b GROUP BY lang, bucket
+    """,
+    description=(
+        "CCNet-style head/middle/tail quality split: per-doc rare-bigram "
+        "mass vs the in-domain (en) model, bucketed at 0.8x/1.2x the "
+        "corpus-mean rare fraction via exact cross-multiplication"
+    ),
+    tags=("text", "quality", "retrieval"),
+)
+def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet (Wenzek et al. 2020) corpus split: score every
+    document against a reference LM trained on in-domain data, cut
+    into head / middle / tail, train preferentially on the head.
+    CCNet scores with a Wikipedia 5-gram KenLM and percentile cutoffs
+    computed offline; this rebuild scores by the doc's RARE-bigram
+    mass under the lang='en' in-corpus model (rare = bigram count
+    below 1/20th of the training-doc count, so the rarity bar tracks
+    corpus growth) and buckets each doc against 0.8x / 1.2x the
+    corpus-mean rare fraction. Every comparison is exact integer
+    cross-multiplication over BIGINT sums — no FP summation anywhere,
+    so a bucket boundary can never flake cross-engine (products stay
+    under 2^63 up to ~1e14 corpus bigrams; past that, pre-divide the
+    corpus scalars). Both normalizers (training-doc count, corpus
+    rare/total mass) ride the 1-row-aggregate broadcast idiom. Scale
+    shape matches text_bigram_lm_perplexity: ONE corpus-scale shuffle
+    builds per-(doc,bigram) counts; the trained table is a
+    vocab-bounded aggregate (the natural AQE broadcast side); output
+    is |lang| x 3 rows. Docs under 2 tokens have no bigrams and drop
+    out on both engines. Measured split at sf0.01: 160/198/142 docs
+    (sf0.1: 2318/876/1806) — non-degenerate at both SFs."""
+    bi = _bigrams(_doc_tokens(spark, sf_dir))
+    doc_bi = bi.groupBy("doc_id", "lang", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    en = doc_bi.where(F.col("lang") == "en")
+    train_bi = en.groupBy("w1", "w2").agg(F.sum("n").alias("cb"))
+    dtr = en.agg(F.countDistinct("doc_id").alias("d"))
+    scored = (
+        doc_bi.join(train_bi, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(dtr))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("n").cast("long").alias("n_big"),
+            F.sum(
+                F.when(
+                    F.col("cb").isNull() | (F.col("cb") * 20 < F.col("d")),
+                    F.col("n"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_rare"),
+        )
+    )
+    tot = scored.agg(
+        F.sum("n_rare").cast("long").alias("s_rare"),
+        F.sum("n_big").cast("long").alias("s_big"),
+    )
+    b = scored.crossJoin(F.broadcast(tot)).withColumn(
+        "bucket",
+        F.when(
+            F.col("n_rare") * F.col("s_big") * 10
+            < F.col("n_big") * F.col("s_rare") * 8,
+            "head",
+        )
+        .when(
+            F.col("n_rare") * F.col("s_big") * 10
+            < F.col("n_big") * F.col("s_rare") * 12,
+            "middle",
+        )
+        .otherwise("tail"),
+    )
+    return b.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_rare").cast("long").alias("rare_bigrams"),
+        F.sum("n_big").cast("long").alias("total_bigrams"),
+        F.round(F.sum("n_rare") / F.sum("n_big"), 4).alias("rare_frac"),
+    )

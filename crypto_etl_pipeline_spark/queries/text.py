@@ -6169,3 +6169,189 @@ def dedup_cluster_source_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("cluster_size"), 6).alias("mean_size"),
         F.max("n_langs").cast("long").alias("max_langs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10b: training-batch prep — span-corruption accounting and
+# length-bucketed batching. Both are pure-integer layouts (hash starts,
+# floor-div buckets) so the oracle replay is exact; the float columns
+# are single divisions of exact BIGINT sums (IEEE-reproducible).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "span_corruption_mask_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) - 1 AS pos
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang, pos,
+             CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':' || pos::VARCHAR || ':t5'), 1, 15))::BIGINT
+                       % 20 = 0 THEN 1 ELSE 0 END AS st
+      FROM tok
+    ),
+    m AS (
+      SELECT doc_id, lang, pos, st,
+             max(st) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS masked
+      FROM s
+    ),
+    i AS (
+      SELECT doc_id, lang, masked,
+             CASE WHEN masked = 1 AND coalesce(
+                    lag(masked) OVER (PARTITION BY doc_id ORDER BY pos), 0) = 0
+                  THEN 1 ELSE 0 END AS island
+      FROM m
+    ),
+    d AS (
+      SELECT doc_id, lang, count(*) AS n_tok,
+             sum(masked) AS n_masked, sum(island) AS n_spans
+      FROM i GROUP BY doc_id, lang
+    )
+    SELECT lang, count(*) AS n_docs,
+           sum(n_tok)::BIGINT    AS total_tokens,
+           sum(n_masked)::BIGINT AS masked_tokens,
+           sum(n_spans)::BIGINT  AS n_spans,
+           round(sum(n_masked) * 1.0 / sum(n_tok), 4) AS mask_frac
+    FROM d GROUP BY lang
+    """,
+    description=(
+        "T5-style span-corruption accounting: deterministic hash span "
+        "starts (5%, span width 3), island-merged mask coverage per lang"
+    ),
+    tags=("text", "packing", "window"),
+)
+def span_corruption_mask_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption (T5 / UL2 denoising) layout accounting: every
+    token position draws a deterministic hash; positions where
+    ``md5(doc:pos) % 20 == 0`` START a corruption span of width 3, and
+    overlapping spans merge into islands — exactly the mask a denoising
+    dataloader would apply, so the per-language mask fraction and span
+    count are the numbers that calibrate the noise schedule. The mask
+    is a pure per-position function (no sequential RNG state), so at
+    100 TB it parallelizes embarrassingly: the only shuffles are the
+    per-doc window sort (bounded by document length) and the per-lang
+    rollup. Both windows share one (doc_id, pos) sort; floats appear
+    only as ONE division of exact BIGINT sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang",
+        F.posexplode(F.split(F.col("text"), r"\s+")).alias("pos", "_t"),
+    ).drop("_t")
+    start = (
+        phash.md5_long(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"),
+                F.col("pos").cast("string"), F.lit(":t5"),
+            ),
+            15,
+        )
+        % 20
+        == 0
+    ).cast("int")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    s = tok.withColumn("st", start)
+    m = s.withColumn("masked", F.max("st").over(w.rowsBetween(-2, 0)))
+    i = m.withColumn(
+        "island",
+        (
+            (F.col("masked") == 1)
+            & (F.coalesce(F.lag("masked").over(w), F.lit(0)) == 0)
+        ).cast("int"),
+    )
+    d = i.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum("masked").alias("n_masked"),
+        F.sum("island").alias("n_spans"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum("n_masked").cast("long").alias("masked_tokens"),
+        F.sum("n_spans").cast("long").alias("n_spans"),
+        F.round(F.sum("n_masked") / F.sum("n_tok"), 4).alias("mask_frac"),
+    )
+
+
+@register(
+    "length_bucketed_batching",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             least(len(regexp_split_to_array(text, '\\s+')) // 64, 8) AS bucket,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok,
+             doc_id // 256 AS shard
+      FROM documents
+    ),
+    r AS (
+      SELECT bucket, shard, n_tok,
+             (row_number() OVER (PARTITION BY bucket, shard ORDER BY doc_id) - 1) // 32
+               AS batch_id
+      FROM t
+    ),
+    b AS (
+      SELECT bucket, shard, batch_id, count(*) AS n_docs,
+             max(n_tok) AS max_len, sum(n_tok) AS sum_len
+      FROM r GROUP BY bucket, shard, batch_id
+    )
+    SELECT bucket, count(*) AS n_batches,
+           sum(n_docs)::BIGINT AS n_docs,
+           sum(sum_len)::BIGINT AS total_tokens,
+           sum(n_docs * max_len - sum_len)::BIGINT AS padded_tokens,
+           round(sum(n_docs * max_len - sum_len) * 1.0
+                 / sum(n_docs * max_len), 4) AS pad_frac
+    FROM b GROUP BY bucket
+    """,
+    description=(
+        "Length-bucketed batching: 64-token buckets, 32-doc batches within "
+        "id shards, per-bucket padding-waste accounting"
+    ),
+    tags=("text", "packing", "window"),
+)
+def length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pad-to-batch-max batching layout (dynamic batching in every
+    serving/finetune stack): docs group into 64-token length buckets,
+    batches of 32 form deterministically WITHIN (bucket, 256-doc id
+    shard), and each batch pads to its own max length. The per-bucket
+    padding fraction is the quantity a batching policy tunes (finer
+    buckets -> less padding, fewer fusion opportunities). Scale shape:
+    the row_number window partitions on (bucket, shard), which the
+    shard bounds at 256 rows — no corpus-wide sort, unlike a global
+    row_number batching; at 100 TB batch formation is per-shard
+    embarrassingly parallel, matching how dataloader workers batch
+    locally anyway. Two cascaded bounded aggregations follow; the only
+    float is one division of exact BIGINT sums."""
+    from crypto_etl_pipeline_spark.operators.textops import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.least((token_count(F.col("text")) / 64).cast("long"), F.lit(8).cast("long")).alias("bucket"),
+        token_count(F.col("text")).alias("n_tok"),
+        (F.col("doc_id") / 256).cast("long").alias("shard"),
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy("doc_id")
+    r = t.withColumn(
+        "batch_id", ((F.row_number().over(w) - 1) / 32).cast("long")
+    )
+    b = r.groupBy("bucket", "shard", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tok").alias("max_len"),
+        F.sum("n_tok").alias("sum_len"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_len").cast("long").alias("total_tokens"),
+        F.sum(F.col("n_docs") * F.col("max_len") - F.col("sum_len"))
+        .cast("long")
+        .alias("padded_tokens"),
+        F.round(
+            F.sum(F.col("n_docs") * F.col("max_len") - F.col("sum_len"))
+            / F.sum(F.col("n_docs") * F.col("max_len")),
+            4,
+        ).alias("pad_frac"),
+    )

@@ -2333,3 +2333,87 @@ def ann_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+_CBAL_K = 8          #: balanced-sampling cells (seeded, iters=0 — oracle-exact)
+_CBAL_TARGET = 40    #: expected docs kept per cell
+
+
+@register(
+    "cluster_balanced_sample",
+    oracle=f"""
+    WITH cent AS (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS idx, {_DUCK_QV} AS qc
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_CBAL_K})
+    ),
+    qv AS (SELECT vec_id, embedding, {_DUCK_QV} AS q FROM embeddings),
+    adist AS (
+      SELECT v.vec_id, c.idx,
+             -2 * list_dot_product(v.q, c.qc) + list_dot_product(c.qc, c.qc) AS d
+      FROM qv v CROSS JOIN cent c
+    ),
+    cells AS (
+      SELECT vec_id, idx AS cell FROM (
+        SELECT vec_id, idx,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, idx) AS rn
+        FROM adist) WHERE rn = 1
+    ),
+    counts AS (SELECT cell, count(*) AS n_total FROM cells GROUP BY cell),
+    acc AS (
+      SELECT c.cell, n_total,
+             CASE WHEN ('0x' || substr(md5(c.vec_id::VARCHAR || 'cbal-v1'), 1, 15))::BIGINT
+                       % n_total < {_CBAL_TARGET} THEN 1 ELSE 0 END AS a
+      FROM cells c JOIN counts USING (cell)
+    )
+    SELECT cell::BIGINT AS cell, n_total, sum(a)::BIGINT AS n_sampled,
+           round(sum(a) * 1.0 / n_total, 4) AS sample_rate
+    FROM acc GROUP BY cell, n_total
+    """,
+    description=(
+        "Cluster-balanced sampling: assign embeddings to seeded IVF cells, "
+        "hash-accept ~TARGET docs per cell (rate = TARGET/cell size)"
+    ),
+    tags=("similarity", "sampling"),
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balancing selection (the cluster-then-rebalance step in
+    SemDeDup-era curation, and the D4/k-means rebalancing in Abbas et
+    al. 2023): embeddings assign to IVF cells, then each cell keeps an
+    EXPECTED _CBAL_TARGET docs via deterministic hash acceptance with
+    per-cell rate TARGET/|cell| — big topics downsample hard, small
+    topics keep everything (rate clamps to 1 because every residue is
+    below TARGET when |cell| <= TARGET). Cells are the oracle-exact
+    seeded centroids (iters=0, floor-quantized distances — the
+    ann_ivf_topk contract, operators/similarity.py); the per-cell
+    count table is k-bounded and broadcast back over the assignment,
+    so at 100 TB the only corpus-scale passes are the Arrow-batched
+    assignment and one groupBy(cell) — nothing quadratic, no
+    corpus-sized driver state. Acceptance is md5 % |cell| (exact
+    integer replay in SQL); output is k rows of exact integers plus
+    one single-division rate."""
+    from crypto_etl_pipeline_spark.operators.similarity import (
+        ivf_assign_cells,
+        ivf_build_centroids,
+    )
+    from crypto_etl_pipeline_spark.operators.phash import md5_long
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_build_centroids(emb, k=_CBAL_K, iters=0)
+    cells = ivf_assign_cells(emb, cents).select(
+        "neighbor_id", F.col("_cell").cast("long").alias("cell")
+    )
+    counts = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_total"))
+    acc = cells.join(F.broadcast(counts), "cell").withColumn(
+        "a",
+        (
+            md5_long(
+                F.concat(F.col("neighbor_id").cast("string"), F.lit("cbal-v1")), 15
+            )
+            % F.col("n_total")
+            < _CBAL_TARGET
+        ).cast("int"),
+    )
+    return acc.groupBy("cell", "n_total").agg(
+        F.sum("a").cast("long").alias("n_sampled"),
+        F.round(F.sum("a") / F.col("n_total"), 4).alias("sample_rate"),
+    )

@@ -199,6 +199,11 @@ _QUICK_ORACLE = {
     "dedup_simhash_banded_pairs_capped",
     "dedup_prune_vs_cap_report",
     "dedup_lsh_hot_bucket_spill",
+    # round-10b families: mean-normalized CCNet quality split,
+    # IVF-cell balanced sampling (span/length batching ride their
+    # dedicated quick tests in test_round10b_ops)
+    "ccnet_quality_buckets",
+    "cluster_balanced_sample",
 }
 
 
