@@ -40,7 +40,36 @@ from crypto_etl_pipeline_spark.queries import selection  # noqa: F401, E402
 # fills the rest from the never-sampled pool: the remaining streaming
 # drains, the multimodal UDF family, the text-analysis tail,
 # packing/tokenizer, and retrieval/mixing. The quality/timeseries/
-# layout tail (~56 names) rotates in across r11-r12.
+# layout tail rotates in across r11-r12.
+#
+# r11 rotation input (computed from CORRECTNESS_r0{1..9}.json keys +
+# this round's deterministic first-50): 62 names never driver-sampled —
+# active_learning_margin_topk approx_distinct_users
+# approx_percentile_value argmax_user_events benford_first_digit_audit
+# cohort_weekly_retention corpus_mix_temperature corpus_source_stats
+# corr_lineitem_price_qty curriculum_phase_schedule decayed_user_value
+# dedup_soft_weights_by_source degree_distribution_trade_graph
+# event_transition_matrix event_type_cooccurrence
+# ewma_user_purchase_value explode_doc_tokens global_sequence_ids
+# grouped_map_zscore histogram_quantile_rollup hybrid_rrf_retrieval
+# inter_event_gap_profile json_extract_props_stats
+# json_roundtrip_documents late_data_profile layout_skipping_audit
+# map_type_event_counts model_eval_suite model_pr_curve
+# ndjson_sink_roundtrip ohlc_hourly_bars partitioned_write_prune_read
+# pipeline_curation_v2 quality_completeness_events
+# quality_percentile_normalize quality_referential_audit
+# quality_rule_report quality_violations_orders
+# reconcile_checksum_events regexp_extract_entity_ids
+# resample_ffill_hourly rfm_segmentation rolling_wau rolling_wau_hll
+# rolling_zscore_anomaly rollup_reuse_daily_from_hourly
+# roundtrip_jsonl_events schema_evolution_merge_read
+# seasonal_anomaly_hour_profile semistructured_props_paths
+# session_window_batch source_overlap_matrix sql_interface_q1
+# sql_interface_window stat_aggregate_suite text_lr_score_fixed
+# timeseries_gapfill_hourly trend_regression_by_type
+# unpivot_customer_metrics vwap_daily weekly_rollup_calendar
+# zorder_layout_events
+# — r11 takes 50 of these, r12 the final 12.
 _GATE_FIRST = (
     # r9's only red: array<long> output broke the driver canonicalizer;
     # output now array_join'ed (judge-MATCH post-fix) — re-included so

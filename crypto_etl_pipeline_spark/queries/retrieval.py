@@ -642,7 +642,8 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT w1, w2, sum(n) AS cb FROM doc_bi WHERE lang = 'en'
       GROUP BY w1, w2
     ),
-    dtr AS (SELECT count(DISTINCT doc_id) AS d FROM doc_bi WHERE lang = 'en'),
+    dtr AS (SELECT count(*) AS d FROM documents
+            WHERE lang = 'en' AND len(regexp_split_to_array(text, '\\s+')) >= 2),
     scored AS (
       SELECT d.doc_id, d.lang,
              sum(d.n)::BIGINT AS n_big,
@@ -694,14 +695,35 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-bounded aggregate (the natural AQE broadcast side); output
     is |lang| x 3 rows. Docs under 2 tokens have no bigrams and drop
     out on both engines. Measured split at sf0.01: 160/198/142 docs
-    (sf0.1: 2318/876/1806) — non-degenerate at both SFs."""
+    (sf0.1: 2318/876/1806) — non-degenerate at both SFs.
+
+    Consumer discipline (measured, both alternatives rejected): doc_bi
+    naively feeds THREE consumers (train_bi, dtr, scored) and each
+    recomputes the tokenize/explode/groupBy subtree (ReuseExchange
+    dedups exchanges, not map-side partial-agg work). A lazy
+    localCheckpoint halves the sf1.0 wall (13.8 -> 5.2 s) but
+    materializes a CORPUS-SIZED frame to executor storage — at sf3.0
+    it regresses 12.9 -> 17-21 s and at 100 TB it would thrash. The
+    shipped form instead removes a consumer: dtr (the training-doc
+    count) reads the documents SCAN directly (en docs with >= 2
+    tokens — same set), so doc_bi evaluates twice, bounded, with no
+    storage dependence."""
     bi = _bigrams(_doc_tokens(spark, sf_dir))
     doc_bi = bi.groupBy("doc_id", "lang", "w1", "w2").agg(
         F.count(F.lit(1)).alias("n")
     )
-    en = doc_bi.where(F.col("lang") == "en")
-    train_bi = en.groupBy("w1", "w2").agg(F.sum("n").alias("cb"))
-    dtr = en.agg(F.countDistinct("doc_id").alias("d"))
+    train_bi = (
+        doc_bi.where(F.col("lang") == "en")
+        .groupBy("w1", "w2")
+        .agg(F.sum("n").alias("cb"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    dtr = (
+        docs.where(
+            (F.col("lang") == "en")
+            & (F.size(F.split(F.col("text"), r"\s+")) >= 2)
+        ).agg(F.count(F.lit(1)).alias("d"))
+    )
     scored = (
         doc_bi.join(train_bi, ["w1", "w2"], "left")
         .crossJoin(F.broadcast(dtr))

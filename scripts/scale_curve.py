@@ -181,6 +181,11 @@ HEAVY = [
     "multimodal_phash_banded_pairs",
     "multimodal_phash_bucket_spill",
     "join_key_skew_audit",
+    # round-10b: training-batch prep wave
+    "ccnet_quality_buckets",
+    "cluster_balanced_sample",
+    "span_corruption_mask_stats",
+    "length_bucketed_batching",
 ]
 
 
