@@ -43,7 +43,8 @@ from crypto_etl_pipeline_spark.queries import selection  # noqa: F401, E402
 # layout tail rotates in across r11-r12.
 #
 # r11 rotation input (computed from CORRECTNESS_r0{1..9}.json keys +
-# this round's deterministic first-50): 62 names never driver-sampled —
+# this round's deterministic first-50): 64 names never driver-sampled —
+# text_heavy_hitter_tokens text_kl_source_drift
 # active_learning_margin_topk approx_distinct_users
 # approx_percentile_value argmax_user_events benford_first_digit_audit
 # cohort_weekly_retention corpus_mix_temperature corpus_source_stats
@@ -69,7 +70,7 @@ from crypto_etl_pipeline_spark.queries import selection  # noqa: F401, E402
 # timeseries_gapfill_hourly trend_regression_by_type
 # unpivot_customer_metrics vwap_daily weekly_rollup_calendar
 # zorder_layout_events
-# — r11 takes 50 of these, r12 the final 12.
+# — r11 takes 50 of these, r12 the final 14.
 _GATE_FIRST = (
     # r9's only red: array<long> output broke the driver canonicalizer;
     # output now array_join'ed (judge-MATCH post-fix) — re-included so
@@ -106,8 +107,11 @@ _GATE_FIRST = (
     "text_chunk_documents_udtf",
     "text_entropy_signals",
     "text_excise_duplicated_spans",
-    "text_heavy_hitter_tokens",
-    "text_kl_source_drift",
+    # round-10b second pair — gated at birth; the two text-tail drains
+    # they displace (text_heavy_hitter_tokens, text_kl_source_drift —
+    # judge-MATCH in the r9 sweep) return to the pool for r11
+    "textrank_keywords",
+    "graph_adamic_adar_linkpred",
     # never-sampled: ANN / packing / tokenizer
     "ann_ivf_refined_topk",
     "pack_ffd_bins",

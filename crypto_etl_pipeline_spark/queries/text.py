@@ -6355,3 +6355,84 @@ def length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("pad_frac"),
     )
+
+
+@register(
+    "textrank_keywords",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, tk.token, tk.pos
+      FROM documents,
+        LATERAL (
+          SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token,
+                 generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS pos
+        ) tk
+      WHERE lang = 'en'
+    ),
+    bi AS (
+      SELECT doc_id, token AS w1,
+             lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM tok
+    ),
+    pairs AS (
+      SELECT DISTINCT w1, w2 FROM bi WHERE w2 IS NOT NULL AND w1 <> w2
+    ),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT w1 AS src, w2 AS dst FROM pairs
+        UNION ALL SELECT w2, w1 FROM pairs)
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r1 AS (
+      SELECT e.dst AS node, 0.15 + 0.85 * sum(1.0 / d.deg) AS rank
+      FROM edges e JOIN deg d ON e.src = d.src GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT e.dst AS node, 0.15 + 0.85 * sum(r1.rank / d.deg) AS rank
+      FROM edges e JOIN deg d ON e.src = d.src JOIN r1 ON r1.node = e.src
+      GROUP BY e.dst
+    )
+    SELECT node AS token, round(rank, 6) AS rank
+    FROM r2 ORDER BY round(rank, 6) DESC, node LIMIT 25
+    """,
+    description=(
+        "TextRank keyword extraction: PageRank (2 iterations) over the "
+        "adjacent-token co-occurrence graph of the en corpus, top 25"
+    ),
+    tags=("text", "graph", "iterative", "topk"),
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank (Mihalcea & Tarau 2004) at corpus granularity: build
+    the undirected word co-occurrence graph (adjacent-token window,
+    the same bigram frame the LM queries use), run PageRank, read the
+    top-scoring tokens as corpus keywords. Reuses the oracle-checked
+    pagerank operator (operators/graph.py) with broadcast_ranks=True
+    — the node set is VOCAB-sized while the edge set tracks corpus
+    text, exactly the dimension-vs-fact split that strategy exists
+    for, so the edge table never shuffles inside the iterations.
+    Fixed 2 iterations unroll exactly in the DuckDB twin; ranks round
+    to 6 decimals before the top-25 cut so FP summation noise cannot
+    flip membership (the pagerank_trade_graph discipline). Distinct
+    pairs then a distinct over the symmetrized union: (a,b) and (b,a)
+    co-occurrences must collapse to ONE undirected edge or degrees
+    double-count."""
+    from crypto_etl_pipeline_spark.operators.graph import pagerank
+    from crypto_etl_pipeline_spark.queries.retrieval import _bigrams, _doc_tokens
+
+    bi = _bigrams(_doc_tokens(spark, sf_dir))
+    pairs = (
+        bi.where((F.col("lang") == "en") & (F.col("w1") != F.col("w2")))
+        .select("w1", "w2")
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .unionByName(pairs.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+        .distinct()
+    )
+    ranks = pagerank(edges, iters=2, every_node_has_in_edges=True, broadcast_ranks=True)
+    return (
+        ranks.select(F.col("node").alias("token"), F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("token"))
+        .limit(25)
+    )

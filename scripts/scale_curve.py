@@ -186,6 +186,9 @@ HEAVY = [
     "cluster_balanced_sample",
     "span_corruption_mask_stats",
     "length_bucketed_batching",
+    # round-10b second pair
+    "textrank_keywords",
+    "graph_adamic_adar_linkpred",
 ]
 
 

@@ -89,3 +89,48 @@ def test_cluster_balanced_sample_rates(spark):
             p = 40 / r["n_total"]
             sigma = math.sqrt(r["n_total"] * p * (1 - p))
             assert abs(r["n_sampled"] - 40) <= 5 * sigma + 1
+
+
+def test_textrank_keywords_properties(spark):
+    """Graph sanity: ranks are positive, the floor is the dangling
+    value 0.15 + damped mass, and the top-25 is strictly ordered by
+    (rank desc, token) with no duplicate tokens."""
+    rows = REGISTRY["textrank_keywords"].fn(spark, SF_GATE).collect()
+    assert len(rows) == 25
+    assert len({r["token"] for r in rows}) == 25
+    for r in rows:
+        assert r["rank"] > 0.15  # symmetric graph: every node has in-mass
+    ordered = sorted(rows, key=lambda r: (-r["rank"], r["token"]))
+    assert [r["token"] for r in rows] == [r["token"] for r in ordered]
+
+
+def test_adamic_adar_scores_exact(spark):
+    """Score semantics against a hand-computed pair: aa_micro must be
+    the exact BIGINT sum of round(1e6/ln(deg)) over the shared
+    suppliers, and common_suppliers consistent with the posting sets."""
+    import math
+
+    rows = REGISTRY["graph_adamic_adar_linkpred"].fn(spark, SF_GATE).collect()
+    assert rows and all(1 <= r["rank"] <= 5 for r in rows)
+    # recompute one probe pair from raw postings
+    li = spark.read.parquet(f"{SF_GATE}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_GATE}/orders.parquet")
+    from pyspark.sql import functions as F
+
+    posts = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    r0 = rows[0]
+    a = {r["s"] for r in posts.where(F.col("c") == r0["probe_cust"]).collect()}
+    b = {r["s"] for r in posts.where(F.col("c") == r0["cand_cust"]).collect()}
+    shared = a & b
+    assert len(shared) == r0["common_suppliers"]
+    deg = {
+        r["s"]: r["d"]
+        for r in posts.groupBy("s").agg(F.count(F.lit(1)).alias("d")).collect()
+    }
+    expect = sum(int(round(1_000_000.0 / math.log(deg[s]))) for s in shared)
+    assert expect == r0["aa_micro"]
