@@ -43,8 +43,9 @@ from crypto_etl_pipeline_spark.queries import selection  # noqa: F401, E402
 # layout tail rotates in across r11-r12.
 #
 # r11 rotation input (computed from CORRECTNESS_r0{1..9}.json keys +
-# this round's deterministic first-50): 64 names never driver-sampled —
-# text_heavy_hitter_tokens text_kl_source_drift
+# this round's deterministic first-50): 67 names never driver-sampled —
+# text_heavy_hitter_tokens text_kl_source_drift text_chi2_source_quality
+# text_chunk_documents text_chunk_documents_udtf
 # active_learning_margin_topk approx_distinct_users
 # approx_percentile_value argmax_user_events benford_first_digit_audit
 # cohort_weekly_retention corpus_mix_temperature corpus_source_stats
@@ -70,7 +71,7 @@ from crypto_etl_pipeline_spark.queries import selection  # noqa: F401, E402
 # timeseries_gapfill_hourly trend_regression_by_type
 # unpivot_customer_metrics vwap_daily weekly_rollup_calendar
 # zorder_layout_events
-# — r11 takes 50 of these, r12 the final 14.
+# — r11 takes 50 of these, r12 the final 17.
 _GATE_FIRST = (
     # r9's only red: array<long> output broke the driver canonicalizer;
     # output now array_join'ed (judge-MATCH post-fix) — re-included so
@@ -102,9 +103,13 @@ _GATE_FIRST = (
     "text_bigram_lm_score",
     "text_boilerplate_ngram_prune",
     "text_cdc_chunks",
-    "text_chi2_source_quality",
-    "text_chunk_documents",
-    "text_chunk_documents_udtf",
+    # round-10b third wave — gated at birth; displaces
+    # text_chi2_source_quality, text_chunk_documents,
+    # text_chunk_documents_udtf (all judge-MATCH in the r9 sweep) to
+    # the r11 pool
+    "text_rake_keyphrases",
+    "theil_sen_trend_daily_revenue",
+    "quality_psi_event_drift",
     "text_entropy_signals",
     "text_excise_duplicated_spans",
     # round-10b second pair — gated at birth; the two text-tail drains

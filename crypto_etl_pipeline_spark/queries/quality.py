@@ -964,3 +964,73 @@ def privacy_dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(noise), 4).alias("abs_noise"),
         F.lit(_DP_EPS).alias("epsilon"),
     )
+
+
+@register(
+    "quality_psi_event_drift",
+    oracle="""
+    WITH halves AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref' ELSE 'cur' END AS half
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type,
+             sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) + 1 AS c_ref,
+             sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) + 1 AS c_cur
+      FROM halves GROUP BY event_type
+    ),
+    tot AS (SELECT sum(c_ref) AS n_ref, sum(c_cur) AS n_cur FROM counts)
+    SELECT c.event_type,
+           (c.c_ref - 1)::BIGINT AS n_before,
+           (c.c_cur - 1)::BIGINT AS n_after,
+           cast(round(1000000.0
+                 * (c.c_cur * 1.0 / t.n_cur - c.c_ref * 1.0 / t.n_ref)
+                 * ln((c.c_cur * 1.0 / t.n_cur) / (c.c_ref * 1.0 / t.n_ref)))
+              AS BIGINT) AS psi_micro
+    FROM counts c CROSS JOIN tot t
+    """,
+    description=(
+        "Population Stability Index drift per event type between the two "
+        "time halves (Laplace-smoothed, integer micro-unit contributions)"
+    ),
+    tags=("quality", "drift", "stats"),
+)
+def quality_psi_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI — the ML-ops drift score a model monitor alarms on
+    (conventional reading: total < 0.1 stable, 0.1-0.25 shifting,
+    > 0.25 retrain): per category, (p_cur - p_ref) * ln(p_cur/p_ref)
+    with add-one smoothing so an absent category cannot divide by
+    zero. Sits beside the distributional tests this repo already
+    carries (KL drift = one directed term, chi2 = independence,
+    CUSUM = sequential): PSI is the symmetric, bounded-category
+    scorecard form. Determinism: category counts are exact integers;
+    each contribution is a short fixed chain of IEEE ops on two exact
+    rationals, rounded ONCE into an integer micro-unit — summing the
+    per-type column (the monitor's total) is then exact arithmetic,
+    the adamic-adar recipe. Scale: one map-side-combined groupBy over
+    the events scan; everything after is category-bounded."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("event_type").agg(
+        (
+            F.sum((F.col("ts") < F.lit("2024-01-16").cast("timestamp")).cast("int"))
+            + 1
+        ).alias("c_ref"),
+        (
+            F.sum((F.col("ts") >= F.lit("2024-01-16").cast("timestamp")).cast("int"))
+            + 1
+        ).alias("c_cur"),
+    )
+    tot = counts.agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    p_cur = F.col("c_cur") * 1.0 / F.col("n_cur")
+    p_ref = F.col("c_ref") * 1.0 / F.col("n_ref")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        (F.col("c_ref") - 1).cast("long").alias("n_before"),
+        (F.col("c_cur") - 1).cast("long").alias("n_after"),
+        F.round(F.lit(1000000.0) * (p_cur - p_ref) * F.log(p_cur / p_ref), 0)
+        .cast("long")
+        .alias("psi_micro"),
+    )

@@ -6436,3 +6436,122 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("token"))
         .limit(25)
     )
+
+
+@register(
+    "text_rake_keyphrases",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, tk.token, tk.pos FROM documents,
+        LATERAL (
+          SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token,
+                 generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS pos
+        ) tk
+      WHERE lang = 'en'
+    ),
+    s AS (
+      SELECT doc_id, pos, token,
+             CASE WHEN token IN ({_EN}) THEN 1 ELSE 0 END AS st
+      FROM tok
+    ),
+    isl AS (
+      SELECT doc_id, pos, token, st,
+             sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM s
+    ),
+    member AS (SELECT doc_id, island, pos, token FROM isl WHERE st = 0),
+    ph AS (
+      SELECT doc_id, island, count(*) AS L,
+             string_agg(token, ' ' ORDER BY pos) AS phrase
+      FROM member GROUP BY doc_id, island
+    ),
+    ph24 AS (SELECT * FROM ph WHERE L BETWEEN 2 AND 4),
+    occ AS (
+      SELECT m.token, p.L, p.phrase, m.doc_id, m.island
+      FROM member m JOIN ph24 p USING (doc_id, island)
+    ),
+    wstat AS (
+      SELECT token, count(*) AS freq, sum(L) AS deg,
+             cast(round(1000000.0 * sum(L) / count(*)) AS BIGINT) AS wscore
+      FROM occ GROUP BY token
+    ),
+    pscore AS (
+      SELECT o.phrase, o.doc_id, o.island, sum(w.wscore)::BIGINT AS score_micro
+      FROM occ o JOIN wstat w USING (token)
+      GROUP BY o.phrase, o.doc_id, o.island
+    ),
+    agg AS (
+      SELECT phrase, count(*) AS n_occurrences,
+             min(score_micro)::BIGINT AS score_micro
+      FROM pscore GROUP BY phrase
+    )
+    SELECT phrase, n_occurrences, score_micro
+    FROM agg ORDER BY score_micro DESC, phrase LIMIT 15
+    """,
+    description=(
+        "RAKE keyphrase extraction: stopword-delimited phrase islands "
+        "(len 2-4), word deg/freq scores as integer micro-units, top 15"
+    ),
+    tags=("text", "window", "topk"),
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rose et al. 2010) over the en corpus: candidate phrases
+    are maximal stopword-free token runs (2-4 tokens — the gaps-and-
+    islands window pattern, island id = running stopword count), each
+    word scores deg/freq (deg = summed length of phrases containing
+    it, freq = occurrence count), and a phrase scores the sum of its
+    word scores. FP discipline: the deg/freq ratio is computed ONCE
+    per word as an integer micro-unit (one double division + round),
+    so phrase scores are exact BIGINT sums and the top-15 cut cannot
+    flake on summation order — the graph_adamic_adar_linkpred recipe.
+    A phrase's score is a pure function of its token sequence, so
+    identical phrase texts collapse with min() (= the common value)
+    and an occurrence count. Scale shape: one per-doc window pass
+    (bounded by doc length), then everything is keyed on token or
+    phrase text — vocab/phrase-bounded aggregates, no pair joins.
+    Complements textrank_keywords: RAKE is the degree/frequency
+    heuristic, TextRank the eigenvector one; both read the same
+    tokenize pass at 100 TB."""
+    from crypto_etl_pipeline_spark.operators.textops import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\s+")).alias("pos", "token"),
+    )
+    s = tok.withColumn(
+        "st", F.col("token").isin(*STOPWORDS["en"]).cast("int")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = s.withColumn("island", F.sum("st").over(w))
+    member = isl.where(F.col("st") == 0).select("doc_id", "island", "pos", "token")
+    ph = (
+        member.groupBy("doc_id", "island")
+        .agg(
+            F.count(F.lit(1)).alias("L"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda x: x.getField("token"),
+                ),
+                " ",
+            ).alias("phrase"),
+        )
+        .where(F.col("L").between(2, 4))
+    )
+    occ = member.join(ph, ["doc_id", "island"])
+    wstat = occ.groupBy("token").agg(
+        F.round(F.lit(1000000.0) * F.sum("L") / F.count(F.lit(1)), 0)
+        .cast("long")
+        .alias("wscore")
+    )
+    pscore = (
+        occ.join(wstat, "token")
+        .groupBy("phrase", "doc_id", "island")
+        .agg(F.sum("wscore").cast("long").alias("score_micro"))
+    )
+    agg = pscore.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("score_micro").cast("long").alias("score_micro"),
+    )
+    return agg.orderBy(F.desc("score_micro"), F.asc("phrase")).limit(15)

@@ -681,3 +681,104 @@ def orders_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_closed",
         F.sum(F.col("n_opened") - F.col("n_closed")).over(cum).alias("backlog_eom"),
     )
+
+
+@register(
+    "theil_sen_trend_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             round(sum(value), 4) AS y
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY date_trunc('day', ts)
+    ),
+    idx AS (
+      SELECT y, row_number() OVER (ORDER BY d) - 1 AS x FROM daily
+    ),
+    slopes AS (
+      SELECT a.x AS x1, b.x AS x2, (b.y - a.y) / (b.x - a.x) AS slope
+      FROM idx a JOIN idx b ON a.x < b.x
+    ),
+    n AS (SELECT count(*) AS n_pairs FROM slopes),
+    med AS (
+      SELECT slope FROM (
+        SELECT slope, row_number() OVER (ORDER BY slope, x1, x2) AS rn
+        FROM slopes) s CROSS JOIN n
+      WHERE rn = (n_pairs + 1) // 2
+    ),
+    resid AS (
+      SELECT i.y - m.slope * i.x AS b0, i.x
+      FROM idx i CROSS JOIN med m
+    ),
+    nb AS (SELECT count(*) AS n_days FROM resid),
+    bmed AS (
+      SELECT b0 FROM (
+        SELECT b0, row_number() OVER (ORDER BY b0, x) AS rn FROM resid)
+        r CROSS JOIN nb
+      WHERE rn = (n_days + 1) // 2
+    )
+    SELECT nb.n_days, n.n_pairs,
+           round(m.slope, 6) AS slope_per_day,
+           round(bmed.b0, 4) AS intercept
+    FROM med m CROSS JOIN bmed CROSS JOIN n CROSS JOIN nb
+    """,
+    description=(
+        "Theil-Sen robust trend of daily purchase revenue: median of all "
+        "pairwise slopes + median intercept (lower-median convention)"
+    ),
+    tags=("timeseries", "stats"),
+)
+def theil_sen_trend_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robust counterpart to the OLS fit (trend_regression_by_type)
+    and the smoothing forecasters (EWMA/Holt): Theil-Sen estimates the
+    trend as the MEDIAN of all pairwise slopes, so up to ~29% of the
+    days can be arbitrarily corrupted without moving the line — the
+    estimator a revenue-anomaly monitor wants under promo spikes.
+    Scale shape: the pairwise join is over the DAILY AGGREGATE, whose
+    size is calendar-bounded — day_count^2/2 pairs regardless of
+    corpus size, so the quadratic term never touches raw data and the
+    only corpus-scale stage is the map-side-combined daily rollup
+    (the Holt discipline). Determinism: daily sums round to 4dp
+    before any slope (absorbing FP summation order), each slope is
+    then a single IEEE division, the median is POSITIONAL (lower
+    median, ties broken by (slope, x1, x2)), and the intercept is the
+    positional median of y - slope*x under the selected slope."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.round(F.sum("value"), 4).alias("y"))
+    )
+    idx = daily.select(
+        "y", (F.row_number().over(Window.orderBy("d")) - 1).alias("x")
+    )
+    a = idx.select(F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = idx.select(F.col("x").alias("x2"), F.col("y").alias("y2"))
+    slopes = a.join(b, F.col("x1") < F.col("x2")).select(
+        "x1", "x2",
+        ((F.col("y2") - F.col("y1")) / (F.col("x2") - F.col("x1"))).alias("slope"),
+    )
+    n = slopes.agg(F.count(F.lit(1)).alias("n_pairs"))
+    med = (
+        slopes.withColumn(
+            "rn", F.row_number().over(Window.orderBy("slope", "x1", "x2"))
+        )
+        .crossJoin(F.broadcast(n))
+        .where(F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
+        .select("slope", "n_pairs")
+    )
+    resid = idx.crossJoin(F.broadcast(med)).select(
+        (F.col("y") - F.col("slope") * F.col("x")).alias("b0"),
+        "x", "slope", "n_pairs",
+    )
+    nb = idx.agg(F.count(F.lit(1)).alias("n_days"))
+    bmed = (
+        resid.withColumn("rn", F.row_number().over(Window.orderBy("b0", "x")))
+        .crossJoin(F.broadcast(nb))
+        .where(F.col("rn") == F.floor((F.col("n_days") + 1) / 2))
+    )
+    return bmed.select(
+        "n_days", "n_pairs",
+        F.round("slope", 6).alias("slope_per_day"),
+        F.round("b0", 4).alias("intercept"),
+    )

@@ -189,6 +189,10 @@ HEAVY = [
     # round-10b second pair
     "textrank_keywords",
     "graph_adamic_adar_linkpred",
+    # round-10b third wave
+    "text_rake_keyphrases",
+    "theil_sen_trend_daily_revenue",
+    "quality_psi_event_drift",
 ]
 
 
