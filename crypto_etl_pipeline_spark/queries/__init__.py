@@ -43,8 +43,9 @@ from crypto_etl_pipeline_spark.queries import selection  # noqa: F401, E402
 # layout tail rotates in across r11-r12.
 #
 # r11 rotation input (computed from CORRECTNESS_r0{1..9}.json keys +
-# this round's deterministic first-50): 67 names never driver-sampled —
+# this round's deterministic first-50): 69 names never driver-sampled —
 # text_heavy_hitter_tokens text_kl_source_drift text_chi2_source_quality
+# multimodal_audio_resample multimodal_features
 # text_chunk_documents text_chunk_documents_udtf
 # active_learning_margin_topk approx_distinct_users
 # approx_percentile_value argmax_user_events benford_first_digit_audit
@@ -71,7 +72,7 @@ from crypto_etl_pipeline_spark.queries import selection  # noqa: F401, E402
 # timeseries_gapfill_hourly trend_regression_by_type
 # unpivot_customer_metrics vwap_daily weekly_rollup_calendar
 # zorder_layout_events
-# — r11 takes 50 of these, r12 the final 17.
+# — r11 takes 50 of these, r12 the final 19.
 _GATE_FIRST = (
     # r9's only red: array<long> output broke the driver canonicalizer;
     # output now array_join'ed (judge-MATCH post-fix) — re-included so
@@ -94,11 +95,13 @@ _GATE_FIRST = (
     "stream_interval_join_full",
     "stream_sketch_quantiles",
     "stream_sketch_rollup",
-    # never-sampled: multimodal UDF family
-    "multimodal_audio_resample",
-    "multimodal_features",
+    # never-sampled: multimodal UDF family (audio_resample + features
+    # displaced to the r11 pool by the round-10b fourth wave below)
     "multimodal_frame_sample",
     "multimodal_resize",
+    # round-10b fourth wave — gated at birth
+    "quality_confident_learning",
+    "window_funnel_horizon",
     # never-sampled: text-analysis tail
     "text_bigram_lm_score",
     "text_boilerplate_ngram_prune",

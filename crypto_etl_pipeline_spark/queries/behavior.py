@@ -715,3 +715,100 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_streaks"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "window_funnel_horizon",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'click'
+        AND e.ts > t1.t1 AND e.ts <= t1.t1 + INTERVAL 12 HOUR
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND e.ts > t2.t2 AND e.ts <= t1.t1 + INTERVAL 12 HOUR
+      GROUP BY e.user_id
+    ),
+    levels AS (
+      SELECT u.user_id,
+             CASE WHEN t3.user_id IS NOT NULL THEN 3
+                  WHEN t2.user_id IS NOT NULL THEN 2
+                  WHEN t1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS level
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN t1 USING (user_id)
+      LEFT JOIN t2 USING (user_id)
+      LEFT JOIN t3 USING (user_id)
+    )
+    SELECT level, count(*) AS n_users FROM levels GROUP BY level
+    """,
+    description=(
+        "First-touch funnel with a 12h horizon: view -> click -> purchase "
+        "levels anchored at each user's first view"
+    ),
+    tags=("behavior", "funnel", "window"),
+)
+def window_funnel_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The windowFunnel shape (ClickHouse) under FIRST-TOUCH
+    anchoring: each user's funnel clock starts at their first 'view';
+    a 'click' counts if it lands strictly after that view and within
+    the 12 h horizon, a 'purchase' if strictly after that click and
+    still inside the same horizon. (ClickHouse's default maximizes
+    the level over ALL candidate anchors; the first-touch variant is
+    the attribution form and keeps every step a conditional min over
+    exact timestamps — fully deterministic, no FP anywhere.) Three
+    user-keyed conditional-min aggregations — each a map-side-combined
+    pass over the events scan, the same shuffle key throughout, so at
+    100 TB this is three cheap reuses of one partitioning, never a
+    per-user sort. Measured levels at sf0.01: 113/34/3 users at
+    1/2/3 (everyone views, so level 0 is empty here)."""
+    events = load_table(spark, sf_dir, "events")
+    t1 = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    horizon = F.col("t1") + F.expr("INTERVAL 12 HOURS")
+    t2 = (
+        events.join(t1, "user_id")
+        .where(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= horizon)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.any_value("t1").alias("t1"))
+    )
+    t3 = (
+        events.join(t2, "user_id")
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 12 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    users = events.select("user_id").distinct()
+    levels = (
+        users.join(t1.select("user_id", F.lit(1).alias("_l1")), "user_id", "left")
+        .join(t2.select("user_id", F.lit(1).alias("_l2")), "user_id", "left")
+        .join(t3.select("user_id", F.lit(1).alias("_l3")), "user_id", "left")
+        .select(
+            F.when(F.col("_l3").isNotNull(), 3)
+            .when(F.col("_l2").isNotNull(), 2)
+            .when(F.col("_l1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("level")
+        )
+    )
+    return levels.groupBy("level").agg(F.count(F.lit(1)).alias("n_users"))

@@ -6555,3 +6555,133 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score_micro").cast("long").alias("score_micro"),
     )
     return agg.orderBy(F.desc("score_micro"), F.asc("phrase")).limit(15)
+
+
+@register(
+    "quality_confident_learning",
+    oracle=f"""
+    WITH f AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % {LR_DIM} AS feat
+      FROM (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(text, '\\s+'))) AS tok
+            FROM documents)
+    ),
+    m AS (
+      SELECT doc_id,
+             sum((((feat * 2654435761) % 2001) - 1000) / 1000.0)
+               + {(LR_DIM * 2654435761) % 2001 - 1000} / 1000.0 AS margin
+      FROM f GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT doc_id,
+             cast(round(1000000.0 / (1.0 + exp(-margin))) AS BIGINT) AS s_micro
+      FROM m
+    ),
+    lab AS (
+      SELECT doc_id,
+             CASE WHEN (
+               CASE WHEN len(regexp_split_to_array(text, '\\s+')) < 10 THEN 'too_short'
+                    WHEN len(list_distinct(regexp_split_to_array(text, '\\s+'))) * 1.0
+                         / len(regexp_split_to_array(text, '\\s+')) < 0.3 THEN 'repetitive'
+                    WHEN len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                         t -> t IN ({_EN}))) = 0 THEN 'no_stopwords'
+                    ELSE 'ok' END) = 'ok' THEN 'ok' ELSE 'flagged' END AS given
+      FROM documents
+    ),
+    joined AS (SELECT l.doc_id, l.given, s.s_micro FROM lab l JOIN scored s USING (doc_id)),
+    thr AS (
+      SELECT given, (sum(s_micro) // count(*))::BIGINT AS t_micro
+      FROM joined GROUP BY given
+    ),
+    pred AS (
+      SELECT j.doc_id, j.given, j.s_micro,
+             CASE WHEN j.s_micro >= t_ok.t_micro THEN 'ok'
+                  WHEN 1000000 - j.s_micro >= 1000000 - t_fl.t_micro THEN 'flagged'
+                  ELSE j.given END AS predicted
+      FROM joined j
+      CROSS JOIN (SELECT t_micro FROM thr WHERE given = 'ok') t_ok
+      CROSS JOIN (SELECT t_micro FROM thr WHERE given = 'flagged') t_fl
+    )
+    SELECT given, predicted, count(*) AS n_docs,
+           min(s_micro)::BIGINT AS min_score_micro,
+           max(s_micro)::BIGINT AS max_score_micro
+    FROM pred GROUP BY given, predicted
+    """,
+    description=(
+        "Confident-learning label-noise audit: class-threshold joint of "
+        "heuristic labels vs the fixed LR scorer, integer micro-units"
+    ),
+    tags=("text", "quality", "ml"),
+)
+def quality_confident_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise estimation (Confident Learning, Northcutt et al.
+    2021): cross the heuristic quality labels (the 'given' labels a
+    filter pipeline produces) with the fixed-weight LR scorer's
+    calibrated confidence; docs whose score clears the OTHER class's
+    confidence threshold are candidate label errors — the off-diagonal
+    cells of this joint are what you re-annotate or drop before
+    training. Class thresholds are the per-class mean self-confidence,
+    computed in integer micro-units with floor division (sum // n), so
+    every threshold comparison is exact integer arithmetic; the only
+    FP surface is the per-doc sigmoid, rounded ONCE to a micro-unit
+    (the text_lr_score_fixed float discipline). Both thresholds ride
+    1-row broadcast frames. Binary CL rule, resolved in order: clears
+    the ok-threshold -> 'ok'; else at-least-as-unconfident as the
+    flagged-class mean -> 'flagged'; else keeps its given label.
+    Scale: one feature-hash aggregation (the 100 TB scorer path) +
+    one label scan + class-bounded rollups."""
+    from crypto_etl_pipeline_spark.operators.lrmodel import (
+        fixed_hash_weights,
+        hashed_presence_features,
+        sigmoid,
+    )
+    from crypto_etl_pipeline_spark.operators.textops import quality_label
+
+    docs = load_table(spark, sf_dir, "documents")
+    wts = fixed_hash_weights(LR_DIM)
+    warr = F.array(*[F.lit(float(x)) for x in wts[:LR_DIM]])
+    feats = hashed_presence_features(docs, dim=LR_DIM)
+    bias = F.lit(float(wts[LR_DIM]))
+    m = F.sum(F.element_at(warr, F.col("feat").cast("int") + 1)) + bias
+    scored = feats.groupBy("doc_id").agg(
+        F.round(F.lit(1000000.0) * sigmoid(m), 0).cast("long").alias("s_micro")
+    )
+    lab = docs.select(
+        "doc_id",
+        F.when(quality_label(F.col("text")) == "ok", "ok")
+        .otherwise("flagged")
+        .alias("given"),
+    )
+    joined = lab.join(scored, "doc_id")
+    # exact integer floor-division (sum - sum % n) / n: every op stays
+    # in long arithmetic, so the threshold can never ride a double-
+    # division rounding boundary (the oracle's HUGEINT // is exact too)
+    _s, _n = F.sum("s_micro"), F.count(F.lit(1))
+    thr = joined.groupBy("given").agg(
+        ((_s - _s % _n) / _n).cast("long").alias("t_micro")
+    )
+    t_ok = thr.where(F.col("given") == "ok").select(
+        F.col("t_micro").alias("t_ok_micro")
+    )
+    t_fl = thr.where(F.col("given") == "flagged").select(
+        F.col("t_micro").alias("t_fl_micro")
+    )
+    pred = (
+        joined.crossJoin(F.broadcast(t_ok))
+        .crossJoin(F.broadcast(t_fl))
+        .withColumn(
+            "predicted",
+            F.when(F.col("s_micro") >= F.col("t_ok_micro"), "ok")
+            .when(
+                F.lit(1000000) - F.col("s_micro")
+                >= F.lit(1000000) - F.col("t_fl_micro"),
+                "flagged",
+            )
+            .otherwise(F.col("given")),
+        )
+    )
+    return pred.groupBy("given", "predicted").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("s_micro").cast("long").alias("min_score_micro"),
+        F.max("s_micro").cast("long").alias("max_score_micro"),
+    )

@@ -193,6 +193,9 @@ HEAVY = [
     "text_rake_keyphrases",
     "theil_sen_trend_daily_revenue",
     "quality_psi_event_drift",
+    # round-10b fourth wave
+    "quality_confident_learning",
+    "window_funnel_horizon",
 ]
 
 

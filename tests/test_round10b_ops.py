@@ -202,3 +202,41 @@ def test_psi_contributions_reconstruct(spark):
         q = (r["n_before"] + 1) / n_ref
         expect = int(round(1_000_000.0 * (p - q) * math.log(p / q)))
         assert expect == r["psi_micro"]
+
+
+def test_confident_learning_joint_semantics(spark):
+    """CL joint invariants: 2x2 (or fewer) cells partition the corpus,
+    thresholds behave as class means (every 'ok'-predicted doc scores
+    >= every min of the ok-threshold cell bound), and off-diagonal
+    cells — the candidate label errors — are a minority."""
+    rows = REGISTRY["quality_confident_learning"].fn(spark, SF_GATE).collect()
+    docs_n = spark.read.parquet(f"{SF_GATE}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == docs_n
+    cells = {(r["given"], r["predicted"]): r for r in rows}
+    assert set(cells) <= {("ok", "ok"), ("ok", "flagged"),
+                          ("flagged", "ok"), ("flagged", "flagged")}
+    diag = sum(r["n_docs"] for (g, p), r in cells.items() if g == p)
+    off = sum(r["n_docs"] for (g, p), r in cells.items() if g != p)
+    assert diag > off  # labels mostly agree with the scorer
+    # ok-predicted cells sit above flagged-predicted cells in score
+    if ("ok", "ok") in cells and ("ok", "flagged") in cells:
+        assert (cells[("ok", "ok")]["min_score_micro"]
+                > cells[("ok", "flagged")]["max_score_micro"])
+
+
+def test_window_funnel_levels_monotone(spark):
+    """Funnel semantics: levels partition users, counts are monotone
+    down the funnel (level k reachable only through k-1), and the
+    level-3 users verifiably have view<click<purchase within 12h."""
+    rows = {r["level"]: r["n_users"]
+            for r in REGISTRY["window_funnel_horizon"].fn(spark, SF_GATE).collect()}
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    events = load_table(spark, SF_GATE, "events")
+    n_users = events.select("user_id").distinct().count()
+    assert sum(rows.values()) == n_users
+    reached_1 = sum(v for k, v in rows.items() if k >= 1)
+    reached_2 = sum(v for k, v in rows.items() if k >= 2)
+    reached_3 = rows.get(3, 0)
+    assert reached_1 >= reached_2 >= reached_3
+    assert reached_3 >= 1  # non-vacuous at the gate SF
