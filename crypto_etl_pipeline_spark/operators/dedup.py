@@ -563,6 +563,78 @@ def winnow_fingerprints(
     )
 
 
+def exact_repeated_substrings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 10,
+) -> DataFrame:
+    """CORPUS-level exact-substring dedup (the sorted-suffix method of
+    Lee et al. ACL'22, ExactSubstr): every maximal token span of
+    >= ``min_len`` tokens that occurs >= 2 times ANYWHERE in the
+    corpus (cross-doc or within one doc), reported per document as
+    (doc_id, span_start, span_tokens, n_windows, min_occ).
+
+    The published implementation builds one suffix array over the
+    concatenated corpus; the distributed equivalent rests on the same
+    identity that replaces it with sort/groupBy primitives: a span of
+    length >= L repeats iff EVERY length-L window inside it repeats,
+    so (1) emit every length-L token shingle with its position —
+    these are the length-L prefixes of all suffixes, i.e. exactly
+    what adjacent entries of the sorted suffix array would compare;
+    (2) count occurrences per shingle (the sort/groupBy standing in
+    for suffix ordering); (3) keep positions whose window count >= 2;
+    (4) merge consecutive repeated positions per doc (gaps-and-
+    islands) into maximal repeated spans.
+
+    Distinct from :func:`duplicated_spans`, which is per-PAIR (gram
+    equi-join, cost ~ matched-gram pairs): this is per-CORPUS — no
+    pair join anywhere, so a boilerplate gram that appears k times
+    costs k counter updates here versus k^2/2 join rows there. Both
+    shuffles are bounded by the input row count (one on gram for the
+    occurrence count, one on doc for the island merge over only the
+    REPEATED sliver), which is why this feed needs no count-cap: the
+    pair-feed flood mode structurally cannot happen.
+
+    Positions are 1-based (DuckDB's generate_subscripts convention);
+    ``min_occ`` is the corpus occurrence count of the span's rarest
+    window — 2 means the span is duplicated exactly once somewhere.
+    """
+    from pyspark.sql.window import Window
+
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    # checkpoint the gram arrays BEFORE posexplode: the round-8
+    # InferFiltersFromGenerate pathology re-runs the tokenizer over the
+    # raw single-split scan otherwise (see _posting_shingles)
+    arr = (
+        docs.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), shingles_of(F.col("_toks"), min_len).alias("_g"))
+        .localCheckpoint(eager=False)
+    )
+    pos = arr.select(
+        F.col(id_col), F.posexplode("_g").alias("_p0", "_gram")
+    ).select(id_col, (F.col("_p0") + 1).cast("long").alias("pos"), "_gram")
+    w_occ = Window.partitionBy("_gram")
+    rep = (
+        pos.withColumn("occ", F.count(F.lit(1)).over(w_occ))
+        .where(F.col("occ") >= 2)
+        .select(id_col, "pos", "occ")
+    )
+    w_isl = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        rep.withColumn("_grp", F.col("pos") - F.row_number().over(w_isl))
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.count(F.lit(1)) + F.lit(min_len - 1)).cast("long").alias("span_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.min("occ").cast("long").alias("min_occ"),
+        )
+        .drop("_grp")
+    )
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",

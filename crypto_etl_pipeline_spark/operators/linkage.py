@@ -9,10 +9,17 @@ name distribution the key degenerates on (TPC-H 'Supplier#%09d' names
 share one prefix-14 for the first 10 M keys), the "blocked" join IS
 the all-pairs join: measured round 10, 4.0 s at sf0.1 collapsing to a
 single-task >590 s at sf1.0 — comparisons grew 100x and all landed on
-one block key. The guard is the same count-cap discipline as the
-shingle/simhash/LSH pair feeds: ``block_cap`` bounds the RIGHT side
-per block via a deterministic QUALIFY-replayable window, and
-``fuzzy_block_spill`` reports every comparison the cap absorbed.
+one block key. Two guards, in preference order:
+
+1. ``sorted_neighborhood_join`` — the STRUCTURAL fix (round 11):
+   blocks are positions in the globally sorted name order, so block
+   size is fixed at the window width BY CONSTRUCTION, for any value
+   distribution. Comparisons are <= n * (2w+1) — linear — even on the
+   degenerate TPC-H names that collapse every prefix block.
+2. ``block_cap`` on ``blocked_fuzzy_join`` — defense-in-depth for
+   value-derived keys: bounds the RIGHT side per block via a
+   deterministic QUALIFY-replayable window, with
+   ``fuzzy_block_spill`` reporting every comparison the cap absorbed.
 """
 
 from __future__ import annotations
@@ -68,6 +75,105 @@ def blocked_fuzzy_join(
         .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= top_k)
         .drop("_block", "_rk")
+    )
+
+
+def sorted_neighborhood_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_text: str,
+    right_id: str,
+    right_text: str,
+    window: int = 64,
+    max_dist: int = 2,
+    top_k: int = 1,
+) -> DataFrame:
+    """Fuzzy best-match via sorted-neighborhood blocking (Hernandez &
+    Stolfo 1995): both sides merge into ONE globally sorted name
+    sequence, and a pair is a candidate iff the two rows sit within
+    ``window`` positions of each other. Block size is the window
+    width BY CONSTRUCTION — there is no value-derived key to
+    degenerate, so the candidate count is <= n * (2*window+1) on ANY
+    distribution, including the TPC-H 'Supplier#%09d' names that
+    collapse every prefix block into one (module docstring).
+
+    Plan shape (all distributed, no global single-task stage):
+      1. union both sides, tag, and assign dense global ordinals by
+         (name, side, id) via ``global_ordinals`` — range partitions
+         + broadcast offset shift, never a one-task ORDER BY window;
+      2. decompose the rank band |rn_l - rn_r| <= window into an
+         equi-join: left keys on its rank block (rn-1) div window,
+         right EXPLODES to its block and both neighbors (each copy a
+         distinct block value, so a pair can match at most once);
+      3. exact band filter, levenshtein <= max_dist, then the same
+         deterministic (dist, right_text, right_id) best-match rank
+         as ``blocked_fuzzy_join``.
+
+    The DuckDB twin replays step 1 as `row_number() OVER (ORDER BY
+    nm, side, uid)` and steps 2-3 as a rank band join (`r.rn BETWEEN
+    l.rn - w AND l.rn + w`) — identical candidate set.
+
+    Like every blocking scheme this is approximate-by-design: a true
+    match more than ``window`` sorted positions away is never
+    compared. On near-duplicate names (edit distance <= 2) the sort
+    places them adjacent unless the corruption hits the string's
+    FIRST characters — the standard SNM caveat; multi-pass SNM over a
+    reversed key would cover that and is left unbuilt."""
+    lb = left.select(
+        F.col(left_id).alias("_uid"),
+        F.col(left_text).alias("_nm"),
+        F.lit(0).alias("_side"),
+    )
+    rb = right.select(
+        F.col(right_id).alias("_uid"),
+        F.col(right_text).alias("_nm"),
+        F.lit(1).alias("_side"),
+    )
+    from crypto_etl_pipeline_spark.operators.sampling import global_ordinals
+
+    ranked = global_ordinals(
+        lb.unionByName(rb), ["_nm", "_side", "_uid"], seq_col="_rn"
+    )
+    lr = ranked.where(F.col("_side") == 0).select(
+        F.col("_uid").alias(left_id),
+        F.col("_nm").alias(left_text),
+        F.col("_rn").alias("_rn_l"),
+        F.expr(f"(_rn - 1) div {int(window)}").alias("_blk"),
+    )
+    rr = (
+        ranked.where(F.col("_side") == 1)
+        .select(
+            F.col("_uid").alias(right_id),
+            F.col("_nm").alias(right_text),
+            F.col("_rn").alias("_rn_r"),
+            F.expr(f"(_rn - 1) div {int(window)}").alias("_b0"),
+        )
+        .withColumn(
+            "_blk",
+            F.explode(
+                F.array(
+                    F.col("_b0") - 1, F.col("_b0"), F.col("_b0") + 1
+                )
+            ),
+        )
+        .drop("_b0")
+    )
+    cand = (
+        lr.join(rr, "_blk")
+        .where(F.abs(F.col("_rn_l") - F.col("_rn_r")) <= window)
+        .withColumn(
+            "dist", F.levenshtein(F.col(left_text), F.col(right_text))
+        )
+    )
+    w = Window.partitionBy(left_id).orderBy(
+        F.asc("dist"), F.asc(right_text), F.asc(right_id)
+    )
+    return (
+        cand.where(F.col("dist") <= max_dist)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= top_k)
+        .drop("_blk", "_rk", "_rn_l", "_rn_r")
     )
 
 

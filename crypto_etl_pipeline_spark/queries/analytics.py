@@ -754,55 +754,73 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SNM_WINDOW = 64  #: sorted-neighborhood half-width (candidates per row <= 2w+1)
+
+
 @register(
     "fuzzy_match_suppliers",
-    oracle="""
+    oracle=f"""
     WITH dirty AS (
       SELECT s_suppkey AS dirty_id,
              CASE WHEN s_suppkey % 2 = 1
                   THEN substr(s_name, 1, 17) || 'X' ELSE s_name END AS dirty_name
       FROM supplier
     ),
-    cand AS (
-      SELECT d.dirty_id, d.dirty_name, s.s_suppkey, s.s_name,
-             levenshtein(d.dirty_name, s.s_name) AS dist
-      FROM dirty d JOIN supplier s
-        ON substr(d.dirty_name, 1, 14) = substr(s.s_name, 1, 14)
-      WHERE levenshtein(d.dirty_name, s.s_name) <= 2
+    u AS (
+      SELECT dirty_name AS nm, 0 AS side, dirty_id AS uid FROM dirty
+      UNION ALL
+      SELECT s_name, 1, s_suppkey FROM supplier
     ),
     ranked AS (
+      SELECT nm, side, uid,
+             row_number() OVER (ORDER BY nm, side, uid) AS rn
+      FROM u
+    ),
+    l AS (SELECT uid AS dirty_id, nm AS dirty_name, rn FROM ranked WHERE side = 0),
+    r AS (SELECT uid AS s_suppkey, nm AS s_name, rn FROM ranked WHERE side = 1),
+    cand AS (
+      SELECT l.dirty_id, l.dirty_name, r.s_suppkey, r.s_name,
+             levenshtein(l.dirty_name, r.s_name) AS dist
+      FROM l JOIN r ON r.rn BETWEEN l.rn - {SNM_WINDOW} AND l.rn + {SNM_WINDOW}
+      WHERE levenshtein(l.dirty_name, r.s_name) <= 2
+    ),
+    best AS (
       SELECT *, row_number() OVER (PARTITION BY dirty_id
-                                   ORDER BY dist, s_name) AS rk
+                                   ORDER BY dist, s_name, s_suppkey) AS rk
       FROM cand
     )
     SELECT dirty_id, dirty_name, s_suppkey AS matched_id, dist,
            dirty_id = s_suppkey AS exact_entity
-    FROM ranked WHERE rk = 1
+    FROM best WHERE rk = 1
     """,
-    description="Record linkage: blocked fuzzy join (prefix block + levenshtein rank) — UNCAPPED exact form; see the _capped twin for the scale path",
+    description=f"Record linkage: sorted-neighborhood fuzzy join (rank-band blocking, window {SNM_WINDOW}) — uncapped AND linear-in-corpus on any name distribution",
     tags=("linkage", "join", "window"),
 )
 def fuzzy_match_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution demo over deterministically-corrupted supplier
-    names (odd keys get their last char replaced): prefix-14 blocking +
-    levenshtein <= 2 + best-candidate rank. Corrupted names sit at
-    distance 1 from SEVERAL same-prefix suppliers, so the deterministic
-    (dist, name) tie-break can pick a neighbor — `exact_entity` reports
-    linkage accuracy honestly rather than pretending blocking+edit
-    distance is exact.
+    """Entity resolution over deterministically-corrupted supplier
+    names (odd keys get their last char replaced): sorted-neighborhood
+    blocking + levenshtein <= 2 + best-candidate rank.
 
-    SCALE CORRECTION (round 10): the r9 note called this 'a scale-safe
-    linkage shape — no cartesian'. That was WRONG on this name
-    distribution: 'Supplier#%09d' names share ONE prefix-14 block up to
-    key 10M, so the 'blocked' join is the all-pairs join on a single
-    key — measured 4.0 s at sf0.1 collapsing to a single-task >400 s
-    DNF at sf1.0 (SCALE.md r10). This uncapped form stays registered as
-    the exact-by-contract oracle-parity surface at gate/bench SF;
-    fuzzy_match_suppliers_capped + fuzzy_block_spill are the governed
-    scale path (same cap discipline as the shingle/simhash/LSH feeds),
-    and the capped twin replaces this one in the scale-curve HEAVY
-    set."""
-    from crypto_etl_pipeline_spark.operators.linkage import blocked_fuzzy_join
+    BLOCKING HISTORY (the round-10 scale correction, r11 fix): the
+    original prefix-14 block is DEGENERATE on TPC-H 'Supplier#%09d'
+    names — every supplier lands in ONE block, so the 'blocked' join
+    was the all-pairs join on a single key, measured as a single-task
+    >400 s DNF at sf1.0 (SCALE.md r10). Round 11 replaces the
+    value-derived key with sorted-neighborhood blocking
+    (operators/linkage.py `sorted_neighborhood_join`): blocks are
+    POSITIONS in the globally sorted name order, so block size is the
+    window width by construction and comparisons are <= n*(2w+1) on
+    any distribution — this uncapped form now completes at sf1.0+ on
+    the exact distribution that killed the prefix scheme. The capped
+    prefix twin (`fuzzy_match_suppliers_capped` + `fuzzy_block_spill`)
+    stays registered as defense-in-depth for value-derived keys and
+    as the preserved adversarial fixture. Corrupted names still sit
+    at distance 1 from SEVERAL sort-adjacent suppliers, so the
+    deterministic (dist, name, key) tie-break can pick a neighbor —
+    `exact_entity` reports linkage accuracy honestly."""
+    from crypto_etl_pipeline_spark.operators.linkage import (
+        sorted_neighborhood_join,
+    )
 
     supp = load_table(spark, sf_dir, "supplier")
     dirty = supp.select(
@@ -814,13 +832,14 @@ def fuzzy_match_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("s_name"))
         .alias("dirty_name"),
     )
-    best = blocked_fuzzy_join(
+    best = sorted_neighborhood_join(
         dirty,
         supp.select("s_suppkey", "s_name"),
         left_id="dirty_id",
         left_text="dirty_name",
+        right_id="s_suppkey",
         right_text="s_name",
-        block=lambda c: F.substring(c, 1, 14),
+        window=SNM_WINDOW,
         max_dist=2,
         top_k=1,
     )

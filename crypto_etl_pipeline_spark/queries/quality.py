@@ -1004,22 +1004,23 @@ def quality_psi_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero. Sits beside the distributional tests this repo already
     carries (KL drift = one directed term, chi2 = independence,
     CUSUM = sequential): PSI is the symmetric, bounded-category
-    scorecard form. Determinism: category counts are exact integers;
+    scorecard form. NULL timestamps follow the oracle's CASE/ELSE
+    semantics — a null ts is neither < nor >= the cut, so the CASE
+    falls to ELSE 'cur'; the Spark side mirrors that with
+    when(ts < cut, 1).otherwise(0) / when(ts < cut, 0).otherwise(1)
+    rather than predicate-casts (which would return NULL on null ts
+    and silently drop the row from BOTH halves — r10 ADVICE).
+    Determinism: category counts are exact integers;
     each contribution is a short fixed chain of IEEE ops on two exact
     rationals, rounded ONCE into an integer micro-unit — summing the
     per-type column (the monitor's total) is then exact arithmetic,
     the adamic-adar recipe. Scale: one map-side-combined groupBy over
     the events scan; everything after is category-bounded."""
     events = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
     counts = events.groupBy("event_type").agg(
-        (
-            F.sum((F.col("ts") < F.lit("2024-01-16").cast("timestamp")).cast("int"))
-            + 1
-        ).alias("c_ref"),
-        (
-            F.sum((F.col("ts") >= F.lit("2024-01-16").cast("timestamp")).cast("int"))
-            + 1
-        ).alias("c_cur"),
+        (F.sum(F.when(F.col("ts") < cut, 1).otherwise(0)) + 1).alias("c_ref"),
+        (F.sum(F.when(F.col("ts") < cut, 0).otherwise(1)) + 1).alias("c_cur"),
     )
     tot = counts.agg(
         F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")

@@ -686,9 +686,13 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus growth) and buckets each doc against 0.8x / 1.2x the
     corpus-mean rare fraction. Every comparison is exact integer
     cross-multiplication over BIGINT sums — no FP summation anywhere,
-    so a bucket boundary can never flake cross-engine (products stay
-    under 2^63 up to ~1e14 corpus bigrams; past that, pre-divide the
-    corpus scalars). Both normalizers (training-doc count, corpus
+    so a bucket boundary can never flake cross-engine. The products
+    stay under 2^63 only while max(per-doc mass) * corpus mass * 12
+    does; past that non-ANSI Spark would WRAP SILENTLY where the
+    DuckDB oracle errors loudly, so the bucket expression carries an
+    explicit raise_error guard (magnitude pre-checked in double, which
+    cannot wrap) — overflow now fails loudly on BOTH engines, and the
+    fix at that scale is pre-dividing the corpus scalars. Both normalizers (training-doc count, corpus
     rare/total mass) ride the 1-row-aggregate broadcast idiom. Scale
     shape matches text_bigram_lm_perplexity: ONE corpus-scale shuffle
     builds per-(doc,bigram) counts; the trained table is a
@@ -743,9 +747,22 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = scored.agg(
         F.sum("n_rare").cast("long").alias("s_rare"),
         F.sum("n_big").cast("long").alias("s_big"),
+        F.max("n_rare").cast("long").alias("m_rare"),
+        F.max("n_big").cast("long").alias("m_big"),
     )
-    b = scored.crossJoin(F.broadcast(tot)).withColumn(
-        "bucket",
+    # Loud-overflow guard (r10 ADVICE): the exact-int64 bucket compare
+    # wraps silently in non-ANSI Spark once any cross-product leaves
+    # int64. Pre-check the worst-case magnitudes in double (doubles
+    # cannot wrap; 4e18 < 2^62 leaves margin for double rounding) and
+    # raise_error — matching the oracle's loud-fail behavior.
+    in_bounds = (
+        F.col("m_rare").cast("double") * F.col("s_big").cast("double") * 12.0
+        < 4.0e18
+    ) & (
+        F.col("m_big").cast("double") * F.col("s_rare").cast("double") * 12.0
+        < 4.0e18
+    )
+    bucket = (
         F.when(
             F.col("n_rare") * F.col("s_big") * 10
             < F.col("n_big") * F.col("s_rare") * 8,
@@ -756,7 +773,20 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.col("n_big") * F.col("s_rare") * 12,
             "middle",
         )
-        .otherwise("tail"),
+        .otherwise("tail")
+    )
+    b = scored.crossJoin(F.broadcast(tot)).withColumn(
+        "bucket",
+        F.when(
+            ~in_bounds,
+            F.raise_error(
+                F.lit(
+                    "ccnet_quality_buckets: bigram mass exceeds the "
+                    "exact-int64 cross-multiplication bound; pre-divide "
+                    "the corpus scalars before bucketing"
+                )
+            ).cast("string"),
+        ).otherwise(bucket),
     )
     return b.groupBy("lang", "bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -164,12 +164,18 @@ HEAVY = [
     "dedup_lsh_hot_bucket_spill",
     "ann_ivf_pq_topk",
     "ann_ivf_incremental_assign",
+    # round-11: fuzzy_match_suppliers re-enters the HEAVY set — its
+    # blocking is now sorted-neighborhood (rank-band, block size = the
+    # window width by construction), so the distribution that killed
+    # the prefix-14 scheme (one corpus-sized block, single-task >400 s
+    # DNF at sf1.0, SCALE.md r10) no longer produces a quadratic plan.
+    "fuzzy_match_suppliers",
+    # round-11: the one >=3 s bench query that had no curve (r10 task
+    # #4); its band is wide because it writes a partitioned IVF index
+    # to disk before probing.
+    "ann_ivf_persisted_probe",
     # round-10: first-time-benched >=3 s queries that never had a
-    # curve (r9 VERDICT task #3) + the round's new queries. NOTE:
-    # fuzzy_match_suppliers itself is deliberately NOT here — its
-    # prefix-14 block is one corpus-sized key, measured 4.0 s at sf0.1
-    # -> single-task >400 s DNF at sf1.0 (SCALE.md r10); the capped
-    # twin is the governed scale path and carries the curve.
+    # curve (r9 VERDICT task #3) + the round's new queries.
     "profile_events_table",
     "multimodal_real_resample_wav",
     "corpus_mix_doremi_sample",

@@ -153,12 +153,47 @@ def test_rake_phrase_semantics(spark):
 
 
 def test_theil_sen_robust_to_outlier(spark):
-    """Estimator semantics on a synthetic series: slope 2 line with one
-    wild outlier day — Theil-Sen must recover ~2 while the mean slope
-    would not. Exercises the same operator composition as the
-    registered query via a temp-view override is impractical, so this
-    pins the registered output's internal consistency instead, plus a
-    direct numpy cross-check of the lower-median convention."""
+    """Estimator robustness on a synthetic series: a slope-2 line with
+    one wild outlier day. The same pairwise-slope + lower-median
+    composition as the registered query (pair join on x1 < x2,
+    positional median with (slope, x1, x2) tie-break) must recover
+    slope exactly 2.0, while the MEAN of pairwise slopes — what a
+    naive estimator would report — is pulled far off the line."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    # y = 2x, except the LAST day spikes to 1e6 (an endpoint outlier —
+    # a centered one cancels symmetrically in the mean and would make
+    # the contrast assertion vacuous)
+    pts = [(x, 1_000_000.0 if x == 20 else 2.0 * x) for x in range(21)]
+    idx = spark.createDataFrame(pts, "x int, y double")
+    a = idx.select(F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = idx.select(F.col("x").alias("x2"), F.col("y").alias("y2"))
+    slopes = a.join(b, F.col("x1") < F.col("x2")).select(
+        "x1",
+        "x2",
+        ((F.col("y2") - F.col("y1")) / (F.col("x2") - F.col("x1"))).alias(
+            "slope"
+        ),
+    )
+    n_pairs = slopes.count()
+    assert n_pairs == 21 * 20 // 2
+    med_row = (
+        slopes.withColumn(
+            "rn", F.row_number().over(Window.orderBy("slope", "x1", "x2"))
+        )
+        .where(F.col("rn") == (n_pairs + 1) // 2)
+        .collect()[0]
+    )
+    assert med_row["slope"] == 2.0  # outlier cannot move the median
+    mean_slope = slopes.agg(F.avg("slope")).collect()[0][0]
+    assert abs(mean_slope - 2.0) > 100  # ...but it wrecks the mean
+
+
+def test_theil_sen_lower_median_convention(spark):
+    """Registered-output consistency: n_pairs reconstructs from n_days,
+    and the slope matches a direct numpy lower-median cross-check over
+    the same daily aggregate."""
     rows = REGISTRY["theil_sen_trend_daily_revenue"].fn(spark, SF_GATE).collect()
     assert len(rows) == 1
     r = rows[0]

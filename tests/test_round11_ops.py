@@ -1,0 +1,187 @@
+"""Round-11 operator tests: sorted-neighborhood fuzzy blocking (the
+structural fix for the round-10 degenerate-prefix scale catch) and the
+round's new operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_etl_pipeline_spark.queries import REGISTRY
+
+SF_GATE = "/root/testdata/sf0.01"
+
+
+# --- sorted-neighborhood blocking (operators/linkage.py) --------------------
+
+
+@pytest.mark.quick
+def test_snm_band_candidate_set_is_exact(spark):
+    """The rank-band decomposition (block equi-join + |Δrn| <= w
+    filter) must admit EXACTLY the pairs within `window` positions of
+    the sorted union — nothing outside the band, even at edit
+    distance <= max_dist. With left = right = a000..a019 the union
+    interleaves L/R copies, so left a{i} (rn 2i+1) and right a{j}
+    (rn 2j+2) are in-band for window=3 iff i-j in {-1, 0, 1, 2}."""
+    from crypto_etl_pipeline_spark.operators.linkage import (
+        sorted_neighborhood_join,
+    )
+
+    names = spark.createDataFrame(
+        [(i, f"a{i:03d}") for i in range(20)], "id long, name string"
+    )
+    out = sorted_neighborhood_join(
+        names,
+        names.selectExpr("id AS rid", "name AS rname"),
+        left_id="id",
+        left_text="name",
+        right_id="rid",
+        right_text="rname",
+        window=3,
+        max_dist=2,
+        top_k=10,
+    ).collect()
+    by_left = {}
+    for r in out:
+        by_left.setdefault(r["id"], set()).add(r["rid"])
+    # interior row: exactly the in-band right ids (all at dist <= 2,
+    # so the edit-distance filter removes nothing here)
+    assert by_left[10] == {8, 9, 10, 11}
+    # a009 <-> a005 is dist 1 but 9 ranks apart: must NOT appear
+    assert 5 not in by_left[9]
+    # edge truncates: left a000 is rn 1, rights a000/a001 are rn 2/4
+    # (in band), a002 is rn 6 (gap 5 — out)
+    assert by_left[0] == {0, 1}
+    assert by_left[19] == {17, 18, 19}
+    # best match (rank 1) is always the exact self at dist 0
+    best = {r["id"]: r for r in out if r["dist"] == 0}
+    assert all(best[i]["rid"] == i for i in range(20))
+
+
+@pytest.mark.quick
+def test_snm_linear_on_degenerate_prefix_distribution(spark):
+    """THE adversarial fixture from round 10: names that all share one
+    prefix-14 block (TPC-H 'Supplier#%09d'), which made the prefix
+    scheme a single-task all-pairs join. Under sorted-neighborhood
+    blocking the same distribution produces <= n*(2w+1) candidates by
+    construction — asserted here by counting the pre-distance-filter
+    candidate pairs directly."""
+    from crypto_etl_pipeline_spark.operators.linkage import (
+        sorted_neighborhood_join,
+    )
+
+    n, w = 300, 5
+    names = spark.createDataFrame(
+        [(i, f"Supplier#{i:09d}") for i in range(n)], "id long, name string"
+    )
+    out = sorted_neighborhood_join(
+        names,
+        names.selectExpr("id AS rid", "name AS rname"),
+        left_id="id",
+        left_text="name",
+        right_id="rid",
+        right_text="rname",
+        window=w,
+        max_dist=9,  # no distance pruning: count the raw band volume
+        top_k=2 * w + 1,
+    )
+    total = out.count()
+    assert total <= n * (2 * w + 1)
+    assert total > n  # non-vacuous: every row self-matches + neighbors
+    # and every row's best candidate is still its exact self
+    selfs = out.where((F.col("dist") == 0) & (F.col("id") == F.col("rid")))
+    assert selfs.count() == n
+
+
+@pytest.mark.quick
+def test_snm_window_miss_is_the_documented_caveat(spark):
+    """Blocking is approximate by design: a true match more than
+    `window` sorted positions away is never compared. A head-corrupted
+    name ('Xupplier...') sorts far from its origin, so SNM misses it —
+    the standard single-pass SNM caveat the operator docstring
+    documents (multi-pass over a reversed key would cover it)."""
+    from crypto_etl_pipeline_spark.operators.linkage import (
+        sorted_neighborhood_join,
+    )
+
+    rights = spark.createDataFrame(
+        [(i, f"Supplier#{i:09d}") for i in range(100)], "rid long, rname string"
+    )
+    # head corruption: first char replaced — sorts AFTER every 'S' name
+    left = spark.createDataFrame(
+        [(7, "Xupplier#000000007")], "id long, name string"
+    )
+    out = sorted_neighborhood_join(
+        left,
+        rights,
+        left_id="id",
+        left_text="name",
+        right_id="rid",
+        right_text="rname",
+        window=8,
+        max_dist=2,
+        top_k=1,
+    ).collect()
+    # dist("Xupplier#000000007", "Supplier#000000007") = 1, but the
+    # corrupted name sorts > all 100 'Supplier#...' names, 92 ranks
+    # from its origin — outside window 8. The TRUE match is missed;
+    # only a worse (dist-2) sort-boundary neighbor like '...097' can
+    # surface from inside the window.
+    assert all(r["rid"] != 7 and r["dist"] > 1 for r in out)
+
+
+# --- exact-substring dedup (ExactSubstr, sorted-suffix method) -------------
+
+
+@pytest.mark.quick
+def test_exact_repeated_substrings_semantics(spark):
+    """Known-plant corpus: a 6-token phrase shared verbatim by docs 1
+    and 2 (L=4 -> 3 repeated windows merging into one span of 6), an
+    intra-doc repeat in doc 3, and unique text in doc 4 that must
+    produce nothing."""
+    from crypto_etl_pipeline_spark.operators.dedup import (
+        exact_repeated_substrings,
+    )
+
+    shared = "the quick brown fox jumps high"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"{shared} zeta eta theta iota"),
+            (3, "x1 y1 z1 w1 q9 x1 y1 z1 w1 q8"),  # intra-doc 4-token repeat
+            (4, "u1 u2 u3 u4 u5 u6 u7 u8"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = exact_repeated_substrings(docs, min_len=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 4 not in by_doc  # unique text -> no spans
+    # docs 1 and 2: exactly one maximal span each, 6 tokens long
+    (s1,) = by_doc[1]
+    (s2,) = by_doc[2]
+    assert s1["span_tokens"] == 6 and s2["span_tokens"] == 6
+    assert s1["n_windows"] == 3 and s2["n_windows"] == 3
+    assert s1["min_occ"] == 2 and s2["min_occ"] == 2
+    # positions are 1-based: doc 1's span starts at token 3, doc 2's at 1
+    assert s1["span_start"] == 3 and s2["span_start"] == 1
+    # doc 3: 'x1 y1 z1 w1' occurs twice WITHIN the doc -> two spans
+    spans3 = sorted(by_doc[3], key=lambda r: r["span_start"])
+    assert [r["span_start"] for r in spans3] == [1, 6]
+    assert all(r["span_tokens"] == 4 and r["min_occ"] == 2 for r in spans3)
+
+
+def test_fuzzy_match_suppliers_snm_recall(spark):
+    """The registered query under the new blocking: every even key
+    self-matches at dist 0; every odd (tail-corrupted) key finds a
+    dist-1 neighbor — tail corruption keeps names sort-adjacent, so
+    SNM recall on this corpus is total."""
+    rows = REGISTRY["fuzzy_match_suppliers"].fn(spark, SF_GATE).collect()
+    by_id = {r["dirty_id"]: r for r in rows}
+    assert len(by_id) == 100
+    for k, r in by_id.items():
+        if k % 2 == 0:
+            assert r["dist"] == 0 and r["matched_id"] == k
+        else:
+            assert r["dist"] == 1
