@@ -31,124 +31,71 @@ from crypto_etl_pipeline_spark.queries import selection  # noqa: F401, E402
 
 # The driver's correctness gate samples the FIRST 50 entries of
 # queries(), so ordering is rotated each round to cycle coverage.
-# Union of the r1-r9 samples = 207 distinct names; never-sampled pool
-# after r9 = 97. Round 10 (VERDICT r9 task #2) leads with the round's
-# only red row (inverted_index_postings, driver-canon TypeError on its
-# array column, now stringified — deliberate re-inclusion), the latent
-# twin array_agg_order_history, the 8 round-9 queries, and the TEN new
-# round-10 queries (gated at birth so they never join the pool), then
-# fills the rest from the never-sampled pool: the remaining streaming
-# drains, the multimodal UDF family, the text-analysis tail,
-# packing/tokenizer, and retrieval/mixing. The quality/timeseries/
-# layout tail rotates in across r11-r12.
-#
-# r11 rotation input (computed from CORRECTNESS_r0{1..9}.json keys +
-# this round's deterministic first-50): 69 names never driver-sampled —
-# text_heavy_hitter_tokens text_kl_source_drift text_chi2_source_quality
-# multimodal_audio_resample multimodal_features
-# text_chunk_documents text_chunk_documents_udtf
-# active_learning_margin_topk approx_distinct_users
-# approx_percentile_value argmax_user_events benford_first_digit_audit
-# cohort_weekly_retention corpus_mix_temperature corpus_source_stats
-# corr_lineitem_price_qty curriculum_phase_schedule decayed_user_value
-# dedup_soft_weights_by_source degree_distribution_trade_graph
-# event_transition_matrix event_type_cooccurrence
-# ewma_user_purchase_value explode_doc_tokens global_sequence_ids
-# grouped_map_zscore histogram_quantile_rollup hybrid_rrf_retrieval
-# inter_event_gap_profile json_extract_props_stats
-# json_roundtrip_documents late_data_profile layout_skipping_audit
-# map_type_event_counts model_eval_suite model_pr_curve
-# ndjson_sink_roundtrip ohlc_hourly_bars partitioned_write_prune_read
-# pipeline_curation_v2 quality_completeness_events
-# quality_percentile_normalize quality_referential_audit
-# quality_rule_report quality_violations_orders
-# reconcile_checksum_events regexp_extract_entity_ids
-# resample_ffill_hourly rfm_segmentation rolling_wau rolling_wau_hll
-# rolling_zscore_anomaly rollup_reuse_daily_from_hourly
-# roundtrip_jsonl_events schema_evolution_merge_read
-# seasonal_anomaly_hour_profile semistructured_props_paths
-# session_window_batch source_overlap_matrix sql_interface_q1
-# sql_interface_window stat_aggregate_suite text_lr_score_fixed
-# timeseries_gapfill_hourly trend_regression_by_type
-# unpivot_customer_metrics vwap_daily weekly_rollup_calendar
-# zorder_layout_events
-# — r11 takes 50 of these, r12 the final 19.
+# Union of the r1-r10 samples = 256 distinct names; never-sampled pool
+# after r10 = 69 (registry 325 minus the union — VERDICT r10 task #2
+# lists it in full). Round 11 leads with the round's new queries
+# (gated at birth so they never join the pool) plus ONE deliberate
+# re-inclusion — fuzzy_match_suppliers, whose blocking changed from
+# the degenerate prefix-14 scheme to sorted-neighborhood this round
+# (VERDICT r10 task #1), so the fix gets an official green row — and
+# fills every remaining slot from the never-sampled pool in
+# alphabetical order. Pool after r11 = 22 names
+# (rollup_reuse_daily_from_hourly .. zorder_layout_events, the
+# quality/timeseries/sql/layout tail); r12 drains them all.
 _GATE_FIRST = (
-    # r9's only red: array<long> output broke the driver canonicalizer;
-    # output now array_join'ed (judge-MATCH post-fix) — re-included so
-    # the fix gets an official green row
-    "inverted_index_postings",
-    # latent same-class twin, never sampled, stringified this round
-    "array_agg_order_history",
-    # the 8 round-9 queries (judge-MATCH in the r9 sweep, no driver row)
-    "dedup_prune_vs_cap_report",
-    "dedup_simhash_banded_pairs_capped",
-    "dedup_simhash_hot_bucket_spill",
-    "dedup_minhash_lsh_capped",
-    "dedup_lsh_hot_bucket_spill",
-    "ann_ivf_pq_topk",
-    "ann_ivf_incremental_assign",
-    "corpus_mix_doremi_update",
-    # never-sampled: remaining streaming drains
-    "stream_heavy_hitters",
-    "stream_interval_join",
-    "stream_interval_join_full",
-    "stream_sketch_quantiles",
-    "stream_sketch_rollup",
-    # never-sampled: multimodal UDF family (audio_resample + features
-    # displaced to the r11 pool by the round-10b fourth wave below)
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    # round-10b fourth wave — gated at birth
-    "quality_confident_learning",
-    "window_funnel_horizon",
-    # never-sampled: text-analysis tail
-    "text_bigram_lm_score",
-    "text_boilerplate_ngram_prune",
-    "text_cdc_chunks",
-    # round-10b third wave — gated at birth; displaces
-    # text_chi2_source_quality, text_chunk_documents,
-    # text_chunk_documents_udtf (all judge-MATCH in the r9 sweep) to
-    # the r11 pool
-    "text_rake_keyphrases",
-    "theil_sen_trend_daily_revenue",
-    "quality_psi_event_drift",
-    "text_entropy_signals",
-    "text_excise_duplicated_spans",
-    # round-10b second pair — gated at birth; the two text-tail drains
-    # they displace (text_heavy_hitter_tokens, text_kl_source_drift —
-    # judge-MATCH in the r9 sweep) return to the pool for r11
-    "textrank_keywords",
-    "graph_adamic_adar_linkpred",
-    # never-sampled: ANN / packing / tokenizer
-    "ann_ivf_refined_topk",
-    "pack_ffd_bins",
-    "pack_training_sequences",
-    "tokenizer_pair_stats",
-    "vocab_coverage_curve",
-    "oov_rate_by_lang",
-    "bpe_encode_token_counts",
-    # round-10b wave (training-batch prep) — gated at birth; the four
-    # retrieval/mixing drains they displace (active_learning_margin_topk,
-    # hybrid_rrf_retrieval, curriculum_phase_schedule,
-    # corpus_mix_temperature — all judge-MATCH in the r9 sweep) return
-    # to the pool for the r11 rotation
-    "ccnet_quality_buckets",
-    "cluster_balanced_sample",
-    "span_corruption_mask_stats",
-    "length_bucketed_batching",
-    # NEW this round — gated immediately so they never join the
-    # never-sampled pool (quality/timeseries tail returns in r11)
-    "entity_resolution_clusters",
-    "multimodal_phash_banded_pairs",
-    "multimodal_phash_bucket_spill",
-    "multimodal_real_resample_wav",
-    "corpus_mix_doremi_sample",
-    "multimodal_audio_vad_segments",
-    "multimodal_image_phash_dedup",
-    "fuzzy_match_suppliers_capped",
-    "fuzzy_block_spill",
-    "join_key_skew_audit",
+    # NEW this round — gated at birth
+    "dedup_exact_substrings",
+    "pipeline_pretrain_corpus_v1",
+    # deliberate re-inclusion: blocking scheme replaced this round
+    "fuzzy_match_suppliers",
+    # never-sampled pool, alphabetical (47 of 69)
+    "active_learning_margin_topk",
+    "approx_distinct_users",
+    "approx_percentile_value",
+    "argmax_user_events",
+    "benford_first_digit_audit",
+    "cohort_weekly_retention",
+    "corpus_mix_temperature",
+    "corpus_source_stats",
+    "corr_lineitem_price_qty",
+    "curriculum_phase_schedule",
+    "decayed_user_value",
+    "dedup_soft_weights_by_source",
+    "degree_distribution_trade_graph",
+    "event_transition_matrix",
+    "event_type_cooccurrence",
+    "ewma_user_purchase_value",
+    "explode_doc_tokens",
+    "global_sequence_ids",
+    "grouped_map_zscore",
+    "histogram_quantile_rollup",
+    "hybrid_rrf_retrieval",
+    "inter_event_gap_profile",
+    "json_extract_props_stats",
+    "json_roundtrip_documents",
+    "late_data_profile",
+    "layout_skipping_audit",
+    "map_type_event_counts",
+    "model_eval_suite",
+    "model_pr_curve",
+    "multimodal_audio_resample",
+    "multimodal_features",
+    "ndjson_sink_roundtrip",
+    "ohlc_hourly_bars",
+    "partitioned_write_prune_read",
+    "pipeline_curation_v2",
+    "quality_completeness_events",
+    "quality_percentile_normalize",
+    "quality_referential_audit",
+    "quality_rule_report",
+    "quality_violations_orders",
+    "reconcile_checksum_events",
+    "regexp_extract_entity_ids",
+    "resample_ffill_hourly",
+    "rfm_segmentation",
+    "rolling_wau",
+    "rolling_wau_hll",
+    "rolling_zscore_anomaly",
 )
 
 

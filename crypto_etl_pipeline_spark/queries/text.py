@@ -3138,6 +3138,345 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRETRAIN_MIX_FRAC = 0.5  #: mix-sample doc budget as a fraction of survivors
+PRETRAIN_MIX_SALT = "pretrain-mix-v1"  #: hash-gate salt for the mix sample
+
+
+@register(
+    "pipeline_pretrain_corpus_v1",
+    oracle=f"""
+    WITH RECURSIVE
+    raw AS MATERIALIZED (
+      SELECT doc_id, source, text,
+             regexp_split_to_array(text, '\\s+') AS ws
+      FROM documents
+    ),
+    sig AS MATERIALIZED (
+      SELECT doc_id, source, text, len(ws) AS n_tok,
+             (len(ws) BETWEEN 50 AND 100000
+              AND round(list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws), 6) BETWEEN 3.0 AND 10.0
+              AND len(list_filter(ws, x -> x IN ({_EN}))) >= 2
+              AND round(len(list_distinct(ws))::DOUBLE / len(ws), 6) >= 0.2
+              AND round(len(list_filter(ws, x -> regexp_full_match(x, '[A-Za-z]+')))::DOUBLE / len(ws), 6) >= 0.8
+              AND round(len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...') OR contains(x, '…')))::DOUBLE / len(ws), 6) <= 0.1
+             ) AS keep_q
+      FROM raw
+    ),
+    q1 AS MATERIALIZED (
+      SELECT doc_id, source, text, n_tok FROM sig WHERE keep_q
+    ),
+    fp AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+      FROM q1
+    ),
+    keep2 AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+    s2 AS MATERIALIZED (SELECT q1.* FROM q1 JOIN keep2 USING (doc_id)),
+    {{mh}},
+    dropped AS (
+      SELECT s2.source, count(*)::BIGINT AS spill
+      FROM (
+        SELECT doc_id FROM bands
+        QUALIFY count(*) OVER (PARTITION BY band, bucket) > {{cap}}
+      ) db JOIN s2 USING (doc_id)
+      GROUP BY s2.source
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS a, id_b AS b FROM mh_pairs
+      UNION SELECT id_b, id_a FROM mh_pairs
+    ),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM s2
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    cl AS MATERIALIZED (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+    s3 AS MATERIALIZED (
+      SELECT s2.* FROM s2 JOIN cl ON cl.id = s2.doc_id AND cl.cluster_id = cl.id
+    ),
+    g8 AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 8 THEN
+               list_distinct(list_transform(generate_series(1, len(ws) - 7),
+                 i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]
+                      || '_' || ws[i+4] || '_' || ws[i+5] || '_' || ws[i+6]
+                      || '_' || ws[i+7]))
+             ELSE [] END AS g
+      FROM raw
+    ),
+    eg AS MATERIALIZED (
+      SELECT DISTINCT u.gram FROM g8, LATERAL unnest(g) AS u(gram)
+      WHERE doc_id % 10 = 0
+    ),
+    contam AS MATERIALIZED (
+      SELECT DISTINCT t.doc_id
+      FROM (SELECT g8.doc_id, u.gram
+            FROM g8 JOIN s3 USING (doc_id), LATERAL unnest(g) AS u(gram)
+            WHERE g8.doc_id % 10 <> 0) t
+      JOIN eg USING (gram)
+    ),
+    s4 AS MATERIALIZED (
+      SELECT s3.* FROM s3
+      WHERE s3.doc_id % 10 <> 0
+        AND s3.doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    spine AS (SELECT DISTINCT source FROM documents),
+    a0 AS (SELECT source, count(*)::BIGINT AS docs, sum(n_tok)::BIGINT AS tokens
+           FROM sig GROUP BY source),
+    a1 AS (SELECT source, count(*)::BIGINT AS docs, sum(n_tok)::BIGINT AS tokens
+           FROM q1 GROUP BY source),
+    a2 AS (SELECT source, count(*)::BIGINT AS docs, sum(n_tok)::BIGINT AS tokens
+           FROM s2 GROUP BY source),
+    a3 AS (SELECT source, count(*)::BIGINT AS docs, sum(n_tok)::BIGINT AS tokens
+           FROM s3 GROUP BY source),
+    a4 AS (SELECT source, count(*)::BIGINT AS docs, sum(n_tok)::BIGINT AS tokens
+           FROM s4 GROUP BY source),
+    msz AS (SELECT source, sum(n_tok)::BIGINT AS t_s, count(*)::BIGINT AS n_s
+            FROM s4 GROUP BY source),
+    mtot AS (SELECT sum(t_s)::BIGINT AS tt, sum(n_s)::BIGINT AS nn FROM msz),
+    mtq AS (
+      SELECT source, n_s, pow(t_s * 1.0 / mtot.tt, {{alpha}}) AS q_raw, mtot.nn
+      FROM msz CROSS JOIN mtot
+    ),
+    mrate AS (
+      SELECT source, n_s,
+             round(least(1.0,
+               {PRETRAIN_MIX_FRAC} * nn * (q_raw / (SELECT sum(q_raw) FROM mtq))
+               / n_s), 6) AS rate
+      FROM mtq
+    ),
+    msam AS (
+      SELECT s4.source, count(*)::BIGINT AS docs, sum(s4.n_tok)::BIGINT AS tokens
+      FROM s4 JOIN mrate USING (source)
+      WHERE ('0x' || substr(md5(s4.doc_id::VARCHAR || '{PRETRAIN_MIX_SALT}'), 1, 15))::BIGINT
+              % 1000000 < floor(rate * 1000000)::BIGINT
+      GROUP BY s4.source
+    )
+    SELECT 0 AS stage, 'raw' AS stage_name, sp.source,
+           coalesce(a0.docs, 0)::BIGINT AS docs, coalesce(a0.tokens, 0)::BIGINT AS tokens,
+           0::BIGINT AS spill
+    FROM spine sp LEFT JOIN a0 USING (source)
+    UNION ALL
+    SELECT 1, 'quality_gopher', sp.source, coalesce(a1.docs, 0), coalesce(a1.tokens, 0), 0
+    FROM spine sp LEFT JOIN a1 USING (source)
+    UNION ALL
+    SELECT 2, 'exact_dedup', sp.source, coalesce(a2.docs, 0), coalesce(a2.tokens, 0), 0
+    FROM spine sp LEFT JOIN a2 USING (source)
+    UNION ALL
+    SELECT 3, 'near_dup_lsh', sp.source, coalesce(a3.docs, 0), coalesce(a3.tokens, 0),
+           coalesce(dropped.spill, 0)
+    FROM spine sp LEFT JOIN a3 USING (source) LEFT JOIN dropped USING (source)
+    UNION ALL
+    SELECT 4, 'decontaminate', sp.source, coalesce(a4.docs, 0), coalesce(a4.tokens, 0), 0
+    FROM spine sp LEFT JOIN a4 USING (source)
+    UNION ALL
+    SELECT 5, 'tokenize_pack', sp.source,
+           (coalesce(a4.tokens, 0) + {{pcap}} - 1) // {{pcap}},
+           coalesce(a4.tokens, 0), 0
+    FROM spine sp LEFT JOIN a4 USING (source)
+    UNION ALL
+    SELECT 6, 'mix_sample', sp.source, coalesce(msam.docs, 0), coalesce(msam.tokens, 0), 0
+    FROM spine sp LEFT JOIN msam USING (source)
+    """.replace("{mh}", _minhash_ctes(source="s2", bucket_cap=16)).replace(
+        "{cap}", "16"
+    ).replace("{alpha}", "0.3").replace("{pcap}", "128"),
+    description=(
+        "End-to-end pretrain-corpus composition: Gopher quality gate -> "
+        "exact dedup -> capped MinHash-LSH cluster keep-one -> eval "
+        "decontamination -> pack accounting -> temperature mix sample, "
+        "as a per-source per-stage funnel (docs, tokens, spill)"
+    ),
+    tags=("text", "pipeline", "dedup", "quality", "sampling"),
+)
+def pipeline_pretrain_corpus_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain a pretraining-data owner runs before a
+    tokenizer ever sees a byte (VERDICT r10 gap #2) — every stage an
+    already-oracled operator, composed into ONE funnel report:
+
+    1. **quality_gopher** — the published Gopher screen (Rae et al.
+       2021), zero-shuffle HOF conjunction (text_gopher_filters).
+    2. **exact_dedup** — min-id canonical per md5 fingerprint.
+    3. **near_dup_lsh** — capped MinHash-LSH buckets -> verified pairs
+       -> connected components, keep cluster minimum
+       (dedup_cascade_report's governed stage); the per-source
+       ``spill`` column counts THIS source's bucket memberships the
+       cap dropped — the funnel's non-silent-cap discipline.
+    4. **decontaminate** — drop the held-out eval slice (doc_id%10=0)
+       and any survivor sharing a distinct 8-gram with it
+       (decontaminate_eval_overlap's containment join).
+    5. **tokenize_pack** — packing accounting: docs column becomes the
+       per-source packed-sequence count ceil(tokens/128) (the slicing
+       formulation of pack_training_sequences; exact integer div).
+    6. **mix_sample** — mT5 temperature mixing over surviving TOKEN
+       mass (alpha=0.3), doc budget PRETRAIN_MIX_FRAC of survivors,
+       applied by the md5 hash gate (corpus_mix_temperature's
+       deterministic 1e-6-grid rate cut).
+
+    Scale shape: stages 1/2 are one scan + one fingerprint shuffle;
+    stage 3 reuses the checkpointed bucket/shingle tables
+    (one tokenize/hash/band pass, the r8 self-join lesson); stage 4's
+    eval gram set is DISTINCT-collapsed (AQE broadcasts it); stages
+    5/6 are dim-table arithmetic on per-source aggregates. Output is
+    |sources| x 7 rows. The funnel (docs, tokens, spill per stage per
+    source) is exactly what a 100 TB ingest run logs per batch."""
+    from crypto_etl_pipeline_spark.operators.cluster import dedup_clusters
+    from crypto_etl_pipeline_spark.operators.dedup import (
+        cap_hot_buckets,
+        exact_dedup,
+        minhash_buckets,
+        near_dup_pairs_from_buckets,
+    )
+    from crypto_etl_pipeline_spark.operators.sampling import GATE, hash_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    base = (
+        docs.repartition(n_parts, F.col("doc_id"))
+        .select(
+            "doc_id", "source", "text", textops.tokens(F.col("text")).alias("_toks")
+        )
+        .localCheckpoint(eager=False)
+    )
+    gsig = textops.gopher_signals(toks=F.col("_toks"))
+    feat = base.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size("_toks").alias("n_tok"),
+        gsig["gopher_keep"].alias("keep_q"),
+    ).localCheckpoint(eager=False)
+    s1 = feat.where("keep_q").drop("keep_q")
+    canon2 = exact_dedup(s1, "text", "doc_id").select("doc_id")
+    s2 = s1.join(canon2, "doc_id").localCheckpoint(eager=False)
+
+    buckets, sh_tbl = minhash_buckets(s2)
+    buckets = buckets.localCheckpoint(eager=False)
+    wbb = Window.partitionBy("band", "bucket")
+    dropped = (
+        buckets.withColumn("_bn", F.count(F.lit(1)).over(wbb))
+        .where(F.col("_bn") > CASCADE_BUCKET_CAP)
+        .join(s2.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("spill"))
+    )
+    pairs = near_dup_pairs_from_buckets(
+        cap_hot_buckets(buckets, CASCADE_BUCKET_CAP), sh_tbl, threshold=0.05
+    ).select("id_a", "id_b")
+    clusters = dedup_clusters(s2, pairs)
+    s3 = s2.join(
+        clusters.where(F.col("is_canonical")).select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=False)
+
+    g8 = base.select(
+        "doc_id",
+        F.array_distinct(textops.shingles_of(F.col("_toks"), 8)).alias("_g"),
+    ).localCheckpoint(eager=False)
+    eval_g = (
+        g8.where(F.col("doc_id") % 10 == 0)
+        .select(F.explode("_g").alias("gram"))
+        .distinct()
+    )
+    contam = (
+        g8.join(s3.select("doc_id"), "doc_id")
+        .where(F.col("doc_id") % 10 != 0)
+        .select("doc_id", F.explode("_g").alias("gram"))
+        .join(eval_g, "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    s4 = (
+        s3.where(F.col("doc_id") % 10 != 0)
+        .join(contam, "doc_id", "left_anti")
+        .localCheckpoint(eager=False)
+    )
+
+    spine = base.select("source").distinct()
+
+    def _stage(df, stage, name, spill_df=None):
+        agg = df.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("n_tok").cast("long").alias("tokens"),
+        )
+        j = spine.join(agg, "source", "left")
+        if spill_df is not None:
+            j = j.join(spill_df, "source", "left")
+        return j.select(
+            F.lit(stage).alias("stage"),
+            F.lit(name).alias("stage_name"),
+            "source",
+            F.coalesce("docs", F.lit(0)).cast("long").alias("docs"),
+            F.coalesce("tokens", F.lit(0)).cast("long").alias("tokens"),
+            (
+                F.coalesce("spill", F.lit(0)).cast("long")
+                if spill_df is not None
+                else F.lit(0).cast("long")
+            ).alias("spill"),
+        )
+
+    a0 = _stage(feat, 0, "raw")
+    a1 = _stage(s1, 1, "quality_gopher")
+    a2 = _stage(s2, 2, "exact_dedup")
+    a3 = _stage(s3, 3, "near_dup_lsh", spill_df=dropped)
+    a4 = _stage(s4, 4, "decontaminate")
+
+    t4 = s4.groupBy("source").agg(F.sum("n_tok").cast("long").alias("t"))
+    a5 = (
+        spine.join(t4, "source", "left")
+        .select(
+            F.lit(5).alias("stage"),
+            F.lit("tokenize_pack").alias("stage_name"),
+            "source",
+            F.expr(f"(coalesce(t, 0) + {PACK_CAPACITY - 1}) div {PACK_CAPACITY}")
+            .cast("long")
+            .alias("docs"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("tokens"),
+            F.lit(0).cast("long").alias("spill"),
+        )
+    )
+
+    msz = s4.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("t_s"),
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+    )
+    mtot = msz.agg(
+        F.sum("t_s").cast("long").alias("tt"), F.sum("n_s").cast("long").alias("nn")
+    )
+    mtq = msz.crossJoin(F.broadcast(mtot)).select(
+        "source",
+        "n_s",
+        "nn",
+        F.pow(F.col("t_s") / F.col("tt"), F.lit(MIX_ALPHA)).alias("q_raw"),
+    )
+    mqs = mtq.agg(F.sum("q_raw").alias("qs"))
+    mrate = mtq.crossJoin(F.broadcast(mqs)).select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(PRETRAIN_MIX_FRAC)
+                * F.col("nn")
+                * (F.col("q_raw") / F.col("qs"))
+                / F.col("n_s"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    sampled = s4.join(F.broadcast(mrate), "source").where(
+        hash_gate(F.col("doc_id"), PRETRAIN_MIX_SALT)
+        < F.floor(F.col("rate") * GATE).cast("long")
+    )
+    a6 = _stage(sampled, 6, "mix_sample")
+
+    return (
+        a0.unionByName(a1)
+        .unionByName(a2)
+        .unionByName(a3)
+        .unionByName(a4)
+        .unionByName(a5)
+        .unionByName(a6)
+    )
+
+
 EVAL_T = 0.1  #: confusion-matrix operating threshold on the score
 #: (an exact integer quotient in both engines — no FP edge)
 

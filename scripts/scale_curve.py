@@ -202,6 +202,9 @@ HEAVY = [
     # round-10b fourth wave
     "quality_confident_learning",
     "window_funnel_horizon",
+    # round-11 queries — born with curves
+    "dedup_exact_substrings",
+    "pipeline_pretrain_corpus_v1",
 ]
 
 

@@ -36,11 +36,13 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: including the min) and ratchets DOWN when the suite is profiled
 #: down. Sub-5-minute iteration lives in the quick tier
 #: (`pytest -m quick`), not in loosening this bar.
-#: r10 quiet-host recording: 754.0 s / 311 queries = 2.424 s/query
-#: (2,310 tests) — below the r9 2.55 target despite +7 queries, so the
-#: tripwire ratchets 3.0 -> 2.9 -> 2.6 (one notch above the recorded
-#: quiet cost; the min-of-history assertion absorbs loaded-host runs).
-GATE_BUDGET_S = 2.6
+#: r11 correction (VERDICT r10 task #3): the r10 ratchet to 2.6 was
+#: keyed off the 754.0 s / 311-query = 2.424 reading — a run recorded
+#: with passing=false (a broken tree is not a cost record), which the
+#: tripwire now EXCLUDES. Best PASSING record is the r8 304-tree
+#: 2.815 s/query; budget sits one notch above that and ratchets down
+#: only when a green quiet-host run beats it.
+GATE_BUDGET_S = 2.9
 
 #: how many registered-but-not-yet-benched names are tolerable — new
 #: queries land between bench passes; anything beyond a round's worth
@@ -56,7 +58,17 @@ def test_per_query_gate_cost_within_budget():
     with open(path) as fh:
         rec = json.load(fh)
     history = rec.get("history") or [rec]
-    best = min(h["per_query_s"] for h in history)
+    # min over PASSING runs only (VERDICT r10 task #3a): a red run
+    # still executes every test (conftest records exitstatus 1), but
+    # it measured a BROKEN tree — failing tests skip their assertion
+    # tails and retried/errored Spark jobs distort wall time — so its
+    # per-query figure is not a cost record the tripwire may ratchet
+    # against. Entries predating the `passing` key were recorded only
+    # on green unfiltered runs (old conftest contract), so default True.
+    passing_hist = [h for h in history if h.get("passing", True)]
+    if not passing_hist:
+        pytest.skip("no passing full-suite run recorded yet")
+    best = min(h["per_query_s"] for h in passing_hist)
     assert best <= GATE_BUDGET_S, (
         f"full-suite gate cost min over last {len(history)} recorded "
         f"run(s) = {best} s/query (latest: {rec['suite_wall_s']} s / "

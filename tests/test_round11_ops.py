@@ -172,6 +172,81 @@ def test_exact_repeated_substrings_semantics(spark):
     assert all(r["span_tokens"] == 4 and r["min_occ"] == 2 for r in spans3)
 
 
+# --- gate-rotation discipline (VERDICT r10 optional #8) ---------------------
+
+#: queries DELIBERATELY re-included in this round's driver sample
+#: (update each round alongside _GATE_FIRST)
+INTENDED_REINCLUSIONS = {"fuzzy_match_suppliers"}
+
+
+@pytest.mark.quick
+def test_gate_rotation_no_accidental_resample():
+    """The driver samples the first 50 names of queries(); rotation
+    discipline says those slots go to never-sampled or brand-new
+    queries, with re-runs of already-green names only when DELIBERATE
+    (a semantics change that needs a fresh official row). Enforced
+    here instead of by convention: first-50 ∩ previously-sampled must
+    equal INTENDED_REINCLUSIONS exactly."""
+    import glob
+    import json
+    import os
+
+    from crypto_etl_pipeline_spark.queries import queries
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sampled = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        sampled.update(json.load(open(f)).keys())
+    if not sampled:  # fresh checkout without driver artifacts
+        pytest.skip("no CORRECTNESS_r*.json present")
+    first50 = list(queries())[:50]
+    overlap = set(first50) & sampled
+    assert overlap == INTENDED_REINCLUSIONS, (
+        f"accidental re-samples: {sorted(overlap - INTENDED_REINCLUSIONS)}; "
+        f"missing intended: {sorted(INTENDED_REINCLUSIONS - overlap)}"
+    )
+
+
+# --- end-to-end pretrain corpus funnel --------------------------------------
+
+
+def test_pretrain_funnel_invariants(spark):
+    """Funnel algebra across the 7 stages x 20 sources: docs and
+    tokens are non-increasing through the removal stages (1-4), stage
+    5's sequence count is the exact ceil-div of stage-4 tokens, the
+    mix sample is a subset of survivors, and every source appears in
+    every stage (the spine keeps zero rows visible)."""
+    rows = REGISTRY["pipeline_pretrain_corpus_v1"].fn(spark, SF_GATE).collect()
+    stages = {}
+    for r in rows:
+        stages.setdefault(r["stage"], {})[r["source"]] = r
+    assert sorted(stages) == list(range(7))
+    srcs = set(stages[0])
+    assert len(srcs) == 20
+    for st in range(7):
+        assert set(stages[st]) == srcs  # rectangular: spine preserved
+    for s in srcs:
+        d = [stages[st][s]["docs"] for st in range(5)]
+        t = [stages[st][s]["tokens"] for st in range(5)]
+        assert d == sorted(d, reverse=True), (s, d)  # removal stages shrink
+        assert t == sorted(t, reverse=True), (s, t)
+        # stage 5: sequences = ceil(stage-4 tokens / 128), token mass kept
+        t4 = stages[4][s]["tokens"]
+        assert stages[5][s]["docs"] == (t4 + 127) // 128
+        assert stages[5][s]["tokens"] == t4
+        # stage 6: sampled docs/tokens never exceed stage-4 survivors
+        assert stages[6][s]["docs"] <= stages[4][s]["docs"]
+        assert stages[6][s]["tokens"] <= t4
+        # spill only ever appears on the near-dup stage
+        for st in (0, 1, 2, 4, 5, 6):
+            assert stages[st][s]["spill"] == 0
+    # the gate actually gates: quality removes docs, decon removes docs
+    tot = lambda st, k: sum(stages[st][s][k] for s in srcs)  # noqa: E731
+    assert tot(1, "docs") < tot(0, "docs")
+    assert tot(4, "docs") < tot(3, "docs")
+    assert 0 < tot(6, "docs") < tot(4, "docs")
+
+
 def test_fuzzy_match_suppliers_snm_recall(spark):
     """The registered query under the new blocking: every even key
     self-matches at dist 0; every odd (tail-corrupted) key finds a
