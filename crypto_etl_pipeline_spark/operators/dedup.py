@@ -635,6 +635,81 @@ def exact_repeated_substrings(
     )
 
 
+def exact_repeated_substrings_excise(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 10,
+) -> DataFrame:
+    """The APPLY half of :func:`exact_repeated_substrings` — ExactSubstr's
+    dedup policy (Lee et al. ACL'22): the CORPUS-FIRST occurrence of
+    every repeated substring survives, all later occurrences are
+    excised. One row per document: (doc_id, n_tokens, n_removed,
+    clean_text); clean_text NULL when every token was a later copy
+    (drop the doc).
+
+    Window classification rides the same per-gram shuffle as the
+    report: occurrence count (repeated iff >= 2) plus first-occurrence
+    rank (row_number by (doc_id, pos) — the corpus-order tie-break)
+    share one (gram)-partitioned exchange. A token is removed iff it
+    is covered by some NON-FIRST repeated window and by NO first
+    repeated window — so the surviving copy keeps its tokens even
+    where other repeats overlap it, a deterministic interval rule the
+    oracle replays token-by-token. The excision itself is the
+    zero-shuffle HOF-filter map of excise_duplicated_spans; only the
+    repeated-window sliver (tiny relative to the corpus) shuffles."""
+    from pyspark.sql.window import Window
+
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    arr = (
+        docs.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            F.col(id_col),
+            "_toks",
+            shingles_of(F.col("_toks"), min_len).alias("_g"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pos = arr.select(
+        F.col(id_col), F.posexplode("_g").alias("_p0", "_gram")
+    ).select(id_col, (F.col("_p0") + 1).cast("long").alias("pos"), "_gram")
+    w_cnt = Window.partitionBy("_gram")
+    w_rn = Window.partitionBy("_gram").orderBy(id_col, "pos")
+    span = F.struct(
+        F.col("pos").alias("s"),
+        (F.col("pos") + min_len - 1).alias("e"),
+    )
+    rep = (
+        pos.withColumn("occ", F.count(F.lit(1)).over(w_cnt))
+        .withColumn("rn", F.row_number().over(w_rn))
+        .where(F.col("occ") >= 2)
+    )
+    iv = rep.groupBy(id_col).agg(
+        F.collect_list(F.when(F.col("rn") > 1, span)).alias("_nf"),
+        F.collect_list(F.when(F.col("rn") == 1, span)).alias("_ff"),
+    )
+    joined = arr.join(iv, id_col, "left").select(
+        F.col(id_col),
+        "_toks",
+        F.coalesce(F.col("_nf"), F.array()).alias("_nfn"),
+        F.coalesce(F.col("_ff"), F.array()).alias("_ffn"),
+    )
+    covered = lambda col, i: F.exists(  # noqa: E731
+        F.col(col), lambda v: (i + 1 >= v.s) & (i + 1 <= v.e)
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda x, i: ~(covered("_nfn", i) & ~covered("_ffn", i)),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.when(F.size(kept) > 0, F.array_join(kept, " ")).alias("clean_text"),
+    )
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",

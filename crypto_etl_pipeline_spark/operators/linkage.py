@@ -88,6 +88,7 @@ def sorted_neighborhood_join(
     window: int = 64,
     max_dist: int = 2,
     top_k: int = 1,
+    keys: tuple = (None,),
 ) -> DataFrame:
     """Fuzzy best-match via sorted-neighborhood blocking (Hernandez &
     Stolfo 1995): both sides merge into ONE globally sorted name
@@ -114,12 +115,58 @@ def sorted_neighborhood_join(
     nm, side, uid)` and steps 2-3 as a rank band join (`r.rn BETWEEN
     l.rn - w AND l.rn + w`) — identical candidate set.
 
-    Like every blocking scheme this is approximate-by-design: a true
-    match more than ``window`` sorted positions away is never
+    Like every blocking scheme a single pass is approximate-by-design:
+    a true match more than ``window`` sorted positions away is never
     compared. On near-duplicate names (edit distance <= 2) the sort
     places them adjacent unless the corruption hits the string's
-    FIRST characters — the standard SNM caveat; multi-pass SNM over a
-    reversed key would cover that and is left unbuilt."""
+    FIRST characters — the standard SNM caveat. ``keys`` is the
+    standard fix (multi-pass SNM): one entry per pass, each a
+    Column -> Column sort-key transform (None = the name itself);
+    candidates union across passes before the single best-match rank.
+    ``keys=(None, F.reverse)`` covers both head and tail corruption —
+    a name mangled at either end still sorts adjacent to its origin
+    under one of the two keys. Cost is additive per pass (each pass
+    is its own <= n*(2w+1) band)."""
+    passes = [
+        _snm_candidates(
+            left, right, left_id, left_text, right_id, right_text, window, key
+        )
+        for key in keys
+    ]
+    cand = passes[0]
+    for p in passes[1:]:
+        cand = cand.unionByName(p)
+    if len(passes) > 1:
+        cand = cand.dropDuplicates([left_id, right_id])
+    cand = cand.withColumn(
+        "dist", F.levenshtein(F.col(left_text), F.col(right_text))
+    )
+    w = Window.partitionBy(left_id).orderBy(
+        F.asc("dist"), F.asc(right_text), F.asc(right_id)
+    )
+    return (
+        cand.where(F.col("dist") <= max_dist)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= top_k)
+        .drop("_rk")
+    )
+
+
+def _snm_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_text: str,
+    right_id: str,
+    right_text: str,
+    window: int,
+    key,
+) -> DataFrame:
+    """One SNM pass: (left_id, left_text, right_id, right_text) pairs
+    within ``window`` positions of the union sorted by ``key`` of the
+    text (None = identity). Order key (_sk, _side, _uid) is unique
+    because ids are, satisfying global_ordinals' density contract."""
+    kf = (lambda c: c) if key is None else key
     lb = left.select(
         F.col(left_id).alias("_uid"),
         F.col(left_text).alias("_nm"),
@@ -133,7 +180,9 @@ def sorted_neighborhood_join(
     from crypto_etl_pipeline_spark.operators.sampling import global_ordinals
 
     ranked = global_ordinals(
-        lb.unionByName(rb), ["_nm", "_side", "_uid"], seq_col="_rn"
+        lb.unionByName(rb).withColumn("_sk", kf(F.col("_nm"))),
+        ["_sk", "_side", "_uid"],
+        seq_col="_rn",
     )
     lr = ranked.where(F.col("_side") == 0).select(
         F.col("_uid").alias(left_id),
@@ -152,28 +201,15 @@ def sorted_neighborhood_join(
         .withColumn(
             "_blk",
             F.explode(
-                F.array(
-                    F.col("_b0") - 1, F.col("_b0"), F.col("_b0") + 1
-                )
+                F.array(F.col("_b0") - 1, F.col("_b0"), F.col("_b0") + 1)
             ),
         )
         .drop("_b0")
     )
-    cand = (
+    return (
         lr.join(rr, "_blk")
         .where(F.abs(F.col("_rn_l") - F.col("_rn_r")) <= window)
-        .withColumn(
-            "dist", F.levenshtein(F.col(left_text), F.col(right_text))
-        )
-    )
-    w = Window.partitionBy(left_id).orderBy(
-        F.asc("dist"), F.asc(right_text), F.asc(right_id)
-    )
-    return (
-        cand.where(F.col("dist") <= max_dist)
-        .withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= top_k)
-        .drop("_blk", "_rk", "_rn_l", "_rn_r")
+        .select(left_id, left_text, right_id, right_text)
     )
 
 

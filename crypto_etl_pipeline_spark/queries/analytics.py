@@ -852,6 +852,119 @@ def fuzzy_match_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fuzzy_match_suppliers_multipass",
+    oracle=f"""
+    WITH dirty AS (
+      SELECT s_suppkey AS dirty_id,
+             CASE WHEN s_suppkey % 4 = 1 THEN 'X' || substr(s_name, 2, 17)
+                  WHEN s_suppkey % 4 = 3 THEN substr(s_name, 1, 17) || 'X'
+                  ELSE s_name END AS dirty_name
+      FROM supplier
+    ),
+    u AS (
+      SELECT dirty_name AS nm, 0 AS side, dirty_id AS uid FROM dirty
+      UNION ALL
+      SELECT s_name, 1, s_suppkey FROM supplier
+    ),
+    r1 AS (SELECT nm, side, uid,
+                  row_number() OVER (ORDER BY nm, side, uid) AS rn FROM u),
+    r2 AS (SELECT nm, side, uid,
+                  row_number() OVER (ORDER BY reverse(nm), side, uid) AS rn FROM u),
+    c1 AS (
+      SELECT l.uid AS dirty_id, l.nm AS dirty_name,
+             r.uid AS s_suppkey, r.nm AS s_name
+      FROM r1 l JOIN r1 r
+        ON l.side = 0 AND r.side = 1
+       AND r.rn BETWEEN l.rn - {SNM_WINDOW} AND l.rn + {SNM_WINDOW}
+    ),
+    c2 AS (
+      SELECT l.uid AS dirty_id, l.nm AS dirty_name,
+             r.uid AS s_suppkey, r.nm AS s_name
+      FROM r2 l JOIN r2 r
+        ON l.side = 0 AND r.side = 1
+       AND r.rn BETWEEN l.rn - {SNM_WINDOW} AND l.rn + {SNM_WINDOW}
+    ),
+    cand AS (SELECT DISTINCT * FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)),
+    scored AS (
+      SELECT *, levenshtein(dirty_name, s_name) AS dist FROM cand
+      WHERE levenshtein(dirty_name, s_name) <= 2
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY dirty_id
+                                   ORDER BY dist, s_name, s_suppkey) AS rk
+      FROM scored
+    )
+    SELECT dirty_id, dirty_name,
+           CASE WHEN dirty_id % 4 = 1 THEN 'head'
+                WHEN dirty_id % 4 = 3 THEN 'tail' ELSE 'none' END AS corruption,
+           s_suppkey AS matched_id, dist,
+           dirty_id = s_suppkey AS exact_entity
+    FROM best WHERE rk = 1
+    """,
+    description=(
+        f"Multi-pass sorted-neighborhood linkage (forward + reversed sort "
+        f"keys, window {SNM_WINDOW}): head-corrupted names that a single "
+        f"pass misses are caught by the reversed pass"
+    ),
+    tags=("linkage", "join", "window"),
+)
+def fuzzy_match_suppliers_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-pass answer to single-pass SNM's documented caveat: a
+    name corrupted in its FIRST characters sorts far from its origin
+    in forward name order (tests/test_round11_ops.py pins the miss),
+    but adjacent in REVERSED order when the tail survives. Fixture:
+    keys %4==1 get head corruption, %4==3 tail corruption — forward
+    SNM alone recovers only the tail class; the
+    ``keys=(None, F.reverse)`` union recovers BOTH at dist 1, and the
+    ``corruption`` column makes per-class recall auditable in the
+    output itself. Candidates stay <= n*(2w+1) PER PASS (cost is
+    additive in passes, never multiplicative); each pass's global
+    ordinals come from the same range-partitioned global_ordinals —
+    no single-task sort anywhere."""
+    from crypto_etl_pipeline_spark.operators.linkage import (
+        sorted_neighborhood_join,
+    )
+
+    supp = load_table(spark, sf_dir, "supplier")
+    dirty = supp.select(
+        F.col("s_suppkey").alias("dirty_id"),
+        F.when(
+            F.col("s_suppkey") % 4 == 1,
+            F.concat(F.lit("X"), F.substring("s_name", 2, 17)),
+        )
+        .when(
+            F.col("s_suppkey") % 4 == 3,
+            F.concat(F.substring("s_name", 1, 17), F.lit("X")),
+        )
+        .otherwise(F.col("s_name"))
+        .alias("dirty_name"),
+    )
+    best = sorted_neighborhood_join(
+        dirty,
+        supp.select("s_suppkey", "s_name"),
+        left_id="dirty_id",
+        left_text="dirty_name",
+        right_id="s_suppkey",
+        right_text="s_name",
+        window=SNM_WINDOW,
+        max_dist=2,
+        top_k=1,
+        keys=(None, F.reverse),
+    )
+    return best.select(
+        "dirty_id",
+        "dirty_name",
+        F.when(F.col("dirty_id") % 4 == 1, "head")
+        .when(F.col("dirty_id") % 4 == 3, "tail")
+        .otherwise("none")
+        .alias("corruption"),
+        F.col("s_suppkey").alias("matched_id"),
+        "dist",
+        (F.col("dirty_id") == F.col("s_suppkey")).alias("exact_entity"),
+    )
+
+
 FUZZY_BLOCK_CAP = 64  #: max right-side rows per fuzzy block (engaged at gate SF)
 
 

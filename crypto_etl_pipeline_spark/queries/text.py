@@ -2530,6 +2530,88 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_exact_substrings_excise",
+    oracle=rf"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= {SUBSTR_L} THEN
+               list_transform(generate_series(1, len(t) - {SUBSTR_L - 1}),
+                 i -> t[i] || '_' || t[i+1] || '_' || t[i+2] || '_' || t[i+3]
+                      || '_' || t[i+4] || '_' || t[i+5] || '_' || t[i+6]
+                      || '_' || t[i+7] || '_' || t[i+8] || '_' || t[i+9])
+             ELSE [] END AS g
+      FROM toks
+    ),
+    pos AS (
+      SELECT doc_id, unnest(g) AS gram,
+             generate_subscripts(g, 1)::BIGINT AS pos
+      FROM grams
+    ),
+    rep AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY gram) AS occ,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+      FROM pos
+      QUALIFY occ >= 2
+    ),
+    iv AS (
+      SELECT doc_id,
+             list([pos, pos + {SUBSTR_L - 1}]) FILTER (rn > 1) AS nf,
+             list([pos, pos + {SUBSTR_L - 1}]) FILTER (rn = 1) AS ff
+      FROM rep GROUP BY doc_id
+    ),
+    tk AS (
+      SELECT doc_id, unnest(t) AS tok,
+             generate_subscripts(t, 1)::BIGINT AS p
+      FROM toks
+    ),
+    dec AS (
+      SELECT tk.doc_id, tk.tok, tk.p,
+             (len(list_filter(coalesce(iv.nf, []),
+                              v -> tk.p BETWEEN v[1] AND v[2])) > 0
+              AND len(list_filter(coalesce(iv.ff, []),
+                                  v -> tk.p BETWEEN v[1] AND v[2])) = 0)
+               AS removed
+      FROM tk LEFT JOIN iv USING (doc_id)
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_tokens,
+           count(*) FILTER (removed)::BIGINT AS n_removed,
+           CASE WHEN count(*) FILTER (NOT removed) > 0
+                THEN string_agg(tok, ' ' ORDER BY p) FILTER (NOT removed)
+           END AS clean_text
+    FROM dec GROUP BY doc_id
+    """,
+    description=(
+        "The APPLY half of exact-substring dedup: corpus-first occurrence "
+        "of every repeated span survives, later copies are excised "
+        "token-by-token; clean_text NULL when fully redundant"
+    ),
+    tags=("text", "dedup", "window"),
+)
+def dedup_exact_substrings_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_exact_substrings REPORTS; this APPLIES — ExactSubstr's
+    first-wins policy (Lee et al. ACL'22) at token granularity. The
+    corpus-order rank (row_number by (doc_id, pos) per gram) marks
+    each repeated window's surviving copy; a token is excised iff a
+    later-copy window covers it and no surviving-copy window does, so
+    the first occurrence keeps its text even where repeats overlap.
+    Same shuffle budget as the report (one gram exchange + the
+    repeated-sliver doc rollup); the per-token interval test is a
+    zero-shuffle HOF map (operators/dedup.py
+    `exact_repeated_substrings_excise`)."""
+    from crypto_etl_pipeline_spark.operators.dedup import (
+        exact_repeated_substrings_excise,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_repeated_substrings_excise(docs, min_len=SUBSTR_L)
+
+
+@register(
     "text_entropy_signals",
     oracle=r"""
     WITH ch AS (

@@ -172,6 +172,91 @@ def test_exact_repeated_substrings_semantics(spark):
     assert all(r["span_tokens"] == 4 and r["min_occ"] == 2 for r in spans3)
 
 
+def test_snm_multipass_recovers_head_corruption(spark):
+    """The registered multipass query: tail-corrupted names (%4==3)
+    are recovered by the forward pass, head-corrupted (%4==1) ONLY by
+    the reversed pass — every corrupted row must land at dist 1, with
+    per-class recall visible in the corruption column. A forward-only
+    run on the same dirty set must do strictly worse on the head
+    class (the single-pass caveat made measurable)."""
+    from crypto_etl_pipeline_spark.operators.linkage import (
+        sorted_neighborhood_join,
+    )
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    rows = (
+        REGISTRY["fuzzy_match_suppliers_multipass"].fn(spark, SF_GATE).collect()
+    )
+    by_class = {}
+    for r in rows:
+        by_class.setdefault(r["corruption"], []).append(r)
+    assert all(r["dist"] == 0 for r in by_class["none"])
+    assert by_class["head"] and all(r["dist"] == 1 for r in by_class["head"])
+    assert by_class["tail"] and all(r["dist"] == 1 for r in by_class["tail"])
+    # forward-only contrast: head-corrupted names sort far from their
+    # origins ('X...' > every 'Supplier#...'), so the single pass
+    # recovers strictly fewer head rows at dist 1
+    supp = load_table(spark, SF_GATE, "supplier")
+    dirty = supp.selectExpr(
+        "s_suppkey AS dirty_id",
+        "CASE WHEN s_suppkey % 4 = 1 THEN 'X' || substr(s_name, 2, 17) "
+        "     WHEN s_suppkey % 4 = 3 THEN substr(s_name, 1, 17) || 'X' "
+        "     ELSE s_name END AS dirty_name",
+    )
+    fwd = sorted_neighborhood_join(
+        dirty,
+        supp.select("s_suppkey", "s_name"),
+        left_id="dirty_id",
+        left_text="dirty_name",
+        right_id="s_suppkey",
+        right_text="s_name",
+        window=64,
+        max_dist=2,
+        top_k=1,
+    ).collect()
+    fwd_head_hits = sum(
+        1 for r in fwd if r["dirty_id"] % 4 == 1 and r["dist"] == 1
+    )
+    assert fwd_head_hits < len(by_class["head"])
+
+
+@pytest.mark.quick
+def test_exact_substrings_excise_first_wins(spark):
+    """ExactSubstr policy on a known plant (L=4): the corpus-first
+    copy of a shared 6-token span keeps its text, the later copy
+    loses exactly those 6 tokens, an exact-duplicate doc excises to
+    NULL, and unique text is untouched."""
+    from crypto_etl_pipeline_spark.operators.dedup import (
+        exact_repeated_substrings_excise,
+    )
+
+    shared = "the quick brown fox jumps high"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"{shared} zeta eta theta iota"),
+            (3, f"alpha beta {shared} gamma delta"),  # exact dup of 1
+            (4, "u1 u2 u3 u4 u5 u6 u7 u8"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_repeated_substrings_excise(docs, min_len=4).collect()
+    }
+    # doc 1 is corpus-first everywhere: nothing removed
+    assert out[1]["n_removed"] == 0
+    assert out[1]["clean_text"] == f"alpha beta {shared} gamma delta"
+    # doc 2 loses exactly the shared 6-token span
+    assert out[2]["n_removed"] == 6
+    assert out[2]["clean_text"] == "zeta eta theta iota"
+    # doc 3 duplicates doc 1 verbatim: fully redundant -> NULL
+    assert out[3]["n_removed"] == out[3]["n_tokens"] == 10
+    assert out[3]["clean_text"] is None
+    # unique text untouched
+    assert out[4]["n_removed"] == 0
+
+
 # --- gate-rotation discipline (VERDICT r10 optional #8) ---------------------
 
 #: queries DELIBERATELY re-included in this round's driver sample
