@@ -204,7 +204,9 @@ HEAVY = [
     "window_funnel_horizon",
     # round-11 queries — born with curves
     "dedup_exact_substrings",
+    "dedup_exact_substrings_excise",
     "pipeline_pretrain_corpus_v1",
+    "fuzzy_match_suppliers_multipass",
 ]
 
 
