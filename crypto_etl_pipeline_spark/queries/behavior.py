@@ -812,3 +812,137 @@ def window_funnel_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return levels.groupBy("level").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "survival_km_repeat_purchase",
+    oracle="""
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    t0 AS (SELECT user_id, min(ts) AS t0 FROM p GROUP BY user_id),
+    t1 AS (
+      SELECT p.user_id, min(p.ts) AS t1
+      FROM p JOIN t0 USING (user_id) WHERE p.ts > t0.t0
+      GROUP BY p.user_id
+    ),
+    fin AS (SELECT max(ts) AS tend FROM events),
+    u AS (
+      SELECT t0.user_id,
+             CASE WHEN t1.t1 IS NOT NULL
+                  THEN date_diff('day', CAST(t0.t0 AS DATE), CAST(t1.t1 AS DATE))
+                  ELSE date_diff('day', CAST(t0.t0 AS DATE), CAST(fin.tend AS DATE))
+             END AS dur,
+             CASE WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM t0 LEFT JOIN t1 USING (user_id) CROSS JOIN fin
+    ),
+    c AS (SELECT dur, sum(ev)::BIGINT AS d, sum(1 - ev)::BIGINT AS cns
+          FROM u GROUP BY dur),
+    tot AS (SELECT count(*)::BIGINT AS n FROM u),
+    r AS (
+      SELECT dur, d, cns,
+             tot.n - coalesce(sum(d + cns) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      FROM c CROSS JOIN tot
+    ),
+    s AS (
+      SELECT dur, n_risk, d, cns,
+             min((n_risk - d) * 1.0 / n_risk) OVER w AS mn,
+             sum(ln(CASE WHEN n_risk = d THEN 1.0
+                         ELSE (n_risk - d) * 1.0 / n_risk END)) OVER w AS ls
+      FROM r
+      WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT dur AS dur_days, n_risk::BIGINT AS n_risk, d AS n_events,
+           cns AS n_censored,
+           round(CASE WHEN mn = 0 THEN 0.0 ELSE exp(ls) END, 6) AS survival
+    FROM s
+    """,
+    description=(
+        "Kaplan-Meier product-limit curve for time-to-repeat-purchase: "
+        "per-day risk set, events, right-censoring at corpus end, and "
+        "the survival estimate"
+    ),
+    tags=("behavior", "stats", "timeseries"),
+)
+def survival_km_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival analysis joins the behavioral suite (cohort retention =
+    discrete survival without censoring; this is the censored,
+    product-limit version): per purchasing user, duration = days from
+    FIRST purchase to the next one (event) or to the corpus's last
+    observed timestamp (right-censored — the estimator's whole point
+    is that those users are not failures, just unobserved past the
+    cut). S(t) = prod_{t_j <= t} (1 - d_j / n_j), the Kaplan-Meier
+    1958 estimator.
+
+    Scale shape: the only corpus-sized work is the per-user min/next
+    aggregation (map-side combined groupBy); everything after lives
+    on the CALENDAR-BOUNDED duration table (<= observation-window
+    days rows), so the ordered windows run on a dim-sized frame — the
+    Theil-Sen discipline. Determinism note: the product is computed
+    as exp(sum(ln(factor))) over the ascending-duration frame with
+    each factor a single IEEE division of exact BIGINTs; both engines
+    sum the same <= |days| doubles and the result rounds at 6dp, so a
+    cross-engine flip would need a value within ~5e-13 of the grid —
+    the corpus_mix_temperature argument. The everyone-fails edge
+    (factor 0 -> ln undefined) is guarded identically on both sides:
+    ln takes a 1.0 placeholder and the running-min factor zeroes the
+    survival instead."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    t0 = p.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    t1 = (
+        p.join(t0, "user_id")
+        .where(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    fin = ev.agg(F.max("ts").alias("tend"))
+    u = (
+        t0.join(t1, "user_id", "left")
+        .crossJoin(F.broadcast(fin))
+        .select(
+            F.when(
+                F.col("t1").isNotNull(),
+                F.datediff(F.to_date("t1"), F.to_date("t0")),
+            )
+            .otherwise(F.datediff(F.to_date("tend"), F.to_date("t0")))
+            .cast("long")
+            .alias("dur"),
+            F.col("t1").isNotNull().cast("int").alias("ev"),
+        )
+    )
+    c = u.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(1 - F.col("ev")).cast("long").alias("cns"),
+    )
+    tot = u.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # dur table is calendar-bounded (<= observation-window days), so
+    # the single-partition ordered windows below are dim-sized
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    r = c.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        F.col("n")
+        - F.coalesce(F.sum(F.col("d") + F.col("cns")).over(w_prev), F.lit(0)),
+    )
+    factor = (F.col("n_risk") - F.col("d")) * 1.0 / F.col("n_risk")
+    s = r.withColumn("mn", F.min(factor).over(w_cum)).withColumn(
+        "ls",
+        F.sum(
+            F.log(
+                F.when(F.col("n_risk") == F.col("d"), F.lit(1.0)).otherwise(
+                    factor
+                )
+            )
+        ).over(w_cum),
+    )
+    return s.select(
+        F.col("dur").alias("dur_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.col("cns").alias("n_censored"),
+        F.round(
+            F.when(F.col("mn") == 0, F.lit(0.0)).otherwise(F.exp("ls")), 6
+        ).alias("survival"),
+    )

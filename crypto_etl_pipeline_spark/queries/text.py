@@ -2612,6 +2612,128 @@ def dedup_exact_substrings_excise(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "decontaminate_excise_spans",
+    oracle=r"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
+    ),
+    grams AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 8 THEN
+               list_transform(generate_series(1, len(t) - 7),
+                 i -> t[i] || '_' || t[i+1] || '_' || t[i+2] || '_' || t[i+3]
+                      || '_' || t[i+4] || '_' || t[i+5] || '_' || t[i+6]
+                      || '_' || t[i+7])
+             ELSE [] END AS g
+      FROM toks
+    ),
+    eg AS MATERIALIZED (
+      SELECT DISTINCT u.gram
+      FROM grams, LATERAL unnest(list_distinct(g)) AS u(gram)
+      WHERE doc_id % 10 = 0
+    ),
+    hits AS (
+      SELECT tg.doc_id, tg.pos
+      FROM (SELECT doc_id, unnest(g) AS gram,
+                   generate_subscripts(g, 1)::BIGINT AS pos
+            FROM grams WHERE doc_id % 10 <> 0) tg
+      JOIN eg USING (gram)
+    ),
+    iv AS (SELECT doc_id, list([pos, pos + 7]) AS ivs FROM hits GROUP BY doc_id),
+    tk AS (
+      SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1)::BIGINT AS p
+      FROM toks WHERE doc_id % 10 <> 0
+    ),
+    dec AS (
+      SELECT tk.doc_id, tk.tok, tk.p,
+             len(list_filter(coalesce(iv.ivs, []),
+                             v -> tk.p BETWEEN v[1] AND v[2])) > 0 AS removed
+      FROM tk LEFT JOIN iv USING (doc_id)
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_tokens,
+           count(*) FILTER (removed)::BIGINT AS n_removed,
+           CASE WHEN count(*) FILTER (NOT removed) > 0
+                THEN string_agg(tok, ' ' ORDER BY p) FILTER (NOT removed)
+           END AS clean_text
+    FROM dec GROUP BY doc_id
+    """,
+    description=(
+        "Surgical decontamination: train docs keep their text but every "
+        "token covered by an eval-set 8-gram is excised (span removal "
+        "instead of the doc-drop policy); clean_text NULL when fully "
+        "contaminated"
+    ),
+    tags=("text", "dedup", "decontamination"),
+)
+def decontaminate_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of decontamination, at SPAN granularity: where
+    decontaminate_eval_overlap reports per-doc contamination and
+    pipeline_pretrain_corpus_v1 applies the doc-DROP policy, this
+    excises only the contaminated spans — the policy used when
+    documents are long and contamination is a quoted benchmark
+    snippet, not wholesale duplication (the GPT-3 appendix-C
+    'conservative' variant). Every train-doc token covered by any
+    8-gram window that also appears in the eval slice (doc_id%10=0)
+    is removed; surviving text reassembles in order. Reuses the
+    exact-substring excise machinery: eval grams DISTINCT-collapse
+    (AQE broadcasts the set), the gram join bounds shuffle volume by
+    HIT windows only, and the per-token interval test is a
+    zero-shuffle HOF map. Output covers every train doc (clean docs
+    pass through untouched; fully contaminated ones return NULL
+    clean_text)."""
+    from crypto_etl_pipeline_spark.operators.textops import shingles_of, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    arr = (
+        docs.repartition(n_parts, F.col("doc_id"))
+        .select("doc_id", tokens(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id", "_toks", shingles_of(F.col("_toks"), 8).alias("_g")
+        )
+        .localCheckpoint(eager=False)
+    )
+    eval_g = (
+        arr.where(F.col("doc_id") % 10 == 0)
+        .select(F.explode(F.array_distinct("_g")).alias("gram"))
+        .distinct()
+    )
+    hits = (
+        arr.where(F.col("doc_id") % 10 != 0)
+        .select("doc_id", F.posexplode("_g").alias("_p0", "gram"))
+        .join(eval_g, "gram")
+        .select("doc_id", (F.col("_p0") + 1).cast("long").alias("pos"))
+    )
+    iv = hits.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(F.col("pos").alias("s"), (F.col("pos") + 7).alias("e"))
+        ).alias("_iv")
+    )
+    joined = (
+        arr.where(F.col("doc_id") % 10 != 0)
+        .join(iv, "doc_id", "left")
+        .select(
+            "doc_id",
+            "_toks",
+            F.coalesce(F.col("_iv"), F.array()).alias("_ivn"),
+        )
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda x, i: ~F.exists(
+            F.col("_ivn"), lambda v: (i + 1 >= v.s) & (i + 1 <= v.e)
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.when(F.size(kept) > 0, F.array_join(kept, " ")).alias("clean_text"),
+    )
+
+
+@register(
     "text_entropy_signals",
     oracle=r"""
     WITH ch AS (

@@ -207,6 +207,8 @@ HEAVY = [
     "dedup_exact_substrings_excise",
     "pipeline_pretrain_corpus_v1",
     "fuzzy_match_suppliers_multipass",
+    "decontaminate_excise_spans",
+    "survival_km_repeat_purchase",
 ]
 
 

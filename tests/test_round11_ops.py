@@ -257,6 +257,63 @@ def test_exact_substrings_excise_first_wins(spark):
     assert out[4]["n_removed"] == 0
 
 
+def test_decontaminate_excise_surgical(spark):
+    """Span-level decontamination invariants at gate SF: output covers
+    exactly the train slice, clean docs pass through verbatim,
+    contaminated docs lose 8..n_tokens tokens (a hit excises at least
+    one full 8-gram window), and total removal is consistent with the
+    doc-level contamination report (every excised doc is flagged by
+    decontaminate_eval_overlap and vice versa)."""
+    rows = REGISTRY["decontaminate_excise_spans"].fn(spark, SF_GATE).collect()
+    assert len(rows) == 450  # 500 docs minus the doc_id%10 eval slice
+    flagged = {
+        r["doc_id"]
+        for r in REGISTRY["decontaminate_eval_overlap"].fn(spark, SF_GATE).collect()
+    }
+    excised = {r["doc_id"] for r in rows if r["n_removed"] > 0}
+    assert excised == flagged
+    for r in rows:
+        assert r["doc_id"] % 10 != 0
+        if r["n_removed"] == 0:
+            assert r["clean_text"] is not None
+            assert len(r["clean_text"].split(" ")) == r["n_tokens"]
+        else:
+            assert r["n_removed"] >= 8  # at least one whole window
+            if r["clean_text"] is None:
+                assert r["n_removed"] == r["n_tokens"]
+            else:
+                assert (
+                    len(r["clean_text"].split(" "))
+                    == r["n_tokens"] - r["n_removed"]
+                )
+
+
+@pytest.mark.quick
+def test_km_survival_invariants(spark):
+    """Kaplan-Meier algebra: risk sets telescope (n_risk[k+1] =
+    n_risk[k] - d[k] - c[k]), survival is non-increasing from 1.0,
+    every user is accounted for once, and S(t) reconstructs from the
+    product-limit formula directly."""
+    rows = sorted(
+        REGISTRY["survival_km_repeat_purchase"].fn(spark, SF_GATE).collect(),
+        key=lambda r: r["dur_days"],
+    )
+    assert rows and rows[0]["n_risk"] == sum(
+        r["n_events"] + r["n_censored"] for r in rows
+    )
+    s_prev, n_next = 1.0 + 1e-12, None
+    prod = 1.0
+    for r in rows:
+        if n_next is not None:
+            assert r["n_risk"] == n_next
+        n_next = r["n_risk"] - r["n_events"] - r["n_censored"]
+        assert r["survival"] <= s_prev + 1e-9
+        s_prev = r["survival"]
+        prod *= (r["n_risk"] - r["n_events"]) / r["n_risk"]
+        assert abs(r["survival"] - round(prod, 6)) < 2e-6
+    assert n_next == 0  # everyone exits as event or censored
+
+
 # --- gate-rotation discipline (VERDICT r10 optional #8) ---------------------
 
 #: queries DELIBERATELY re-included in this round's driver sample
