@@ -179,6 +179,15 @@ def _snm_candidates(
     )
     from crypto_etl_pipeline_spark.operators.sampling import global_ordinals
 
+    # Deliberately NOT checkpointed although both side-filters consume
+    # this frame (each branch re-runs the range-partitioned rank
+    # window): measured round 11, a lazy localCheckpoint here makes the
+    # registered query 2.3x SLOWER at sf0.1 (1.4 -> 3.3 s) — the
+    # materialization barrier costs more than the cheap rank recompute
+    # and blocks the per-branch _side filter/prune below it. At 100 TB
+    # the checkpoint would also pin a corpus-sized frame to executor
+    # storage — the same storage-dependence ccnet_quality_buckets
+    # measured and rejected. Recompute-twice-bounded wins.
     ranked = global_ordinals(
         lb.unionByName(rb).withColumn("_sk", kf(F.col("_nm"))),
         ["_sk", "_side", "_uid"],
