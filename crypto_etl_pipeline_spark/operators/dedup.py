@@ -635,6 +635,94 @@ def exact_repeated_substrings(
     )
 
 
+def exact_substr_gram_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 10,
+) -> DataFrame:
+    """(gram, n) occurrence counts of length-``min_len`` token shingles
+    — the WHOLE persisted state of incremental exact-substring dedup.
+    Counts are mergeable by sum, so the production layout is a parquet
+    table partitioned by ingest_batch (append-only, the MinhashStore
+    lesson): a daily run writes only its own batch's counts and reads
+    the union with a groupBy-sum. No positions, no text — the state
+    is vocabulary-of-grams sized, far below corpus size."""
+    arr = (
+        docs.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), shingles_of(F.col("_toks"), min_len).alias("_g"))
+        .localCheckpoint(eager=False)
+    )
+    return (
+        arr.select(F.explode("_g").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def incremental_repeated_substrings(
+    new_docs: DataFrame,
+    stored_counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 10,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental ExactSubstr: repeated spans in the NEW batch against
+    (new batch ∪ already-ingested corpus), tokenizing ONLY the new
+    batch. Returns ``(spans, new_counts)`` — spans has the same
+    schema as :func:`exact_repeated_substrings`; append ``new_counts``
+    to the store afterwards.
+
+    The trust identity (the incremental_near_dups argument): a new
+    window's corpus occurrence count is exactly
+    ``n_new(gram) + n_stored(gram)`` because corpus = old ∪ new — so
+    incremental(new, store(old)) equals the full-corpus batch result
+    restricted to new docs, which is how the oracle checks it."""
+    from pyspark.sql.window import Window
+
+    arr = (
+        new_docs.repartition(
+            new_docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), shingles_of(F.col("_toks"), min_len).alias("_g"))
+        .localCheckpoint(eager=False)
+    )
+    pos = arr.select(
+        F.col(id_col), F.posexplode("_g").alias("_p0", "gram")
+    ).select(id_col, (F.col("_p0") + 1).cast("long").alias("pos"), "gram")
+    new_counts = (
+        pos.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = new_counts.join(
+        stored_counts.withColumnRenamed("n", "_n_old"), "gram", "left"
+    ).select(
+        "gram",
+        (F.col("n") + F.coalesce("_n_old", F.lit(0))).cast("long").alias("occ"),
+    )
+    rep = pos.join(tot, "gram").where(F.col("occ") >= 2).select(
+        id_col, "pos", "occ"
+    )
+    w_isl = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        rep.withColumn("_grp", F.col("pos") - F.row_number().over(w_isl))
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.count(F.lit(1)) + F.lit(min_len - 1))
+            .cast("long")
+            .alias("span_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.min("occ").cast("long").alias("min_occ"),
+        )
+        .drop("_grp")
+    )
+    return spans, new_counts
+
+
 def exact_repeated_substrings_excise(
     docs: DataFrame,
     text_col: str = "text",

@@ -2530,6 +2530,79 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_exact_substrings_incremental",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= {SUBSTR_L} THEN
+               list_transform(generate_series(1, len(t) - {SUBSTR_L - 1}),
+                 i -> t[i] || '_' || t[i+1] || '_' || t[i+2] || '_' || t[i+3]
+                      || '_' || t[i+4] || '_' || t[i+5] || '_' || t[i+6]
+                      || '_' || t[i+7] || '_' || t[i+8] || '_' || t[i+9])
+             ELSE [] END AS g
+      FROM toks
+    ),
+    pos AS (
+      SELECT doc_id, unnest(g) AS gram,
+             generate_subscripts(g, 1)::BIGINT AS pos
+      FROM grams
+    ),
+    rep AS (
+      SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS occ
+      FROM pos
+      QUALIFY occ >= 2
+    ),
+    isl AS (
+      SELECT doc_id, pos, occ,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM rep
+    )
+    SELECT doc_id,
+           min(pos)                              AS span_start,
+           (count(*) + {SUBSTR_L - 1})::BIGINT   AS span_tokens,
+           count(*)::BIGINT                      AS n_windows,
+           min(occ)::BIGINT                      AS min_occ
+    FROM isl
+    WHERE doc_id % 2 = 1
+    GROUP BY doc_id, grp
+    """,
+    description=(
+        "Incremental exact-substring dedup: the new batch's repeated spans "
+        "against the persisted gram-count store, tokenizing only the new "
+        "batch — oracle is the full-corpus result restricted to new docs"
+    ),
+    tags=("text", "dedup", "incremental"),
+)
+def dedup_exact_substrings_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-ingest path for ExactSubstr (the
+    dedup_incremental_new_docs pattern, applied to the r11 family):
+    even doc_ids are the already-ingested corpus whose ONLY persisted
+    state is the (gram, n) count table — mergeable by sum, append-only
+    by batch partition, vocabulary-sized; odd doc_ids are the new
+    batch, the only text tokenized. A new window's corpus occurrence
+    is n_new + n_stored exactly because corpus = old ∪ new, so
+    ``incremental(new, store(old)) == batch(old ∪ new) restricted to
+    new docs`` — which is literally what the oracle computes
+    (operators/dedup.py incremental_repeated_substrings)."""
+    from crypto_etl_pipeline_spark.operators.dedup import (
+        exact_substr_gram_counts,
+        incremental_repeated_substrings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    store = exact_substr_gram_counts(old, min_len=SUBSTR_L)
+    spans, _new_counts = incremental_repeated_substrings(
+        new, store, min_len=SUBSTR_L
+    )
+    return spans
+
+
+@register(
     "dedup_exact_substrings_excise",
     oracle=rf"""
     WITH toks AS MATERIALIZED (

@@ -209,6 +209,7 @@ HEAVY = [
     "fuzzy_match_suppliers_multipass",
     "decontaminate_excise_spans",
     "survival_km_repeat_purchase",
+    "dedup_exact_substrings_incremental",
 ]
 
 

@@ -257,6 +257,32 @@ def test_exact_substrings_excise_first_wins(spark):
     assert out[4]["n_removed"] == 0
 
 
+@pytest.mark.quick
+def test_exact_substrings_incremental_identity(spark):
+    """The trust identity stated in the operator docstring, asserted
+    directly: incremental(new, store(old)) == full-corpus batch spans
+    restricted to new docs — row for row, including min_occ."""
+    from crypto_etl_pipeline_spark.operators.dedup import (
+        exact_repeated_substrings,
+    )
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    full = {
+        (r["doc_id"], r["span_start"]): (r["span_tokens"], r["min_occ"])
+        for r in exact_repeated_substrings(
+            load_table(spark, SF_GATE, "documents"), min_len=10
+        ).collect()
+        if r["doc_id"] % 2 == 1
+    }
+    inc = {
+        (r["doc_id"], r["span_start"]): (r["span_tokens"], r["min_occ"])
+        for r in REGISTRY["dedup_exact_substrings_incremental"]
+        .fn(spark, SF_GATE)
+        .collect()
+    }
+    assert inc == full and inc  # identical and non-vacuous
+
+
 def test_decontaminate_excise_surgical(spark):
     """Span-level decontamination invariants at gate SF: output covers
     exactly the train slice, clean docs pass through verbatim,
