@@ -162,6 +162,10 @@ POSTING_SELF_JOIN_WAIVERS = {
     # hash-gated slice, so per-gram fan-out is bounded by eval DF.
     "decontaminate_eval_overlap",
     "decontaminate_bloom_prefilter",
+    # Same containment shape (r11): the eval side is DISTINCT-collapsed
+    # before the join, so each train window matches at most once — a
+    # semi-join in pair-feed clothing, per-gram fan-out <= 1.
+    "decontaminate_excise_spans",
     # PQ assignment join on (m, code): code domain is the fixed
     # codebook size (k per subspace), fan-out bounded by construction.
     "ann_pq_adc_topk",
