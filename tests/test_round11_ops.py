@@ -340,6 +340,81 @@ def test_km_survival_invariants(spark):
     assert n_next == 0  # everyone exits as event or censored
 
 
+@pytest.mark.quick
+def test_psi_null_ts_counts_as_current(spark):
+    """The r10 ADVICE fix, exercised on data that actually has NULL
+    timestamps (the gate corpus has none): the oracle's CASE buckets a
+    null ts into ELSE 'cur', and the Spark side must mirror that with
+    when/otherwise — the old predicate-cast form dropped the row from
+    BOTH halves. Replicates quality_psi_event_drift's counts stage."""
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [("a", "2024-01-10"), ("a", "2024-01-20"), ("a", None), ("b", None)],
+        "event_type string, ts_s string",
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+    cut = F.lit("2024-01-16").cast("timestamp")
+    counts = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("ts") < cut, 1).otherwise(0)).alias("ref"),
+            F.sum(F.when(F.col("ts") < cut, 0).otherwise(1)).alias("cur"),
+        )
+        .collect()
+    }
+    # null ts lands in 'cur' (ELSE), never dropped
+    assert (counts["a"]["ref"], counts["a"]["cur"]) == (1, 2)
+    assert (counts["b"]["ref"], counts["b"]["cur"]) == (0, 1)
+    # ...and the halves always sum to the row count (nothing vanishes)
+    n = {r["event_type"]: r for r in ev.groupBy("event_type").count().collect()}
+    for k, c in counts.items():
+        assert c["ref"] + c["cur"] == n[k]["count"]
+
+
+@pytest.mark.quick
+def test_km_everyone_fails_guard(spark):
+    """The survival query's ln(0) guard, on a fixture where the LAST
+    risk set is all events (factor 0): survival must reach exactly
+    0.0 with no error on either engine's formulation. Replicates the
+    query's guarded product-limit stage over a hand-built duration
+    table."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    c = spark.createDataFrame(
+        [(1, 2, 0), (3, 3, 0)], "dur long, d long, cns long"
+    )
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    r = c.withColumn(
+        "n_risk",
+        F.lit(5) - F.coalesce(F.sum(F.col("d") + F.col("cns")).over(w_prev), F.lit(0)),
+    )
+    factor = (F.col("n_risk") - F.col("d")) * 1.0 / F.col("n_risk")
+    s = (
+        r.withColumn("mn", F.min(factor).over(w_cum))
+        .withColumn(
+            "ls",
+            F.sum(
+                F.log(
+                    F.when(F.col("n_risk") == F.col("d"), F.lit(1.0)).otherwise(factor)
+                )
+            ).over(w_cum),
+        )
+        .select(
+            "dur",
+            F.round(
+                F.when(F.col("mn") == 0, F.lit(0.0)).otherwise(F.exp("ls")), 6
+            ).alias("surv"),
+        )
+        .collect()
+    )
+    got = {row["dur"]: row["surv"] for row in s}
+    assert got[1] == 0.6  # (5-2)/5
+    assert got[3] == 0.0  # 3 at risk, 3 events -> guarded exact zero
+
+
 # --- gate-rotation discipline (VERDICT r10 optional #8) ---------------------
 
 #: queries DELIBERATELY re-included in this round's driver sample
