@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_BASE = "/root/testdata/sf0.1"
 SF_BIG = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf0.3"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1.0"
 )
 
 # The pair-generating / iterative / stateful queries whose 100×-scale
@@ -210,6 +210,15 @@ HEAVY = [
     "decontaminate_excise_spans",
     "survival_km_repeat_purchase",
     "dedup_exact_substrings_incremental",
+    # round-11 audit: every bench query >= 2 s carries a curve — these
+    # seven were the last without one
+    "ndjson_sink_roundtrip",
+    "pagerank_trade_graph",
+    "ann_ivf_refined_topk",
+    "q2_cheapest_supplier",
+    "stream_hourly_rollup",
+    "q21_last_shipping_suppliers",
+    "stream_sessionize_stateful",
 ]
 
 
