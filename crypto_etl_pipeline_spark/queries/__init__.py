@@ -39,9 +39,9 @@ from crypto_etl_pipeline_spark.queries import selection  # noqa: F401, E402
 # the degenerate prefix-14 scheme to sorted-neighborhood this round
 # (VERDICT r10 task #1), so the fix gets an official green row — and
 # fills every remaining slot from the never-sampled pool in
-# alphabetical order. Pool after r11 = 27 names
-# (resample_ffill_hourly .. zorder_layout_events, the quality/
-# timeseries/sql/layout tail); r12 drains them all (27 < 50 slots).
+# alphabetical order. Pool after r11 = 28 names
+# (regexp_extract_entity_ids .. zorder_layout_events, the quality/
+# timeseries/sql/layout tail); r12 drains them all (28 < 50 slots).
 _GATE_FIRST = (
     # NEW this round — gated at birth
     "dedup_exact_substrings",
@@ -51,9 +51,10 @@ _GATE_FIRST = (
     "decontaminate_excise_spans",
     "survival_km_repeat_purchase",
     "dedup_exact_substrings_incremental",
+    "stats_bh_fdr_segments",
     # deliberate re-inclusion: blocking scheme replaced this round
     "fuzzy_match_suppliers",
-    # never-sampled pool, alphabetical (42 of 69)
+    # never-sampled pool, alphabetical (41 of 69)
     "active_learning_margin_topk",
     "approx_distinct_users",
     "approx_percentile_value",
@@ -95,7 +96,6 @@ _GATE_FIRST = (
     "quality_rule_report",
     "quality_violations_orders",
     "reconcile_checksum_events",
-    "regexp_extract_entity_ids",
 )
 
 

@@ -3467,6 +3467,192 @@ def ab_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BH_ALPHA = 0.05  #: FDR level for the Benjamini-Hochberg step-up rule
+
+
+@register(
+    "stats_bh_fdr_segments",
+    oracle=f"""
+    WITH e AS (
+      SELECT c.c_mktsegment AS seg, round(o.o_totalprice, 2) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    casv AS (SELECT seg, v, count(*)::BIGINT AS ca FROM e GROUP BY seg, v),
+    totv AS (SELECT v, count(*)::BIGINT AS ct FROM e GROUP BY v),
+    segs AS (SELECT DISTINCT seg FROM e),
+    full_g AS (
+      SELECT s.seg, t.v, coalesce(casv.ca, 0) AS ca,
+             t.ct - coalesce(casv.ca, 0) AS cb, t.ct AS t
+      FROM totv t CROSS JOIN segs s
+      LEFT JOIN casv ON casv.seg = s.seg AND casv.v = t.v
+    ),
+    c AS (
+      SELECT seg, v, ca, cb, t,
+             sum(cb) OVER (PARTITION BY seg ORDER BY v)::BIGINT - cb
+               AS cumb_below
+      FROM full_g
+    ),
+    s AS (
+      SELECT seg, sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+             sum(ca * (cumb_below + cb / 2.0)) AS u_a,
+             sum(t * (t * t - 1.0)) AS tie_sum
+      FROM c GROUP BY seg
+    ),
+    q AS (
+      SELECT seg, na, nb,
+             (u_a - na * nb / 2.0)
+               / sqrt(na * nb / 12.0
+                      * ((na + nb + 1.0)
+                         - tie_sum / ((na + nb) * (na + nb - 1.0)))) AS zval
+      FROM s
+    ),
+    p AS (
+      SELECT seg, na, nb, zval,
+             round(least(1.0,
+               2.0 * (exp(-zval * zval / 2.0) / sqrt(2.0 * pi()))
+                   * ({_AS_B[0]} * tt + {_AS_B[1]} * tt * tt
+                      + {_AS_B[2]} * tt * tt * tt
+                      + {_AS_B[3]} * tt * tt * tt * tt
+                      + {_AS_B[4]} * tt * tt * tt * tt * tt)), 6) AS p_approx
+      FROM (SELECT *, 1.0 / (1.0 + {_AS_T} * abs(zval)) AS tt FROM q)
+    ),
+    m AS (SELECT count(*)::BIGINT AS m FROM p),
+    ranked AS (
+      SELECT p.*, m.m,
+             row_number() OVER (ORDER BY p_approx, seg) AS bh_rank
+      FROM p CROSS JOIN m
+    ),
+    kstar AS (
+      SELECT max(CASE WHEN p_approx <= {BH_ALPHA} * bh_rank / m
+                      THEN bh_rank END) AS k FROM ranked
+    )
+    SELECT seg AS segment, na AS n_seg, nb AS n_rest,
+           round(zval, 4) AS z, p_approx,
+           bh_rank,
+           round({BH_ALPHA} * bh_rank / m, 6) AS bh_threshold,
+           coalesce(bh_rank <= kstar.k, false) AS rejected
+    FROM ranked CROSS JOIN kstar
+    """,
+    description=(
+        "Benjamini-Hochberg FDR over per-segment Mann-Whitney tests "
+        "(each market segment's order totals vs the rest): step-up rule, "
+        "rank thresholds, and the rejection set at alpha 0.05"
+    ),
+    tags=("stats", "ab-test", "governance"),
+)
+def stats_bh_fdr_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing governance for the A/B suite: running one test
+    per segment inflates false positives, and BH (Benjamini-Hochberg
+    1995) is the standard FDR control — sort the m p-values, find the
+    largest k with p_(k) <= alpha*k/m, reject exactly ranks 1..k. Each
+    segment's test is the tie-corrected Mann-Whitney grid formulation
+    (ab_mann_whitney_u's shape, one grid pass for ALL segments: the
+    (v, segment) spine is grid x |segments| rows, cumulative windows
+    partition by segment). Determinism: p-values round to 6dp through
+    the shared A&S 26.2.17 tail (identical arithmetic both engines),
+    BH thresholds are the same double expression on both sides, and
+    the step-up scan is POSITIONAL (rank ties broken by segment name)
+    over an m-row frame — the global windows touch |segments| rows,
+    never the corpus. Scale: two map-side-combined grid aggregates +
+    one segment-partitioned window; everything after is dim-sized."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.round("o_totalprice", 2).alias("v")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    e = orders.join(cust, orders.o_custkey == cust.c_custkey).select("seg", "v")
+    casv = e.groupBy("seg", "v").agg(F.count(F.lit(1)).cast("long").alias("ca"))
+    totv = e.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    segs = e.select("seg").distinct()
+    full_g = (
+        totv.crossJoin(F.broadcast(segs))
+        .join(casv, ["seg", "v"], "left")
+        .select(
+            "seg",
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            (F.col("ct") - F.coalesce("ca", F.lit(0))).alias("cb"),
+            F.col("ct").alias("t"),
+        )
+    )
+    cum = Window.partitionBy("seg").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = full_g.withColumn(
+        "cumb_below", F.sum("cb").over(cum) - F.col("cb")
+    )
+    s = c.groupBy("seg").agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum(F.col("ca") * (F.col("cumb_below") + F.col("cb") / 2.0)).alias("u_a"),
+        F.sum(F.col("t") * (F.col("t") * F.col("t") - 1.0)).alias("tie_sum"),
+    )
+    zval = (F.col("u_a") - F.col("na") * F.col("nb") / 2.0) / F.sqrt(
+        F.col("na")
+        * F.col("nb")
+        / 12.0
+        * (
+            (F.col("na") + F.col("nb") + 1.0)
+            - F.col("tie_sum")
+            / ((F.col("na") + F.col("nb")) * (F.col("na") + F.col("nb") - 1.0))
+        )
+    )
+    q = s.select("seg", "na", "nb", zval.alias("zval"))
+    tt = 1.0 / (1.0 + _AS_T * F.abs(F.col("zval")))
+    pdf = F.exp(-F.col("zval") * F.col("zval") / 2.0) / F.sqrt(
+        F.lit(2.0) * F.lit(math.pi)
+    )
+    poly = (
+        _AS_B[0] * tt
+        + _AS_B[1] * tt * tt
+        + _AS_B[2] * tt * tt * tt
+        + _AS_B[3] * tt * tt * tt * tt
+        + _AS_B[4] * tt * tt * tt * tt * tt
+    )
+    p = q.select(
+        "seg",
+        "na",
+        "nb",
+        "zval",
+        F.round(F.least(F.lit(1.0), 2.0 * pdf * poly), 6).alias("p_approx"),
+    )
+    w_rank = Window.orderBy("p_approx", "seg")  # m rows — dim-sized
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        p.withColumn("bh_rank", F.row_number().over(w_rank))
+        .withColumn("m", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "k",
+            F.max(
+                F.when(
+                    F.col("p_approx")
+                    <= F.lit(BH_ALPHA) * F.col("bh_rank") / F.col("m"),
+                    F.col("bh_rank"),
+                )
+            ).over(w_all),
+        )
+    )
+    return ranked.select(
+        F.col("seg").alias("segment"),
+        F.col("na").alias("n_seg"),
+        F.col("nb").alias("n_rest"),
+        F.round("zval", 4).alias("z"),
+        "p_approx",
+        "bh_rank",
+        F.round(F.lit(BH_ALPHA) * F.col("bh_rank") / F.col("m"), 6).alias(
+            "bh_threshold"
+        ),
+        F.coalesce(F.col("bh_rank") <= F.col("k"), F.lit(False)).alias(
+            "rejected"
+        ),
+    )
+
+
 # -- parquet footer introspection ----------------------------------------------
 
 _FOOTER_COLS = ("l_extendedprice", "l_quantity", "l_discount", "l_tax")

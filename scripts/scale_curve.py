@@ -219,6 +219,7 @@ HEAVY = [
     "stream_hourly_rollup",
     "q21_last_shipping_suppliers",
     "stream_sessionize_stateful",
+    "stats_bh_fdr_segments",
 ]
 
 

@@ -415,6 +415,69 @@ def test_km_everyone_fails_guard(spark):
     assert got[3] == 0.0  # 3 at risk, 3 events -> guarded exact zero
 
 
+@pytest.mark.quick
+def test_bh_step_up_positive_control(spark):
+    """The BH step-up rule on fabricated p-values where the answer is
+    known by hand (alpha=0.05, m=5): p=(.001,.012,.021,.2,.9) ->
+    thresholds (.01,.02,.03,.04,.05) -> flags (T,T,T,F,F) -> k*=3, so
+    EXACTLY ranks 1-3 reject — including rank 3 even though rank 2's
+    raw comparison order differs from a naive per-test cut at .02.
+    Replicates the registered query's positional step-up stage."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    p = spark.createDataFrame(
+        [("a", 0.001), ("b", 0.012), ("c", 0.021), ("d", 0.2), ("e", 0.9)],
+        "seg string, p_approx double",
+    )
+    w_rank = Window.orderBy("p_approx", "seg")
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = (
+        p.withColumn("bh_rank", F.row_number().over(w_rank))
+        .withColumn("m", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "k",
+            F.max(
+                F.when(
+                    F.col("p_approx")
+                    <= F.lit(0.05) * F.col("bh_rank") / F.col("m"),
+                    F.col("bh_rank"),
+                )
+            ).over(w_all),
+        )
+        .select(
+            "seg",
+            F.coalesce(F.col("bh_rank") <= F.col("k"), F.lit(False)).alias("rej"),
+        )
+        .collect()
+    )
+    got = {r["seg"]: r["rej"] for r in out}
+    assert got == {"a": True, "b": True, "c": True, "d": False, "e": False}
+
+
+def test_bh_fdr_registered_invariants(spark):
+    """Registered-output algebra: ranks are the 1..m permutation of
+    p-order, thresholds are alpha*i/m exactly, the rejection set is a
+    prefix of the rank order, and every segment tests against the
+    complement (n_seg + n_rest constant)."""
+    rows = sorted(
+        REGISTRY["stats_bh_fdr_segments"].fn(spark, SF_GATE).collect(),
+        key=lambda r: r["bh_rank"],
+    )
+    m = len(rows)
+    assert [r["bh_rank"] for r in rows] == list(range(1, m + 1))
+    ps = [r["p_approx"] for r in rows]
+    assert ps == sorted(ps)
+    tot = rows[0]["n_seg"] + rows[0]["n_rest"]
+    rej_flags = [r["rejected"] for r in rows]
+    assert all(not a or all(rej_flags[: i + 1]) for i, a in enumerate(rej_flags))
+    for r in rows:
+        assert r["n_seg"] + r["n_rest"] == tot
+        assert abs(r["bh_threshold"] - round(0.05 * r["bh_rank"] / m, 6)) < 1e-12
+
+
 # --- gate-rotation discipline (VERDICT r10 optional #8) ---------------------
 
 #: queries DELIBERATELY re-included in this round's driver sample
