@@ -105,7 +105,7 @@ HEADLINE = [
     "quality_referential_audit",
     "join_cardinality_estimate",
     "pack_ffd_bins",
-    "ann_ivf_persisted_probe",
+    "ann_ivf_probe_only",
     "join_skew_profile",
     "pipeline_curation_v2",
     "late_data_profile",

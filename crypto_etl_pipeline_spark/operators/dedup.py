@@ -615,12 +615,20 @@ def exact_repeated_substrings(
     pos = arr.select(
         F.col(id_col), F.posexplode("_g").alias("_p0", "_gram")
     ).select(id_col, (F.col("_p0") + 1).cast("long").alias("pos"), "_gram")
-    w_occ = Window.partitionBy("_gram")
-    rep = (
-        pos.withColumn("occ", F.count(F.lit(1)).over(w_occ))
+    # occurrence counts via groupBy + join-back, NOT count-over-window:
+    # a window has no map-side partial aggregation and AQE does not
+    # split window partitions, so one boilerplate gram repeated 10^8
+    # times (license headers — exactly this operator's target corpus)
+    # would land every position on a single task. The groupBy's
+    # map-side combine collapses the hot gram to one row per map task,
+    # and the join-back is an ordinary shuffle join AQE skew-splits
+    # (r11 verdict #3; adversarial fixture in tests/test_round12_ops).
+    occ = (
+        pos.groupBy("_gram")
+        .agg(F.count(F.lit(1)).alias("occ"))
         .where(F.col("occ") >= 2)
-        .select(id_col, "pos", "occ")
     )
+    rep = pos.join(occ, "_gram").select(id_col, "pos", "occ")
     w_isl = Window.partitionBy(id_col).orderBy("pos")
     return (
         rep.withColumn("_grp", F.col("pos") - F.row_number().over(w_isl))
@@ -736,18 +744,20 @@ def exact_repeated_substrings_excise(
     clean_text); clean_text NULL when every token was a later copy
     (drop the doc).
 
-    Window classification rides the same per-gram shuffle as the
-    report: occurrence count (repeated iff >= 2) plus first-occurrence
-    rank (row_number by (doc_id, pos) — the corpus-order tie-break)
-    share one (gram)-partitioned exchange. A token is removed iff it
-    is covered by some NON-FIRST repeated window and by NO first
-    repeated window — so the surviving copy keeps its tokens even
-    where other repeats overlap it, a deterministic interval rule the
-    oracle replays token-by-token. The excision itself is the
-    zero-shuffle HOF-filter map of excise_duplicated_spans; only the
-    repeated-window sliver (tiny relative to the corpus) shuffles."""
-    from pyspark.sql.window import Window
-
+    Window classification uses the report's groupBy + join-back shape
+    (NOT per-gram windows — see exact_repeated_substrings' hot-gram
+    note): one per-gram aggregate computes occurrence count (repeated
+    iff >= 2) AND the corpus-first occurrence as min(struct(doc_id,
+    pos)) — the (doc_id, pos) key is unique, so min == row_number 1
+    under the same ordering — with map-side combine collapsing even a
+    10^8-occurrence boilerplate gram to one row per map task; the
+    join-back is AQE skew-splittable. A token is removed iff it is
+    covered by some NON-FIRST repeated window and by NO first repeated
+    window — so the surviving copy keeps its tokens even where other
+    repeats overlap it, a deterministic interval rule the oracle
+    replays token-by-token. The excision itself is the zero-shuffle
+    HOF-filter map of excise_duplicated_spans; only the repeated-
+    window sliver (tiny relative to the corpus) shuffles."""
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     arr = (
         docs.repartition(n_parts, F.col(id_col))
@@ -762,20 +772,30 @@ def exact_repeated_substrings_excise(
     pos = arr.select(
         F.col(id_col), F.posexplode("_g").alias("_p0", "_gram")
     ).select(id_col, (F.col("_p0") + 1).cast("long").alias("pos"), "_gram")
-    w_cnt = Window.partitionBy("_gram")
-    w_rn = Window.partitionBy("_gram").orderBy(id_col, "pos")
     span = F.struct(
         F.col("pos").alias("s"),
         (F.col("pos") + min_len - 1).alias("e"),
     )
-    rep = (
-        pos.withColumn("occ", F.count(F.lit(1)).over(w_cnt))
-        .withColumn("rn", F.row_number().over(w_rn))
+    # per-gram count + corpus-first occurrence in ONE map-side-combined
+    # aggregate; (id, pos) is unique so min(struct) == rank-1 of the
+    # (id_col, pos) ordering the spec calls for
+    gstats = (
+        pos.groupBy("_gram")
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.min(F.struct(F.col(id_col).alias("_i"), F.col("pos").alias("_p"))).alias(
+                "_first"
+            ),
+        )
         .where(F.col("occ") >= 2)
     )
+    rep = pos.join(gstats, "_gram").withColumn(
+        "_is_first",
+        (F.col(id_col) == F.col("_first._i")) & (F.col("pos") == F.col("_first._p")),
+    )
     iv = rep.groupBy(id_col).agg(
-        F.collect_list(F.when(F.col("rn") > 1, span)).alias("_nf"),
-        F.collect_list(F.when(F.col("rn") == 1, span)).alias("_ff"),
+        F.collect_list(F.when(~F.col("_is_first"), span)).alias("_nf"),
+        F.collect_list(F.when(F.col("_is_first"), span)).alias("_ff"),
     )
     joined = arr.join(iv, id_col, "left").select(
         F.col(id_col),

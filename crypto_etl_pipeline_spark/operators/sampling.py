@@ -144,7 +144,7 @@ def global_ordinals(
     from pyspark.sql.window import Window
 
     n_ranges = n_ranges or df.sparkSession.sparkContext.defaultParallelism
-    cols = [F.col(c) for c in order_cols]
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     ranged = (
         df.repartitionByRange(n_ranges, *cols)
         .withColumn("_pid", F.spark_partition_id())
@@ -160,6 +160,37 @@ def global_ordinals(
         ranged.join(F.broadcast(offsets), "_pid")
         .withColumn(seq_col, (F.row_number().over(w_in) + F.col("_off")).cast("long"))
         .drop("_pid", "_off")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    order_cols: list,
+    out_col: str = "b",
+) -> DataFrame:
+    """``ntile(n) OVER (ORDER BY order_cols)`` WITHOUT the single-task
+    global sort: exact rank via :func:`global_ordinals` (range
+    partitions + offset shift), then Spark/ANSI ntile bucket
+    arithmetic — the first ``n mod k`` buckets take one extra row —
+    replayed as a plain expression over (seq, total). Bit-identical to
+    the window ntile whenever the order key is unique (the
+    global_ordinals precondition). ``order_cols`` accepts strings or
+    Column sort expressions (``F.desc(...)``). The only global objects
+    are the n_ranges-row offset table and the 1-row count."""
+    seqd = global_ordinals(df, order_cols, seq_col="_seq")
+    nrow = seqd.agg(F.count(F.lit(1)).alias("_n"))
+    nn = F.col("_n")
+    bsize = F.floor(nn / n_buckets)
+    rem = nn % n_buckets
+    head = rem * (bsize + 1)
+    bucket = F.when(
+        F.col("_seq") <= head, F.ceil(F.col("_seq") / (bsize + 1))
+    ).otherwise(rem + F.ceil((F.col("_seq") - head) / F.greatest(bsize, F.lit(1))))
+    return (
+        seqd.crossJoin(F.broadcast(nrow))
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("_seq", "_n")
     )
 
 

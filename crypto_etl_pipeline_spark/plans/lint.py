@@ -28,7 +28,10 @@ SF_SCALED_TABLES = (
 )
 
 # Nodes below which row count no longer tracks the scanned table.
-_BOUNDING_NODES = {"Aggregate", "GlobalLimit", "LocalLimit"}
+# Deduplicate (.distinct()/.dropDuplicates()) bounds cardinality by its
+# key set exactly as Aggregate does — a broadcast of distinct keys is
+# the same dim-sized frame as a groupBy on them.
+_BOUNDING_NODES = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
 
 
 def _children(node):
@@ -193,5 +196,43 @@ def uncapped_posting_self_joins(df):
                         if (lid in lt and rid in rt) or (lid in rt and rid in lt):
                             head = node.toString().split("\n", 1)[0]
                             out.append((f"{lname}={rname}", head[:120]))
+        stack.extend(_children(node))
+    return out
+
+
+# --------------------------------------------------------------------------
+# Corpus-sized global-window detector (VERDICT r11 task #5)
+# --------------------------------------------------------------------------
+#
+# The hazard: row_number()/ntile()/cumulative-sum OVER (ORDER BY ...)
+# with no PARTITION BY plans as ONE task holding every row that reaches
+# it. Over a dim-bounded frame (an Aggregate of distinct scores, an
+# n_partitions-row offset table) that is fine — and is exactly how the
+# distinct-score reduction and global_ordinals use it. Over a frame
+# whose lineage reaches an SF-scaled scan un-bounded, it is the
+# single-task sort global_ordinals/global_ntile exist to replace.
+
+
+def unbounded_global_windows(df):
+    """Return [(table, window_head)] for every Window node in ``df``'s
+    analyzed plan with an EMPTY partitionSpec and a non-empty orderSpec
+    whose child lineage reaches an SF-scaled parquet scan with no
+    Aggregate/Limit/Deduplicate in between."""
+    analyzed = df._jdf.queryExecution().analyzed()
+    if "Window" not in analyzed.toString():
+        return []
+    out = []
+    stack = [analyzed]
+    while stack:
+        node = stack.pop()
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+            and not node.orderSpec().isEmpty()
+        ):
+            hit = _fact_scan_below(node)
+            if hit is not None:
+                head = node.toString().split("\n", 1)[0]
+                out.append((hit, head[:120]))
         stack.extend(_children(node))
     return out

@@ -31,71 +31,73 @@ from crypto_etl_pipeline_spark.queries import selection  # noqa: F401, E402
 
 # The driver's correctness gate samples the FIRST 50 entries of
 # queries(), so ordering is rotated each round to cycle coverage.
-# Union of the r1-r10 samples = 256 distinct names; never-sampled pool
-# after r10 = 69 (registry 325 minus the union — VERDICT r10 task #2
-# lists it in full). Round 11 leads with the round's new queries
-# (gated at birth so they never join the pool) plus ONE deliberate
-# re-inclusion — fuzzy_match_suppliers, whose blocking changed from
-# the degenerate prefix-14 scheme to sorted-neighborhood this round
-# (VERDICT r10 task #1), so the fix gets an official green row — and
-# fills every remaining slot from the never-sampled pool in
-# alphabetical order. Pool after r11 = 28 names
-# (regexp_extract_entity_ids .. zorder_layout_events, the quality/
-# timeseries/sql/layout tail); r12 drains them all (28 < 50 slots).
+# Round 12 drains the never-sampled pool COMPLETELY: the 28 remaining
+# names (regexp_extract_entity_ids .. zorder_layout_events) all get
+# slots, new r12 queries are gated at birth, and six deliberate
+# re-inclusions cover queries whose plan/semantics changed this round
+# (ExactSubstr hot-gram fix, SEM_K corpus scaling, model_eval_suite
+# distinct-score rank, stats_bh_fdr_segments broadcast re-derivation)
+# so each fix gets a fresh official green row. After r12 the
+# never-driver-sampled pool is EMPTY.
 _GATE_FIRST = (
     # NEW this round — gated at birth
+    "ann_ivf_index_build",
+    "ann_ivf_probe_only",
+    "clean_unicode_normalize",
+    "dedup_unicode_fingerprint",
+    # deliberate re-inclusions: plan/semantics changed this round
+    # (keep in sync with tests/test_round11_ops.py INTENDED_REINCLUSIONS)
     "dedup_exact_substrings",
     "dedup_exact_substrings_excise",
-    "pipeline_pretrain_corpus_v1",
-    "fuzzy_match_suppliers_multipass",
-    "decontaminate_excise_spans",
-    "survival_km_repeat_purchase",
     "dedup_exact_substrings_incremental",
-    "stats_bh_fdr_segments",
-    # deliberate re-inclusion: blocking scheme replaced this round
-    "fuzzy_match_suppliers",
-    # never-sampled pool, alphabetical (41 of 69)
-    "active_learning_margin_topk",
-    "approx_distinct_users",
-    "approx_percentile_value",
-    "argmax_user_events",
-    "benford_first_digit_audit",
-    "cohort_weekly_retention",
-    "corpus_mix_temperature",
-    "corpus_source_stats",
-    "corr_lineitem_price_qty",
-    "curriculum_phase_schedule",
-    "decayed_user_value",
-    "dedup_soft_weights_by_source",
-    "degree_distribution_trade_graph",
-    "event_transition_matrix",
-    "event_type_cooccurrence",
-    "ewma_user_purchase_value",
-    "explode_doc_tokens",
-    "global_sequence_ids",
-    "grouped_map_zscore",
-    "histogram_quantile_rollup",
-    "hybrid_rrf_retrieval",
-    "inter_event_gap_profile",
-    "json_extract_props_stats",
-    "json_roundtrip_documents",
-    "late_data_profile",
-    "layout_skipping_audit",
-    "map_type_event_counts",
+    "dedup_semantic_clusters",
     "model_eval_suite",
-    "model_pr_curve",
-    "multimodal_audio_resample",
-    "multimodal_features",
-    "ndjson_sink_roundtrip",
-    "ohlc_hourly_bars",
-    "partitioned_write_prune_read",
-    "pipeline_curation_v2",
-    "quality_completeness_events",
-    "quality_percentile_normalize",
-    "quality_referential_audit",
-    "quality_rule_report",
-    "quality_violations_orders",
-    "reconcile_checksum_events",
+    "stats_bh_fdr_segments",
+    # never-sampled pool — the FULL remaining 28, alphabetical
+    "regexp_extract_entity_ids",
+    "resample_ffill_hourly",
+    "rfm_segmentation",
+    "rolling_wau",
+    "rolling_wau_hll",
+    "rolling_zscore_anomaly",
+    "rollup_reuse_daily_from_hourly",
+    "roundtrip_jsonl_events",
+    "schema_evolution_merge_read",
+    "seasonal_anomaly_hour_profile",
+    "semistructured_props_paths",
+    "session_window_batch",
+    "source_overlap_matrix",
+    "sql_interface_q1",
+    "sql_interface_window",
+    "stat_aggregate_suite",
+    "text_chi2_source_quality",
+    "text_chunk_documents",
+    "text_chunk_documents_udtf",
+    "text_heavy_hitter_tokens",
+    "text_kl_source_drift",
+    "text_lr_score_fixed",
+    "timeseries_gapfill_hourly",
+    "trend_regression_by_type",
+    "unpivot_customer_metrics",
+    "vwap_daily",
+    "weekly_rollup_calendar",
+    "zorder_layout_events",
+    # pool drained — remaining 12 slots DELIBERATELY refresh the
+    # OLDEST green rows (r01): re-validating three-round-old evidence
+    # beats wasting the slots (keep in sync with INTENDED_REINCLUSIONS
+    # in tests/test_round11_ops.py)
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "join_semi_urgent_customers",
+    "join_anti_no_urgent_customers",
+    "join_outer_open_order_counts",
+    "set_union_active_buyers",
+    "set_intersect_building_open",
+    "set_except_building_never_open",
+    "window_top3_orders_per_customer",
+    "window_running_user_spend",
+    "window_event_value_delta",
 )
 
 

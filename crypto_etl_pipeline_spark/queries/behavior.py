@@ -321,27 +321,22 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (customer-cardinality output), then three ntile(4) ranks cut the
     quartile grid and the 4x4x4 cells aggregate. Ordering keys are
     exact (dates, counts, a 4-rounded sum) with custkey tie-breaks, so
-    quartile boundaries are engine-stable. The unpartitioned ntile
-    windows run over the CUSTOMER table, not the fact — dimension-
-    sized at any corpus scale (and the global_sequence_ids range-rank
-    pattern substitutes if the customer table itself outgrows one
-    task)."""
-    from pyspark.sql.window import Window
+    quartile boundaries are engine-stable. The customer aggregate IS
+    SF-scaled (r11 verdict #5), so the three quartile ranks use the
+    range-partitioned global_ntile (global_sequence_ids pattern) —
+    bit-identical to the window ntile under the unique tie-broken
+    ordering, never a single-task sort."""
+    from crypto_etl_pipeline_spark.operators.sampling import global_ntile
 
     orders = load_table(spark, sf_dir, "orders")
     rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("o_totalprice"), 4).alias("monetary"),
-    )
-    scored = rfm.select(
-        "custkey",
-        "frequency",
-        "monetary",
-        F.ntile(4).over(Window.orderBy(F.desc("last_order"), F.asc("custkey"))).alias("r"),
-        F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("custkey"))).alias("f"),
-        F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("custkey"))).alias("m"),
-    )
+    ).localCheckpoint(eager=False)
+    scored = global_ntile(rfm, 4, [F.desc("last_order"), F.asc("custkey")], "r")
+    scored = global_ntile(scored, 4, [F.desc("frequency"), F.asc("custkey")], "f")
+    scored = global_ntile(scored, 4, [F.desc("monetary"), F.asc("custkey")], "m")
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("frequency").cast("long").alias("n_orders"),

@@ -442,13 +442,36 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SEM_K = 16  #: semantic-dedup cell count (seeded, quantized — SQL-reproducible)
+SEM_K_MIN = 16  #: semantic-dedup cell-count floor (seeded, quantized)
+SEM_TARGET_CELL = 128  #: target mean cell size — k SCALES with the corpus
+#: (r11 verdict #6): k = max(SEM_K_MIN, ceil(n / SEM_TARGET_CELL)), the
+#: paper's cell-count-grows-with-corpus discipline, so within-cell pair
+#: work stays ~TARGET²/2 per cell as n grows instead of (n/16)²/2. At
+#: every driver-compared SF (n <= 2000) k resolves to 16, so the oracle
+#: margins and plan fingerprints are unchanged; the growth is exercised
+#: by the sf>=1 scale fixtures.
 SEM_CELL_CAP = 512  #: max members per cell before deterministic sub-cell split
-#: (cap_hot_cells). With fixed SEM_K the within-cell pair stage grows
-#: quadratically in corpus size; the cap bounds it at cap²/2 per sub-cell.
-#: 512 is a strict no-op at every tested SF (max cell ~200 at sf0.1), so the
-#: recursive-CTE oracle replays exactly; the guard mechanism itself is pinned
-#: on a skewed fixture in tests/test_round6_ops.py.
+#: (cap_hot_cells). With corpus-scaled k the cap returns to its intended
+#: role: a guard against one DEGENERATE embedding cluster (boilerplate
+#: docs), not against global growth. Strict no-op at every tested SF
+#: (max cell ~200 at sf0.1), so the recursive-CTE oracle replays exactly;
+#: the guard mechanism itself is pinned on a skewed fixture in
+#: tests/test_round6_ops.py.
+
+
+def sem_k(n_vectors: int) -> int:
+    """Corpus-scaled SemDeDup cell count (deterministic: a pure
+    function of the corpus row count; seeds stay the lowest-k ids)."""
+    import math
+
+    return max(SEM_K_MIN, math.ceil(n_vectors / SEM_TARGET_CELL))
+
+
+#: DuckDB scalar-subquery twin of :func:`sem_k` — usable in LIMIT
+_SEM_K_SQL = (
+    f"(SELECT greatest({SEM_K_MIN}, CAST(ceil(count(*) / {SEM_TARGET_CELL}.0) "
+    "AS BIGINT)) FROM embeddings)"
+)
 SEM_TAU = 0.35  #: within-cell cosine threshold (margins measured: nearest pair
 #: values at the compared SFs are 0.34964/0.35054 (sf0.01) and
 #: 0.34985/0.35067 (sf0.001) — ~4e-4 from the cut, 100x the float32-vs-double
@@ -461,7 +484,7 @@ SEM_TAU = 0.35  #: within-cell cosine threshold (margins measured: nearest pair
     WITH RECURSIVE
     cent AS (
       SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS idx, {_DUCK_QV} AS qc
-      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {SEM_K})
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_SEM_K_SQL})
     ),
     qv AS (SELECT vec_id, embedding, {_DUCK_QV} AS q FROM embeddings),
     adist AS (
@@ -508,7 +531,8 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the assigned table persists partitioned by cell so re-dedup probes
     prune). Components run on the endpoint-restricted iterative CC
     operator (one distributed job per round, lazily checkpointed).
-    Cells are seeded from the SEM_K lowest-id vectors with
+    Cells are seeded from the k lowest-id vectors (k corpus-scaled via
+    sem_k — fixed 16 at all driver-compared SFs) with
     floor-quantized exact-integer distances — the same SQL-reproducible
     assignment contract as ann_ivf_topk, which is what lets a recursive
     CTE replay the whole pipeline as the oracle. Reference: no
@@ -523,12 +547,12 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_etl_pipeline_spark.operators.similarity import pair_cosine_pd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = ivf_build_centroids(emb, k=SEM_K, iters=0)
+    cents = ivf_build_centroids(emb, k=sem_k(emb.count()), iters=0)
     # cap_hot_cells bounds the quadratic within-cell stage: any cell
     # over SEM_CELL_CAP splits into deterministic sub-cells (the IVF
-    # twin of the LSH bucket cap) — with fixed SEM_K this is the guard
-    # that keeps one degenerate embedding cluster from dominating at
-    # 100× corpus. No-op at tested SFs, so the SQL oracle replays.
+    # twin of the LSH bucket cap). With k corpus-scaled (sem_k) mean
+    # cell size stays ~SEM_TARGET_CELL, so the cap only fires on one
+    # DEGENERATE cluster. No-op at tested SFs, so the SQL oracle replays.
     cells = cap_hot_cells(
         ivf_assign_cells(emb, cents).select(
             F.col("neighbor_id").alias("vec_id"), "_cell", "_cvec"
@@ -705,34 +729,100 @@ def ann_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register(
-    "ann_ivf_persisted_probe",
-    oracle=None,  # set below: identical contract to ann_ivf_topk
-    description="IVF probe against the PERSISTED cell-partitioned index: broadcast probe triggers dynamic partition pruning",
-    tags=("similarity",),
-)
-def ann_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The at-rest half of the IVF story made executable: the assigned
-    corpus is WRITTEN partitioned by cell id (the 100 TB layout every
-    IVF docstring in operators/similarity.py promises), read back, and
-    probed — the nprobe cell ids arrive through the broadcast probe
-    join, so the parquet read prunes to the probed partitions via
-    DYNAMIC partition pruning (dynamicpruningexpression on the index
-    scan, plan-asserted in tests/test_scale_patterns.py). Results are
-    bit-identical to ann_ivf_topk (same seeded centroids, same
-    quantized distances), so it shares that query's full oracle."""
+#: per-process memo (sf_dir -> (index_path, centroids)) so the probe
+#: query measures the STEADY-STATE read, not the index write — the
+#: r11 verdict's band-measurement artifact (#4): the combined
+#: build+probe query's bench number (2.6-8.4 s observed) tracked disk
+#: state, not the operator.
+_IVF_INDEX_MEMO: dict = {}
+
+
+def _ivf_persisted_index(spark: SparkSession, sf_dir: str, rebuild: bool = False):
+    """Build (or reuse) the cell-partitioned persisted IVF index for
+    ``sf_dir``: seeded centroids (iters=0, SQL-reproducible), corpus
+    assigned via the quantized-distance kernel, written partitionBy
+    cell — the 100 TB at-rest layout. Returns (path, centroids)."""
     from crypto_etl_pipeline_spark.operators.similarity import (
         ivf_assign_cells,
         ivf_build_centroids,
-        ivf_topk,
     )
     from crypto_etl_pipeline_spark.sources.sinks import scratch_dir
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = ivf_build_centroids(emb, k=IVF_K, iters=0)
-    path = scratch_dir("ivf_index_") + "/cells"
-    ivf_assign_cells(emb, cents).write.mode("overwrite").partitionBy("_cell").parquet(path)
+    if rebuild or sf_dir not in _IVF_INDEX_MEMO:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = ivf_build_centroids(emb, k=IVF_K, iters=0)
+        path = scratch_dir("ivf_index_") + "/cells"
+        ivf_assign_cells(emb, cents).write.mode("overwrite").partitionBy(
+            "_cell"
+        ).parquet(path)
+        _IVF_INDEX_MEMO[sf_dir] = (path, cents)
+    return _IVF_INDEX_MEMO[sf_dir]
+
+
+@register(
+    "ann_ivf_index_build",
+    oracle=f"""
+    WITH cent AS (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS idx, {_DUCK_QV} AS qc
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {IVF_K})
+    ),
+    qv AS (SELECT vec_id, embedding, {_DUCK_QV} AS q FROM embeddings),
+    adist AS (
+      SELECT v.vec_id, c.idx,
+             -2 * list_dot_product(v.q, c.qc) + list_dot_product(c.qc, c.qc) AS d
+      FROM qv v CROSS JOIN cent c
+    ),
+    ranked_cells AS (
+      SELECT vec_id, idx,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, idx) AS rn
+      FROM adist
+    )
+    SELECT idx AS cell, count(*) AS n_vecs
+    FROM ranked_cells WHERE rn = 1
+    GROUP BY idx
+    """,
+    description="IVF index BUILD: assign corpus to cells, persist partitioned by cell, report per-cell sizes (write-cost query)",
+    tags=("similarity", "sink"),
+)
+def ann_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-construction half of the persisted-IVF pair (r11
+    verdict #4 split ann_ivf_persisted_probe into build + probe so the
+    bench tripwire watches each cost separately). This query IS the
+    write: it always rebuilds, and its bench band is understood to be
+    write/disk cost. The returned per-cell histogram is the build's
+    natural audit artifact — cell skew here is what ivf_hot_cells /
+    cap_hot_cells act on — and is fully DuckDB-oracled through the
+    same quantized-distance cell assignment as ann_ivf_topk."""
+    path, _ = _ivf_persisted_index(spark, sf_dir, rebuild=True)
+    return (
+        spark.read.parquet(path)
+        .groupBy("_cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .select(F.col("_cell").cast("long").alias("cell"), "n_vecs")
+    )
+
+
+@register(
+    "ann_ivf_probe_only",
+    oracle=None,  # set below: identical contract to ann_ivf_topk
+    description="IVF probe against the ALREADY-PERSISTED cell-partitioned index: steady-state read path, DPP-pruned",
+    tags=("similarity",),
+)
+def ann_ivf_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The steady-state half: probe the persisted cell-partitioned
+    index WITHOUT paying the write (the memoized index is built once
+    per process; bench's min-of-2 therefore measures the warm probe —
+    the cost that actually recurs per query batch at 100 TB). The
+    nprobe cell ids arrive through the broadcast probe join, so the
+    parquet read prunes to the probed partitions via DYNAMIC partition
+    pruning (plan-asserted in tests/test_scale_patterns.py). Results
+    are bit-identical to ann_ivf_topk (same seeded centroids, same
+    quantized distances), so it shares that query's full oracle."""
+    from crypto_etl_pipeline_spark.operators.similarity import ivf_topk
+
+    path, cents = _ivf_persisted_index(spark, sf_dir)
     index = spark.read.parquet(path)
+    emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES).limit(N_QUERIES)
     return ivf_topk(emb, queries, cents, k=TOP_K, nprobe=IVF_NPROBE, cells=index)
 
@@ -740,7 +830,7 @@ def ann_ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # share the oracle with ann_ivf_topk (identical result contract)
 from crypto_etl_pipeline_spark.queries.base import REGISTRY as _REG  # noqa: E402
 
-_REG["ann_ivf_persisted_probe"].oracle = _REG["ann_ivf_topk"].oracle
+_REG["ann_ivf_probe_only"].oracle = _REG["ann_ivf_topk"].oracle
 
 
 JL_OUT_DIM = 16
@@ -1733,7 +1823,7 @@ _MRL_PAIR_T = 0.40  #: the embedding_cosine_near_dup pair-feed threshold
     ),
     cent AS (
       SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS idx, {_DUCK_QV} AS qc
-      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {SEM_K})
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_SEM_K_SQL})
     ),
     qv AS (SELECT vec_id, embedding, {_DUCK_QV} AS q FROM embeddings),
     adist AS (
@@ -1829,7 +1919,7 @@ def embedding_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
         ivf_build_centroids,
     )
 
-    cents = ivf_build_centroids(emb, k=SEM_K, iters=0)
+    cents = ivf_build_centroids(emb, k=sem_k(emb.count()), iters=0)
     cells = cap_hot_cells(
         ivf_assign_cells(emb, cents).select(
             F.col("neighbor_id").alias("vec_id"), "_cell", "_cvec"
@@ -2132,7 +2222,7 @@ def _sem_sweep_oracle() -> str:
     ctes = f"""
     cent AS MATERIALIZED (
       SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS idx, {_DUCK_QV} AS qc
-      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {SEM_K})
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_SEM_K_SQL})
     ),
     qv AS MATERIALIZED (SELECT vec_id, embedding, {_DUCK_QV} AS q FROM embeddings),
     adist AS (
@@ -2191,7 +2281,7 @@ def dedup_semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = ivf_build_centroids(emb, k=SEM_K, iters=0)
+    cents = ivf_build_centroids(emb, k=sem_k(emb.count()), iters=0)
     # cap_hot_cells bounds the quadratic within-cell stage (same guard
     # as dedup_semantic_clusters). PARITY CAVEAT (ADVICE r8 #2): the
     # xxhash64 sub-cell split is not SQL-replayable, so the DuckDB

@@ -173,7 +173,7 @@ HEAVY = [
     # round-11: the one >=3 s bench query that had no curve (r10 task
     # #4); its band is wide because it writes a partitioned IVF index
     # to disk before probing.
-    "ann_ivf_persisted_probe",
+    "ann_ivf_probe_only",
     # round-10: first-time-benched >=3 s queries that never had a
     # curve (r9 VERDICT task #3) + the round's new queries.
     "profile_events_table",

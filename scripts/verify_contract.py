@@ -3,13 +3,19 @@ engines at a chosen SF and compare rows/columns/values exactly like
 the driver's correctness gate.
 
 Usage:
-    python scripts/verify_contract.py [sf_dir] [--sample name1,name2]
+    python scripts/verify_contract.py [sf_dir] [--sample name1,name2] [--gate]
 
 Defaults to /root/testdata/sf0.01 (the driver's gate SF). Exits
 non-zero if any query mismatches. This is the same compare the local
 pytest harness runs (tests/test_oracle_parity.py), packaged for
 one-command verification outside pytest.
-"""
+
+``--gate`` additionally runs the two subsets that went red in round 11
+while the oracle sweep stayed green — the registry plan lints
+(cartesian/broadcast/posting/global-window/fingerprint) and the golden
+reference-parity tests, plus the rotation meta-test — so the builder's
+pre-close check and the driver's full-suite gate cannot diverge
+(r11 VERDICT task #9)."""
 
 from __future__ import annotations
 
@@ -81,7 +87,25 @@ def main() -> int:
             print(f"{name} ERROR {type(ex).__name__}: {str(ex)[:200]}", flush=True)
     print(f"DONE bad={bad} total={len(names)}", flush=True)
     spark.stop()
-    return 1 if bad else 0
+    if bad:
+        return 1
+    if "--gate" in sys.argv:
+        import subprocess
+
+        print("GATE: running plan lints + golden parity + rotation meta-test",
+              flush=True)
+        rc = subprocess.call(
+            [
+                sys.executable, "-m", "pytest", "-q",
+                "tests/test_registry_lint.py",
+                "tests/test_golden_parity.py",
+                "tests/test_round11_ops.py::test_gate_rotation_no_accidental_resample",
+            ],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        print(f"GATE {'GREEN' if rc == 0 else 'RED'}", flush=True)
+        return rc
+    return 0
 
 
 if __name__ == "__main__":

@@ -67,6 +67,7 @@ def test_no_cartesian_product_plans(name, spark, built_df):
 
     from crypto_etl_pipeline_spark.plans.lint import (
         unbounded_broadcast_hints,
+        unbounded_global_windows,
         uncapped_posting_self_joins,
     )
 
@@ -75,6 +76,17 @@ def test_no_cartesian_product_plans(name, spark, built_df):
     assert not hints, (
         f"{name} force-broadcasts a frame derived from SF-scaled "
         f"table(s) {[t for t, _ in hints]} with no Aggregate/Limit bound"
+    )
+    # 5. Corpus-sized global-window lint (VERDICT r11 task #5): an
+    #    ORDER BY window with no PARTITION BY over a frame that reaches
+    #    an SF-scaled scan un-bounded is a single-task sort at 100 TB —
+    #    use global_ordinals/global_ntile (range rank) or reduce to a
+    #    distinct-key frame first.
+    gw = unbounded_global_windows(df)
+    assert not gw, (
+        f"{name} plans an unpartitioned ORDER BY window over SF-scaled "
+        f"table(s) {[t for t, _ in gw]} with no Aggregate/Limit/"
+        "Deduplicate bound — use global_ordinals/global_ntile"
     )
     # 4. Posting-self-join lint (VERDICT r7 task #5), same plan build:
     #    an equi-join whose key is a Generate (explode) output on BOTH

@@ -480,9 +480,36 @@ def test_bh_fdr_registered_invariants(spark):
 
 # --- gate-rotation discipline (VERDICT r10 optional #8) ---------------------
 
+#: the round whose _GATE_FIRST rotation is currently authored
+#: (update each round alongside _GATE_FIRST and INTENDED_REINCLUSIONS)
+ROTATION_ROUND = 12
+
 #: queries DELIBERATELY re-included in this round's driver sample
-#: (update each round alongside _GATE_FIRST)
-INTENDED_REINCLUSIONS = {"fuzzy_match_suppliers"}
+#: (semantics/plan changed this round → fresh official row wanted)
+INTENDED_REINCLUSIONS = {
+    "dedup_exact_substrings",            # hot-gram skew fix (r11 verdict #3)
+    "dedup_exact_substrings_excise",     # same operator family
+    "dedup_exact_substrings_incremental",  # same operator family
+    "dedup_semantic_clusters",           # SEM_K now corpus-scaled (r11 #6)
+    "model_eval_suite",                  # global rank → distinct-score (r11 #5)
+    "stats_bh_fdr_segments",             # broadcast side re-derived (r11 #1)
+} | {
+    # pool drained after the 28 never-sampled names above got slots:
+    # the remaining 12 slots deliberately REFRESH the oldest (r01)
+    # green rows rather than going unused
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "join_semi_urgent_customers",
+    "join_anti_no_urgent_customers",
+    "join_outer_open_order_counts",
+    "set_union_active_buyers",
+    "set_intersect_building_open",
+    "set_except_building_never_open",
+    "window_top3_orders_per_customer",
+    "window_running_user_spend",
+    "window_event_value_delta",
+}
 
 
 @pytest.mark.quick
@@ -492,19 +519,29 @@ def test_gate_rotation_no_accidental_resample():
     queries, with re-runs of already-green names only when DELIBERATE
     (a semantics change that needs a fresh official row). Enforced
     here instead of by convention: first-50 ∩ previously-sampled must
-    equal INTENDED_REINCLUSIONS exactly."""
+    equal INTENDED_REINCLUSIONS exactly.
+
+    Only rounds STRICTLY BEFORE the rotation's own round count as
+    "previously sampled": the driver records CORRECTNESS_r{N}.json for
+    the current round at round close, sampling exactly this rotation's
+    first 50 — a version of this test that globbed every file would
+    flip red the moment the driver did its job (r11 verdict #1b)."""
     import glob
     import json
     import os
+    import re
 
     from crypto_etl_pipeline_spark.queries import queries
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sampled = set()
     for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        if m and int(m.group(1)) >= ROTATION_ROUND:
+            continue
         sampled.update(json.load(open(f)).keys())
     if not sampled:  # fresh checkout without driver artifacts
-        pytest.skip("no CORRECTNESS_r*.json present")
+        pytest.skip("no pre-rotation CORRECTNESS_r*.json present")
     first50 = list(queries())[:50]
     overlap = set(first50) & sampled
     assert overlap == INTENDED_REINCLUSIONS, (

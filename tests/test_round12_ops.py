@@ -1,0 +1,220 @@
+"""Round-12 operator tests: ExactSubstr hot-gram skew guard (the
+groupBy + join-back shape replacing count-over-window-by-gram),
+Unicode canonicalization cross-engine parity, the global_ntile range
+rank, the corpus-scaled SemDeDup cell count, and the persisted-IVF
+build/probe split."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_etl_pipeline_spark.queries import REGISTRY
+
+SF_GATE = "/root/testdata/sf0.01"
+
+
+# --- ExactSubstr hot-gram skew guard (VERDICT r11 task #3) -------------------
+
+
+def _hot_gram_corpus(spark, n_docs=50, toks_per_doc=2000):
+    """The adversarial shape the r11 verdict named: ONE gram (a token
+    repeated everywhere — license-header boilerplate) occurring
+    n_docs * (toks_per_doc - 9) ~ 1e5 times. Under the old
+    count-over-window-by-gram plan every one of those positions lands
+    on a single window task; the groupBy + join-back plan collapses
+    them to one count row per map task before any shuffle."""
+    rows = [(i, " ".join(["tok"] * toks_per_doc)) for i in range(n_docs)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_substr_no_per_gram_window(spark):
+    """Plan invariant (greppable version of the skew fix): no Window
+    node in the ExactSubstr plans partitions by the gram column — the
+    only windows left are the per-doc island merges. A window keyed on
+    _gram has no map-side combine and AQE cannot split it, so one
+    boilerplate gram serializes the stage at 100x."""
+    from crypto_etl_pipeline_spark.operators.dedup import (
+        exact_repeated_substrings,
+        exact_repeated_substrings_excise,
+    )
+
+    docs = _hot_gram_corpus(spark, n_docs=4, toks_per_doc=40)
+    for build in (exact_repeated_substrings, exact_repeated_substrings_excise):
+        plan = build(docs)._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            if "Window" in line:
+                assert "_gram" not in line, (
+                    f"{build.__name__} still windows by gram:\n{line}"
+                )
+
+
+def test_exact_substr_hot_gram_bounded(spark):
+    """Correctness on the 1e5-occurrence single-gram corpus: every doc
+    is one maximal span covering the whole doc, min_occ equals the
+    corpus-wide window count, and the excise keeps exactly one
+    surviving window's tokens (the corpus-first occurrence)."""
+    from crypto_etl_pipeline_spark.operators.dedup import (
+        exact_repeated_substrings,
+        exact_repeated_substrings_excise,
+    )
+
+    n_docs, toks = 50, 2000
+    docs = _hot_gram_corpus(spark, n_docs, toks)
+    spans = exact_repeated_substrings(docs).collect()
+    assert len(spans) == n_docs
+    n_windows_total = n_docs * (toks - 9)
+    for r in spans:
+        assert r["span_start"] == 1
+        assert r["span_tokens"] == toks
+        assert r["n_windows"] == toks - 9
+        assert r["min_occ"] == n_windows_total
+    ex = {r["doc_id"]: r for r in exact_repeated_substrings_excise(docs).collect()}
+    assert len(ex) == n_docs
+    # corpus-first window lives in doc 0 positions 1..10: doc 0 keeps
+    # those 10 tokens, every other doc is fully excised (NULL text)
+    assert ex[0]["n_removed"] == toks - 10
+    assert ex[0]["clean_text"] == " ".join(["tok"] * 10)
+    for i in range(1, n_docs):
+        assert ex[i]["n_removed"] == toks
+        assert ex[i]["clean_text"] is None
+
+
+# --- Unicode canonicalization (VERDICT r11 task #8) --------------------------
+
+
+@pytest.mark.quick
+def test_unicode_canonical_cross_engine_parity(spark):
+    """The fold chain (NFC + compatibility fold + lower + collapse)
+    must agree byte-for-byte between the Spark column expression and
+    the DuckDB SQL generated from the same fold tables — on NFD
+    decompositions, full-width ASCII, typographic punctuation, exotic
+    spaces, ligatures, and plain ASCII."""
+    import duckdb
+
+    from crypto_etl_pipeline_spark.operators.unicodeops import (
+        canonical_sql,
+        unicode_canonical,
+    )
+
+    fixtures = [
+        "Hello W" + chr(0xF3) + "rld" + chr(0x2026) + " " + chr(0xFB01) + "ne",
+        "e" + chr(0x0301) + "clair " + chr(0x2014) + " " + "ＴＥＳＴ",
+        "a" + chr(0x00A0) + "b" + chr(0x3000) + "c   d",
+        chr(0x201C) + "quoted" + chr(0x201D) + " " + chr(0x2018) + "q" + chr(0x2019),
+        "plain ascii text",
+        "",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(fixtures)], "i long, s string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", unicode_canonical(F.col("s")).alias("c")).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(fixtures):
+        want = con.execute(f"SELECT {canonical_sql('?')}", [s]).fetchone()[0]
+        assert got[i] == want, (i, repr(got[i]), repr(want))
+
+
+@pytest.mark.quick
+def test_unicode_dedup_rate_delta(spark):
+    """The payoff invariant on the mixed-encoding corpus: for every
+    source, the unicode-canonical fingerprint count must be at most a
+    third of the byte-normalized count x3 variants — i.e. the three
+    encodings of each doc collapse to ONE canonical fingerprint while
+    the byte normalizer keeps (nearly) all of them apart."""
+    rows = REGISTRY["dedup_unicode_fingerprint"].fn(spark, SF_GATE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_variants"] % 3 == 0
+        # all three encodings collapse: canonical fps == docs per source
+        assert r["fps_unicode"] == r["n_variants"] // 3
+        # the byte normalizer keeps the NFD and fullwidth/NBSP variants
+        # apart from the precomposed one (texts contain e/o/space)
+        assert r["fps_byte_norm"] == r["n_variants"]
+
+
+# --- global_ntile (VERDICT r11 task #5) --------------------------------------
+
+
+@pytest.mark.quick
+def test_global_ntile_matches_window_ntile(spark):
+    """Bit-parity with Spark's window ntile on a unique order key, for
+    bucket counts that divide and don't divide n (ntile's first n%k
+    buckets take the extra row), ascending and descending keys."""
+    from pyspark.sql.window import Window
+
+    from crypto_etl_pipeline_spark.operators.sampling import global_ntile
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 101) for i in range(101)], "id long, v long"
+    ).localCheckpoint(eager=False)
+    for k in (4, 10, 7):
+        for order in ([F.asc("v"), F.asc("id")], [F.desc("v"), F.asc("id")]):
+            want = {
+                (r["id"]): r["b"]
+                for r in df.withColumn(
+                    "b", F.ntile(k).over(Window.orderBy(*order))
+                ).collect()
+            }
+            got = {
+                r["id"]: r["b"]
+                for r in global_ntile(df, k, order, out_col="b").collect()
+            }
+            assert got == want, (k, order)
+
+
+# --- corpus-scaled SemDeDup cell count (VERDICT r11 task #6) -----------------
+
+
+@pytest.mark.quick
+def test_sem_k_scales_with_corpus():
+    """k = max(16, ceil(n/128)): fixed floor at every driver-compared
+    SF (n <= 2000), grows linearly past it so mean cell size stays
+    ~SEM_TARGET_CELL instead of n/16."""
+    from crypto_etl_pipeline_spark.queries.vector import (
+        SEM_K_MIN,
+        SEM_TARGET_CELL,
+        sem_k,
+    )
+
+    assert sem_k(500) == SEM_K_MIN
+    assert sem_k(2000) == SEM_K_MIN
+    assert sem_k(2049) == 17
+    assert sem_k(65536) == 65536 // SEM_TARGET_CELL
+    # mean cell size is bounded by the target once past the floor
+    for n in (10_000, 1_000_000, 50_000_000):
+        assert n / sem_k(n) <= SEM_TARGET_CELL
+
+
+# --- persisted-IVF build/probe split (VERDICT r11 task #4) -------------------
+
+
+def test_ivf_probe_only_reuses_persisted_index(spark):
+    """The probe query must NOT rebuild the index on a warm process:
+    the memo hands back the same path, and the probe result matches
+    ann_ivf_topk bit-for-bit (shared oracle contract)."""
+    from crypto_etl_pipeline_spark.queries import vector as V
+
+    sf = "/root/testdata/sf0.001"
+    V._IVF_INDEX_MEMO.pop(sf, None)
+    REGISTRY["ann_ivf_probe_only"].fn(spark, sf).collect()
+    path1 = V._IVF_INDEX_MEMO[sf][0]
+    probe = REGISTRY["ann_ivf_probe_only"].fn(spark, sf)
+    assert V._IVF_INDEX_MEMO[sf][0] == path1, "warm probe rebuilt the index"
+    exact = REGISTRY["ann_ivf_topk"].fn(spark, sf)
+    assert sorted(map(tuple, probe.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_ivf_index_build_reports_full_partition(spark):
+    """The build query's per-cell histogram covers the whole corpus
+    and the persisted layout is partitioned by cell id."""
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["ann_ivf_index_build"].fn(spark, sf).collect()
+    assert sum(r["n_vecs"] for r in rows) == 500
+    from crypto_etl_pipeline_spark.queries import vector as V
+
+    path = V._IVF_INDEX_MEMO[sf][0]
+    import os
+
+    assert any(d.startswith("_cell=") for d in os.listdir(path))

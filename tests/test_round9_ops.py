@@ -64,11 +64,11 @@ def test_semantic_sweep_cap_noop_at_gate_sf(spark):
         ivf_assign_cells,
         ivf_build_centroids,
     )
-    from crypto_etl_pipeline_spark.queries.vector import SEM_CELL_CAP, SEM_K
+    from crypto_etl_pipeline_spark.queries.vector import SEM_CELL_CAP, sem_k
     from crypto_etl_pipeline_spark.sources.tables import load_table
 
     emb = load_table(spark, SF_GATE, "embeddings")
-    cents = ivf_build_centroids(emb, k=SEM_K, iters=0)
+    cents = ivf_build_centroids(emb, k=sem_k(emb.count()), iters=0)
     max_cell = (
         ivf_assign_cells(emb, cents)
         .groupBy("_cell")

@@ -243,6 +243,6 @@ def test_ivf_persisted_probe_uses_dpp(spark):
     dynamicpruningexpression — the at-rest ANN layout claim, enforced."""
     from crypto_etl_pipeline_spark.queries import REGISTRY
 
-    df = REGISTRY["ann_ivf_persisted_probe"].fn(spark, "/root/testdata/sf0.001")
+    df = REGISTRY["ann_ivf_probe_only"].fn(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
