@@ -41,6 +41,8 @@ from crypto_etl_pipeline_spark.queries import selection  # noqa: F401, E402
 # never-driver-sampled pool is EMPTY.
 _GATE_FIRST = (
     # NEW this round — gated at birth
+    "text_script_histogram",
+    "quality_mojibake_audit",
     "ann_ivf_index_build",
     "ann_ivf_probe_only",
     "clean_unicode_normalize",
@@ -96,8 +98,6 @@ _GATE_FIRST = (
     "set_intersect_building_open",
     "set_except_building_never_open",
     "window_top3_orders_per_customer",
-    "window_running_user_spend",
-    "window_event_value_delta",
 )
 
 

@@ -1035,3 +1035,94 @@ def quality_psi_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("psi_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Encoding-anomaly (mojibake) audit — round 12, the data-quality twin
+# of operators/unicodeops: real web corpora carry double-encoded UTF-8
+# ("cafÃ©"), U+FFFD replacement chars from lossy transcodes, and stray
+# C1 controls; all three are cheap expression-level signals.
+# --------------------------------------------------------------------------
+_FFFD = chr(0xFFFD)
+_C1 = f"[{chr(0x0080)}-{chr(0x009F)}]"
+#: the double-encoded UTF-8 signature: 'Ã' followed by a char in
+#: U+0080..U+00BF (the Latin-1 reading of a UTF-8 continuation byte)
+_MOJI_PAIR = f"{chr(0x00C3)}[{chr(0x0080)}-{chr(0x00BF)}]"
+
+
+@register(
+    "quality_mojibake_audit",
+    oracle=f"""
+    WITH dirty AS (
+      SELECT doc_id, source,
+             CASE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 5
+               WHEN 0 THEN text || ' caf' || chr({0x00C3}) || chr({0x00A9})
+               WHEN 1 THEN chr({0xFFFD}) || text || chr({0xFFFD})
+               WHEN 2 THEN substr(text, 1, 3) || chr({0x0085}) || substr(text, 4)
+               ELSE text
+             END AS s
+      FROM documents
+    ),
+    sig AS (
+      SELECT source,
+             length(s) - length(replace(s, chr({0xFFFD}), '')) AS fffd,
+             length(s) - length(regexp_replace(s, '{_C1}', '', 'g')) AS c1,
+             len(regexp_extract_all(s, '{_MOJI_PAIR}')) AS moji
+      FROM dirty
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN fffd + c1 + moji > 0 THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+           sum(fffd)::BIGINT AS fffd_chars,
+           sum(c1)::BIGINT AS c1_chars,
+           sum(moji)::BIGINT AS mojibake_pairs,
+           round(sum(CASE WHEN fffd + c1 + moji > 0 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS flag_rate
+    FROM sig GROUP BY source
+    """,
+    description="Encoding-anomaly audit: U+FFFD, C1 controls, and double-encoded-UTF-8 pair counts per source over synthesized dirty variants",
+    tags=("quality", "text", "cleaning"),
+)
+def quality_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The detect side of the unicode-cleaning story (unicodeops
+    canonicalizes what survives; this measures what should be dropped
+    or re-decoded): per source, counts of the three classic encoding
+    corruptions — U+FFFD replacement characters (lossy transcodes),
+    C1 control bytes (Latin-1/CP1252 confusion), and the 'Ã'+
+    continuation-range bigram that is the fingerprint of UTF-8 decoded
+    as Latin-1 and re-encoded. Corruption is synthesized
+    deterministically (md5-parity class % 5 — decorrelated from source,
+    which is itself a doc_id modulus) identically in both engines. All
+    three signals are regexp/replace length-deltas — map-only
+    expression work, one dim-keyed groupBy; at 100 TB this is a free
+    rider on the corpus's first quality scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 5
+    s = (
+        F.when(m == 0, F.concat(F.col("text"), F.lit(" caf" + chr(0xC3) + chr(0xA9))))
+        .when(m == 1, F.concat(F.lit(_FFFD), F.col("text"), F.lit(_FFFD)))
+        .when(
+            m == 2,
+            F.concat(
+                F.substring(F.col("text"), 1, 3),
+                F.lit(chr(0x85)),
+                F.expr("substring(text, 4)"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    sig = docs.select(
+        "source",
+        (F.length(s) - F.length(F.replace(s, F.lit(_FFFD), F.lit("")))).cast("long").alias("fffd"),
+        (F.length(s) - F.length(F.regexp_replace(s, _C1, ""))).cast("long").alias("c1"),
+        F.regexp_count(s, F.lit(_MOJI_PAIR)).cast("long").alias("moji"),
+    )
+    flagged = (F.col("fffd") + F.col("c1") + F.col("moji") > 0).cast("long")
+    return sig.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(flagged).alias("n_flagged"),
+        F.sum("fffd").alias("fffd_chars"),
+        F.sum("c1").alias("c1_chars"),
+        F.sum("moji").alias("mojibake_pairs"),
+        F.round(F.sum(flagged) / F.count(F.lit(1)), 6).alias("flag_rate"),
+    )

@@ -314,6 +314,114 @@ def dedup_unicode_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Script-composition histogram: the routing signal multilingual corpus
+# pipelines key on (which tokenizer, which quality model, which dedup
+# shingle width). Classes are explicit codepoint ranges embedded as
+# literal characters in BOTH engines' regexes — Java regex and RE2
+# treat a literal char range inside a class identically.
+# --------------------------------------------------------------------------
+_CYRL = f"[{chr(0x0400)}-{chr(0x04FF)}]"
+_GREK = f"[{chr(0x0370)}-{chr(0x03FF)}]"
+_CJK = f"[{chr(0x4E00)}-{chr(0x9FFF)}]"
+_LATN = "[A-Za-z]"
+
+#: deterministic script injection: the md5-parity hash contract picks
+#: the script a doc's vowels are transliterated into (0 stays Latin) —
+#: md5, not doc_id % 4, because source = doc_id % n_sources and a
+#: modulus class would correlate perfectly with source
+_SCRIPT_SUBS = (
+    ("a", chr(0x0430)),  # 1 -> Cyrillic small a
+    ("e", chr(0x03B5)),  # 2 -> Greek small epsilon
+    ("o", chr(0x4E2A)),  # 3 -> CJK 个
+)
+
+
+def _count_class(col, cls: str):
+    return (F.length(col) - F.length(F.regexp_replace(col, cls, ""))).cast("long")
+
+
+@register(
+    "text_script_histogram",
+    oracle=f"""
+    WITH mixed AS (
+      SELECT doc_id, source,
+             CASE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 4
+               WHEN 1 THEN replace(text, 'a', chr({0x0430}))
+               WHEN 2 THEN replace(text, 'e', chr({0x03B5}))
+               WHEN 3 THEN replace(text, 'o', chr({0x4E2A}))
+               ELSE text
+             END AS s
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT source,
+             length(s) - length(regexp_replace(s, '{_LATN}', '', 'g'))  AS latin,
+             length(s) - length(regexp_replace(s, '{_CYRL}', '', 'g')) AS cyrl,
+             length(s) - length(regexp_replace(s, '{_GREK}', '', 'g')) AS grek,
+             length(s) - length(regexp_replace(s, '{_CJK}', '', 'g'))  AS cjk
+      FROM mixed
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(latin)::BIGINT AS latin_chars,
+           sum(cyrl)::BIGINT  AS cyrillic_chars,
+           sum(grek)::BIGINT  AS greek_chars,
+           sum(cjk)::BIGINT   AS cjk_chars,
+           CASE greatest(sum(latin), sum(cyrl), sum(grek), sum(cjk))
+             WHEN sum(latin) THEN 'latin'
+             WHEN sum(cyrl)  THEN 'cyrillic'
+             WHEN sum(grek)  THEN 'greek'
+             ELSE 'cjk'
+           END AS dominant_script
+    FROM per_doc GROUP BY source
+    """,
+    description="Per-source script-composition histogram (Latin/Cyrillic/Greek/CJK char counts + dominant script) over synthesized multilingual variants",
+    tags=("text", "quality", "cleaning"),
+)
+def text_script_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script composition is the first routing decision a multilingual
+    100 TB pipeline makes (tokenizer choice, quality-model choice,
+    shingle width for dedup) — and it is pure expression work: one
+    regexp_replace length-delta per script class, one groupBy(source).
+    The ASCII testdata is transliterated deterministically (md5-parity
+    class — decorrelated from source, which is itself a doc_id modulus)
+    identically in both engines.
+    Dominant-script tie-break follows the CASE order (latin first),
+    replayed exactly in SQL. Map-only until the one dim-keyed shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    cls = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 4
+    s = F.col("text")
+    for i, (src, dst) in enumerate(_SCRIPT_SUBS, start=1):
+        s = F.when(cls == i,
+                   F.replace(F.col("text"), F.lit(src), F.lit(dst))).otherwise(s)
+    per = docs.select(
+        "source",
+        _count_class(s, _LATN).alias("latin"),
+        _count_class(s, _CYRL).alias("cyrl"),
+        _count_class(s, _GREK).alias("grek"),
+        _count_class(s, _CJK).alias("cjk"),
+    )
+    g = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("latin").alias("latin_chars"),
+        F.sum("cyrl").alias("cyrillic_chars"),
+        F.sum("grek").alias("greek_chars"),
+        F.sum("cjk").alias("cjk_chars"),
+    )
+    top = F.greatest("latin_chars", "cyrillic_chars", "greek_chars", "cjk_chars")
+    dom = (
+        F.when(F.col("latin_chars") == top, "latin")
+        .when(F.col("cyrillic_chars") == top, "cyrillic")
+        .when(F.col("greek_chars") == top, "greek")
+        .otherwise("cjk")
+    )
+    return g.select(
+        "source", "n_docs", "latin_chars", "cyrillic_chars", "greek_chars",
+        "cjk_chars", dom.alias("dominant_script"),
+    )
+
+
 #: document-frequency cap for the skew-guarded pair-feed variants — a
 #: shingle in > HOT_SHINGLE_DF_CAP docs is treated as boilerplate and
 #: dropped from the posting join (C(df,2) rows on ONE shuffle key

@@ -220,6 +220,12 @@ HEAVY = [
     "q21_last_shipping_suppliers",
     "stream_sessionize_stateful",
     "stats_bh_fdr_segments",
+    # round-12 queries / re-shapes — born with curves
+    "ann_ivf_index_build",
+    "clean_unicode_normalize",
+    "dedup_unicode_fingerprint",
+    "rfm_segmentation",
+    "model_eval_suite",
 ]
 
 

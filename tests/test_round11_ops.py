@@ -507,8 +507,6 @@ INTENDED_REINCLUSIONS = {
     "set_intersect_building_open",
     "set_except_building_never_open",
     "window_top3_orders_per_customer",
-    "window_running_user_spend",
-    "window_event_value_delta",
 }
 
 

@@ -218,3 +218,48 @@ def test_ivf_index_build_reports_full_partition(spark):
     import os
 
     assert any(d.startswith("_cell=") for d in os.listdir(path))
+
+
+# --- script histogram + mojibake audit (round-12 second wave) ----------------
+
+
+@pytest.mark.quick
+def test_script_histogram_classifies_injected_scripts(spark):
+    """The md5-parity transliteration must move mass into exactly the
+    expected classes: every script class is populated corpus-wide,
+    Latin stays dominant per source (only vowels move), and the hash
+    class is decorrelated from source (a 25-doc source may legitimately
+    miss one class — the old doc_id%4 scheme instead correlated
+    PERFECTLY with source=doc_id%20, which this test would catch)."""
+    rows = REGISTRY["text_script_histogram"].fn(spark, SF_GATE).collect()
+    assert rows
+    tot = {k: 0 for k in ("cyrillic_chars", "greek_chars", "cjk_chars")}
+    n_src_with = {k: 0 for k in tot}
+    for r in rows:
+        assert r["dominant_script"] == "latin"
+        assert r["latin_chars"] > r["cyrillic_chars"]
+        for k in tot:
+            tot[k] += r[k]
+            n_src_with[k] += int(r[k] > 0)
+    assert all(v > 0 for v in tot.values()), tot
+    # decorrelation: each class present in MOST sources (the modulus
+    # scheme put each class in exactly 1/4 of sources)
+    assert all(v >= len(rows) * 0.7 for v in n_src_with.values()), n_src_with
+
+
+@pytest.mark.quick
+def test_mojibake_audit_flags_exactly_the_injected_classes(spark):
+    """md5-class in {0,1,2} is corrupted, {3,4} clean: corpus-wide
+    flag rate ~0.6, all three signals positive corpus-wide, FFFD
+    exactly 2 per affected doc, and no source 100% flagged."""
+    rows = REGISTRY["quality_mojibake_audit"].fn(spark, SF_GATE).collect()
+    assert rows
+    n_docs = sum(r["n_docs"] for r in rows)
+    n_flagged = sum(r["n_flagged"] for r in rows)
+    for r in rows:
+        assert r["n_flagged"] < r["n_docs"]
+        assert r["fffd_chars"] % 2 == 0  # two U+FFFD per affected doc
+    assert sum(r["fffd_chars"] for r in rows) > 0
+    assert sum(r["c1_chars"] for r in rows) > 0
+    assert sum(r["mojibake_pairs"] for r in rows) > 0
+    assert abs(n_flagged / n_docs - 0.6) < 0.15
