@@ -43,6 +43,7 @@ _GATE_FIRST = (
     # NEW this round — gated at birth
     "text_script_histogram",
     "quality_mojibake_audit",
+    "pipeline_multilingual_curation",
     "ann_ivf_index_build",
     "ann_ivf_probe_only",
     "clean_unicode_normalize",
@@ -97,7 +98,6 @@ _GATE_FIRST = (
     "set_union_active_buyers",
     "set_intersect_building_open",
     "set_except_building_never_open",
-    "window_top3_orders_per_customer",
 )
 
 

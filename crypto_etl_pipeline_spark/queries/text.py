@@ -315,6 +315,155 @@ def dedup_unicode_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# End-to-end multilingual ingest funnel: the unicode family composed
+# into one per-(source, stage) accounting report — the
+# pipeline_pretrain_corpus_v1 discipline applied to the encoding-dirty
+# half of a real ingest.
+# --------------------------------------------------------------------------
+_ML_SEQ_LEN = 128  #: packed-sequence length for the funnel's last stage
+_FFFD_CH = chr(0xFFFD)  #: U+FFFD replacement character
+
+
+def _ml_canonical_sql() -> str:
+    from crypto_etl_pipeline_spark.operators.unicodeops import canonical_sql
+
+    return canonical_sql("raw")
+
+
+@register(
+    "pipeline_multilingual_curation",
+    oracle=f"""
+    WITH {_unicode_enc_cte()},
+    dirty AS (
+      SELECT doc_id, source, enc,
+             CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR) || '_' ||
+                                        CAST(enc AS VARCHAR)), 1, 1)) % 5 = 0
+                  THEN chr({0xFFFD}) || raw || chr({0xFFFD})
+                  ELSE raw END AS raw
+      FROM enc
+    ),
+    clean AS (
+      SELECT * FROM dirty
+      WHERE length(raw) = length(replace(raw, chr({0xFFFD}), ''))
+    ),
+    canon AS (
+      SELECT doc_id, source, enc, {_ml_canonical_sql()} AS c FROM clean
+    ),
+    kept AS (
+      SELECT arg_min(source, doc_id * 4 + enc) AS source,
+             arg_min(c, doc_id * 4 + enc) AS c
+      FROM canon GROUP BY md5(c)
+    ),
+    toks AS (
+      SELECT source, len(regexp_split_to_array(c, '\\s+')) AS n_tok,
+             length(c) AS n_chars
+      FROM kept
+    ),
+    s0 AS (SELECT source, 0 AS stage, count(*) AS n_rows,
+                  sum(length(raw))::BIGINT AS n_chars FROM dirty GROUP BY source),
+    s1 AS (SELECT source, 1, count(*), sum(length(raw))::BIGINT
+           FROM clean GROUP BY source),
+    s2 AS (SELECT source, 2, count(*), sum(n_chars)::BIGINT
+           FROM toks GROUP BY source),
+    s3 AS (SELECT source, 3, sum((n_tok + {_ML_SEQ_LEN - 1}) // {_ML_SEQ_LEN})::BIGINT,
+                  sum(n_tok)::BIGINT
+           FROM toks GROUP BY source),
+    stages AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+               UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3),
+    spine AS (
+      SELECT s.source, g.stage
+      FROM (SELECT DISTINCT source FROM documents) s
+      CROSS JOIN (VALUES (0), (1), (2), (3)) g(stage)
+    )
+    SELECT sp.source, sp.stage,
+           COALESCE(st.n_rows, 0)::BIGINT AS n_rows,
+           COALESCE(st.n_chars, 0)::BIGINT AS n_chars
+    FROM spine sp LEFT JOIN stages st
+      ON sp.source = st.source AND sp.stage = st.stage
+    """,
+    description="Multilingual ingest funnel: mixed-encoding variants -> corruption filter -> unicode-canonical dedup -> packing accounting, per (source, stage)",
+    tags=("text", "dedup", "quality", "cleaning", "pipeline", "pandas-udf"),
+)
+def pipeline_multilingual_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unicode family composed end-to-end, funnel-accounted the way
+    a 100 TB multilingual ingest logs each batch:
+
+    0. **ingest** — the three byte encodings per document (NFC, NFD,
+       compatibility variants) a real crawl delivers, with FFFD
+       corruption injected on an md5-parity fifth of variants.
+    1. **encoding filter** — drop variants carrying replacement chars
+       (quality_mojibake_audit's strongest signal); expression-only.
+    2. **unicode dedup** — canonicalize (the NFC Arrow kernel + fold
+       chain) and keep one representative per canonical fingerprint:
+       the surviving encodings of one document COLLAPSE here, which is
+       the whole point of unicode_canonical ahead of exact dedup.
+    3. **packing accounting** — n_rows becomes packed-sequence count
+       ceil(tokens/128) and n_chars the surviving token mass (the
+       pack_training_sequences slicing identity, exact integer div).
+
+    The (source, stage) spine keeps zero rows visible. Scale shape:
+    one map pass builds/cleans variants, ONE fingerprint shuffle
+    dedups, stage aggregates are dim-keyed; keeper selection is
+    min_by over the scalar key doc_id*4+enc (unique by construction),
+    replayed as DuckDB arg_min."""
+    from crypto_etl_pipeline_spark.operators.unicodeops import unicode_canonical
+
+    enc = _unicode_enc_df(spark, sf_dir)
+    corrupt = (
+        F.ascii(
+            F.substring(
+                F.md5(F.concat_ws("_", F.col("doc_id").cast("string"),
+                                  F.col("enc").cast("string"))), 1, 1)
+        ) % 5 == 0
+    )
+    dirty = enc.select(
+        "doc_id", "source", "enc",
+        F.when(corrupt, F.concat(F.lit(_FFFD_CH), F.col("raw"), F.lit(_FFFD_CH)))
+        .otherwise(F.col("raw")).alias("raw"),
+    ).localCheckpoint(eager=False)
+    clean = dirty.where(
+        F.length("raw") == F.length(F.replace(F.col("raw"), F.lit(_FFFD_CH), F.lit("")))
+    )
+    canon = clean.select(
+        "doc_id", "source", "enc", unicode_canonical(F.col("raw")).alias("c")
+    ).localCheckpoint(eager=False)
+    kept = canon.groupBy(F.md5("c").alias("_fp")).agg(
+        F.expr("min_by(source, doc_id * 4 + enc)").alias("source"),
+        F.expr("min_by(c, doc_id * 4 + enc)").alias("c"),
+    )
+    toks = kept.select(
+        "source",
+        F.size(F.split(F.col("c"), r"\s+")).cast("long").alias("n_tok"),
+        F.length("c").cast("long").alias("n_chars"),
+    )
+    s0 = dirty.groupBy("source").agg(
+        F.lit(0).alias("stage"), F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("raw")).cast("long").alias("n_chars"))
+    s1 = clean.groupBy("source").agg(
+        F.lit(1).alias("stage"), F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("raw")).cast("long").alias("n_chars"))
+    s2 = toks.groupBy("source").agg(
+        F.lit(2).alias("stage"), F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("n_chars"))
+    s3 = toks.groupBy("source").agg(
+        F.lit(3).alias("stage"),
+        F.sum(F.expr(f"(n_tok + {_ML_SEQ_LEN - 1}) div {_ML_SEQ_LEN}"))
+        .cast("long").alias("n_rows"),
+        F.sum("n_tok").cast("long").alias("n_chars"))
+    stages = s0.unionByName(s1).unionByName(s2).unionByName(s3)
+    docs = load_table(spark, sf_dir, "documents")
+    spine = (
+        docs.select("source").distinct()
+        .crossJoin(F.broadcast(spark.range(4).select(F.col("id").cast("int").alias("stage"))))
+    )
+    return spine.join(stages, ["source", "stage"], "left").select(
+        "source", "stage",
+        F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
+        F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Script-composition histogram: the routing signal multilingual corpus
 # pipelines key on (which tokenizer, which quality model, which dedup
 # shingle width). Classes are explicit codepoint ranges embedded as

@@ -506,7 +506,6 @@ INTENDED_REINCLUSIONS = {
     "set_union_active_buyers",
     "set_intersect_building_open",
     "set_except_building_never_open",
-    "window_top3_orders_per_customer",
 }
 
 

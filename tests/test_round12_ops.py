@@ -263,3 +263,31 @@ def test_mojibake_audit_flags_exactly_the_injected_classes(spark):
     assert sum(r["c1_chars"] for r in rows) > 0
     assert sum(r["mojibake_pairs"] for r in rows) > 0
     assert abs(n_flagged / n_docs - 0.6) < 0.15
+
+
+# --- multilingual curation funnel --------------------------------------------
+
+
+def test_multilingual_funnel_invariants(spark):
+    """Funnel algebra over the 4 stages x sources: rows and chars are
+    non-increasing through stages 0->1->2 (filter then dedup), stage 2
+    keeps at most one row per ORIGINAL document (the 3 encodings
+    collapse after canonicalization), stage 3's sequence count is the
+    exact ceil-div of its token mass, and every source appears at
+    every stage."""
+    rows = REGISTRY["pipeline_multilingual_curation"].fn(spark, SF_GATE).collect()
+    stages = {}
+    for r in rows:
+        stages.setdefault(r["source"], {})[r["stage"]] = r
+    assert stages
+    for src, by_stage in stages.items():
+        assert sorted(by_stage) == [0, 1, 2, 3], src
+        s0, s1, s2, s3 = (by_stage[i] for i in range(4))
+        assert s0["n_rows"] >= s1["n_rows"] >= s2["n_rows"] > 0
+        assert s0["n_chars"] >= s1["n_chars"] >= s2["n_chars"]
+        assert s0["n_rows"] % 3 == 0  # 3 encodings per doc at ingest
+        assert s2["n_rows"] <= s0["n_rows"] // 3  # encodings collapsed
+        # sequences: sum of per-doc ceil(tok/128) is between
+        # ceil(total/128) and n_docs (each doc >= 1 sequence)
+        assert s3["n_rows"] >= (s3["n_chars"] + 127) // 128
+        assert s3["n_rows"] >= s2["n_rows"]
