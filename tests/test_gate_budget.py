@@ -49,7 +49,10 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: a green quiet run beats it; the history-eviction wedge (a 5-entry
 #: window can outlive its best record) is why the budget must track
 #: the current tree's measurement, not a bygone minimum.
-GATE_BUDGET_S = 3.8
+#: r12 ratchet: two green quiet records on this round's trees — 3.715
+#: (336 tree) and 3.655 (339 tree) — so the budget steps 3.8 -> 3.75,
+#: one notch above the current tree's measured cost.
+GATE_BUDGET_S = 3.75
 
 #: how many registered-but-not-yet-benched names are tolerable — new
 #: queries land between bench passes; anything beyond a round's worth
