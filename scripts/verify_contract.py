@@ -4,6 +4,12 @@ the driver's correctness gate.
 
 Usage:
     python scripts/verify_contract.py [sf_dir] [--sample name1,name2] [--gate]
+                                      [--resume-from path/to/prior.log]
+
+``--resume-from`` skips every query with a MATCH line in a prior run's
+log — the recovery path when a long sweep is killed partway (e.g. the
+round-12 concurrent-JVM wedge): re-launch with the dead run's log and
+only the remainder executes.
 
 Defaults to /root/testdata/sf0.01 (the driver's gate SF). Exits
 non-zero if any query mismatches. This is the same compare the local
@@ -54,9 +60,18 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf = args[0] if args else "/root/testdata/sf0.01"
     sample = None
+    done_prior: set[str] = set()
     for a in sys.argv[1:]:
         if a.startswith("--sample"):
             sample = set(a.split("=", 1)[1].split(","))
+        elif a.startswith("--resume-from"):
+            with open(a.split("=", 1)[1]) as fh:
+                for line in fh:
+                    parts = line.split()
+                    if len(parts) >= 2 and parts[1] == "MATCH":
+                        done_prior.add(parts[0])
+            print(f"resume: skipping {len(done_prior)} already-MATCHed queries",
+                  flush=True)
 
     spark = get_spark(app_name="verify-contract", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -65,7 +80,11 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
     bad = 0
-    names = sorted(n for n, s in REGISTRY.items() if s.oracle and (sample is None or n in sample))
+    names = sorted(
+        n
+        for n, s in REGISTRY.items()
+        if s.oracle and (sample is None or n in sample) and n not in done_prior
+    )
     for name in names:
         spec = REGISTRY[name]
         try:
