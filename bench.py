@@ -7,6 +7,12 @@ Each query is executed to completion (count of the result — forces the
 full plan without collecting data to the driver) and wall-clock timed.
 A warmup pass on sf0.001 triggers JVM/codegen warm paths first so the
 numbers measure the plans, not JIT compilation.
+
+``--calibrate`` additionally runs a fixed 5-query probe set 3x after
+warmup and records a host-noise coefficient (median and max of
+per-probe max/min wall ratios) into BENCH_FULL.json — the
+self-measured answer to "is this round's per-query spread host drift
+or plan drift" (VERDICT r12 task #6).
 """
 
 from __future__ import annotations
@@ -223,6 +229,53 @@ HEADLINE = [
 ]
 
 
+#: fixed probe set for --calibrate: five stable, shape-diverse,
+#: mid-cost queries (agg / dedup / window / ANN / rollup). Chosen for
+#: low plan-construction overhead so the 3x repeat measures the HOST,
+#: not Catalyst.
+CALIBRATE_PROBES = [
+    "q1_pricing_summary",
+    "dedup_exact",
+    "window_top3_orders_per_customer",
+    "ann_brute_force_topk",
+    "events_hourly_rollup",
+]
+
+
+def _calibrate(spark, registry) -> dict:
+    """Host-noise coefficient (VERDICT r12 task #6): run the fixed
+    probe set 3x and report median/max of per-query max/min wall
+    ratios. Same-tree suite runs on this host differ up to 1.33x, so
+    per-query regressions under ~1.4x are invisible; this field lets a
+    verdict separate plan drift from host drift without git
+    archaeology — a noise_coeff near the observed per-query spread
+    says "host", a calm noise_coeff under a big spread says "plan"."""
+    probe_times: dict[str, list[float]] = {}
+    for _ in range(3):
+        for name in CALIBRATE_PROBES:
+            if name not in registry:
+                continue
+            t0 = time.perf_counter()
+            registry[name].fn(spark, SF_DIR).count()
+            probe_times.setdefault(name, []).append(
+                round(time.perf_counter() - t0, 3)
+            )
+    ratios = sorted(
+        max(ts) / min(ts) for ts in probe_times.values() if min(ts) > 0
+    )
+    if not ratios:
+        return {}
+    mid = len(ratios) // 2
+    med = (
+        ratios[mid] if len(ratios) % 2 else (ratios[mid - 1] + ratios[mid]) / 2
+    )
+    return {
+        "host_noise_coeff": round(med, 3),
+        "host_noise_max": round(ratios[-1], 3),
+        "host_noise_probes": probe_times,
+    }
+
+
 def main() -> None:
     from crypto_etl_pipeline_spark.queries import REGISTRY
     from crypto_etl_pipeline_spark.session import get_spark
@@ -245,6 +298,8 @@ def main() -> None:
     # reads, and Python worker spawn for the pandas_udf-backed queries.
     for name in names:
         REGISTRY[name].fn(spark, "/root/testdata/sf0.001").count()
+
+    calib = _calibrate(spark, REGISTRY) if "--calibrate" in sys.argv else {}
 
     # Two timed passes, min per query: this shared host shows steal-time
     # spikes that inflate a single pass by up to ~10x (measured); the
@@ -322,6 +377,8 @@ def main() -> None:
     if shared_median_ratio is not None:
         full["shared_median_ratio_vs_prev"] = shared_median_ratio
         full["n_shared_vs_prev"] = n_shared
+    if calib:
+        full.update(calib)
 
     file_text = json.dumps(full, indent=1, sort_keys=True) + "\n"
     # Only attest the sha/file when the write actually landed (ADVICE
@@ -352,6 +409,9 @@ def main() -> None:
     if shared_median_ratio is not None:
         summary["shared_median_ratio_vs_prev"] = shared_median_ratio
         summary["n_shared_vs_prev"] = n_shared
+    if calib:
+        summary["host_noise_coeff"] = calib["host_noise_coeff"]
+        summary["host_noise_max"] = calib["host_noise_max"]
     if wrote_ok:
         summary["bench_full_sha256"] = hashlib.sha256(file_text.encode()).hexdigest()
         summary["queries_file"] = "BENCH_FULL.json"

@@ -64,6 +64,11 @@ _FOLD_PAIRS: list[tuple[str, str]] = [
 FOLD_SRC = "".join(s for s, _ in _FOLD_PAIRS)
 FOLD_DST = "".join(d for _, d in _FOLD_PAIRS)
 
+# Whitespace-collapse set, spelled as an explicit character class so
+# Spark (Java regex, where \s includes U+000B) and DuckDB (RE2, where
+# it does not) collapse the identical set. \x0B is valid in both.
+_WS_CLASS = r"[ \t\n\x0B\f\r]+"
+
 
 def nfc_pd():
     """Arrow-batched Unicode NFC normalization (str -> str).
@@ -95,7 +100,9 @@ def unicode_canonical(text: Column | str) -> Column:
     for m, r in FOLD_MULTI:
         c = F.replace(c, F.lit(m), F.lit(r))
     c = F.translate(c, FOLD_SRC, FOLD_DST)
-    return F.lower(F.regexp_replace(c, r"\s+", " "))
+    # Explicit class, not \s: Java regex includes U+000B in \s, RE2
+    # (DuckDB) does not — the one way the twin engines could drift.
+    return F.lower(F.regexp_replace(c, _WS_CLASS, " "))
 
 
 def unicode_fingerprint(text: Column | str) -> Column:
@@ -117,7 +124,7 @@ def canonical_sql(expr: str) -> str:
     for m, r in FOLD_MULTI:
         e = f"replace({e}, '{_sql_quote(m)}', '{_sql_quote(r)}')"
     e = f"translate({e}, '{_sql_quote(FOLD_SRC)}', '{_sql_quote(FOLD_DST)}')"
-    return f"regexp_replace(lower({e}), '\\s+', ' ', 'g')"
+    return f"regexp_replace(lower({e}), '{_WS_CLASS}', ' ', 'g')"
 
 
 def fingerprint_sql(expr: str) -> str:

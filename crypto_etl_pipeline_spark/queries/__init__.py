@@ -27,85 +27,122 @@ from crypto_etl_pipeline_spark.queries import market  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import behavior  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import retrieval  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import selection  # noqa: F401, E402
+from crypto_etl_pipeline_spark.queries import web  # noqa: F401, E402
 
 
 # The driver's correctness gate samples the FIRST 50 entries of
 # queries(), so ordering is rotated each round to cycle coverage.
-# Round 12 drains the never-sampled pool COMPLETELY: the 28 remaining
-# names (regexp_extract_entity_ids .. zorder_layout_events) all get
-# slots, new r12 queries are gated at birth, and six deliberate
-# re-inclusions cover queries whose plan/semantics changed this round
-# (ExactSubstr hot-gram fix, SEM_K corpus scaling, model_eval_suite
-# distinct-score rank, stats_bh_fdr_segments broadcast re-derivation)
-# so each fix gets a fresh official green row. After r12 the
-# never-driver-sampled pool is EMPTY.
-_GATE_FIRST = (
-    # NEW this round — gated at birth
-    "text_script_histogram",
-    "quality_mojibake_audit",
-    "pipeline_multilingual_curation",
-    "ann_ivf_index_build",
-    "ann_ivf_probe_only",
+# Since round 13 the rotation is PROGRAMMATIC (VERDICT r12 task #2):
+# with the never-driver-sampled pool drained in r12, the hand-
+# maintained 50-name list is replaced by
+#   explicit slots  — _GATE_NEW (queries registered this round, gated
+#                     at birth) + _GATE_REINCLUDE (deliberate re-runs
+#                     of already-green names whose plan/semantics
+#                     changed this round), then
+#   filler slots    — OLDEST-GREEN-FIRST: the remaining slots go to
+#                     the registered queries whose latest GREEN driver
+#                     sample (parsed from the CORRECTNESS_r*.json
+#                     union, rounds < CURRENT_ROUND) is oldest, ties
+#                     alphabetical. A query never sampled green sorts
+#                     first (round -1), so red rows keep re-sampling
+#                     until they go green.
+# tests/test_round11_ops.py::test_gate_rotation_no_accidental_resample
+# asserts the filler genuinely picked the stalest names, and
+# test_gate_rotation_refresh_bound asserts the K-round re-sample
+# guarantee on the ordering function itself.
+
+import glob as _glob
+import json as _json
+import os as _os
+import re as _re
+
+#: the build round currently being authored — CORRECTNESS files of
+#: this round or later are IGNORED by the rotation (the driver writes
+#: CORRECTNESS_r{CURRENT_ROUND}.json at round close; including it
+#: would reshuffle the order the moment the driver did its job)
+CURRENT_ROUND = 13
+
+#: how many names the driver samples per round
+GATE_SLOTS = 50
+
+#: queries REGISTERED this round — gated at birth
+_GATE_NEW: tuple = (
+    "clean_url_canonicalize",
+    "dedup_by_url",
+    "web_host_profile",
+    "train_epoch_shuffle",
+    "bitext_mine_margin",
+    "bitext_margin_threshold_sweep",
+)
+
+#: deliberate re-inclusions: already-green names whose plan or
+#: semantics changed this round, so the fix wants a fresh official row
+#: (keep in sync with INTENDED_REINCLUSIONS in tests/test_round11_ops.py)
+_GATE_REINCLUDE: tuple = (
+    # r13: whitespace-collapse regex \s+ -> explicit [ \t\n\x0B\f\r]+
+    # in unicode_canonical AND its DuckDB twin (r12 ADVICE engine-drift
+    # fix) — every query whose plan embeds the pattern re-samples
     "clean_unicode_normalize",
     "dedup_unicode_fingerprint",
-    # deliberate re-inclusions: plan/semantics changed this round
-    # (keep in sync with tests/test_round11_ops.py INTENDED_REINCLUSIONS)
-    "dedup_exact_substrings",
-    "dedup_exact_substrings_excise",
-    "dedup_exact_substrings_incremental",
-    "dedup_semantic_clusters",
-    "model_eval_suite",
-    "stats_bh_fdr_segments",
-    # never-sampled pool — the FULL remaining 28, alphabetical
-    "regexp_extract_entity_ids",
-    "resample_ffill_hourly",
-    "rfm_segmentation",
-    "rolling_wau",
-    "rolling_wau_hll",
-    "rolling_zscore_anomaly",
-    "rollup_reuse_daily_from_hourly",
-    "roundtrip_jsonl_events",
-    "schema_evolution_merge_read",
-    "seasonal_anomaly_hour_profile",
-    "semistructured_props_paths",
-    "session_window_batch",
-    "source_overlap_matrix",
-    "sql_interface_q1",
-    "sql_interface_window",
-    "stat_aggregate_suite",
-    "text_chi2_source_quality",
-    "text_chunk_documents",
-    "text_chunk_documents_udtf",
-    "text_heavy_hitter_tokens",
-    "text_kl_source_drift",
-    "text_lr_score_fixed",
-    "timeseries_gapfill_hourly",
-    "trend_regression_by_type",
-    "unpivot_customer_metrics",
-    "vwap_daily",
-    "weekly_rollup_calendar",
-    "zorder_layout_events",
-    # pool drained — remaining 12 slots DELIBERATELY refresh the
-    # OLDEST green rows (r01): re-validating three-round-old evidence
-    # beats wasting the slots (keep in sync with INTENDED_REINCLUSIONS
-    # in tests/test_round11_ops.py)
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_nation_revenue",
-    "join_semi_urgent_customers",
-    "join_anti_no_urgent_customers",
-    "join_outer_open_order_counts",
-    "set_union_active_buyers",
-    "set_intersect_building_open",
-    "set_except_building_never_open",
+    "pipeline_multilingual_curation",
 )
+
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
+def _row_green(row: dict) -> bool:
+    """A driver CORRECTNESS row counts as green iff it errored nowhere
+    and failed no recorded check (rows-only checks lack hash/schema
+    keys — absent means not-checked, not failed)."""
+    if row.get("err") is not None:
+        return False
+    return all(
+        row.get(k) is not False for k in ("rows_match", "schema_match", "hash_match")
+    )
+
+
+def last_green_round(before_round: int = None) -> dict:
+    """name -> latest round (< before_round) with a green driver
+    CORRECTNESS row. Pure function of the committed driver artifacts."""
+    cut = CURRENT_ROUND if before_round is None else before_round
+    out: dict = {}
+    for f in _glob.glob(_os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        if not m or int(m.group(1)) >= cut:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(f) as fh:
+                rows = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and _row_green(row):
+                out[name] = max(out.get(name, -1), rnd)
+    return out
+
+
+def gate_first(last_green: dict, explicit: tuple, slots: int = GATE_SLOTS) -> list:
+    """The first-``slots`` gate sample: explicit names first (order
+    preserved), then oldest-green-first filler over the rest of the
+    registry. Pure so the refresh-bound meta-test can simulate rounds."""
+    explicit = [n for n in explicit if n in REGISTRY]
+    taken = set(explicit)
+    pool = sorted(
+        (n for n in REGISTRY if n not in taken),
+        key=lambda n: (last_green.get(n, -1), n),
+    )
+    return list(explicit) + pool[: max(0, slots - len(explicit))]
 
 
 def _gate_ordered():
-    missing = [n for n in _GATE_FIRST if n not in REGISTRY]
-    assert not missing, f"_GATE_FIRST names not registered: {missing}"
-    rest = [n for n in REGISTRY if n not in set(_GATE_FIRST)]
-    return list(_GATE_FIRST) + rest
+    explicit = _GATE_NEW + _GATE_REINCLUDE
+    missing = [n for n in explicit if n not in REGISTRY]
+    assert not missing, f"explicit gate names not registered: {missing}"
+    assert len(set(explicit)) == len(explicit), "duplicate explicit gate names"
+    first = gate_first(last_green_round(), explicit)
+    head = set(first)
+    return first + [n for n in REGISTRY if n not in head]
 
 
 def queries():

@@ -851,3 +851,85 @@ def quantile_grouped_exact_histogram(spark: SparkSession, sf_dir: str) -> DataFr
         )
         out = piece if out is None else out.unionByName(piece)
     return out
+
+
+# --------------------------------------------------------------------------
+# Deterministic epoch shuffle (r13) — training-order reproducibility.
+# --------------------------------------------------------------------------
+_EPOCH_SEED = "r13"  #: one-constant reshuffle knob (hash-gate idiom)
+_EPOCH_N = 2
+_EPOCH_CAP = 2048  #: pack size — matches pack_training_sequences
+
+
+@register(
+    "train_epoch_shuffle",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             sum(len(regexp_split_to_array(text, '\\s+')))::BIGINT AS n_tok
+      FROM documents GROUP BY lang
+    ),
+    packs AS (
+      SELECT lang || ':' || CAST(
+               unnest(range(0, (n_tok + {_EPOCH_CAP - 1}) // {_EPOCH_CAP}))
+             AS VARCHAR) AS pack_id
+      FROM t
+    ),
+    e AS (
+      SELECT pack_id, ep.epoch
+      FROM packs CROSS JOIN (VALUES (0), (1)) ep(epoch)
+    ),
+    h AS (
+      SELECT epoch, pack_id,
+             md5('{_EPOCH_SEED}' || ':' || CAST(epoch AS VARCHAR)
+                 || ':' || pack_id) AS hh
+      FROM e
+    )
+    SELECT epoch,
+           row_number() OVER (PARTITION BY epoch ORDER BY hh, pack_id)
+             AS position,
+           pack_id
+    FROM h
+    """,
+    description="Deterministic per-epoch shuffle of packed training sequences: md5(seed:epoch:pack) rank, no global sort, bit-reproducible",
+    tags=("selection", "packing", "sampling"),
+)
+def train_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-order step after packing: each epoch reads the
+    SAME packed sequences in a fresh pseudo-random order, and that
+    order must be bit-reproducible (resume-from-step, multi-reader
+    shard servers, cross-engine audit). The pack universe derives from
+    the per-language token mass exactly as pack_training_sequences
+    slices it (ceil(tokens/2048) packs per language); order is
+    md5(seed:epoch:pack_id) rank via the range-partitioned
+    global_ordinals — no single-task ORDER BY anywhere (lint #5), no
+    rand()/shuffle() partition-layout dependence. Two epochs are
+    materialized side by side; the oracle replays the ranking with a
+    plain window because DuckDB runs at oracle scale, not corpus
+    scale."""
+    from crypto_etl_pipeline_spark.operators.sampling import epoch_shuffle
+    from crypto_etl_pipeline_spark.operators.textops import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("lang").agg(
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tok")
+    )
+    packs = (
+        t.select(
+            "lang",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    ((F.col("n_tok") + _EPOCH_CAP - 1) / _EPOCH_CAP).cast("long")
+                    - 1,
+                )
+            ).alias("i"),
+        )
+        .select(
+            F.concat(
+                F.col("lang"), F.lit(":"), F.col("i").cast("string")
+            ).alias("pack_id")
+        )
+        .localCheckpoint(eager=False)
+    )
+    return epoch_shuffle(packs, "pack_id", n_epochs=_EPOCH_N, seed=_EPOCH_SEED)

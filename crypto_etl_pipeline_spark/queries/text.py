@@ -330,6 +330,55 @@ def _ml_canonical_sql() -> str:
     return canonical_sql("raw")
 
 
+def _ml_url_sql() -> str:
+    """DuckDB expression for the funnel's synthetic per-fetch URL
+    (doc_id, source, enc in scope). enc 0 is the clean form, enc 1 a
+    messy REFETCH of the same canonical URL (case, www., :443,
+    trailing slash, tracking params, fragment), enc 2 a MIRROR host —
+    a distinct canonical URL serving the same content. URL dedup
+    (stage 2) therefore collapses refetches only; the mirror survives
+    to be caught by content dedup (stage 3) — the CCNet division of
+    labor the stage split exists to demonstrate."""
+    hp = "CAST(doc_id % 40 AS VARCHAR)"
+    did = "CAST(doc_id AS VARCHAR)"
+    return f"""CASE enc
+      WHEN 0 THEN 'https://h' || {hp} || '.example.org/' || source || '/d' || {did} || '?a=1'
+      WHEN 1 THEN 'HTTPS://WWW.H' || {hp} || '.EXAMPLE.ORG:443/' || source || '/d' || {did} || '/?utm_source=feed&a=1&gclid=x' || {did} || '#s'
+      ELSE 'https://m' || {hp} || '.mirror.net/' || source || '/d' || {did} || '?a=1'
+    END"""
+
+
+def _ml_url_df():
+    """Spark twin of :func:`_ml_url_sql` (a Column over doc_id,
+    source, enc)."""
+    hp = (F.col("doc_id") % 40).cast("string")
+    did = F.col("doc_id").cast("string")
+    return (
+        F.when(
+            F.col("enc") == 0,
+            F.concat(F.lit("https://h"), hp, F.lit(".example.org/"),
+                     F.col("source"), F.lit("/d"), did, F.lit("?a=1")),
+        )
+        .when(
+            F.col("enc") == 1,
+            F.concat(F.lit("HTTPS://WWW.H"), hp, F.lit(".EXAMPLE.ORG:443/"),
+                     F.col("source"), F.lit("/d"), did,
+                     F.lit("/?utm_source=feed&a=1&gclid=x"), did, F.lit("#s")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://m"), hp, F.lit(".mirror.net/"),
+                     F.col("source"), F.lit("/d"), did, F.lit("?a=1"))
+        )
+    )
+
+
+def _ml_curl_sql() -> str:
+    """DuckDB canonical form of the funnel URL (column ``url``)."""
+    from crypto_etl_pipeline_spark.operators.urlops import canonical_url_sql
+
+    return canonical_url_sql("url")
+
+
 @register(
     "pipeline_multilingual_curation",
     oracle=f"""
@@ -346,8 +395,18 @@ def _ml_canonical_sql() -> str:
       SELECT * FROM dirty
       WHERE length(raw) = length(replace(raw, chr({0xFFFD}), ''))
     ),
+    urls AS (
+      SELECT doc_id, source, enc, raw, {_ml_url_sql()} AS url FROM clean
+    ),
+    ukept AS (
+      SELECT arg_min(doc_id, doc_id * 4 + enc) AS doc_id,
+             arg_min(source, doc_id * 4 + enc) AS source,
+             arg_min(enc, doc_id * 4 + enc) AS enc,
+             arg_min(raw, doc_id * 4 + enc) AS raw
+      FROM urls GROUP BY {_ml_curl_sql()}
+    ),
     canon AS (
-      SELECT doc_id, source, enc, {_ml_canonical_sql()} AS c FROM clean
+      SELECT doc_id, source, enc, {_ml_canonical_sql()} AS c FROM ukept
     ),
     kept AS (
       SELECT arg_min(source, doc_id * 4 + enc) AS source,
@@ -363,17 +422,20 @@ def _ml_canonical_sql() -> str:
                   sum(length(raw))::BIGINT AS n_chars FROM dirty GROUP BY source),
     s1 AS (SELECT source, 1, count(*), sum(length(raw))::BIGINT
            FROM clean GROUP BY source),
-    s2 AS (SELECT source, 2, count(*), sum(n_chars)::BIGINT
+    s2 AS (SELECT source, 2, count(*), sum(length(raw))::BIGINT
+           FROM ukept GROUP BY source),
+    s3 AS (SELECT source, 3, count(*), sum(n_chars)::BIGINT
            FROM toks GROUP BY source),
-    s3 AS (SELECT source, 3, sum((n_tok + {_ML_SEQ_LEN - 1}) // {_ML_SEQ_LEN})::BIGINT,
+    s4 AS (SELECT source, 4, sum((n_tok + {_ML_SEQ_LEN - 1}) // {_ML_SEQ_LEN})::BIGINT,
                   sum(n_tok)::BIGINT
            FROM toks GROUP BY source),
     stages AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
-               UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3),
+               UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+               UNION ALL SELECT * FROM s4),
     spine AS (
       SELECT s.source, g.stage
       FROM (SELECT DISTINCT source FROM documents) s
-      CROSS JOIN (VALUES (0), (1), (2), (3)) g(stage)
+      CROSS JOIN (VALUES (0), (1), (2), (3), (4)) g(stage)
     )
     SELECT sp.source, sp.stage,
            COALESCE(st.n_rows, 0)::BIGINT AS n_rows,
@@ -381,7 +443,7 @@ def _ml_canonical_sql() -> str:
     FROM spine sp LEFT JOIN stages st
       ON sp.source = st.source AND sp.stage = st.stage
     """,
-    description="Multilingual ingest funnel: mixed-encoding variants -> corruption filter -> unicode-canonical dedup -> packing accounting, per (source, stage)",
+    description="Multilingual ingest funnel: mixed-encoding variants -> corruption filter -> per-URL dedup -> unicode-canonical dedup -> packing accounting, per (source, stage)",
     tags=("text", "dedup", "quality", "cleaning", "pipeline", "pandas-udf"),
 )
 def pipeline_multilingual_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,20 +455,26 @@ def pipeline_multilingual_curation(spark: SparkSession, sf_dir: str) -> DataFram
        corruption injected on an md5-parity fifth of variants.
     1. **encoding filter** — drop variants carrying replacement chars
        (quality_mojibake_audit's strongest signal); expression-only.
-    2. **unicode dedup** — canonicalize (the NFC Arrow kernel + fold
-       chain) and keep one representative per canonical fingerprint:
-       the surviving encodings of one document COLLAPSE here, which is
-       the whole point of unicode_canonical ahead of exact dedup.
-    3. **packing accounting** — n_rows becomes packed-sequence count
+    2. **per-URL dedup** (NEW r13, CCNet §2 ordering) — canonicalize
+       each fetch's URL (operators/urlops) and keep the earliest fetch
+       per canonical URL: enc 0/1 are refetches of the same page (case
+       /www./:443/tracking-param variants) and collapse HERE; enc 2 is
+       a mirror host — a different canonical URL — and survives.
+    3. **unicode content dedup** — canonicalize (the NFC Arrow kernel
+       + fold chain) and keep one representative per canonical
+       fingerprint: the mirror copies collapse here, which is why URL
+       dedup alone is insufficient and vice versa.
+    4. **packing accounting** — n_rows becomes packed-sequence count
        ceil(tokens/128) and n_chars the surviving token mass (the
        pack_training_sequences slicing identity, exact integer div).
 
     The (source, stage) spine keeps zero rows visible. Scale shape:
-    one map pass builds/cleans variants, ONE fingerprint shuffle
-    dedups, stage aggregates are dim-keyed; keeper selection is
-    min_by over the scalar key doc_id*4+enc (unique by construction),
-    replayed as DuckDB arg_min."""
+    one map pass builds/cleans variants, one URL-key shuffle, ONE
+    fingerprint shuffle, stage aggregates dim-keyed; keeper selection
+    is min_by over the scalar key doc_id*4+enc (unique by
+    construction), replayed as DuckDB arg_min."""
     from crypto_etl_pipeline_spark.operators.unicodeops import unicode_canonical
+    from crypto_etl_pipeline_spark.operators.urlops import canonical_url
 
     enc = _unicode_enc_df(spark, sf_dir)
     corrupt = (
@@ -424,7 +492,22 @@ def pipeline_multilingual_curation(spark: SparkSession, sf_dir: str) -> DataFram
     clean = dirty.where(
         F.length("raw") == F.length(F.replace(F.col("raw"), F.lit(_FFFD_CH), F.lit("")))
     )
-    canon = clean.select(
+    # stage 2 (NEW r13): per-URL dedup BEFORE content dedup — the
+    # CCNet §2 ordering. Canonical URL computed map-side; one hash
+    # shuffle on it; min_by keeps the earliest fetch. The checkpoint
+    # keeps canonical_url's regex chain (which embeds a filter() HOF)
+    # out of later constraint-inference planning.
+    urls = clean.select(
+        "doc_id", "source", "enc", "raw",
+        canonical_url(_ml_url_df()).alias("cu"),
+    ).localCheckpoint(eager=False)
+    ukept = urls.groupBy("cu").agg(
+        F.expr("min_by(doc_id, doc_id * 4 + enc)").alias("doc_id"),
+        F.expr("min_by(source, doc_id * 4 + enc)").alias("source"),
+        F.expr("min_by(enc, doc_id * 4 + enc)").alias("enc"),
+        F.expr("min_by(raw, doc_id * 4 + enc)").alias("raw"),
+    ).localCheckpoint(eager=False)
+    canon = ukept.select(
         "doc_id", "source", "enc", unicode_canonical(F.col("raw")).alias("c")
     ).localCheckpoint(eager=False)
     kept = canon.groupBy(F.md5("c").alias("_fp")).agg(
@@ -442,19 +525,22 @@ def pipeline_multilingual_curation(spark: SparkSession, sf_dir: str) -> DataFram
     s1 = clean.groupBy("source").agg(
         F.lit(1).alias("stage"), F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.length("raw")).cast("long").alias("n_chars"))
-    s2 = toks.groupBy("source").agg(
+    s2 = ukept.groupBy("source").agg(
         F.lit(2).alias("stage"), F.count(F.lit(1)).alias("n_rows"),
-        F.sum("n_chars").cast("long").alias("n_chars"))
+        F.sum(F.length("raw")).cast("long").alias("n_chars"))
     s3 = toks.groupBy("source").agg(
-        F.lit(3).alias("stage"),
+        F.lit(3).alias("stage"), F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("n_chars"))
+    s4 = toks.groupBy("source").agg(
+        F.lit(4).alias("stage"),
         F.sum(F.expr(f"(n_tok + {_ML_SEQ_LEN - 1}) div {_ML_SEQ_LEN}"))
         .cast("long").alias("n_rows"),
         F.sum("n_tok").cast("long").alias("n_chars"))
-    stages = s0.unionByName(s1).unionByName(s2).unionByName(s3)
+    stages = s0.unionByName(s1).unionByName(s2).unionByName(s3).unionByName(s4)
     docs = load_table(spark, sf_dir, "documents")
     spine = (
         docs.select("source").distinct()
-        .crossJoin(F.broadcast(spark.range(4).select(F.col("id").cast("int").alias("stage"))))
+        .crossJoin(F.broadcast(spark.range(5).select(F.col("id").cast("int").alias("stage"))))
     )
     return spine.join(stages, ["source", "stage"], "left").select(
         "source", "stage",

@@ -467,6 +467,24 @@ def sem_k(n_vectors: int) -> int:
     return max(SEM_K_MIN, math.ceil(n_vectors / SEM_TARGET_CELL))
 
 
+#: per-process memo sf_dir -> embeddings row count, read from parquet
+#: FOOTER metadata (no Spark job): plan construction must stay
+#: action-free — r12's sem_k(emb.count()) ran a full count() action on
+#: every plan build (lint/fingerprint tests, every bench pass).
+_EMB_COUNT_MEMO: dict = {}
+
+
+def _emb_count(sf_dir: str) -> int:
+    if sf_dir not in _EMB_COUNT_MEMO:
+        import os
+
+        import pyarrow.dataset as pads
+
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        _EMB_COUNT_MEMO[sf_dir] = pads.dataset(path, format="parquet").count_rows()
+    return _EMB_COUNT_MEMO[sf_dir]
+
+
 #: DuckDB scalar-subquery twin of :func:`sem_k` — usable in LIMIT
 _SEM_K_SQL = (
     f"(SELECT greatest({SEM_K_MIN}, CAST(ceil(count(*) / {SEM_TARGET_CELL}.0) "
@@ -547,7 +565,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_etl_pipeline_spark.operators.similarity import pair_cosine_pd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = ivf_build_centroids(emb, k=sem_k(emb.count()), iters=0)
+    cents = ivf_build_centroids(emb, k=sem_k(_emb_count(sf_dir)), iters=0)
     # cap_hot_cells bounds the quadratic within-cell stage: any cell
     # over SEM_CELL_CAP splits into deterministic sub-cells (the IVF
     # twin of the LSH bucket cap). With k corpus-scaled (sem_k) mean
@@ -748,6 +766,15 @@ def _ivf_persisted_index(spark: SparkSession, sf_dir: str, rebuild: bool = False
     )
     from crypto_etl_pipeline_spark.sources.sinks import scratch_dir
 
+    import os
+
+    if not rebuild and sf_dir in _IVF_INDEX_MEMO:
+        # Validate before reuse (ADVICE r12): the scratch path can be
+        # cleaned externally — fall back to a rebuild instead of
+        # handing the probe a dangling parquet path. (The memoized
+        # centroids are a plain list of floats, session-independent.)
+        if not os.path.isdir(_IVF_INDEX_MEMO[sf_dir][0]):
+            del _IVF_INDEX_MEMO[sf_dir]
     if rebuild or sf_dir not in _IVF_INDEX_MEMO:
         emb = load_table(spark, sf_dir, "embeddings")
         cents = ivf_build_centroids(emb, k=IVF_K, iters=0)
@@ -1919,7 +1946,7 @@ def embedding_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
         ivf_build_centroids,
     )
 
-    cents = ivf_build_centroids(emb, k=sem_k(emb.count()), iters=0)
+    cents = ivf_build_centroids(emb, k=sem_k(_emb_count(sf_dir)), iters=0)
     cells = cap_hot_cells(
         ivf_assign_cells(emb, cents).select(
             F.col("neighbor_id").alias("vec_id"), "_cell", "_cvec"
@@ -2281,7 +2308,7 @@ def dedup_semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = ivf_build_centroids(emb, k=sem_k(emb.count()), iters=0)
+    cents = ivf_build_centroids(emb, k=sem_k(_emb_count(sf_dir)), iters=0)
     # cap_hot_cells bounds the quadratic within-cell stage (same guard
     # as dedup_semantic_clusters). PARITY CAVEAT (ADVICE r8 #2): the
     # xxhash64 sub-cell split is not SQL-replayable, so the DuckDB
@@ -2506,4 +2533,226 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acc.groupBy("cell", "n_total").agg(
         F.sum("a").cast("long").alias("n_sampled"),
         F.round(F.sum("a") / F.col("n_total"), 4).alias("sample_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bitext / parallel-pair mining (r13) — operators/bitext.py.
+# --------------------------------------------------------------------------
+BITEXT_K = 4  #: k-NN neighborhood size for the margin denominator
+BITEXT_SRC_CAP = 200  #: structural bound on the (broadcast) source side
+#: accept thresholds for the sweep — margin > 1 means "above the
+#: neighborhood average", the paper's operating region
+BITEXT_THRESHOLDS = (10000, 10200, 10500, 11000)  # margin x 1e4, integer grid
+
+#: margin as exact-integer arithmetic: cosines are rounded to 4
+#: decimals then scaled to integers (ci = round(cos*1e4)); the k-NN
+#: "means" stay as integer SUMS (si, ti), and
+#:   margin = 2k*ci / (si + ti)
+#: — one double division of two exact integers, bit-identical across
+#: engines, immune to float accumulation order in averages.
+_BX_PAIR_SQL = """
+    s AS (
+      SELECT e.vec_id AS src_id, e.embedding AS sv
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+      WHERE d.lang = 'en' AND e.vec_id < {cap}
+    ),
+    t AS (
+      SELECT e.vec_id AS tgt_id, e.embedding AS tv
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+      WHERE d.lang = 'de'
+    ),
+    p AS MATERIALIZED (
+      SELECT src_id, tgt_id,
+             CAST(round(round(CAST(list_cosine_similarity(sv, tv) AS DOUBLE), 4)
+                        * 10000) AS BIGINT) AS ci
+      FROM s CROSS JOIN t
+    ),
+    nns AS (
+      SELECT src_id, sum(ci) AS si FROM (
+        SELECT src_id, ci,
+               row_number() OVER (PARTITION BY src_id ORDER BY ci DESC, tgt_id) AS r
+        FROM p) WHERE r <= {k} GROUP BY src_id
+    ),
+    nnt AS (
+      SELECT tgt_id, sum(ci) AS ti FROM (
+        SELECT tgt_id, ci,
+               row_number() OVER (PARTITION BY tgt_id ORDER BY ci DESC, src_id) AS r
+        FROM p) WHERE r <= {k} GROUP BY tgt_id
+    ),
+    m AS (
+      SELECT p.src_id, p.tgt_id,
+             round(p.ci / 10000.0, 4) AS cos_sim,
+             round(CAST(2 * {k} * p.ci AS DOUBLE)
+                   / nullif(nns.si + nnt.ti, 0), 4) AS margin
+      FROM p JOIN nns USING (src_id) JOIN nnt USING (tgt_id)
+    )
+""".format(cap=BITEXT_SRC_CAP, k=BITEXT_K)
+
+
+def _bitext_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the _BX_PAIR_SQL CTE chain: all (en-slice, de)
+    pairs scored with the integer-exact ratio margin."""
+    from pyspark.sql.window import Window
+
+    from crypto_etl_pipeline_spark.operators.similarity import pair_cosine_pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    tagged = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "vec_id", "embedding", "lang"
+    )
+    src = (
+        tagged.where((F.col("lang") == "en") & (F.col("vec_id") < BITEXT_SRC_CAP))
+        .limit(BITEXT_SRC_CAP)
+        .select(F.col("vec_id").alias("src_id"), F.col("embedding").alias("_sv"))
+    )
+    from crypto_etl_pipeline_spark.operators.similarity import _spread
+
+    tgt = _spread(tagged.where(F.col("lang") == "de"), "vec_id").select(
+        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("_tv")
+    )
+    pairs = (
+        tgt.crossJoin(F.broadcast(src))
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(
+                F.round(pair_cosine_pd()(F.col("_sv"), F.col("_tv")), 4) * 10000
+            )
+            .cast("long")
+            .alias("ci"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w_s = Window.partitionBy("src_id").orderBy(F.desc("ci"), F.asc("tgt_id"))
+    nns = (
+        pairs.withColumn("_r", F.row_number().over(w_s))
+        .where(F.col("_r") <= BITEXT_K)
+        .groupBy("src_id")
+        .agg(F.sum("ci").alias("si"))
+    )
+    w_t = Window.partitionBy("tgt_id").orderBy(F.desc("ci"), F.asc("src_id"))
+    nnt = (
+        pairs.withColumn("_r", F.row_number().over(w_t))
+        .where(F.col("_r") <= BITEXT_K)
+        .groupBy("tgt_id")
+        .agg(F.sum("ci").alias("ti"))
+    )
+    return (
+        pairs.join(F.broadcast(nns), "src_id")
+        .join(nnt, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(F.col("ci") / 10000.0, 4).alias("cos_sim"),
+            F.round(
+                (F.lit(2 * BITEXT_K) * F.col("ci")).cast("double")
+                / F.nullif(F.col("si") + F.col("ti"), F.lit(0)),
+                4,
+            ).alias("margin"),
+        )
+    )
+
+
+@register(
+    "bitext_mine_margin",
+    oracle=f"""
+    WITH {_BX_PAIR_SQL}
+    SELECT src_id, tgt_id, cos_sim, margin FROM (
+      SELECT *, row_number() OVER (PARTITION BY src_id
+                                   ORDER BY margin DESC, cos_sim DESC, tgt_id) AS rn
+      FROM m) WHERE rn = 1
+    """,
+    description="Margin-based bitext mining (Artetxe & Schwenk ratio margin): best tgt-lang candidate per src vector",
+    tags=("similarity", "text", "pandas-udf"),
+)
+def bitext_mine_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward mining en->de over the embeddings+documents join: for
+    each bounded-source vector, the target-language candidate with the
+    highest ratio margin (module header of operators/bitext.py). The
+    margin is exact-integer arithmetic over 4-decimal-rounded cosines
+    (comment on _BX_PAIR_SQL), so both engines rank identically. The
+    pair feed is |src_cap| x |tgt| — the broadcast-queries ANN shape;
+    recall on planted translations is pinned in
+    tests/test_round13_ops.py."""
+    from pyspark.sql.window import Window
+
+    scored = _bitext_scored(spark, sf_dir)
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("margin"), F.desc("cos_sim"), F.asc("tgt_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+@register(
+    "bitext_margin_threshold_sweep",
+    oracle=f"""
+    WITH {_BX_PAIR_SQL},
+    best AS (
+      SELECT src_id, cos_sim, margin FROM (
+        SELECT *, row_number() OVER (PARTITION BY src_id
+                                     ORDER BY margin DESC, cos_sim DESC, tgt_id) AS rn
+        FROM m) WHERE rn = 1
+    )
+    SELECT t.thr / 10000.0 AS threshold,
+           count(CASE WHEN best.margin >= t.thr / 10000.0 THEN 1 END) AS n_accept,
+           round(coalesce(avg(CASE WHEN best.margin >= t.thr / 10000.0
+                                   THEN best.cos_sim END), 0), 4) AS mean_cos
+    FROM best CROSS JOIN (VALUES {", ".join(f"({t})" for t in BITEXT_THRESHOLDS)}) t(thr)
+    GROUP BY t.thr ORDER BY t.thr
+    """,
+    description="Bitext accept-threshold sweep: mined-pair counts and mean cosine at each margin cut",
+    tags=("similarity", "text", "pandas-udf"),
+)
+def bitext_margin_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection for the miner (the
+    dedup_lsh_parameter_sweep pattern): score once, fan out by a
+    literal threshold frame, count accepted pairs and their mean
+    cosine per cut. mean over 4-decimal cos values at bounded count —
+    rounding absorbs order effects (same discipline as the ANN
+    family)."""
+    from pyspark.sql.window import Window
+
+    scored = _bitext_scored(spark, sf_dir)
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("margin"), F.desc("cos_sim"), F.asc("tgt_id")
+    )
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("src_id", "cos_sim", "margin")
+        .localCheckpoint(eager=False)
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in BITEXT_THRESHOLDS], "thr long"
+    )
+    return (
+        best.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.count(
+                F.when(F.col("margin") >= F.col("thr") / 10000.0, F.lit(1))
+            ).alias("n_accept"),
+            F.round(
+                F.coalesce(
+                    F.avg(
+                        F.when(
+                            F.col("margin") >= F.col("thr") / 10000.0,
+                            F.col("cos_sim"),
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("mean_cos"),
+        )
+        .select(
+            (F.col("thr") / 10000.0).alias("threshold"), "n_accept", "mean_cos"
+        )
+        .orderBy("threshold")
     )

@@ -57,21 +57,39 @@ def main() -> int:
     from crypto_etl_pipeline_spark.session import get_spark
     from crypto_etl_pipeline_spark.sources.tables import TABLES
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf = args[0] if args else "/root/testdata/sf0.01"
+    # Accept both ``--flag=value`` and ``--flag value`` (the docstring
+    # shows the space form; round-12's parser only took ``=``).
+    argv = sys.argv[1:]
+    positional: list[str] = []
+    flag_vals: dict[str, str] = {}
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--"):
+            if "=" in a:
+                k, v = a.split("=", 1)
+                flag_vals[k] = v
+            elif a in ("--sample", "--resume-from") and i + 1 < len(argv):
+                flag_vals[a] = argv[i + 1]
+                i += 1
+            else:
+                flag_vals[a] = ""
+        else:
+            positional.append(a)
+        i += 1
+    sf = positional[0] if positional else "/root/testdata/sf0.01"
     sample = None
     done_prior: set[str] = set()
-    for a in sys.argv[1:]:
-        if a.startswith("--sample"):
-            sample = set(a.split("=", 1)[1].split(","))
-        elif a.startswith("--resume-from"):
-            with open(a.split("=", 1)[1]) as fh:
-                for line in fh:
-                    parts = line.split()
-                    if len(parts) >= 2 and parts[1] == "MATCH":
-                        done_prior.add(parts[0])
-            print(f"resume: skipping {len(done_prior)} already-MATCHed queries",
-                  flush=True)
+    if "--sample" in flag_vals:
+        sample = set(flag_vals["--sample"].split(","))
+    if "--resume-from" in flag_vals:
+        with open(flag_vals["--resume-from"]) as fh:
+            for line in fh:
+                parts = line.split()
+                if len(parts) >= 2 and parts[1] == "MATCH":
+                    done_prior.add(parts[0])
+        print(f"resume: skipping {len(done_prior)} already-MATCHed queries",
+              flush=True)
 
     spark = get_spark(app_name="verify-contract", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")

@@ -72,7 +72,14 @@ def pytest_sessionfinish(session, exitstatus):
         "n_tests": session.testscollected,
         "n_registry": n_registry,
         "per_query_s": round(wall / n_registry, 3),
-        "passing": exitstatus == 0 or tripwire_only,
+        # `passing` keeps meaning "suite green" (r12 ADVICE: a
+        # tripwire-only run must not read as a green suite to any
+        # consumer filtering on this flag alone); `cost_valid` is the
+        # flag the budget tripwire ratchets against — green suite OR a
+        # run whose only failure was the tripwire itself (healthy tree,
+        # honest wall measurement).
+        "passing": exitstatus == 0,
+        "cost_valid": exitstatus == 0 or tripwire_only,
         "recorded_unix": int(time.time()),
     }
     if tripwire_only:

@@ -73,9 +73,15 @@ def test_per_query_gate_cost_within_budget():
     # it measured a BROKEN tree — failing tests skip their assertion
     # tails and retried/errored Spark jobs distort wall time — so its
     # per-query figure is not a cost record the tripwire may ratchet
-    # against. Entries predating the `passing` key were recorded only
-    # on green unfiltered runs (old conftest contract), so default True.
-    passing_hist = [h for h in history if h.get("passing", True)]
+    # against. Since r13 the recorded flag is `cost_valid` (green suite
+    # OR tripwire-only failure); `passing` reverts to meaning strictly
+    # "suite green". Entries predating `cost_valid` fall back to
+    # `passing` (which under the r12 contract already folded in
+    # tripwire_only); entries predating both were recorded only on
+    # green unfiltered runs, so default True.
+    passing_hist = [
+        h for h in history if h.get("cost_valid", h.get("passing", True))
+    ]
     if not passing_hist:
         pytest.skip("no passing full-suite run recorded yet")
     best = min(h["per_query_s"] for h in passing_hist)

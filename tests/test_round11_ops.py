@@ -478,72 +478,80 @@ def test_bh_fdr_registered_invariants(spark):
         assert abs(r["bh_threshold"] - round(0.05 * r["bh_rank"] / m, 6)) < 1e-12
 
 
-# --- gate-rotation discipline (VERDICT r10 optional #8) ---------------------
-
-#: the round whose _GATE_FIRST rotation is currently authored
-#: (update each round alongside _GATE_FIRST and INTENDED_REINCLUSIONS)
-ROTATION_ROUND = 12
-
-#: queries DELIBERATELY re-included in this round's driver sample
-#: (semantics/plan changed this round → fresh official row wanted)
-INTENDED_REINCLUSIONS = {
-    "dedup_exact_substrings",            # hot-gram skew fix (r11 verdict #3)
-    "dedup_exact_substrings_excise",     # same operator family
-    "dedup_exact_substrings_incremental",  # same operator family
-    "dedup_semantic_clusters",           # SEM_K now corpus-scaled (r11 #6)
-    "model_eval_suite",                  # global rank → distinct-score (r11 #5)
-    "stats_bh_fdr_segments",             # broadcast side re-derived (r11 #1)
-} | {
-    # pool drained after the 28 never-sampled names above got slots:
-    # the remaining 12 slots deliberately REFRESH the oldest (r01)
-    # green rows rather than going unused
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_nation_revenue",
-    "join_semi_urgent_customers",
-    "join_anti_no_urgent_customers",
-    "join_outer_open_order_counts",
-    "set_union_active_buyers",
-    "set_intersect_building_open",
-    "set_except_building_never_open",
-}
+# --- gate-rotation discipline (VERDICT r10 #8, PROGRAMMATIC since r13) ------
 
 
 @pytest.mark.quick
 def test_gate_rotation_no_accidental_resample():
-    """The driver samples the first 50 names of queries(); rotation
-    discipline says those slots go to never-sampled or brand-new
-    queries, with re-runs of already-green names only when DELIBERATE
-    (a semantics change that needs a fresh official row). Enforced
-    here instead of by convention: first-50 ∩ previously-sampled must
-    equal INTENDED_REINCLUSIONS exactly.
+    """Since r13 the 50-slot driver sample is derived, not hand-listed
+    (VERDICT r12 task #2): explicit slots (_GATE_NEW + _GATE_REINCLUDE)
+    first, then oldest-green-first filler. This test pins the
+    discipline mechanically: the explicit head is exactly the declared
+    tuples, every _GATE_NEW name has NO prior green row (it really is
+    new), and the filler names are genuinely the stalest — no filler
+    name has a newer last-green round than any name left outside the
+    sample (ties broken alphabetically, also asserted)."""
+    from crypto_etl_pipeline_spark.queries import (
+        _GATE_NEW,
+        _GATE_REINCLUDE,
+        GATE_SLOTS,
+        REGISTRY,
+        last_green_round,
+        queries,
+    )
 
-    Only rounds STRICTLY BEFORE the rotation's own round count as
-    "previously sampled": the driver records CORRECTNESS_r{N}.json for
-    the current round at round close, sampling exactly this rotation's
-    first 50 — a version of this test that globbed every file would
-    flip red the moment the driver did its job (r11 verdict #1b)."""
-    import glob
-    import json
-    import os
-    import re
+    last = last_green_round()
+    if not last:  # fresh checkout without driver artifacts
+        pytest.skip("no pre-round CORRECTNESS_r*.json present")
+    order = list(queries())
+    assert len(order) == len(REGISTRY) and len(set(order)) == len(order)
+    explicit = list(_GATE_NEW) + list(_GATE_REINCLUDE)
+    first = order[:GATE_SLOTS]
+    assert first[: len(explicit)] == explicit
+    for n in _GATE_NEW:
+        assert n not in last, f"_GATE_NEW name {n} already has a green row"
+    filler = first[len(explicit):]
+    outside = order[GATE_SLOTS:]
+    if filler and outside:
+        key = lambda n: (last.get(n, -1), n)  # noqa: E731
+        assert max(key(n) for n in filler) <= min(key(n) for n in outside), (
+            "filler slots skipped a staler query"
+        )
 
-    from crypto_etl_pipeline_spark.queries import queries
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sampled = set()
-    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
-        if m and int(m.group(1)) >= ROTATION_ROUND:
-            continue
-        sampled.update(json.load(open(f)).keys())
-    if not sampled:  # fresh checkout without driver artifacts
-        pytest.skip("no pre-rotation CORRECTNESS_r*.json present")
-    first50 = list(queries())[:50]
-    overlap = set(first50) & sampled
-    assert overlap == INTENDED_REINCLUSIONS, (
-        f"accidental re-samples: {sorted(overlap - INTENDED_REINCLUSIONS)}; "
-        f"missing intended: {sorted(INTENDED_REINCLUSIONS - overlap)}"
+@pytest.mark.quick
+def test_gate_rotation_refresh_bound():
+    """The encoded guarantee that replaced the hand-maintained list:
+    under oldest-green-first filling, EVERY registered query is
+    re-sampled within K = ceil(R / (GATE_SLOTS - reserve)) rounds even
+    if every future round spends `reserve` slots on explicit names.
+    Simulated against the real ordering function (gate_first) from the
+    real artifact state, with a worst-case 15-slot explicit reserve
+    (the BENCH_LAG_ALLOWANCE-sized new-query budget per round)."""
+    import math
+
+    from crypto_etl_pipeline_spark.queries import (
+        CURRENT_ROUND,
+        GATE_SLOTS,
+        REGISTRY,
+        gate_first,
+        last_green_round,
+    )
+
+    reserve = 15
+    fill_per_round = GATE_SLOTS - reserve
+    horizon = math.ceil(len(REGISTRY) / fill_per_round)
+    last = dict(last_green_round())
+    never_sampled = set()
+    for rnd in range(CURRENT_ROUND, CURRENT_ROUND + horizon):
+        # worst case: `reserve` slots burned on hypothetical new names
+        picked = gate_first(last, explicit=(), slots=fill_per_round)
+        for n in picked:
+            last[n] = rnd
+    stale = [n for n in REGISTRY if last.get(n, -1) < CURRENT_ROUND]
+    assert not stale and not never_sampled, (
+        f"{len(stale)} queries would not be re-sampled within {horizon} "
+        f"rounds: {sorted(stale)[:5]}"
     )
 
 

@@ -104,6 +104,9 @@ def test_unicode_canonical_cross_engine_parity(spark):
         chr(0x201C) + "quoted" + chr(0x201D) + " " + chr(0x2018) + "q" + chr(0x2019),
         "plain ascii text",
         "",
+        # r12 ADVICE: \x0B is in Java regex's \s but NOT in RE2's —
+        # the explicit _WS_CLASS must collapse it identically in both
+        "a\x0bb \x0b\x0b c\t\x0b\nd",
     ]
     df = spark.createDataFrame([(i, s) for i, s in enumerate(fixtures)], "i long, s string")
     got = {
@@ -269,25 +272,30 @@ def test_mojibake_audit_flags_exactly_the_injected_classes(spark):
 
 
 def test_multilingual_funnel_invariants(spark):
-    """Funnel algebra over the 4 stages x sources: rows and chars are
-    non-increasing through stages 0->1->2 (filter then dedup), stage 2
-    keeps at most one row per ORIGINAL document (the 3 encodings
-    collapse after canonicalization), stage 3's sequence count is the
-    exact ceil-div of its token mass, and every source appears at
-    every stage."""
+    """Funnel algebra over the 5 stages x sources (r13 inserts the
+    per-URL dedup stage between the encoding filter and content
+    dedup): rows and chars are non-increasing through stages
+    0->1->2->3 (filter, URL dedup, content dedup), stage 2 collapses
+    the enc-0/1 refetch pair while keeping the enc-2 mirror (so at
+    most 2 rows per original document), stage 3 keeps at most one row
+    per original document, stage 4's sequence count is the exact
+    ceil-div of its token mass, and every source appears at every
+    stage."""
     rows = REGISTRY["pipeline_multilingual_curation"].fn(spark, SF_GATE).collect()
     stages = {}
     for r in rows:
         stages.setdefault(r["source"], {})[r["stage"]] = r
     assert stages
     for src, by_stage in stages.items():
-        assert sorted(by_stage) == [0, 1, 2, 3], src
-        s0, s1, s2, s3 = (by_stage[i] for i in range(4))
-        assert s0["n_rows"] >= s1["n_rows"] >= s2["n_rows"] > 0
-        assert s0["n_chars"] >= s1["n_chars"] >= s2["n_chars"]
-        assert s0["n_rows"] % 3 == 0  # 3 encodings per doc at ingest
-        assert s2["n_rows"] <= s0["n_rows"] // 3  # encodings collapsed
+        assert sorted(by_stage) == [0, 1, 2, 3, 4], src
+        s0, s1, s2, s3, s4 = (by_stage[i] for i in range(5))
+        assert s0["n_rows"] >= s1["n_rows"] >= s2["n_rows"] >= s3["n_rows"] > 0
+        assert s0["n_chars"] >= s1["n_chars"] >= s2["n_chars"] >= s3["n_chars"]
+        assert s0["n_rows"] % 3 == 0  # 3 fetch variants per doc at ingest
+        n_docs = s0["n_rows"] // 3
+        assert s2["n_rows"] <= 2 * n_docs  # refetches collapsed by URL
+        assert s3["n_rows"] <= n_docs  # mirrors collapsed by content
         # sequences: sum of per-doc ceil(tok/128) is between
         # ceil(total/128) and n_docs (each doc >= 1 sequence)
-        assert s3["n_rows"] >= (s3["n_chars"] + 127) // 128
-        assert s3["n_rows"] >= s2["n_rows"]
+        assert s4["n_rows"] >= (s4["n_chars"] + 127) // 128
+        assert s4["n_rows"] >= s3["n_rows"]
