@@ -71,6 +71,11 @@ def bitext_margin_pairs(
             ),
         )
         .localCheckpoint(eager=False)
+        # candidacy requires POSITIVE similarity — keeps every k-NN
+        # neighborhood mean positive so the ratio margin is always
+        # well-defined (a cell/slice of mutually-negative cosines has
+        # no mineable pairs by contract)
+        .where(F.col("cos_sim") > 0)
     )
     w_s = Window.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("tgt_id"))
     nn_s = (

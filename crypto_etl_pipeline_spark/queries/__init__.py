@@ -73,6 +73,9 @@ _GATE_NEW: tuple = (
     "train_epoch_shuffle",
     "bitext_mine_margin",
     "bitext_margin_threshold_sweep",
+    "bitext_intersection_pairs",
+    "cap_fetches_per_host",
+    "bitext_mine_bucketed",
 )
 
 #: deliberate re-inclusions: already-green names whose plan or

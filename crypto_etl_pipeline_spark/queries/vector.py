@@ -2563,10 +2563,12 @@ _BX_PAIR_SQL = """
       WHERE d.lang = 'de'
     ),
     p AS MATERIALIZED (
-      SELECT src_id, tgt_id,
-             CAST(round(round(CAST(list_cosine_similarity(sv, tv) AS DOUBLE), 4)
-                        * 10000) AS BIGINT) AS ci
-      FROM s CROSS JOIN t
+      SELECT * FROM (
+        SELECT src_id, tgt_id,
+               CAST(round(round(CAST(list_cosine_similarity(sv, tv) AS DOUBLE), 4)
+                          * 10000) AS BIGINT) AS ci
+        FROM s CROSS JOIN t
+      ) WHERE ci > 0
     ),
     nns AS (
       SELECT src_id, sum(ci) AS si FROM (
@@ -2624,6 +2626,11 @@ def _bitext_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ci"),
         )
         .localCheckpoint(eager=False)
+        # candidacy requires POSITIVE similarity (translations are
+        # strongly positive): keeps every neighborhood sum positive,
+        # so the ratio margin is always well-defined (filter sits
+        # after the checkpoint -> plain-attribute predicate)
+        .where(F.col("ci") > 0)
     )
     w_s = Window.partitionBy("src_id").orderBy(F.desc("ci"), F.asc("tgt_id"))
     nns = (
@@ -2755,4 +2762,224 @@ def bitext_margin_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("thr") / 10000.0).alias("threshold"), "n_accept", "mean_cos"
         )
         .orderBy("threshold")
+    )
+
+
+@register(
+    "bitext_intersection_pairs",
+    oracle=f"""
+    WITH {_BX_PAIR_SQL},
+    fwd AS (
+      SELECT src_id, tgt_id, cos_sim, margin FROM (
+        SELECT *, row_number() OVER (PARTITION BY src_id
+                                     ORDER BY margin DESC, cos_sim DESC, tgt_id) AS rn
+        FROM m) WHERE rn = 1
+    ),
+    bwd AS (
+      SELECT src_id, tgt_id, margin AS margin_bwd FROM (
+        SELECT *, row_number() OVER (PARTITION BY tgt_id
+                                     ORDER BY margin DESC, cos_sim DESC, src_id) AS rn
+        FROM m) WHERE rn = 1
+    )
+    SELECT f.src_id, f.tgt_id, f.cos_sim,
+           least(f.margin, b.margin_bwd) AS margin_min
+    FROM fwd f JOIN bwd b ON f.src_id = b.src_id AND f.tgt_id = b.tgt_id
+    """,
+    description="Bidirectional bitext intersection: pairs that are each other's best margin candidate in BOTH directions",
+    tags=("similarity", "text", "pandas-udf"),
+)
+def bitext_intersection_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paper's highest-precision mining strategy: keep a pair only
+    when x is y's best candidate AND y is x's best (intersection of
+    forward and backward mining). One extra window over the SAME
+    scored pair frame plus an equi-join of two bounded best-lists —
+    the precision/recall trade is pinned in tests (planted pairs
+    survive the intersection; the hub never does, because the hub's
+    backward best can only be one src). margin_min is the
+    conservative acceptance score."""
+    from pyspark.sql.window import Window
+
+    scored = _bitext_scored(spark, sf_dir).localCheckpoint(eager=False)
+    w_f = Window.partitionBy("src_id").orderBy(
+        F.desc("margin"), F.desc("cos_sim"), F.asc("tgt_id")
+    )
+    fwd = (
+        scored.withColumn("_rn", F.row_number().over(w_f))
+        .where(F.col("_rn") == 1)
+        .select("src_id", "tgt_id", "cos_sim", "margin")
+    )
+    w_b = Window.partitionBy("tgt_id").orderBy(
+        F.desc("margin"), F.desc("cos_sim"), F.asc("src_id")
+    )
+    bwd = (
+        scored.withColumn("_rn", F.row_number().over(w_b))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("src_id").alias("b_src"),
+            F.col("tgt_id").alias("b_tgt"),
+            F.col("margin").alias("margin_bwd"),
+        )
+    )
+    return fwd.join(
+        bwd,
+        (F.col("src_id") == F.col("b_src")) & (F.col("tgt_id") == F.col("b_tgt")),
+    ).select(
+        "src_id",
+        "tgt_id",
+        "cos_sim",
+        F.least(F.col("margin"), F.col("margin_bwd")).alias("margin_min"),
+    )
+
+
+@register(
+    "bitext_mine_bucketed",
+    oracle=f"""
+    WITH RECURSIVE
+    cent AS (
+      SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS idx, {_DUCK_QV} AS qc
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_SEM_K_SQL})
+    ),
+    tagged AS (
+      SELECT e.vec_id, e.embedding, {_DUCK_QV} AS q, d.lang
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+      WHERE d.lang IN ('en', 'de')
+    ),
+    cells AS (
+      SELECT vec_id, embedding, lang, idx AS cell
+      FROM (SELECT t.vec_id, t.embedding, t.lang, c.idx,
+                   row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                     -2 * list_dot_product(t.q, c.qc)
+                     + list_dot_product(c.qc, c.qc), c.idx) AS rn
+            FROM tagged t CROSS JOIN cent c)
+      WHERE rn = 1
+    ),
+    p AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT s.vec_id AS src_id, t.vec_id AS tgt_id, s.cell,
+               CAST(round(round(CAST(list_cosine_similarity(s.embedding, t.embedding)
+                                     AS DOUBLE), 4) * 10000) AS BIGINT) AS ci
+        FROM cells s JOIN cells t ON s.cell = t.cell
+        WHERE s.lang = 'en' AND t.lang = 'de'
+      ) WHERE ci > 0
+    ),
+    nns AS (
+      SELECT src_id, sum(ci) AS si, count(*) AS ks FROM (
+        SELECT src_id, ci,
+               row_number() OVER (PARTITION BY src_id ORDER BY ci DESC, tgt_id) AS r
+        FROM p) WHERE r <= {BITEXT_K} GROUP BY src_id
+    ),
+    nnt AS (
+      SELECT tgt_id, sum(ci) AS ti, count(*) AS kt FROM (
+        SELECT tgt_id, ci,
+               row_number() OVER (PARTITION BY tgt_id ORDER BY ci DESC, src_id) AS r
+        FROM p) WHERE r <= {BITEXT_K} GROUP BY tgt_id
+    ),
+    m AS (
+      SELECT p.src_id, p.tgt_id, p.cell,
+             round(p.ci / 10000.0, 4) AS cos_sim,
+             round(CAST((nns.ks + nnt.kt) * p.ci AS DOUBLE)
+                   / nullif(nns.si + nnt.ti, 0), 4) AS margin
+      FROM p JOIN nns USING (src_id) JOIN nnt USING (tgt_id)
+    )
+    SELECT src_id, tgt_id, cell, cos_sim, margin FROM (
+      SELECT *, row_number() OVER (PARTITION BY src_id
+                                   ORDER BY margin DESC, cos_sim DESC, tgt_id) AS rn
+      FROM m) WHERE rn = 1
+    """,
+    description="Cell-bucketed bitext mining (UNBOUNDED both sides): corpus-scaled IVF cells restrict the pair feed; within-cell ratio margin",
+    tags=("similarity", "text", "iterative", "pandas-udf"),
+)
+def bitext_mine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for mining when NEITHER side is bounded (the
+    bitext_mine_margin contract caps the source side; real
+    corpus-vs-corpus mining cannot): both language slices are assigned
+    to the same corpus-scaled IVF cells (sem_k — the SemDeDup
+    discipline, cells grow with the corpus so cell size stays
+    ~constant), and candidate pairs, k-NN neighborhood sums, and the
+    ratio margin are all computed WITHIN cells. Pair work is bounded
+    per cell instead of |X| x |Y|; margins use the exact-integer
+    contract with the ACTUAL within-cell neighborhood size ((ks+kt)*ci
+    / (si+ti)) since small cells can hold fewer than k candidates.
+    Recall vs the exact miner is the price of the bucketing (same
+    trade as ann_ivf_topk vs brute force) and is pinned on the planted
+    fixture in tests; the seeded assignment replays as a SQL window,
+    which is what keeps this fully oracled."""
+    from pyspark.sql.window import Window
+
+    from crypto_etl_pipeline_spark.operators.similarity import (
+        ivf_assign_cells,
+        ivf_build_centroids,
+        pair_cosine_pd,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    tagged = emb.join(docs, emb.vec_id == docs.doc_id).where(
+        F.col("lang").isin("en", "de")
+    )
+    cents = ivf_build_centroids(emb, k=sem_k(_emb_count(sf_dir)), iters=0)
+    cells = ivf_assign_cells(tagged, cents).join(
+        docs, F.col("neighbor_id") == F.col("doc_id")
+    ).select(
+        F.col("neighbor_id").alias("vid"), "_cell", "_cvec", "lang"
+    ).localCheckpoint(eager=False)
+    src = cells.where(F.col("lang") == "en").select(
+        F.col("vid").alias("src_id"), F.col("_cell").alias("cell"),
+        F.col("_cvec").alias("_sv"),
+    )
+    tgt = cells.where(F.col("lang") == "de").select(
+        F.col("vid").alias("tgt_id"), F.col("_cell").alias("_tc"),
+        F.col("_cvec").alias("_tv"),
+    )
+    pairs = (
+        src.join(tgt, src.cell == tgt._tc)
+        .select(
+            "src_id",
+            "tgt_id",
+            "cell",
+            F.round(
+                F.round(pair_cosine_pd()(F.col("_sv"), F.col("_tv")), 4) * 10000
+            )
+            .cast("long")
+            .alias("ci"),
+        )
+        .localCheckpoint(eager=False)
+        .where(F.col("ci") > 0)  # same positive-candidacy contract
+    )
+    w_s = Window.partitionBy("src_id").orderBy(F.desc("ci"), F.asc("tgt_id"))
+    nns = (
+        pairs.withColumn("_r", F.row_number().over(w_s))
+        .where(F.col("_r") <= BITEXT_K)
+        .groupBy("src_id")
+        .agg(F.sum("ci").alias("si"), F.count(F.lit(1)).alias("ks"))
+    )
+    w_t = Window.partitionBy("tgt_id").orderBy(F.desc("ci"), F.asc("src_id"))
+    nnt = (
+        pairs.withColumn("_r", F.row_number().over(w_t))
+        .where(F.col("_r") <= BITEXT_K)
+        .groupBy("tgt_id")
+        .agg(F.sum("ci").alias("ti"), F.count(F.lit(1)).alias("kt"))
+    )
+    scored = (
+        pairs.join(nns, "src_id")
+        .join(nnt, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "cell",
+            F.round(F.col("ci") / 10000.0, 4).alias("cos_sim"),
+            F.round(
+                ((F.col("ks") + F.col("kt")) * F.col("ci")).cast("double")
+                / F.nullif(F.col("si") + F.col("ti"), F.lit(0)),
+                4,
+            ).alias("margin"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("margin"), F.desc("cos_sim"), F.asc("tgt_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )

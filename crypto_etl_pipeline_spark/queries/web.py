@@ -190,3 +190,75 @@ def web_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("n_docs"),
         )
     )
+
+
+HOST_CAP = 20  #: max fetches kept per canonical host (C4 domain-cap twin)
+
+_HOST_SQL = "regexp_extract({c}, '^[a-z]+://([^/]*)', 1)"
+
+
+@register(
+    "cap_fetches_per_host",
+    oracle=f"""
+    WITH {_FETCHES_CTE},
+    canon AS (
+      SELECT doc_id, variant, doc_id * 2 + variant AS fetch_key,
+             {_HOST_SQL.format(c=canonical_url_sql("url"))} AS host
+      FROM fetches
+    ),
+    ranked AS (
+      SELECT doc_id, variant, host,
+             row_number() OVER (
+               PARTITION BY host
+               ORDER BY ('0x' || substr(md5(fetch_key::VARCHAR || 'hostcap-v1'), 1, 15))::BIGINT
+                          % 1000000, fetch_key) AS host_rank,
+             count(*) OVER (PARTITION BY host) AS n_host
+      FROM canon
+    )
+    SELECT doc_id, variant, host, host_rank, n_host,
+           n_host > {HOST_CAP} AS cap_applied
+    FROM ranked WHERE host_rank <= {HOST_CAP}
+    """,
+    description="Per-host fetch cap (C4 domain cap over canonical hosts): hash-ranked keep of at most N fetches per host, truncation observable",
+    tags=("sampling", "web", "window"),
+)
+def cap_fetches_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web twin of cap_docs_per_source: hot hosts dominate real
+    crawls (web_host_profile is the planning signal; this is the
+    enforcement). Keep at most HOST_CAP fetches per canonical host,
+    chosen by md5 hash rank — deterministic and unbiased within the
+    host. Same WindowGroupLimit bounded-heap shape as the source cap
+    (each task keeps a cap-sized heap per host; nothing sorts a whole
+    partition), and the same silent-cap discipline: cap_applied and
+    n_host make every truncation observable."""
+    from pyspark.sql.window import Window
+
+    from crypto_etl_pipeline_spark.operators.sampling import hash_gate
+
+    f = _fetches_df(spark, sf_dir)
+    canon = f.select(
+        "doc_id",
+        "variant",
+        (F.col("doc_id") * 2 + F.col("variant")).alias("fetch_key"),
+        F.regexp_extract(
+            canonical_url(F.col("url")), "^[a-z]+://([^/]*)", 1
+        ).alias("host"),
+    ).localCheckpoint(eager=False)
+    w = Window.partitionBy("host").orderBy(
+        hash_gate(F.col("fetch_key"), "hostcap-v1").asc(), F.asc("fetch_key")
+    )
+    wc = Window.partitionBy("host")
+    return (
+        canon.select(
+            "doc_id",
+            "variant",
+            "host",
+            F.row_number().over(w).alias("host_rank"),
+            F.count(F.lit(1)).over(wc).alias("n_host"),
+        )
+        .where(F.col("host_rank") <= HOST_CAP)
+        .select(
+            "doc_id", "variant", "host", "host_rank", "n_host",
+            (F.col("n_host") > HOST_CAP).alias("cap_applied"),
+        )
+    )

@@ -226,6 +226,16 @@ HEAVY = [
     "dedup_unicode_fingerprint",
     "rfm_segmentation",
     "model_eval_suite",
+    # round-13 queries / re-shapes — born with curves
+    "clean_url_canonicalize",
+    "dedup_by_url",
+    "web_host_profile",
+    "train_epoch_shuffle",
+    "bitext_mine_margin",
+    "bitext_margin_threshold_sweep",
+    "bitext_intersection_pairs",
+    "pipeline_multilingual_curation",
+    "cap_fetches_per_host",
 ]
 
 

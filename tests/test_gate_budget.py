@@ -52,7 +52,13 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: r12 ratchet: two green quiet records on this round's trees — 3.715
 #: (336 tree) and 3.655 (339 tree) — so the budget steps 3.8 -> 3.75,
 #: one notch above the current tree's measured cost.
-GATE_BUDGET_S = 3.75
+#: r13 ratchet: green quiet record on the r13 346 tree — 2527 passed,
+#: 0 failed, 1182.8 s = 3.418 s/query (suite grew to 2574 tests while
+#: the registry grew to 346 at record time; the per-query cost DROPPED
+#: because the new queries are cheap relative to the suite's fixed
+#: streaming/golden overhead) — budget steps 3.75 -> 3.5, one notch
+#: above the measured quiet cost per the documented rule.
+GATE_BUDGET_S = 3.5
 
 #: how many registered-but-not-yet-benched names are tolerable — new
 #: queries land between bench passes; anything beyond a round's worth

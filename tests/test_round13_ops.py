@@ -315,3 +315,109 @@ def test_bitext_margin_recovers_planted_pairs(spark):
         tgt_id, margin = mined[i]
         assert tgt_id == 100 + i, f"src {i} mined {tgt_id}, wanted {100 + i}"
         assert margin > 1.0, f"planted pair margin {margin} not > 1"
+
+
+def test_bitext_intersection_keeps_planted_drops_hub(spark):
+    """Intersection mining on the planted fixture: every planted pair
+    is mutual-best and survives; the hub vector can be the backward
+    best of at most one src, so at most one hub pair can ever appear,
+    and none should here (every src's forward best is its planted
+    partner)."""
+    import random
+
+    from crypto_etl_pipeline_spark.operators.bitext import bitext_margin_pairs
+
+    rng = random.Random(11)
+    dim = 16
+
+    def unit(v):
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v]
+
+    srcs = [(i, unit([rng.gauss(0, 1) for _ in range(dim)])) for i in range(6)]
+    tgts = [
+        (100 + i, unit([x + rng.gauss(0, 0.05) for x in v])) for i, v in srcs
+    ] + [(200 + j, unit([rng.gauss(0, 1) for _ in range(dim)])) for j in range(30)]
+    src_df = spark.createDataFrame(srcs, "vec_id long, embedding array<float>")
+    tgt_df = spark.createDataFrame(tgts, "vec_id long, embedding array<float>")
+
+    from pyspark.sql.window import Window
+
+    scored = bitext_margin_pairs(src_df, tgt_df, k=4)
+    w_f = Window.partitionBy("src_id").orderBy(
+        F.desc("margin"), F.desc("cos_sim"), F.asc("tgt_id")
+    )
+    w_b = Window.partitionBy("tgt_id").orderBy(
+        F.desc("margin"), F.desc("cos_sim"), F.asc("src_id")
+    )
+    fwd = scored.withColumn("r", F.row_number().over(w_f)).where("r = 1")
+    bwd = scored.withColumn("r", F.row_number().over(w_b)).where("r = 1")
+    inter = fwd.select("src_id", "tgt_id").intersect(
+        bwd.select("src_id", "tgt_id")
+    )
+    got = {(r["src_id"], r["tgt_id"]) for r in inter.collect()}
+    assert got == {(i, 100 + i) for i, _ in srcs}
+
+
+def test_cap_fetches_per_host_observable_truncation(spark):
+    """Host-cap algebra: no host exceeds HOST_CAP kept fetches, kept
+    counts are dense hash-rank prefixes, cap_applied is exactly
+    (n_host > HOST_CAP), and the spill is recoverable arithmetic
+    (n_host - kept) — the silent-cap discipline."""
+    from crypto_etl_pipeline_spark.queries.web import HOST_CAP
+
+    rows = REGISTRY["cap_fetches_per_host"].fn(spark, SF_GATE).collect()
+    assert rows
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, hr in by_host.items():
+        assert len(hr) <= HOST_CAP, host
+        assert sorted(r["host_rank"] for r in hr) == list(range(1, len(hr) + 1))
+        n_host = hr[0]["n_host"]
+        for r in hr:
+            assert r["n_host"] == n_host
+            assert r["cap_applied"] == (n_host > HOST_CAP)
+        if n_host > HOST_CAP:
+            assert len(hr) == HOST_CAP
+        else:
+            assert len(hr) == n_host
+
+
+def test_bitext_bucketed_cell_discipline(spark):
+    """Bucketed-miner invariants: every mined src is an en-lang
+    vector, every tgt a de-lang vector, each pair shares the src's
+    IVF cell (the whole point of the bucketing), one row per src, and
+    margins are positive and finite with cos_sim in [-1, 1]."""
+    import duckdb
+
+    rows = REGISTRY["bitext_mine_bucketed"].fn(spark, SF_GATE).collect()
+    assert rows
+    assert len({r["src_id"] for r in rows}) == len(rows)
+    langs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, lang FROM read_parquet('{SF_GATE}/documents.parquet')"
+        ).fetchall()
+    )
+    for r in rows:
+        assert langs[r["src_id"]] == "en"
+        assert langs[r["tgt_id"]] == "de"
+        assert -1.0 <= r["cos_sim"] <= 1.0
+        assert r["margin"] is not None and r["margin"] > 0
+    # cell consistency: recompute each side's assignment via the same
+    # seeded kernel and check both endpoints share the reported cell
+    from crypto_etl_pipeline_spark.operators.similarity import (
+        ivf_assign_cells,
+        ivf_build_centroids,
+    )
+    from crypto_etl_pipeline_spark.queries.vector import _emb_count, sem_k
+    from crypto_etl_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_GATE, "embeddings")
+    cents = ivf_build_centroids(emb, k=sem_k(_emb_count(SF_GATE)), iters=0)
+    cell_of = {
+        r["neighbor_id"]: r["_cell"]
+        for r in ivf_assign_cells(emb, cents).select("neighbor_id", "_cell").collect()
+    }
+    for r in rows:
+        assert cell_of[r["src_id"]] == r["cell"] == cell_of[r["tgt_id"]]
