@@ -76,6 +76,7 @@ _GATE_NEW: tuple = (
     "bitext_intersection_pairs",
     "cap_fetches_per_host",
     "bitext_mine_bucketed",
+    "train_shard_manifest",
 )
 
 #: deliberate re-inclusions: already-green names whose plan or

@@ -933,3 +933,98 @@ def train_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     return epoch_shuffle(packs, "pack_id", n_epochs=_EPOCH_N, seed=_EPOCH_SEED)
+
+
+_SHARD_SIZE = 8  #: packs per output shard (tiny at test SF; ~50k real-world)
+
+
+@register(
+    "train_shard_manifest",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             sum(len(regexp_split_to_array(text, '\\s+')))::BIGINT AS n_tok
+      FROM documents GROUP BY lang
+    ),
+    packs AS (
+      SELECT lang || ':' || CAST(
+               unnest(range(0, (n_tok + {_EPOCH_CAP - 1}) // {_EPOCH_CAP}))
+             AS VARCHAR) AS pack_id
+      FROM t
+    ),
+    e AS (
+      SELECT pack_id, ep.epoch
+      FROM packs CROSS JOIN (VALUES (0), (1)) ep(epoch)
+    ),
+    h AS (
+      SELECT epoch, pack_id,
+             md5('{_EPOCH_SEED}' || ':' || CAST(epoch AS VARCHAR)
+                 || ':' || pack_id) AS hh
+      FROM e
+    ),
+    pos AS (
+      SELECT epoch, pack_id,
+             row_number() OVER (PARTITION BY epoch ORDER BY hh, pack_id)
+               AS position
+      FROM h
+    )
+    SELECT epoch,
+           (position - 1) // {_SHARD_SIZE} AS shard,
+           count(*) AS n_packs,
+           min(position) AS first_position,
+           max(position) AS last_position,
+           min(pack_id) AS min_pack_id
+    FROM pos
+    GROUP BY epoch, shard
+    """,
+    description="Shard manifests over the deterministic epoch shuffle: contiguous position ranges per (epoch, shard), coordination-free writers",
+    tags=("selection", "packing", "sink"),
+)
+def train_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer of train_epoch_shuffle's plan: shard s of epoch e
+    owns positions [s*SIZE+1, (s+1)*SIZE] — a pure function of the
+    position, so every shard writer derives its slice with ZERO
+    coordination (the 100 TB property the deterministic shuffle
+    exists for). The manifest rows (count, position range, min pack)
+    are the audit artifact a training launcher checks before reading;
+    contiguity (last-first+1 == n_packs) is asserted in tests. Adds
+    one dim-keyed groupBy on top of the shuffle — nothing new
+    shuffles at corpus scale."""
+    from crypto_etl_pipeline_spark.operators.sampling import epoch_shuffle
+    from crypto_etl_pipeline_spark.operators.textops import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("lang").agg(
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tok")
+    )
+    packs = (
+        t.select(
+            "lang",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    ((F.col("n_tok") + _EPOCH_CAP - 1) / _EPOCH_CAP).cast("long")
+                    - 1,
+                )
+            ).alias("i"),
+        )
+        .select(
+            F.concat(
+                F.col("lang"), F.lit(":"), F.col("i").cast("string")
+            ).alias("pack_id")
+        )
+        .localCheckpoint(eager=False)
+    )
+    shuffled = epoch_shuffle(packs, "pack_id", n_epochs=_EPOCH_N, seed=_EPOCH_SEED)
+    return (
+        shuffled.withColumn(
+            "shard", ((F.col("position") - 1) / _SHARD_SIZE).cast("long")
+        )
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_packs"),
+            F.min("position").alias("first_position"),
+            F.max("position").alias("last_position"),
+            F.min("pack_id").alias("min_pack_id"),
+        )
+    )

@@ -236,6 +236,8 @@ HEAVY = [
     "bitext_intersection_pairs",
     "pipeline_multilingual_curation",
     "cap_fetches_per_host",
+    "bitext_mine_bucketed",
+    "train_shard_manifest",
 ]
 
 

@@ -421,3 +421,29 @@ def test_bitext_bucketed_cell_discipline(spark):
     }
     for r in rows:
         assert cell_of[r["src_id"]] == r["cell"] == cell_of[r["tgt_id"]]
+
+
+def test_train_shard_manifest_contiguity(spark):
+    """Shard algebra: within each epoch, shards tile the position
+    space contiguously (last-first+1 == n_packs, ranges abut), every
+    shard except possibly the last holds exactly _SHARD_SIZE packs,
+    and both epochs shard the same universe size."""
+    from crypto_etl_pipeline_spark.queries.selection import _SHARD_SIZE
+
+    rows = REGISTRY["train_shard_manifest"].fn(spark, SF_GATE).collect()
+    assert rows
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    sizes = set()
+    for e, shards in by_epoch.items():
+        shards.sort(key=lambda r: r["shard"])
+        expect_first = 1
+        for i, s in enumerate(shards):
+            assert s["first_position"] == expect_first, (e, s)
+            assert s["last_position"] - s["first_position"] + 1 == s["n_packs"]
+            if i < len(shards) - 1:
+                assert s["n_packs"] == _SHARD_SIZE
+            expect_first = s["last_position"] + 1
+        sizes.add(expect_first - 1)
+    assert len(sizes) == 1, "epochs must shard the same universe"
