@@ -447,3 +447,73 @@ def test_train_shard_manifest_contiguity(spark):
             expect_first = s["last_position"] + 1
         sizes.add(expect_first - 1)
     assert len(sizes) == 1, "epochs must shard the same universe"
+
+
+# --- property tests ----------------------------------------------------------
+
+
+def test_canonical_url_idempotent_and_twin_parity_random(spark):
+    """A canonicalizer must be a FIXPOINT: canonical(canonical(u)) ==
+    canonical(u) for arbitrary URL-shaped strings — and the DuckDB
+    twin must agree on the same generated corpus. Structured random
+    URLs: random case, optional scheme/www/port, path segments with
+    optional trailing slash, shuffled query params drawn from tracking
+    + non-tracking keys, optional fragment."""
+    import random
+
+    import duckdb
+
+    from crypto_etl_pipeline_spark.operators.urlops import (
+        canonical_url,
+        canonical_url_sql,
+    )
+
+    rng = random.Random(1234)
+    keys = ["a", "b", "zz", "utm_source", "utm_x", "gclid", "ref", "dark"]
+
+    def rand_url():
+        scheme = rng.choice(["http", "https", "HTTP", "HTTPS", ""])
+        host = rng.choice(["Example.COM", "a.io", "WWW.Site.Net", "www.x.y.z.org"])
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        segs = "/".join(
+            rng.choice(["A", "b", "c2", "%7Ex"]) for _ in range(rng.randint(0, 3))
+        )
+        slash = rng.choice(["", "/"])
+        q = "&".join(
+            f"{rng.choice(keys)}={rng.randint(0, 9)}"
+            for _ in range(rng.randint(0, 4))
+        )
+        frag = rng.choice(["", "#f", "#a/b?c=1"])
+        u = (f"{scheme}://" if scheme else "") + host + port
+        if segs:
+            u += "/" + segs
+        u += slash
+        if q:
+            u += "?" + q
+        u += frag
+        return rng.choice(["", " "]) + u + rng.choice(["", "  "])
+
+    raws = [rand_url() for _ in range(80)]
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(raws)], "i long, u string"
+    )
+    once = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url(F.col("u")).alias("c")).collect()
+    }
+    df2 = spark.createDataFrame(
+        [(i, c) for i, c in once.items()], "i long, u string"
+    )
+    twice = {
+        r["i"]: r["c"]
+        for r in df2.select("i", canonical_url(F.col("u")).alias("c")).collect()
+    }
+    assert once == twice, {
+        i: (raws[i], once[i], twice[i]) for i in once if once[i] != twice[i]
+    }
+    con = duckdb.connect()
+    for i, raw in enumerate(raws):
+        want = con.execute(
+            f"SELECT {canonical_url_sql('u')} FROM (SELECT ? AS u)", [raw]
+        ).fetchone()[0]
+        assert once[i] == want, (raw, repr(once[i]), repr(want))
