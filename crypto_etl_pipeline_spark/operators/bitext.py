@@ -33,6 +33,18 @@ rounded to 4 decimals FIRST; the k-NN means and the margin derive
 from the rounded values in both engines, so the only cross-engine
 float hazard (accumulation order inside the cosine) is absorbed
 before any downstream arithmetic.
+
+Relationship to the REGISTERED queries (queries/vector.py): this
+module is the DataFrame-level API (float avg over the ACTUAL
+neighborhood) used by callers and the planted-fixture tests; the
+registered bitext_* queries re-express the same scoring in the
+integer-exact oracle contract — margin = (ks+kt)*ci/(si+ti) over
+quantized cosines — which equals cos / mean-of-neighborhood-means
+whenever both sides have full neighborhoods and, like here, divides
+by the actual counts when they don't. The two formulations rank
+identically up to the 1e-4 quantization; the semantics (actual-count
+neighborhoods, positive-cosine candidacy) are the same by
+construction.
 """
 
 from __future__ import annotations
@@ -116,7 +128,9 @@ def mine_bitext(
 ) -> DataFrame:
     """Forward mining: the best (highest-margin) tgt candidate per src
     vector — (src_id, tgt_id, cos_sim, margin). Thresholding is the
-    caller's policy (see the registered threshold-sweep query)."""
+    caller's policy (the registered bitext_margin_threshold_sweep
+    query demonstrates the sweep over its own integer-exact twin of
+    this scoring — see the module header)."""
     scored = bitext_margin_pairs(src, tgt, k=k, id_col=id_col, vec_col=vec_col)
     w = Window.partitionBy("src_id").orderBy(
         F.desc("margin"), F.desc("cos_sim"), F.asc("tgt_id")

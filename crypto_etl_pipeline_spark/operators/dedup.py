@@ -841,7 +841,7 @@ def simhash_signatures(
     int — ``shiftright`` does not accept a column shift count).
     """
     n_bits = 60
-    sh = shingles(F.col(text_col), shingle_n) if shingle_n > 1 else F.split(F.col(text_col), r"\s+")
+    sh = shingles(F.col(text_col), shingle_n) if shingle_n > 1 else F.split(F.col(text_col), r"[ \t\n\f\r]+")
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     tok = df.repartition(n_parts, F.col(id_col)).select(F.col(id_col), F.explode(sh).alias("_t"))
     hashed = tok.select(id_col, md5_long(F.col("_t"), 15).alias("_h"))

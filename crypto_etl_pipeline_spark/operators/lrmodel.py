@@ -51,7 +51,7 @@ def hashed_presence_features(
     return (
         docs.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(F.array_distinct(F.split(F.col(text_col), r"\s+"))).alias("_tok"),
+            F.explode(F.array_distinct(F.split(F.col(text_col), r"[ \t\n\f\r]+"))).alias("_tok"),
         )
         .select("doc_id", (md5_long(F.col("_tok"), 8) % dim).alias("feat"))
         .distinct()

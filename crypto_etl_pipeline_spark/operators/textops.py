@@ -23,17 +23,30 @@ STOPWORDS = {
 }
 
 # A BPE-ish pre-tokenizer: words, numbers, or single non-space symbols.
-# (Same regex class semantics in Java regex and RE2/DuckDB.)
-REGEX_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# Whitespace spelled as an explicit class — inside the negated class,
+# Java's \s (includes U+000B) and RE2's (excludes it) would otherwise
+# disagree on whether \x0B is a symbol token. The constant is spliced
+# verbatim into the DuckDB oracle, so one spelling serves both engines.
+REGEX_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"
 
 
 def _as_col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+#: whitespace-split class, spelled explicitly so Spark (Java regex,
+#: where \s includes U+000B) tokenizes the IDENTICAL set as the DuckDB
+#: oracles' RE2 \s+ (which excludes it) — the same engine-drift class
+#: the r12 ADVICE flagged for unicode_canonical, fixed centrally here
+#: for every token_count/tokens-derived oracle pair. \x0B is a token
+#: character on both sides.
+WS_SPLIT = r"[ \t\n\f\r]+"
+
+
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization."""
-    return F.split(_as_col(text), r"\s+")
+    """Whitespace tokenization (see WS_SPLIT for the engine-parity
+    contract)."""
+    return F.split(_as_col(text), WS_SPLIT)
 
 
 def token_count(text: Column | str) -> Column:
@@ -100,7 +113,7 @@ def lang_id(text: Column | str) -> Column:
 
 def normalized_text(text: Column | str) -> Column:
     """Lowercase + collapse whitespace — canonical form for fingerprints."""
-    return F.lower(F.regexp_replace(_as_col(text), r"\s+", " "))
+    return F.lower(F.regexp_replace(_as_col(text), r"[ \t\n\f\r]+", " "))
 
 
 def fingerprint_md5(text: Column | str) -> Column:

@@ -78,7 +78,10 @@ def canonical_url(url: Column | str) -> Column:
             F.substring(host, F.lit(1), F.length(host) - F.lit(4)),
         ).otherwise(host)
     )
-    pq = F.substring(rest, F.length(hostport) + F.lit(1), F.lit(1 << 20))
+    # length(rest) as the slice length = "to end of string" with no
+    # magic cap — symmetric with the twin's 2-arg substring, so a
+    # pathological >1 MiB URL cannot make the engines diverge
+    pq = F.substring(rest, F.length(hostport) + F.lit(1), F.length(rest))
     path = F.regexp_extract(pq, "^[^?]*", 0)
     path = F.regexp_replace(path, "/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)

@@ -62,7 +62,7 @@ def pivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 def explode_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("token"))
+        docs.select(F.explode(F.split(F.col("text"), r"[ \t\n\f\r]+")).alias("token"))
         .where(F.length("token") >= 4)
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))

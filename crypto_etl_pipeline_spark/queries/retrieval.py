@@ -64,7 +64,7 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", "lang", F.split(F.col("text"), r"\s+").alias("_toks")
+        "doc_id", "lang", F.split(F.col("text"), r"[ \t\n\f\r]+").alias("_toks")
     ).select("doc_id", "lang", F.posexplode("_toks").alias("pos", "token"))
 
 
@@ -453,7 +453,7 @@ def token_budget_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame
     # scalar totals) — without it Catalyst re-executes the corpus scan
     # + token-count lineage per consumer (measured: 2 parquet scans).
     per_src = (
-        docs.select("source", F.size(F.split(F.col("text"), r"\s+")).alias("n_tok"))
+        docs.select("source", F.size(F.split(F.col("text"), r"[ \t\n\f\r]+")).alias("n_tok"))
         .groupBy("source")
         .agg(F.sum("n_tok").cast("long").alias("avail_tokens"))
         .withColumn("w", F.pow(F.col("avail_tokens"), F.lit(BUDGET_ALPHA)))
@@ -725,7 +725,7 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     dtr = (
         docs.where(
             (F.col("lang") == "en")
-            & (F.size(F.split(F.col("text"), r"\s+")) >= 2)
+            & (F.size(F.split(F.col("text"), r"[ \t\n\f\r]+")) >= 2)
         ).agg(F.count(F.lit(1)).alias("d"))
     )
     scored = (

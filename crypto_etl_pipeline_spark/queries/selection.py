@@ -861,10 +861,14 @@ _EPOCH_N = 2
 _EPOCH_CAP = 2048  #: pack size — matches pack_training_sequences
 
 
-@register(
-    "train_epoch_shuffle",
-    oracle=f"""
-    WITH t AS (
+def _packs_cte() -> str:
+    """DuckDB CTE chain ``t -> packs`` deriving the pack universe from
+    per-language token mass — the SINGLE source of the pack-id
+    contract shared by both training-order oracles (and mirrored by
+    :func:`_pack_universe`). Uses RE2 \\s+, whose set the Spark
+    tokenizer now matches exactly (textops.WS_SPLIT)."""
+    return f"""
+    t AS (
       SELECT lang,
              sum(len(regexp_split_to_array(text, '\\s+')))::BIGINT AS n_tok
       FROM documents GROUP BY lang
@@ -874,7 +878,14 @@ _EPOCH_CAP = 2048  #: pack size — matches pack_training_sequences
                unnest(range(0, (n_tok + {_EPOCH_CAP - 1}) // {_EPOCH_CAP}))
              AS VARCHAR) AS pack_id
       FROM t
-    ),
+    )"""
+
+
+def _pos_cte() -> str:
+    """DuckDB CTE chain ``e -> h -> pos`` ranking the pack universe
+    per epoch by the seeded hash (the twin of operators/sampling
+    .epoch_shuffle over :func:`_packs_cte`)."""
+    return f"""
     e AS (
       SELECT pack_id, ep.epoch
       FROM packs CROSS JOIN (VALUES (0), (1)) ep(epoch)
@@ -884,12 +895,50 @@ _EPOCH_CAP = 2048  #: pack size — matches pack_training_sequences
              md5('{_EPOCH_SEED}' || ':' || CAST(epoch AS VARCHAR)
                  || ':' || pack_id) AS hh
       FROM e
+    ),
+    pos AS (
+      SELECT epoch, pack_id,
+             row_number() OVER (PARTITION BY epoch ORDER BY hh, pack_id)
+               AS position
+      FROM h
+    )"""
+
+
+def _pack_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`_packs_cte`: one ``pack_id`` row per
+    2048-token window per language."""
+    from crypto_etl_pipeline_spark.operators.textops import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("lang").agg(
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tok")
     )
-    SELECT epoch,
-           row_number() OVER (PARTITION BY epoch ORDER BY hh, pack_id)
-             AS position,
-           pack_id
-    FROM h
+    return (
+        t.select(
+            "lang",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    ((F.col("n_tok") + _EPOCH_CAP - 1) / _EPOCH_CAP).cast("long")
+                    - 1,
+                )
+            ).alias("i"),
+        )
+        .select(
+            F.concat(
+                F.col("lang"), F.lit(":"), F.col("i").cast("string")
+            ).alias("pack_id")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+@register(
+    "train_epoch_shuffle",
+    oracle=f"""
+    WITH {_packs_cte()},
+    {_pos_cte()}
+    SELECT epoch, position, pack_id FROM pos
     """,
     description="Deterministic per-epoch shuffle of packed training sequences: md5(seed:epoch:pack) rank, no global sort, bit-reproducible",
     tags=("selection", "packing", "sampling"),
@@ -908,30 +957,8 @@ def train_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain window because DuckDB runs at oracle scale, not corpus
     scale."""
     from crypto_etl_pipeline_spark.operators.sampling import epoch_shuffle
-    from crypto_etl_pipeline_spark.operators.textops import token_count
 
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.groupBy("lang").agg(
-        F.sum(token_count(F.col("text"))).cast("long").alias("n_tok")
-    )
-    packs = (
-        t.select(
-            "lang",
-            F.explode(
-                F.sequence(
-                    F.lit(0),
-                    ((F.col("n_tok") + _EPOCH_CAP - 1) / _EPOCH_CAP).cast("long")
-                    - 1,
-                )
-            ).alias("i"),
-        )
-        .select(
-            F.concat(
-                F.col("lang"), F.lit(":"), F.col("i").cast("string")
-            ).alias("pack_id")
-        )
-        .localCheckpoint(eager=False)
-    )
+    packs = _pack_universe(spark, sf_dir)
     return epoch_shuffle(packs, "pack_id", n_epochs=_EPOCH_N, seed=_EPOCH_SEED)
 
 
@@ -941,33 +968,8 @@ _SHARD_SIZE = 8  #: packs per output shard (tiny at test SF; ~50k real-world)
 @register(
     "train_shard_manifest",
     oracle=f"""
-    WITH t AS (
-      SELECT lang,
-             sum(len(regexp_split_to_array(text, '\\s+')))::BIGINT AS n_tok
-      FROM documents GROUP BY lang
-    ),
-    packs AS (
-      SELECT lang || ':' || CAST(
-               unnest(range(0, (n_tok + {_EPOCH_CAP - 1}) // {_EPOCH_CAP}))
-             AS VARCHAR) AS pack_id
-      FROM t
-    ),
-    e AS (
-      SELECT pack_id, ep.epoch
-      FROM packs CROSS JOIN (VALUES (0), (1)) ep(epoch)
-    ),
-    h AS (
-      SELECT epoch, pack_id,
-             md5('{_EPOCH_SEED}' || ':' || CAST(epoch AS VARCHAR)
-                 || ':' || pack_id) AS hh
-      FROM e
-    ),
-    pos AS (
-      SELECT epoch, pack_id,
-             row_number() OVER (PARTITION BY epoch ORDER BY hh, pack_id)
-               AS position
-      FROM h
-    )
+    WITH {_packs_cte()},
+    {_pos_cte()}
     SELECT epoch,
            (position - 1) // {_SHARD_SIZE} AS shard,
            count(*) AS n_packs,
@@ -991,30 +993,8 @@ def train_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     one dim-keyed groupBy on top of the shuffle — nothing new
     shuffles at corpus scale."""
     from crypto_etl_pipeline_spark.operators.sampling import epoch_shuffle
-    from crypto_etl_pipeline_spark.operators.textops import token_count
 
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.groupBy("lang").agg(
-        F.sum(token_count(F.col("text"))).cast("long").alias("n_tok")
-    )
-    packs = (
-        t.select(
-            "lang",
-            F.explode(
-                F.sequence(
-                    F.lit(0),
-                    ((F.col("n_tok") + _EPOCH_CAP - 1) / _EPOCH_CAP).cast("long")
-                    - 1,
-                )
-            ).alias("i"),
-        )
-        .select(
-            F.concat(
-                F.col("lang"), F.lit(":"), F.col("i").cast("string")
-            ).alias("pack_id")
-        )
-        .localCheckpoint(eager=False)
-    )
+    packs = _pack_universe(spark, sf_dir)
     shuffled = epoch_shuffle(packs, "pack_id", n_epochs=_EPOCH_N, seed=_EPOCH_SEED)
     return (
         shuffled.withColumn(

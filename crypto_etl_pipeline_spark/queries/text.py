@@ -60,7 +60,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         textops.token_count(t).alias("n_tokens"),
         textops.unique_token_count(t).alias("n_unique_tokens"),
         F.round(
-            F.length(F.regexp_replace(t, r"\s+", "")) / textops.token_count(t), 6
+            F.length(F.regexp_replace(t, r"[ \t\n\f\r]+", "")) / textops.token_count(t), 6
         ).alias("avg_token_len"),
     )
 
@@ -516,7 +516,7 @@ def pipeline_multilingual_curation(spark: SparkSession, sf_dir: str) -> DataFram
     )
     toks = kept.select(
         "source",
-        F.size(F.split(F.col("c"), r"\s+")).cast("long").alias("n_tok"),
+        F.size(F.split(F.col("c"), r"[ \t\n\f\r]+")).cast("long").alias("n_tok"),
         F.length("c").cast("long").alias("n_chars"),
     )
     s0 = dirty.groupBy("source").agg(
@@ -1883,7 +1883,7 @@ def _chunker_udtf():
             import hashlib
             import re as _re
 
-            toks = _re.split(r"\s+", text)
+            toks = _re.split(r"[ \t\n\f\r]+", text)
             n = len(toks)
             chunk, stride = 64, 32
             last = max((n - chunk + stride - 1) // stride, 0)
@@ -2217,7 +2217,7 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     any final schema — the array form stays available internally by
     dropping the final array_join."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split(F.col("text"), r"\s+").alias("_toks"))
+    toks = docs.select("doc_id", F.split(F.col("text"), r"[ \t\n\f\r]+").alias("_toks"))
     bigrams = F.when(
         F.size("_toks") >= 2,
         F.transform(
@@ -2356,7 +2356,7 @@ def text_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        F.explode(F.split(F.col("text"), r"\s+")).alias("term")
+        F.explode(F.split(F.col("text"), r"[ \t\n\f\r]+")).alias("term")
     )
     return heavy_hitters_exact(toks, "term", k=30)
 
@@ -2409,7 +2409,7 @@ def text_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q(t) > 0 wherever P_s(t) > 0."""
     docs = load_table(spark, sf_dir, "documents")
     st = docs.select(
-        "source", F.explode(F.split(F.col("text"), r"\s+")).alias("term")
+        "source", F.explode(F.split(F.col("text"), r"[ \t\n\f\r]+")).alias("term")
     )
     stc = (
         st.groupBy("source", "term")
@@ -2487,7 +2487,7 @@ def tokenizer_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     built on these statistics is `bpe_train_merges`."""
     docs = load_table(spark, sf_dir, "documents")
     wc = (
-        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("word"))
+        docs.select(F.explode(F.split(F.col("text"), r"[ \t\n\f\r]+")).alias("word"))
         .where(F.length("word") >= 2)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -2586,7 +2586,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     wc = (
-        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("word"))
+        docs.select(F.explode(F.split(F.col("text"), r"[ \t\n\f\r]+")).alias("word"))
         .where(F.length("word") >= 1)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -2651,7 +2651,7 @@ def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+        "doc_id", F.explode(F.split(F.col("text"), r"[ \t\n\f\r]+")).alias("word")
     ).where(F.col("word") != "")
     vocab = words.select("word").distinct()
     encoded = bpe_encode_words(vocab, merges).select("word", "n_tokens")
@@ -2763,7 +2763,7 @@ def sample_pps_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
-        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("weight"),
+        F.size(F.split(F.col("text"), r"[ \t\n\f\r]+")).cast("long").alias("weight"),
     )
     return pps_systematic_sample(
         docs, "weight", k=20, id_col="doc_id", strata=["lang"]
@@ -3358,7 +3358,7 @@ def text_entropy_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"{prefix}_entropy"),
         )
     chars = _entropy(F.split("text", ""), "char")
-    toks = _entropy(F.split("text", r"\s+"), "token")
+    toks = _entropy(F.split("text", r"[ \t\n\f\r]+"), "token")
     return chars.join(toks, "doc_id").select(
         "doc_id", "n_chars", "distinct_chars", "char_entropy",
         "n_tokens", "distinct_tokens", "token_entropy",
@@ -3852,7 +3852,7 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tc_counts = (
-        docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("_t"))
+        docs.select("doc_id", F.explode(F.split("text", r"[ \t\n\f\r]+")).alias("_t"))
         .groupBy("doc_id", "_t")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
@@ -4606,7 +4606,7 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     wc = (
-        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("word"))
+        docs.select(F.explode(F.split(F.col("text"), r"[ \t\n\f\r]+")).alias("word"))
         .where(F.length("word") >= 1)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -5448,7 +5448,7 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
-        "lang", F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+        "lang", F.explode(F.split(F.col("text"), r"[ \t\n\f\r]+")).alias("word")
     ).where(F.col("word") != "")
     vocab = words.select("word").distinct()
     encoded = bpe_encode_words(vocab, merges).select("word", "n_tokens")
@@ -6157,7 +6157,7 @@ def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id",
         (F.col("doc_id") / _NOVELTY_BATCH).cast("long").alias("batch"),
-        F.split(F.col("text"), r"\s+").alias("_toks"),
+        F.split(F.col("text"), r"[ \t\n\f\r]+").alias("_toks"),
     ).select("doc_id", "batch", F.posexplode("_toks").alias("pos", "token"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     tri = (
@@ -6297,7 +6297,7 @@ def text_zipf_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id",
         (F.col("doc_id") / _NOVELTY_BATCH).cast("long").alias("batch"),
-        F.split(F.col("text"), r"\s+").alias("_toks"),
+        F.split(F.col("text"), r"[ \t\n\f\r]+").alias("_toks"),
     ).select("doc_id", "batch", F.posexplode("_toks").alias("pos", "token"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
     rw = Window.orderBy(F.desc("f"), F.asc("token"))
@@ -7288,7 +7288,7 @@ def dedup_token_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     tok = docs.select(
         "doc_id",
         "source",
-        F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens"),
+        F.size(F.split(F.col("text"), r"[ \t\n\f\r]+")).alias("n_tokens"),
     )
     kept = F.when(F.col("is_canonical"), F.col("n_tokens")).otherwise(F.lit(0))
     saved = F.when(~F.col("is_canonical"), F.col("n_tokens")).otherwise(F.lit(0))
@@ -7437,7 +7437,7 @@ def span_corruption_mask_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "lang",
-        F.posexplode(F.split(F.col("text"), r"\s+")).alias("pos", "_t"),
+        F.posexplode(F.split(F.col("text"), r"[ \t\n\f\r]+")).alias("pos", "_t"),
     ).drop("_t")
     start = (
         phash.md5_long(
@@ -7715,7 +7715,7 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("lang") == "en")
     tok = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.col("text"), r"\s+")).alias("pos", "token"),
+        F.posexplode(F.split(F.col("text"), r"[ \t\n\f\r]+")).alias("pos", "token"),
     )
     s = tok.withColumn(
         "st", F.col("token").isin(*STOPWORDS["en"]).cast("int")

@@ -140,7 +140,7 @@ def rollup_reuse_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFram
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = (
-        docs.select("doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("token"))
+        docs.select("doc_id", F.explode(F.split(F.col("text"), r"[ \t\n\f\r]+")).alias("token"))
         .where(F.length("token") >= 4)
         .select("doc_id", F.lower("token").alias("token"))
     )

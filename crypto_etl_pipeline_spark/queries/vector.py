@@ -2547,10 +2547,14 @@ BITEXT_THRESHOLDS = (10000, 10200, 10500, 11000)  # margin x 1e4, integer grid
 
 #: margin as exact-integer arithmetic: cosines are rounded to 4
 #: decimals then scaled to integers (ci = round(cos*1e4)); the k-NN
-#: "means" stay as integer SUMS (si, ti), and
-#:   margin = 2k*ci / (si + ti)
-#: — one double division of two exact integers, bit-identical across
-#: engines, immune to float accumulation order in averages.
+#: "means" stay as integer SUMS (si, ti) with their ACTUAL counts
+#: (ks, kt <= k — a vector can have fewer than k positive-cosine
+#: candidates, and dividing by a fixed 2k there would inflate every
+#: margin it touches), and
+#:   margin = (ks + kt) * ci / (si + ti)
+#: — one double division of exact integers, bit-identical across
+#: engines, immune to float accumulation order in averages, and equal
+#: to cos / mean-of-neighborhood-means whenever ks == kt.
 _BX_PAIR_SQL = """
     s AS (
       SELECT e.vec_id AS src_id, e.embedding AS sv
@@ -2571,13 +2575,13 @@ _BX_PAIR_SQL = """
       ) WHERE ci > 0
     ),
     nns AS (
-      SELECT src_id, sum(ci) AS si FROM (
+      SELECT src_id, sum(ci) AS si, count(*) AS ks FROM (
         SELECT src_id, ci,
                row_number() OVER (PARTITION BY src_id ORDER BY ci DESC, tgt_id) AS r
         FROM p) WHERE r <= {k} GROUP BY src_id
     ),
     nnt AS (
-      SELECT tgt_id, sum(ci) AS ti FROM (
+      SELECT tgt_id, sum(ci) AS ti, count(*) AS kt FROM (
         SELECT tgt_id, ci,
                row_number() OVER (PARTITION BY tgt_id ORDER BY ci DESC, src_id) AS r
         FROM p) WHERE r <= {k} GROUP BY tgt_id
@@ -2585,7 +2589,7 @@ _BX_PAIR_SQL = """
     m AS (
       SELECT p.src_id, p.tgt_id,
              round(p.ci / 10000.0, 4) AS cos_sim,
-             round(CAST(2 * {k} * p.ci AS DOUBLE)
+             round(CAST((nns.ks + nnt.kt) * p.ci AS DOUBLE)
                    / nullif(nns.si + nnt.ti, 0), 4) AS margin
       FROM p JOIN nns USING (src_id) JOIN nnt USING (tgt_id)
     )
@@ -2637,14 +2641,14 @@ def _bitext_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("_r", F.row_number().over(w_s))
         .where(F.col("_r") <= BITEXT_K)
         .groupBy("src_id")
-        .agg(F.sum("ci").alias("si"))
+        .agg(F.sum("ci").alias("si"), F.count(F.lit(1)).alias("ks"))
     )
     w_t = Window.partitionBy("tgt_id").orderBy(F.desc("ci"), F.asc("src_id"))
     nnt = (
         pairs.withColumn("_r", F.row_number().over(w_t))
         .where(F.col("_r") <= BITEXT_K)
         .groupBy("tgt_id")
-        .agg(F.sum("ci").alias("ti"))
+        .agg(F.sum("ci").alias("ti"), F.count(F.lit(1)).alias("kt"))
     )
     return (
         pairs.join(F.broadcast(nns), "src_id")
@@ -2654,7 +2658,7 @@ def _bitext_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tgt_id",
             F.round(F.col("ci") / 10000.0, 4).alias("cos_sim"),
             F.round(
-                (F.lit(2 * BITEXT_K) * F.col("ci")).cast("double")
+                ((F.col("ks") + F.col("kt")) * F.col("ci")).cast("double")
                 / F.nullif(F.col("si") + F.col("ti"), F.lit(0)),
                 4,
             ).alias("margin"),

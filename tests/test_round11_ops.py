@@ -542,14 +542,13 @@ def test_gate_rotation_refresh_bound():
     fill_per_round = GATE_SLOTS - reserve
     horizon = math.ceil(len(REGISTRY) / fill_per_round)
     last = dict(last_green_round())
-    never_sampled = set()
     for rnd in range(CURRENT_ROUND, CURRENT_ROUND + horizon):
         # worst case: `reserve` slots burned on hypothetical new names
         picked = gate_first(last, explicit=(), slots=fill_per_round)
         for n in picked:
             last[n] = rnd
     stale = [n for n in REGISTRY if last.get(n, -1) < CURRENT_ROUND]
-    assert not stale and not never_sampled, (
+    assert not stale, (
         f"{len(stale)} queries would not be re-sampled within {horizon} "
         f"rounds: {sorted(stale)[:5]}"
     )

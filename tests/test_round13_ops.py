@@ -517,3 +517,45 @@ def test_canonical_url_idempotent_and_twin_parity_random(spark):
             f"SELECT {canonical_url_sql('u')} FROM (SELECT ? AS u)", [raw]
         ).fetchone()[0]
         assert once[i] == want, (raw, repr(once[i]), repr(want))
+
+
+@pytest.mark.quick
+def test_tokenizer_ws_split_engine_parity(spark):
+    """textops.tokens (Spark, explicit WS_SPLIT class) must produce
+    the SAME token arrays as the oracles' RE2 '\\s+' — including on
+    \\x0B, which Java's \\s contains and RE2's does not (r13 review:
+    the r12 unicode fix applied to the tokenizer family). Also pins
+    REGEX_TOKEN_PATTERN's negated class on the same input."""
+    import duckdb
+
+    from crypto_etl_pipeline_spark.operators.textops import (
+        REGEX_TOKEN_PATTERN,
+        tokens,
+    )
+
+    fixtures = [
+        "plain words here",
+        "a\x0bb c",          # \x0B must stay INSIDE the token
+        "x\ty\nz\fw\rv",     # every real split char
+        " leading and trailing  ",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(fixtures)], "i long, s string"
+    )
+    got = {
+        r["i"]: r["t"] for r in df.select("i", tokens(F.col("s")).alias("t")).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(fixtures):
+        want = con.execute(
+            "SELECT regexp_split_to_array(?, '\\s+')", [s]
+        ).fetchone()[0]
+        assert got[i] == want, (repr(s), got[i], want)
+        n_spark = df.where(F.col("i") == i).select(
+            F.size(F.regexp_extract_all("s", F.lit(REGEX_TOKEN_PATTERN), F.lit(0)))
+        ).collect()[0][0]
+        n_duck = con.execute(
+            f"SELECT len(regexp_extract_all(?, '{REGEX_TOKEN_PATTERN}'))", [s]
+        ).fetchone()[0]
+        assert n_spark == n_duck, (repr(s), n_spark, n_duck)
