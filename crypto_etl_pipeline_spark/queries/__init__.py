@@ -77,6 +77,12 @@ _GATE_NEW: tuple = (
     "cap_fetches_per_host",
     "bitext_mine_bucketed",
     "train_shard_manifest",
+    # r13 technical-indicator family (aggregate-first daily bars)
+    "ta_bollinger_bands",
+    "ta_rsi_cutler",
+    "ta_max_drawdown",
+    "ta_realized_volatility",
+    "ta_returns_correlation",
 )
 
 #: deliberate re-inclusions: already-green names whose plan or

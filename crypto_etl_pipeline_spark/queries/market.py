@@ -492,3 +492,375 @@ def seasonal_anomaly_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.abs(z) > 3).alias("is_anomaly"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Technical-indicator family (r13): Bollinger bands, Cutler RSI, max
+# drawdown, realized volatility, cross-asset return correlation.
+#
+# The reference pipeline's one analytic beyond cleaning is the 5-way
+# percent-change trend classifier (SURVEY.md §2 F7/F8); these queries
+# extend that to the standard indicator set a production crypto
+# pipeline derives next. All five share the AGGREGATE-FIRST shape:
+# stage 1 collapses the SF-scaled event stream into per-(instrument,
+# day) bars — ONE shuffle, map-side partial aggregation — and every
+# window thereafter runs over the bar table, whose row count is
+# calendar-days x instruments and therefore INDEPENDENT of corpus
+# scale (at 100 TB the bars are ~the same few thousand rows; only
+# stage 1 grows). No indicator window ever sorts an SF-scaled frame
+# (lint #5 clean by construction).
+#
+# Determinism: the daily close is a PICKED raw double (row_number
+# desc = 1 on (ts, event_id)), never a float aggregate, so indicator
+# inputs are bit-identical across engines; rolling means/stddevs over
+# <=14-element frames follow the rolling_zscore_anomaly precedent
+# (round on a 4- or 6-decimal grid before any comparison/ordering).
+# ---------------------------------------------------------------------------
+
+#: DuckDB CTE `daily(event_type, day, close, n_trades)` — per-
+#: instrument daily bars with a deterministic last-trade close;
+#: byte-identical semantics to :func:`_daily_close_df`
+_DAILY_CTE = """
+    daily AS (
+      SELECT event_type, day,
+             max(CASE WHEN rn_d = 1 THEN value END) AS close,
+             count(*) AS n_trades
+      FROM (
+        SELECT event_type, date_trunc('day', ts) AS day, value,
+               row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+      )
+      GROUP BY event_type, day
+    )
+"""
+
+
+def _daily_close_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :data:`_DAILY_CTE`. One exchange on (event_type,
+    day); the close-picking window rides that same clustering."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_d = Window.partitionBy("event_type", "day").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        b.withColumn("rn_d", F.row_number().over(w_d))
+        .groupBy("event_type", "day")
+        .agg(
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )
+
+
+@register(
+    "ta_bollinger_bands",
+    oracle=f"""
+    WITH {_DAILY_CTE},
+    w AS (
+      SELECT event_type, day, close,
+             avg(close)         OVER b AS mid,
+             stddev_samp(close) OVER b AS sd,
+             count(*)           OVER b AS n_win
+      FROM daily
+      WINDOW b AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS day_s,
+           round(close, 4)           AS close,
+           round(mid, 4)             AS mid,
+           round(mid + 2 * sd, 4)    AS upper,
+           round(mid - 2 * sd, 4)    AS lower,
+           CASE WHEN round(mid + 2 * sd, 4) > round(mid - 2 * sd, 4)
+                THEN round((close - round(mid - 2 * sd, 4))
+                           / (round(mid + 2 * sd, 4) - round(mid - 2 * sd, 4)), 4)
+           END AS pct_b,
+           CASE WHEN round(close, 4) > round(mid + 2 * sd, 4) THEN 'above'
+                WHEN round(close, 4) < round(mid - 2 * sd, 4) THEN 'below'
+                ELSE 'inside' END AS band_state
+    FROM w WHERE n_win = 7
+    """,
+    description="Bollinger bands (7-day SMA +/- 2 sigma) with %B and band-breach state per instrument",
+    tags=("market", "timeseries", "window", "indicator"),
+)
+def ta_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over the daily bar table: mid = 7-bar SMA,
+    bands at +/-2 sample stddevs, %B = (close - lower)/(upper - lower).
+    Full-window rows only (n_win = 7) so every band is a true 7-bar
+    statistic. The breach state and %B are computed from the ROUNDED
+    bands, so the classification boundary sits on the same 4-decimal
+    grid in both engines. Stage 2 runs over calendar_days x
+    instruments rows — scale-free."""
+    d = _daily_close_df(spark, sf_dir)
+    b = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    w = d.select(
+        "event_type",
+        "day",
+        "close",
+        F.avg("close").over(b).alias("mid"),
+        F.stddev_samp("close").over(b).alias("sd"),
+        F.count(F.lit(1)).over(b).alias("n_win"),
+    ).where(F.col("n_win") == 7)
+    upper = F.round(F.col("mid") + 2 * F.col("sd"), 4)
+    lower = F.round(F.col("mid") - 2 * F.col("sd"), 4)
+    close_r = F.round(F.col("close"), 4)
+    return w.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        close_r.alias("close"),
+        F.round("mid", 4).alias("mid"),
+        upper.alias("upper"),
+        lower.alias("lower"),
+        F.when(upper > lower, F.round((F.col("close") - lower) / (upper - lower), 4))
+        .alias("pct_b"),
+        F.when(close_r > upper, F.lit("above"))
+        .when(close_r < lower, F.lit("below"))
+        .otherwise(F.lit("inside"))
+        .alias("band_state"),
+    )
+
+
+@register(
+    "ta_rsi_cutler",
+    oracle=f"""
+    WITH {_DAILY_CTE},
+    d AS (
+      SELECT event_type, day, close,
+             close - lag(close) OVER (PARTITION BY event_type ORDER BY day) AS diff
+      FROM daily
+    ),
+    g AS (
+      SELECT event_type, day, close,
+             sum(greatest(diff, 0))  OVER w AS sum_gain,
+             sum(greatest(-diff, 0)) OVER w AS sum_loss,
+             count(diff)             OVER w AS n_diffs
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS day_s,
+           round(close, 4) AS close,
+           round(100 * sum_gain / (sum_gain + sum_loss), 4) AS rsi,
+           CASE WHEN round(100 * sum_gain / (sum_gain + sum_loss), 4) >= 70 THEN 'overbought'
+                WHEN round(100 * sum_gain / (sum_gain + sum_loss), 4) <= 30 THEN 'oversold'
+                ELSE 'neutral' END AS rsi_state
+    FROM g
+    WHERE n_diffs = 14 AND sum_gain + sum_loss > 0
+    """,
+    description="Cutler's RSI (14-bar SMA of gains vs losses) with overbought/oversold state per instrument",
+    tags=("market", "timeseries", "window", "indicator"),
+)
+def ta_rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI — the SMA variant of RSI (the Wilder original is
+    an EWMA recurrence; the SMA form is the standard window-expressible
+    twin and what batch engines compute): RSI = 100 * sum(gains) /
+    (sum(gains) + sum(losses)) over the trailing 14 bar-to-bar diffs.
+    Full windows only (n_diffs = 14); the overbought/oversold cut
+    compares the ROUNDED RSI so both engines classify on the same
+    grid. Diffs are exact double subtractions of picked closes —
+    deterministic inputs, 14-term sums under the rolling_zscore
+    precedent."""
+    d0 = _daily_close_df(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("day")
+    d = d0.select(
+        "event_type",
+        "day",
+        "close",
+        (F.col("close") - F.lag("close").over(wl)).alias("diff"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-13, 0)
+    g = d.select(
+        "event_type",
+        "day",
+        "close",
+        F.sum(F.greatest(F.col("diff"), F.lit(0.0))).over(w).alias("sum_gain"),
+        F.sum(F.greatest(-F.col("diff"), F.lit(0.0))).over(w).alias("sum_loss"),
+        F.count("diff").over(w).alias("n_diffs"),
+    ).where((F.col("n_diffs") == 14) & (F.col("sum_gain") + F.col("sum_loss") > 0))
+    rsi = F.round(100 * F.col("sum_gain") / (F.col("sum_gain") + F.col("sum_loss")), 4)
+    return g.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        F.round("close", 4).alias("close"),
+        rsi.alias("rsi"),
+        F.when(rsi >= 70, F.lit("overbought"))
+        .when(rsi <= 30, F.lit("oversold"))
+        .otherwise(F.lit("neutral"))
+        .alias("rsi_state"),
+    )
+
+
+@register(
+    "ta_max_drawdown",
+    oracle=f"""
+    WITH {_DAILY_CTE},
+    dd AS (
+      SELECT event_type, day,
+             round((max(close) OVER w - close) / (max(close) OVER w), 6) AS dd
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    g AS (
+      SELECT event_type, max(dd) AS max_drawdown, count(*) AS n_days
+      FROM dd GROUP BY event_type
+    )
+    SELECT g.event_type, g.max_drawdown, g.n_days,
+           strftime(min(dd.day), '%Y-%m-%d') AS trough_day
+    FROM g JOIN dd ON dd.event_type = g.event_type AND dd.dd = g.max_drawdown
+    GROUP BY g.event_type, g.max_drawdown, g.n_days
+    """,
+    description="Maximum drawdown per instrument: running-peak decline ratio, depth + first trough day",
+    tags=("market", "timeseries", "window", "indicator"),
+)
+def ta_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max drawdown = max over days of (running_peak - close) /
+    running_peak, with the FIRST day attaining it. The running peak is
+    a max (exact, no float accumulation), so each dd is one exact
+    division rounded to 6 — the equality join back to the per-
+    instrument max is decided on that shared grid. Everything past
+    stage 1 runs on the bar table (~150 rows here; days x instruments
+    at any scale)."""
+    d = _daily_close_df(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peak = F.max("close").over(w)
+    dd = d.select(
+        "event_type",
+        "day",
+        F.round((peak - F.col("close")) / peak, 6).alias("dd"),
+    )
+    g = dd.groupBy("event_type").agg(
+        F.max("dd").alias("max_drawdown"), F.count(F.lit(1)).alias("n_days")
+    )
+    return (
+        dd.join(F.broadcast(g), "event_type")
+        .where(F.col("dd") == F.col("max_drawdown"))
+        .groupBy("event_type", "max_drawdown", "n_days")
+        .agg(F.date_format(F.min("day"), "yyyy-MM-dd").alias("trough_day"))
+    )
+
+
+#: DuckDB CTE `rets(event_type, day, r)` — daily log returns over the
+#: bar table; requires _DAILY_CTE in scope
+_RETS_CTE = """
+    rets AS (
+      SELECT event_type, day, r FROM (
+        SELECT event_type, day,
+               ln(close / lag(close) OVER (PARTITION BY event_type ORDER BY day)) AS r
+        FROM daily
+      ) WHERE r IS NOT NULL
+    )
+"""
+
+
+def _daily_returns_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :data:`_RETS_CTE`: ln(close_t / close_{t-1}) per
+    instrument-day. Inputs are picked closes, so each return is one
+    exact division + ln — bit-identical across engines."""
+    d = _daily_close_df(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("day")
+    return (
+        d.select(
+            "event_type",
+            "day",
+            F.log(F.col("close") / F.lag("close").over(wl)).alias("r"),
+        )
+        .where(F.col("r").isNotNull())
+    )
+
+
+@register(
+    "ta_realized_volatility",
+    oracle=f"""
+    WITH {_DAILY_CTE},
+    {_RETS_CTE},
+    w AS (
+      SELECT event_type, day, r,
+             stddev_samp(r) OVER b AS sd,
+             count(*)       OVER b AS n_win
+      FROM rets
+      WINDOW b AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS day_s,
+           round(r, 6) AS log_return,
+           round(sd * sqrt(365), 6) AS vol_ann
+    FROM w WHERE n_win = 7
+    """,
+    description="Annualized realized volatility: 7-bar rolling stddev of daily log returns x sqrt(365)",
+    tags=("market", "timeseries", "window", "indicator"),
+)
+def ta_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized vol — the trailing-window sample stddev of log
+    returns, annualized by sqrt(365) (crypto trades every day). Runs
+    entirely on the returns table (bars minus one row per instrument);
+    full 7-return windows only. Returns themselves are exact
+    (ln of a quotient of picked closes); the stddev follows the
+    14-term-window precedent and both engines round on the 6-decimal
+    grid."""
+    rets = _daily_returns_df(spark, sf_dir)
+    b = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    w = rets.select(
+        "event_type",
+        "day",
+        "r",
+        F.stddev_samp("r").over(b).alias("sd"),
+        F.count(F.lit(1)).over(b).alias("n_win"),
+    ).where(F.col("n_win") == 7)
+    return w.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        F.round("r", 6).alias("log_return"),
+        F.round(F.col("sd") * F.sqrt(F.lit(365.0)), 6).alias("vol_ann"),
+    )
+
+
+@register(
+    "ta_returns_correlation",
+    oracle=f"""
+    WITH {_DAILY_CTE},
+    {_RETS_CTE}
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_days,
+           round(corr(a.r, b.r), 6) AS pearson_r
+    FROM rets a
+    JOIN rets b ON a.day = b.day AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+    description="Cross-instrument Pearson correlation of daily log returns (all pairs, day-aligned)",
+    tags=("market", "timeseries", "stats", "agg"),
+)
+def ta_returns_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-asset co-movement matrix: day-aligned self-join of
+    the returns table (bar-sized, NOT the event stream — the join is
+    days x instruments^2 at worst), Pearson r per unordered pair.
+    corr() is textbook co-moment correlation in both engines; 1e-12
+    association noise against the 1e-6 grain (corr_matrix_lineitem
+    precedent)."""
+    rets = _daily_returns_df(spark, sf_dir)
+    a = rets.select(
+        F.col("event_type").alias("type_a"), "day", F.col("r").alias("ra")
+    )
+    b = rets.select(
+        F.col("event_type").alias("type_b"), "day", F.col("r").alias("rb")
+    )
+    return (
+        a.join(b, (a.day == b.day) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.corr("ra", "rb"), 6).alias("pearson_r"),
+        )
+    )
