@@ -83,6 +83,10 @@ _GATE_NEW: tuple = (
     "ta_max_drawdown",
     "ta_realized_volatility",
     "ta_returns_correlation",
+    # r13 annotation-agreement / FD-audit family
+    "quality_cohen_kappa",
+    "quality_fleiss_kappa",
+    "quality_fd_violations",
 )
 
 #: deliberate re-inclusions: already-green names whose plan or

@@ -1126,3 +1126,240 @@ def quality_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("moji").alias("mojibake_pairs"),
         F.round(F.sum(flagged) / F.count(F.lit(1)), 6).alias("flag_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Annotation-agreement family (r13): Cohen's kappa, Fleiss' kappa, and
+# approximate functional-dependency discovery (g3 error).
+#
+# Label-quality auditing for training data: when multiple labelers (or
+# heuristic auto-labelers) tag a corpus, chance-corrected agreement is
+# the accept/reject gate on the labeling scheme itself. The three
+# "annotators" here are deterministic single-pass heuristics over the
+# documents table (length, token count, type-token ratio buckets onto
+# the shared {low, mid, high} space) — the same derive-in-both-engines
+# pattern as the URL/unicode families, so the agreement statistics are
+# fully oracled. Kappas are computed from EXACT INTEGER contingency
+# aggregates (one fixed-shape double expression at the end — no float
+# accumulation anywhere), so both engines agree bit-for-bit before the
+# 6-decimal rounding.
+#
+# Scale shape: every query is ONE aggregation pass over the corpus
+# (conditional integer sums, map-side combinable) producing a 1-row or
+# dimension-sized result. No windows, no joins on the fact table.
+# ---------------------------------------------------------------------------
+
+#: annotator label expressions, DuckDB dialect — {low, mid, high}
+_ANN_A_SQL = "CASE WHEN n_chars < 200 THEN 'low' WHEN n_chars < 400 THEN 'mid' ELSE 'high' END"
+_ANN_B_SQL = (
+    "CASE WHEN len(regexp_split_to_array(text, '\\s+')) < 40 THEN 'low' "
+    "WHEN len(regexp_split_to_array(text, '\\s+')) < 70 THEN 'mid' ELSE 'high' END"
+)
+_ANN_C_SQL = (
+    "CASE WHEN len(list_distinct(regexp_split_to_array(text, '\\s+'))) * 1.0 "
+    "     / len(regexp_split_to_array(text, '\\s+')) < 0.40 THEN 'low' "
+    "WHEN len(list_distinct(regexp_split_to_array(text, '\\s+'))) * 1.0 "
+    "     / len(regexp_split_to_array(text, '\\s+')) < 0.55 THEN 'mid' ELSE 'high' END"
+)
+
+
+def _annotators_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, a, b, c): three deterministic heuristic annotators on
+    the shared {low, mid, high} label space. Spark twin of the
+    _ANN_*_SQL expressions (token split uses textops.WS_SPLIT — the
+    engine-parity whitespace class)."""
+    from crypto_etl_pipeline_spark.operators import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    nt = textops.token_count(F.col("text"))
+    ttr = textops.unique_token_count(F.col("text")) / nt
+    lab = lambda v, lo, mid: (  # noqa: E731 — tiny local shorthand
+        F.when(v < lo, "low").when(v < mid, "mid").otherwise("high")
+    )
+    return docs.select(
+        "doc_id",
+        lab(F.col("n_chars"), F.lit(200), F.lit(400)).alias("a"),
+        lab(nt, F.lit(40), F.lit(70)).alias("b"),
+        lab(ttr, F.lit(0.40), F.lit(0.55)).alias("c"),
+    )
+
+
+@register(
+    "quality_cohen_kappa",
+    oracle=f"""
+    WITH lab AS (
+      SELECT {_ANN_A_SQL} AS a, {_ANN_B_SQL} AS b FROM documents
+    ),
+    agg AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN a = b THEN 1 ELSE 0 END)  AS agree,
+             sum(CASE WHEN a = 'low'  THEN 1 ELSE 0 END) AS al,
+             sum(CASE WHEN a = 'mid'  THEN 1 ELSE 0 END) AS am,
+             sum(CASE WHEN a = 'high' THEN 1 ELSE 0 END) AS ah,
+             sum(CASE WHEN b = 'low'  THEN 1 ELSE 0 END) AS bl,
+             sum(CASE WHEN b = 'mid'  THEN 1 ELSE 0 END) AS bm,
+             sum(CASE WHEN b = 'high' THEN 1 ELSE 0 END) AS bh
+      FROM lab
+    )
+    SELECT n::BIGINT AS n_docs,
+           round(agree * 1.0 / n, 6) AS po,
+           round((al * bl + am * bm + ah * bh) * 1.0 / (n * n), 6) AS pe,
+           round((n * agree - (al * bl + am * bm + ah * bh)) * 1.0
+                 / (n * n - (al * bl + am * bm + ah * bh)), 6) AS kappa
+    FROM agg
+    """,
+    description="Cohen's kappa between two heuristic annotators (length vs token-count buckets) — exact-integer contingency",
+    tags=("quality", "stats", "agg", "annotation"),
+)
+def quality_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected inter-annotator agreement. kappa is evaluated
+    as (n*agree - S) / (n^2 - S) with S = sum_k marginalA_k *
+    marginalB_k — ALL integers from one conditional-sum aggregation
+    pass, so the only float op is the final division (identical in
+    both engines). At 100 TB this is a single map-side-combined scan
+    emitting 8 longs."""
+    lab = _annotators_df(spark, sf_dir)
+    cnt = lambda col, v: F.sum((F.col(col) == v).cast("long"))  # noqa: E731
+    agg = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("a") == F.col("b")).cast("long")).alias("agree"),
+        cnt("a", "low").alias("al"), cnt("a", "mid").alias("am"), cnt("a", "high").alias("ah"),
+        cnt("b", "low").alias("bl"), cnt("b", "mid").alias("bm"), cnt("b", "high").alias("bh"),
+    )
+    s = F.col("al") * F.col("bl") + F.col("am") * F.col("bm") + F.col("ah") * F.col("bh")
+    n = F.col("n")
+    return agg.select(
+        n.alias("n_docs"),
+        F.round(F.col("agree") / n, 6).alias("po"),
+        F.round(s / (n * n), 6).alias("pe"),
+        F.round((n * F.col("agree") - s) / (n * n - s), 6).alias("kappa"),
+    )
+
+
+@register(
+    "quality_fleiss_kappa",
+    oracle=f"""
+    WITH lab AS (
+      SELECT {_ANN_A_SQL} AS a, {_ANN_B_SQL} AS b, {_ANN_C_SQL} AS c FROM documents
+    ),
+    nij AS (
+      SELECT (CASE WHEN a='low'  THEN 1 ELSE 0 END + CASE WHEN b='low'  THEN 1 ELSE 0 END
+              + CASE WHEN c='low'  THEN 1 ELSE 0 END) AS nl,
+             (CASE WHEN a='mid'  THEN 1 ELSE 0 END + CASE WHEN b='mid'  THEN 1 ELSE 0 END
+              + CASE WHEN c='mid'  THEN 1 ELSE 0 END) AS nm,
+             (CASE WHEN a='high' THEN 1 ELSE 0 END + CASE WHEN b='high' THEN 1 ELSE 0 END
+              + CASE WHEN c='high' THEN 1 ELSE 0 END) AS nh
+      FROM lab
+    ),
+    agg AS (
+      SELECT count(*) AS n,
+             sum(nl*nl + nm*nm + nh*nh) AS s,
+             sum(nl) AS tl, sum(nm) AS tm, sum(nh) AS th
+      FROM nij
+    )
+    SELECT n::BIGINT AS n_docs,
+           round((s - n * 3) * 1.0 / (n * 3 * 2), 6) AS p_bar,
+           round((tl*tl + tm*tm + th*th) * 1.0 / ((n*3) * (n*3)), 6) AS p_exp,
+           round(((s - n * 3) * 1.0 / (n * 3 * 2)
+                  - (tl*tl + tm*tm + th*th) * 1.0 / ((n*3) * (n*3)))
+                 / (1 - (tl*tl + tm*tm + th*th) * 1.0 / ((n*3) * (n*3))), 6) AS kappa
+    FROM agg
+    """,
+    description="Fleiss' kappa across three heuristic annotators (length/token/TTR buckets) — exact-integer category counts",
+    tags=("quality", "stats", "agg", "annotation"),
+)
+def quality_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-rater chance-corrected agreement (m = 3 raters, 3
+    categories). Per-item category counts n_ij are small integers
+    built by conditional sums (no explode/unpivot); the corpus
+    aggregate carries 5 longs (N, S = sum n_ij^2, T_j); P_bar, P_e and
+    kappa are fixed-shape double expressions over those exact
+    integers — deterministic across engines, rounded on the 6-decimal
+    grid. One map-side-combined pass, 1-row result."""
+    lab = _annotators_df(spark, sf_dir)
+    one = lambda col, v: (F.col(col) == v).cast("long")  # noqa: E731
+    nij = lab.select(
+        (one("a", "low") + one("b", "low") + one("c", "low")).alias("nl"),
+        (one("a", "mid") + one("b", "mid") + one("c", "mid")).alias("nm"),
+        (one("a", "high") + one("b", "high") + one("c", "high")).alias("nh"),
+    )
+    agg = nij.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.col("nl") * F.col("nl") + F.col("nm") * F.col("nm") + F.col("nh") * F.col("nh")
+        ).alias("s"),
+        F.sum("nl").alias("tl"), F.sum("nm").alias("tm"), F.sum("nh").alias("th"),
+    )
+    n, s = F.col("n"), F.col("s")
+    t2 = F.col("tl") * F.col("tl") + F.col("tm") * F.col("tm") + F.col("th") * F.col("th")
+    p_bar = (s - n * 3) / (n * 3 * 2)
+    p_exp = t2 / ((n * 3) * (n * 3))
+    return agg.select(
+        n.alias("n_docs"),
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_exp, 6).alias("p_exp"),
+        F.round((p_bar - p_exp) / (1 - p_exp), 6).alias("kappa"),
+    )
+
+
+#: candidate FDs probed by quality_fd_violations: (name, table, lhs, rhs)
+_FD_CANDIDATES = (
+    ("orders.o_orderkey->o_orderstatus", "orders", "o_orderkey", "o_orderstatus"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ("events.user_id->event_type", "events", "user_id", "event_type"),
+    ("lineitem.l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+)
+
+
+@register(
+    "quality_fd_violations",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS fd,
+           sum(rows_g)::BIGINT AS n_rows,
+           count(*)::BIGINT AS n_groups,
+           sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)::BIGINT AS violating_groups,
+           sum(rows_g - max_cnt)::BIGINT AS min_fix_rows,
+           round(sum(rows_g - max_cnt) * 1.0 / sum(rows_g), 6) AS g3_error
+    FROM (
+      SELECT {lhs}, sum(c) AS rows_g, count(*) AS n_rhs, max(c) AS max_cnt
+      FROM (SELECT {lhs}, {rhs}, count(*) AS c FROM {table} GROUP BY 1, 2)
+      GROUP BY 1
+    )"""
+        for name, table, lhs, rhs in _FD_CANDIDATES
+    ),
+    description="Approximate functional-dependency audit: per-candidate violation groups and exact g3 repair error",
+    tags=("quality", "profiling", "agg"),
+)
+def quality_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FD discovery's verification step (TANE/g3): for each candidate
+    X -> Y, the g3 error is the minimal fraction of rows to delete so
+    the FD holds exactly = 1 - sum_g max_y count(g, y) / n. Two-level
+    hash aggregation per candidate — (X, Y) counts, then per-X
+    rollup — all integers, map-side combinable, no windows or joins;
+    the key FD (o_orderkey -> status) must come back with 0
+    violations. At 100 TB each candidate is one shuffle on X; a
+    production profiler would run all candidates of one table in a
+    shared grouping-sets pass or over a sample — noted, not needed at
+    these SFs."""
+    out = None
+    for name, table, lhs, rhs in _FD_CANDIDATES:
+        tab = load_table(spark, sf_dir, table)
+        g2 = tab.groupBy(lhs, rhs).agg(F.count(F.lit(1)).alias("c"))
+        g1 = g2.groupBy(lhs).agg(
+            F.sum("c").alias("rows_g"),
+            F.count(F.lit(1)).alias("n_rhs"),
+            F.max("c").alias("max_cnt"),
+        )
+        res = g1.agg(
+            F.lit(name).alias("fd"),
+            F.sum("rows_g").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("n_rhs") > 1).cast("long")).alias("violating_groups"),
+            F.sum(F.col("rows_g") - F.col("max_cnt")).alias("min_fix_rows"),
+            F.round(
+                F.sum(F.col("rows_g") - F.col("max_cnt")) / F.sum("rows_g"), 6
+            ).alias("g3_error"),
+        ).select("fd", "n_rows", "n_groups", "violating_groups", "min_fix_rows", "g3_error")
+        out = res if out is None else out.unionByName(res)
+    return out

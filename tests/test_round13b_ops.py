@@ -170,3 +170,129 @@ def test_returns_correlation_exact_for_proportional_series(spark, tmp_path):
     assert out[("geodown", "geoup")]["pearson_r"] == -1.0
     assert out[("geoup", "up2")]["pearson_r"] == 1.0
     assert out[("geoup", "up2")]["n_days"] == _N - 1
+
+
+# ---------------------------------------------------------------------------
+# Annotation-agreement family (r13): planted-fixture semantics
+# ---------------------------------------------------------------------------
+
+def _write_docs(spark, tmp_path, rows):
+    """documents.parquet fixture (driver schema) from
+    (doc_id, n_chars, text) rows — n_chars is an independent column,
+    so annotator A (length) is plantable separately from B (tokens)
+    and C (TTR)."""
+    df = (
+        spark.createDataFrame(rows, "doc_id long, n_chars long, text string")
+        .select(
+            "doc_id",
+            "text",
+            F.lit("en").alias("lang"),
+            F.lit("s0").alias("source"),
+            "n_chars",
+        )
+    )
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(sf_dir + "/documents.parquet")
+    return sf_dir
+
+
+def _doc(cls: str, i: int) -> tuple:
+    """A document all three annotators label ``cls``: A via n_chars,
+    B via token count, C via type-token ratio."""
+    if cls == "low":  # 30 tokens, 10 unique -> ttr 0.33
+        return (i, 100, " ".join(f"w{j % 10}" for j in range(30)))
+    if cls == "mid":  # 50 tokens, 25 unique -> ttr 0.5
+        return (i, 300, " ".join(f"w{j % 25}" for j in range(50)))
+    return (i, 500, " ".join(f"w{j}" for j in range(80)))  # ttr 1.0
+
+
+def test_kappa_perfect_agreement_is_one(spark, tmp_path):
+    """All three annotators agree on every document -> Cohen and
+    Fleiss kappa both exactly 1 (integer-exact, not 0.999...)."""
+    from crypto_etl_pipeline_spark.queries.quality import (
+        quality_cohen_kappa,
+        quality_fleiss_kappa,
+    )
+
+    rows = [_doc("low", 1), _doc("low", 2), _doc("mid", 3), _doc("high", 4), _doc("high", 5)]
+    sf = _write_docs(spark, tmp_path, rows)
+    c = quality_cohen_kappa(spark, sf).collect()[0]
+    assert (c["po"], c["kappa"]) == (1.0, 1.0)
+    f = quality_fleiss_kappa(spark, sf).collect()[0]
+    assert (f["p_bar"], f["kappa"]) == (1.0, 1.0)
+
+
+def test_cohen_kappa_matches_hand_computed_contingency(spark, tmp_path):
+    """A planted 4-doc disagreement pattern (A = [low,low,mid,high],
+    B = [low,mid,mid,low]) reproduces the hand-computed kappa from
+    the exact-integer form (n*agree - S)/(n^2 - S)."""
+    from crypto_etl_pipeline_spark.queries.quality import quality_cohen_kappa
+
+    # A controlled by n_chars; B by token count. C unused here.
+    def doc(i, a_cls, b_tokens_cls):
+        n_chars = {"low": 100, "mid": 300, "high": 500}[a_cls]
+        n_tok = {"low": 30, "mid": 50, "high": 80}[b_tokens_cls]
+        return (i, n_chars, " ".join(f"w{j}" for j in range(n_tok)))
+
+    rows = [doc(1, "low", "low"), doc(2, "low", "mid"), doc(3, "mid", "mid"), doc(4, "high", "low")]
+    sf = _write_docs(spark, tmp_path, rows)
+    r = quality_cohen_kappa(spark, sf).collect()[0]
+    n, agree = 4, 2
+    # marginals: A = (2 low, 1 mid, 1 high), B = (2 low, 2 mid, 0 high)
+    s = 2 * 2 + 1 * 2 + 1 * 0
+    want = round((n * agree - s) / (n * n - s), 6)
+    assert r["n_docs"] == 4 and r["po"] == 0.5
+    assert r["kappa"] == want
+
+
+def test_fd_violations_g3_on_planted_tables(spark, tmp_path):
+    """Planted orders/events/lineitem: the key FD has 0 violations;
+    o_custkey -> o_orderpriority has exactly one violating group whose
+    cheapest repair removes 1 of 4 rows (g3 = 0.25)."""
+    from crypto_etl_pipeline_spark.queries.quality import quality_fd_violations
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 5.0, "2024-01-01", "P1"),
+            (2, 10, "F", 5.0, "2024-01-01", "P1"),
+            (3, 10, "O", 5.0, "2024-01-01", "P2"),
+            (4, 20, "O", 5.0, "2024-01-01", "P3"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, d string, o_orderpriority string",
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.to_timestamp("d").alias("o_orderdate"), "o_orderpriority",
+    )
+    events = spark.createDataFrame(
+        [(1, "2024-01-01", 7, "click", 1.0), (2, "2024-01-01", 7, "click", 1.0)],
+        "event_id long, d string, user_id long, event_type string, value double",
+    ).select(
+        "event_id", F.to_timestamp("d").alias("ts"), "user_id", "event_type",
+        "value", F.lit(None).cast("string").alias("props"),
+    )
+    li = spark.createDataFrame(
+        [(1, 100, 5, 1), (2, 100, 5, 1), (3, 100, 6, 1)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int",
+    ).select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        F.lit(1.0).alias("l_quantity"), F.lit(1.0).alias("l_extendedprice"),
+        F.lit(0.0).alias("l_discount"), F.lit(0.0).alias("l_tax"),
+        F.lit("N").alias("l_returnflag"), F.lit("O").alias("l_linestatus"),
+        F.to_timestamp(F.lit("2024-01-01")).alias("l_shipdate"),
+    )
+    d = str(tmp_path)
+    orders.coalesce(1).write.mode("overwrite").parquet(d + "/orders.parquet")
+    events.coalesce(1).write.mode("overwrite").parquet(d + "/events.parquet")
+    li.coalesce(1).write.mode("overwrite").parquet(d + "/lineitem.parquet")
+
+    out = {r["fd"]: r for r in quality_fd_violations(spark, d).collect()}
+    key = out["orders.o_orderkey->o_orderstatus"]
+    assert key["violating_groups"] == 0 and key["min_fix_rows"] == 0 and key["g3_error"] == 0.0
+    cp = out["orders.o_custkey->o_orderpriority"]
+    # custkey 10: priorities P1,P1,P2 -> drop 1 row; custkey 20 clean
+    assert cp["n_groups"] == 2 and cp["violating_groups"] == 1
+    assert cp["min_fix_rows"] == 1 and cp["g3_error"] == 0.25
+    ps = out["lineitem.l_partkey->l_suppkey"]
+    assert ps["violating_groups"] == 1 and ps["min_fix_rows"] == 1
+    ev = out["events.user_id->event_type"]
+    assert ev["violating_groups"] == 0 and ev["g3_error"] == 0.0
