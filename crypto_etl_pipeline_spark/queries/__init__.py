@@ -28,6 +28,7 @@ from crypto_etl_pipeline_spark.queries import behavior  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import retrieval  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import selection  # noqa: F401, E402
 from crypto_etl_pipeline_spark.queries import web  # noqa: F401, E402
+from crypto_etl_pipeline_spark.queries import preference  # noqa: F401, E402
 
 
 # The driver's correctness gate samples the FIRST 50 entries of
@@ -87,6 +88,9 @@ _GATE_NEW: tuple = (
     "quality_cohen_kappa",
     "quality_fleiss_kappa",
     "quality_fd_violations",
+    # r13 preference-aggregation family
+    "pref_copeland_scores",
+    "pref_bradley_terry",
 )
 
 #: deliberate re-inclusions: already-green names whose plan or

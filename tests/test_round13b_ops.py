@@ -296,3 +296,64 @@ def test_fd_violations_g3_on_planted_tables(spark, tmp_path):
     assert ps["violating_groups"] == 1 and ps["min_fix_rows"] == 1
     ev = out["events.user_id->event_type"]
     assert ev["violating_groups"] == 0 and ev["g3_error"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Preference-aggregation family (r13): Copeland + Bradley-Terry
+# ---------------------------------------------------------------------------
+
+def _geo_closes(returns):
+    out = [100.0]
+    for r in returns:
+        out.append(out[-1] * math.exp(r))
+    return out
+
+
+def test_copeland_and_bt_on_total_dominance_chain(spark, tmp_path):
+    """a's daily return always beats b's, b's always beats c's:
+    Copeland is the exact chain (+2, 0, -2); Bradley-Terry strengths
+    are strictly ordered with the never-winning item at exactly 0 and
+    the anchor (alphabetically first = 'a') at exactly 1."""
+    from crypto_etl_pipeline_spark.queries.preference import (
+        pref_bradley_terry,
+        pref_copeland_scores,
+    )
+
+    days = 6
+    series = {
+        "a": _geo_closes([0.03] * days),
+        "b": _geo_closes([0.02] * days),
+        "c": _geo_closes([0.01] * days),
+    }
+    sf = _write_events(spark, tmp_path, series)
+    cop = {r["event_type"]: r for r in pref_copeland_scores(spark, sf).collect()}
+    assert [cop[t]["copeland"] for t in ("a", "b", "c")] == [2, 0, -2]
+    assert cop["a"]["pair_wins"] == 2 and cop["a"]["pair_losses"] == 0
+    assert cop["c"]["pair_wins"] == 0 and cop["c"]["pair_losses"] == 2
+
+    bt = {r["event_type"]: r for r in pref_bradley_terry(spark, sf).collect()}
+    assert bt["a"]["strength"] == 1.0  # the anchor
+    assert bt["c"]["strength"] == 0.0  # zero wins -> zero ML strength
+    assert 0.0 < bt["b"]["strength"] < 1.0
+    assert bt["a"]["total_wins"] == 2 * days and bt["c"]["total_wins"] == 0
+    assert bt["a"]["n_decisive"] == 2 * days
+
+
+def test_copeland_detects_condorcet_cycle(spark, tmp_path):
+    """A planted rock-paper-scissors majority (a>b, b>c, c>a, each
+    2-of-3 days) must land every item at Copeland 0 with one pairwise
+    win and one loss — the intransitive-labeling audit signal."""
+    from crypto_etl_pipeline_spark.queries.preference import pref_copeland_scores
+
+    # per-day return ranks rotate: day1 a>b>c, day2 b>c>a, day3 c>a>b
+    day_rets = {
+        "a": [0.03, 0.01, 0.02],
+        "b": [0.02, 0.03, 0.01],
+        "c": [0.01, 0.02, 0.03],
+    }
+    series = {t: _geo_closes(rs) for t, rs in day_rets.items()}
+    sf = _write_events(spark, tmp_path, series)
+    out = {r["event_type"]: r for r in pref_copeland_scores(spark, sf).collect()}
+    for t in ("a", "b", "c"):
+        assert out[t]["copeland"] == 0
+        assert out[t]["pair_wins"] == 1 and out[t]["pair_losses"] == 1
