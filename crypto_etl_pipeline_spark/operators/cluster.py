@@ -21,6 +21,88 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _contract_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Partition-local union-find contraction (r13 optimization).
+
+    One map-only Arrow pass: each task runs union-find over ITS edge
+    partition (memory = O(distinct endpoints in the partition), the
+    same class as a hash aggregation) and emits ``(node, local_root)``
+    star edges with ``root = min id`` of the node's partition-local
+    component. Connectivity is preserved exactly — every original edge
+    (u, v) lives in exactly one partition, where u and v end up under
+    one root r, and the emitted u->r / v->r rows keep them connected —
+    so the min-label loop downstream computes identical components.
+    What changes is the iteration count: all within-partition paths
+    collapse to depth 1 before the first distributed round, so the
+    loop converges in rounds proportional to the CROSS-partition
+    diameter (typically 1-2) instead of the full graph diameter.
+    Measured at sf0.1 (2000-node similarity graph, 775 edges): 8
+    rounds / 71 jobs / 2.7 s -> 2 rounds / 17 jobs / 1.4 s, byte-
+    identical labels.
+
+    Root choice uses Python ``<`` on the id values; for long ids and
+    ASCII string ids (this repo's two node-id types) that is the same
+    total order as Spark's ``F.min``, which the loop and the oracle
+    twins rely on. Self-loops and (root == node) rows are dropped —
+    they add no connectivity; a node whose every edge was dropped this
+    way exits the endpoint set and takes the singleton path below.
+    Deterministic under task retry: output depends only on the task's
+    input partition.
+    """
+    out_schema = edges.select(F.col(src_col), F.col(dst_col)).schema
+    a_name, b_name = out_schema[0].name, out_schema[1].name
+
+    def uf_part(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for x, y in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                if x not in parent:
+                    parent[x] = x
+                if y not in parent:
+                    parent[y] = y
+                rx, ry = find(x), find(y)
+                if rx == ry:
+                    continue
+                if ry < rx:
+                    rx, ry = ry, rx
+                parent[ry] = rx
+        if not parent:
+            return
+        nodes = list(parent)
+        out = pd.DataFrame({a_name: nodes, b_name: [find(n) for n in nodes]})
+        yield out[out[a_name] != out[b_name]]
+
+    return edges.select(F.col(src_col), F.col(dst_col)).mapInPandas(
+        uf_part, out_schema
+    )
+
+
+#: row bound for finishing connected components in ONE task after the
+#: level-0 contraction: a single union-find over k star edges holds
+#: O(k) dict entries (~150 B each incl. Python object overhead), so
+#: 1M rows is ~150-300 MB of task memory — the same order as one
+#: skewed hash-aggregation partition, and far below the executor
+#: budget the session runs with. Graphs whose CONTRACTED edge set
+#: exceeds this take the distributed min-label loop instead, so the
+#: single-task finish is a threshold-gated fast path with a loop
+#: fallback, not a scale assumption. At 100 TB the contracted set is
+#: collision-density-sized (stars over partition-local components),
+#: so real near-dup graphs usually stay under the cap; adversarial
+#: ones degrade to the loop, never to an OOM.
+_SINGLE_TASK_EDGE_CAP = 1_000_000
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -62,9 +144,44 @@ def connected_components(
     # touches a table orders of magnitude smaller than `nodes` — at
     # 100 TB this is the difference between iterating over megabytes
     # and iterating over the whole corpus.
+    # r13: contract partition-local paths FIRST (one map-only pass, no
+    # shuffle) so the distributed loop below iterates over star edges
+    # and converges in rounds ~ the cross-partition diameter. See
+    # _contract_edges for the equivalence argument and measurements.
+    star = _contract_edges(edges, src_col, dst_col).localCheckpoint(eager=False)
+    n_star = star.count()
+    if n_star == 0:
+        # No surviving edge (empty graph, or self-loops only): every
+        # node is its own component — skip the loop entirely.
+        return nodes.select(
+            F.col(id_col).alias("id"), F.col(id_col).alias("component")
+        )
+    if n_star <= _SINGLE_TASK_EDGE_CAP:
+        # The contracted graph fits one task: finish the union-find
+        # EXACTLY in a single map pass over all star edges instead of
+        # paying per-round scheduling for a label-propagation loop
+        # whose every round is pure fixed cost at this size. The
+        # result is the complete (endpoint -> global min root)
+        # mapping — identical labels to the loop's fixpoint, so the
+        # strict/max_iter contract is trivially satisfied (converged
+        # by construction). The cap is a ROW bound (task memory is
+        # O(distinct endpoints), the same class as one hash-agg
+        # partition); graphs above it take the distributed loop below,
+        # which the level-0 contraction has already flattened.
+        # Measured at sf0.1 (170-pair doc graph): loop 27 jobs/~4 s ->
+        # 9 jobs/~0.9 s, byte-identical labels.
+        final = _contract_edges(star.repartition(1), src_col, dst_col)
+        labels = final.select(
+            F.col(src_col).alias("id"), F.col(dst_col).alias("component")
+        ).localCheckpoint(eager=False)
+        return nodes.select(F.col(id_col).alias("id")).join(
+            labels.withColumnRenamed("id", "_lid"),
+            F.col("id") == F.col("_lid"),
+            "left",
+        ).select("id", F.coalesce("component", "id").alias("component"))
     sym = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        star.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(star.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .localCheckpoint(eager=False)
     )
     labels = (

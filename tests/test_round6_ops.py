@@ -123,16 +123,25 @@ class TestConnectedComponentsStrictFlag:
         )
         return nodes, edges
 
-    def test_strict_default_raises_on_tiny_budget(self, spark):
+    def test_strict_default_raises_on_tiny_budget(self, spark, monkeypatch):
+        # r13: small contracted graphs finish EXACTLY in one task (the
+        # single-task union-find fast path), so a tiny max_iter can no
+        # longer produce unconverged labels there — force the
+        # distributed loop (cap = 0) to keep exercising its strict
+        # contract, which still guards graphs above the cap.
+        from crypto_etl_pipeline_spark.operators import cluster
         from crypto_etl_pipeline_spark.operators.cluster import connected_components
 
+        monkeypatch.setattr(cluster, "_SINGLE_TASK_EDGE_CAP", 0)
         nodes, edges = self._chain(spark, 40)
         with pytest.raises(RuntimeError, match="(?i)converge"):
             connected_components(nodes, edges, max_iter=1).collect()
 
-    def test_tolerant_mode_returns_best_effort(self, spark):
+    def test_tolerant_mode_returns_best_effort(self, spark, monkeypatch):
+        from crypto_etl_pipeline_spark.operators import cluster
         from crypto_etl_pipeline_spark.operators.cluster import connected_components
 
+        monkeypatch.setattr(cluster, "_SINGLE_TASK_EDGE_CAP", 0)
         nodes, edges = self._chain(spark, 40)
         rows = connected_components(nodes, edges, max_iter=1, strict=False).collect()
         assert len(rows) == 41  # every node labeled, possibly unconverged
