@@ -191,26 +191,57 @@ def lr_train_newton(
             )
             .localCheckpoint(eager=False)
         )
-        g_rows = (
-            fb.join(doc, "doc_id")
-            .groupBy("feat")
-            .agg(F.sum("r").alias("g"))
-            .collect()
-        )
-        h_rows = (
-            fb_h.alias("a")
-            .join(fb_h.alias("b"), "doc_id")
-            .join(doc, "doc_id")
-            .groupBy(F.col("a.feat").alias("i"), F.col("b.feat").alias("j"))
-            .agg(F.sum("wd").alias("h"))
-            .collect()
-        )
-        g = np.zeros(dim + 1)
-        for row in g_rows:
-            g[row["feat"]] = row["g"]
-        H = np.zeros((dim + 1, dim + 1))
-        for row in h_rows:
-            H[row["i"], row["j"]] = row["h"]
+        if max_doc_feats is None:
+            # r13: ONE action per iteration instead of two. With the
+            # exact (uncapped) Hessian, every doc containing feature i
+            # emits exactly one (i, i) pair row, so the gradient
+            # g_i = sum over docs-with-i of r rides the SAME pair
+            # aggregation as a filtered sum — the separate
+            # gradient join/collect (a full fb scan + shuffle + driver
+            # round-trip per iteration) disappears. Identical sums,
+            # identical driver-side solve.
+            h_rows = (
+                fb_h.alias("a")
+                .join(fb_h.alias("b"), "doc_id")
+                .join(doc, "doc_id")
+                .groupBy(F.col("a.feat").alias("i"), F.col("b.feat").alias("j"))
+                .agg(
+                    F.sum("wd").alias("h"),
+                    F.sum(
+                        F.when(F.col("a.feat") == F.col("b.feat"), F.col("r"))
+                    ).alias("g"),
+                )
+                .collect()
+            )
+            g = np.zeros(dim + 1)
+            H = np.zeros((dim + 1, dim + 1))
+            for row in h_rows:
+                H[row["i"], row["j"]] = row["h"]
+                if row["i"] == row["j"] and row["g"] is not None:
+                    g[row["i"]] = row["g"]
+        else:
+            # Capped curvature: fb_h's (i, i) rows are a SUBSET of
+            # fb's, so the gradient must keep its own exact pass.
+            g_rows = (
+                fb.join(doc, "doc_id")
+                .groupBy("feat")
+                .agg(F.sum("r").alias("g"))
+                .collect()
+            )
+            h_rows = (
+                fb_h.alias("a")
+                .join(fb_h.alias("b"), "doc_id")
+                .join(doc, "doc_id")
+                .groupBy(F.col("a.feat").alias("i"), F.col("b.feat").alias("j"))
+                .agg(F.sum("wd").alias("h"))
+                .collect()
+            )
+            g = np.zeros(dim + 1)
+            for row in g_rows:
+                g[row["feat"]] = row["g"]
+            H = np.zeros((dim + 1, dim + 1))
+            for row in h_rows:
+                H[row["i"], row["j"]] = row["h"]
         g = g / n + ridge * w
         H = H / n + ridge * np.eye(dim + 1)
         step = np.linalg.solve(H, g)

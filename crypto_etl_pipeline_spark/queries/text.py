@@ -32,9 +32,15 @@ from crypto_etl_pipeline_spark.operators.dedup import (
     winnow_fingerprints,
 )
 from crypto_etl_pipeline_spark.queries.base import REGISTRY, register
-from crypto_etl_pipeline_spark.sources.tables import load_table
+from crypto_etl_pipeline_spark.sources.tables import load_table, table_row_count
 
 _EN = ", ".join(f"'{w}'" for w in textops.STOPWORDS["en"])
+
+
+def _docs_count(sf_dir: str) -> int:
+    """Raw documents cardinality from the parquet footer (metadata —
+    no Spark job; see sources.tables.table_row_count)."""
+    return table_row_count(sf_dir, "documents")
 
 
 @register(
@@ -964,23 +970,47 @@ def dedup_prune_vs_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.explode("_s").alias("shingle"))
     )
 
-    def _hot(p):
-        row = (
-            p.groupBy("lang", "shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > HOT_SHINGLE_DF_CAP)
-            .agg(
-                F.count(F.lit(1)).alias("nh"),
-                F.coalesce(F.sum(F.expr("df * (df - 1) div 2")), F.lit(0)).alias("sk"),
-            )
-            .collect()[0]
-        )
-        return row["nh"], row["sk"]
-
-    n_full = docs.count()
-    n_pruned = docs.join(dropped, "doc_id", "left_anti").count()
-    full_nh, full_sk = _hot(post)
-    pruned_nh, pruned_sk = _hot(post.join(dropped, "doc_id", "left_anti"))
+    # r13: ONE posting aggregation computes BOTH hot-shingle audits.
+    # The pruned variant's per-(lang, shingle) df is just the count of
+    # postings from non-dropped docs, so marking dropped docs with a
+    # left join and keeping two conditional counts per group replaces
+    # the second full posting groupBy + anti-join (same numbers: a
+    # shingle whose pruned df is 0 clears neither > cap filter, exactly
+    # like its group vanishing under the anti-join). n_full comes from
+    # the parquet footer (metadata, the _emb_count precedent) and
+    # n_pruned = n_full - |dropped| (dropped doc_ids are distinct docs
+    # by construction), replacing two corpus-sized count jobs.
+    n_full = _docs_count(sf_dir)
+    n_pruned = n_full - dropped.count()
+    marked = post.join(dropped.withColumn("_d", F.lit(1)), "doc_id", "left")
+    per = marked.groupBy("lang", "shingle").agg(
+        F.count(F.lit(1)).alias("dff"),
+        F.count(F.when(F.col("_d").isNull(), F.lit(1))).alias("dfp"),
+    )
+    row = per.agg(
+        F.count(F.when(F.col("dff") > HOT_SHINGLE_DF_CAP, F.lit(1))).alias("nh_f"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN dff > {HOT_SHINGLE_DF_CAP} "
+                    "THEN dff * (dff - 1) div 2 END"
+                )
+            ),
+            F.lit(0),
+        ).alias("sk_f"),
+        F.count(F.when(F.col("dfp") > HOT_SHINGLE_DF_CAP, F.lit(1))).alias("nh_p"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN dfp > {HOT_SHINGLE_DF_CAP} "
+                    "THEN dfp * (dfp - 1) div 2 END"
+                )
+            ),
+            F.lit(0),
+        ).alias("sk_p"),
+    ).collect()[0]
+    full_nh, full_sk = row["nh_f"], row["sk_f"]
+    pruned_nh, pruned_sk = row["nh_p"], row["sk_p"]
     return spark.createDataFrame(
         [
             ("full", n_full, full_nh, full_sk),
@@ -6994,7 +7024,9 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    n0 = docs.count()
+    # r13: raw cardinality from the parquet footer (metadata) instead
+    # of a full-scan count job — same number by definition.
+    n0 = _docs_count(sf_dir)
     canon = exact_dedup(docs, "text", "doc_id").select("doc_id")
     surv = docs.join(canon, "doc_id").localCheckpoint(eager=False)
     n1 = surv.count()

@@ -70,3 +70,27 @@ def register_temp_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...]
     """Register each table as a temp view so ``spark.sql`` can be used."""
     for name, df in load_tables(spark, sf_dir, names).items():
         df.createOrReplaceTempView(name)
+
+
+_ROW_COUNT_MEMO: dict[tuple[str, str], int] = {}
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of one testdata table from the parquet FOOTER.
+
+    Parquet footers carry the per-row-group row counts, so the total is
+    metadata — no Spark job, no data pages read (the `_emb_count`
+    precedent from queries/vector.py, generalized). Used by report
+    queries whose output includes the RAW table cardinality: a
+    ``df.count()`` there costs a full scan job per call at bench time
+    while computing a number the file format already stores. Memoized
+    per (sf_dir, table) for the process lifetime — footer metadata of
+    immutable input files, not a computed result.
+    """
+    key = (sf_dir, name)
+    if key not in _ROW_COUNT_MEMO:
+        import pyarrow.dataset as pads
+
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        _ROW_COUNT_MEMO[key] = pads.dataset(path, format="parquet").count_rows()
+    return _ROW_COUNT_MEMO[key]
