@@ -953,9 +953,19 @@ def _prefix_candidates(
         .withColumn("_r", F.row_number().over(w_rank))
         .withColumn("_sz", F.count(F.lit(1)).over(w_sz))
     )
-    prefix = ranked.where(
-        F.col("_r") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
-    ).select(F.col(id_col).alias("_id"), "_t", "_r", "_sz")
+    prefix = (
+        ranked.where(
+            F.col("_r") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+        )
+        .select(F.col(id_col).alias("_id"), "_t", "_r", "_sz")
+        # r13: BOTH sides of the self-join below read this frame, and
+        # ReuseExchange cannot dedup the explode/df-agg/rank-window
+        # chain above a LogicalRDD — without a checkpoint the whole
+        # prefix build executes twice (visible as a duplicated
+        # Generate->Join->Window subtree in the executed plan). Same
+        # discipline as _shingle_arrays (the r8 self-join lesson).
+        .localCheckpoint(eager=False)
+    )
 
     a, b = prefix.alias("pa"), prefix.alias("pb")
     join_cond = (F.col("pa._t") == F.col("pb._t")) & (F.col("pa._id") < F.col("pb._id"))

@@ -1569,8 +1569,6 @@ def _pq_codes_lut(emb, q):
     codes = (neighbor_id, m, code) for the corpus, lut = (query_id, m,
     code, d) for the Limit-bounded query frame (N x M x K rows, the
     lint-recognized broadcast side)."""
-    from functools import reduce
-
     from crypto_etl_pipeline_spark.operators.similarity import (
         _centroid_dists_pd,
         _nearest_centroid_pd,
@@ -1618,16 +1616,27 @@ def _pq_codes_lut(emb, q):
             for m in range(PQ_M)
         ],
     )
-    lut = reduce(
-        lambda x, y: x.unionByName(y),
-        [
-            lut_wide.select(
-                "query_id",
-                F.lit(m).alias("m"),
-                F.posexplode(f"_d{m}").alias("code", "d"),
+    # r13: ONE explode-of-structs instead of an M-way unionByName —
+    # each union branch re-executed the query scan + limit + its
+    # Arrow distance UDF (8 parquet scans / 8 ArrowEvalPython nodes in
+    # the executed plan; Catalyst prunes sibling UDF columns per
+    # branch but cannot share the subtree). Two chained Generates over
+    # a single scan produce the identical (query_id, m, code, d) rows;
+    # downstream is an equi-join, so row order is immaterial.
+    lut = lut_wide.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("m"), F.col(f"_d{m}").alias("ds"))
+                    for m in range(PQ_M)
+                ]
             )
-            for m in range(PQ_M)
-        ],
+        ).alias("_md"),
+    ).select(
+        "query_id",
+        F.col("_md.m").alias("m"),
+        F.posexplode("_md.ds").alias("code", "d"),
     )
     return codes, lut
 
