@@ -743,6 +743,16 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_rare"),
         )
+        # r13: TWO consumers read scored (the corpus-total aggregate
+        # and the bucket pass), and each evaluation re-derives the
+        # whole bigram build — doc_bi twice over (train side + probe
+        # side), i.e. four tokenize/explode/groupBy subtrees in the
+        # executed plan (12 parquet scans). Unlike doc_bi (whose
+        # checkpoint the docstring's sf3.0 measurement rejects as
+        # corpus-sized), scored is ONE ROW PER DOC — the same storage
+        # class as the funnels' checkpointed doc frames — so pinning
+        # it halves the upstream work without the thrash risk.
+        .localCheckpoint(eager=False)
     )
     tot = scored.agg(
         F.sum("n_rare").cast("long").alias("s_rare"),

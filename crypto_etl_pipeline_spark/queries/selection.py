@@ -704,8 +704,14 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and to the oracle.
     w = Window.partitionBy("src")
     for t in range(1, _WALK_STEPS + 1):
-        nodes = frontier.select(F.col("node").alias("src")).distinct()
-        cand = edges.join(F.broadcast(nodes), "src")
+        # r13: broadcast LEFT SEMI join instead of distinct + inner
+        # join — the semi join's hash table deduplicates walker
+        # positions itself (an edge survives iff ANY walker sits on its
+        # src, and semi joins never duplicate rows), so the per-step
+        # distinct exchange disappears while the retained edge set —
+        # and therefore rn/deg and the md5-chosen path — is identical.
+        nodes = frontier.select(F.col("node").alias("src"))
+        cand = edges.join(F.broadcast(nodes), "src", "left_semi")
         adj_t = cand.select(
             "src",
             "dst",
@@ -825,16 +831,34 @@ def quantile_grouped_exact_histogram(spark: SparkSession, sf_dir: str) -> DataFr
     h2: dict[tuple[str, int], list[tuple[int, int]]] = {}
     for r in h2_rows:
         h2.setdefault((r["event_type"], r["b1"]), []).append((r["b2"], r["cnt"]))
-    out = None
+    # r13: resolve ALL residual ranks from ONE shared scan. The per-
+    # (group, probe) pieces below each filtered `binned` directly, so
+    # the returned union re-scanned the events parquet once per branch
+    # (10 scans in the executed plan). The selected (group, b1, b2)
+    # slices are exactly the rows every branch reads — filter them once
+    # behind a lazy checkpoint (W2-wide bin slices, the same bounded
+    # volume level 2 already aggregated) and let the branches read the
+    # materialization. Branch predicates, ordering, and limits are
+    # unchanged, so each piece returns identical rows.
+    resolved: dict[tuple[str, float], tuple[int, int, int]] = {}
     for (g, p), (b1, k1) in sorted(lvl1.items()):
         cum = 0
         for b2, cnt in sorted(h2[(g, b1)]):
             if cum + cnt >= k1:
-                k2 = k1 - cum
+                resolved[(g, p)] = (b1, b2, k1 - cum)
                 break
             cum += cnt
+    pred3 = None
+    for g, b1, b2 in sorted({(g, b1, b2) for (g, _), (b1, b2, _) in resolved.items()}):
+        cond = (
+            (F.col("event_type") == g) & (F.col("b1") == b1) & (F.col("b2") == b2)
+        )
+        pred3 = cond if pred3 is None else (pred3 | cond)
+    resid = binned.where(pred3).localCheckpoint(eager=False)
+    out = None
+    for (g, p), (b1, b2, k2) in sorted(resolved.items()):
         piece = (
-            binned.where(
+            resid.where(
                 (F.col("event_type") == g) & (F.col("b1") == b1) & (F.col("b2") == b2)
             )
             .orderBy("c")

@@ -779,9 +779,18 @@ def _ivf_persisted_index(spark: SparkSession, sf_dir: str, rebuild: bool = False
         emb = load_table(spark, sf_dir, "embeddings")
         cents = ivf_build_centroids(emb, k=IVF_K, iters=0)
         path = scratch_dir("ivf_index_") + "/cells"
-        ivf_assign_cells(emb, cents).write.mode("overwrite").partitionBy(
-            "_cell"
-        ).parquet(path)
+        # r13: hash-distribute by the partition column before the
+        # partitioned write (Iceberg's write.distribution-mode=hash
+        # discipline, guide §6): without it every input task opens a
+        # file in every cell directory (tasks x cells small files —
+        # the write AND the probe's read-back pay the per-file
+        # overhead); with it each cell is one task -> one file. At
+        # scale the repartition is the price of file-count health; a
+        # production build sizes it repartition(N, _cell) to the
+        # target file size.
+        ivf_assign_cells(emb, cents).repartition(F.col("_cell")).write.mode(
+            "overwrite"
+        ).partitionBy("_cell").parquet(path)
         _IVF_INDEX_MEMO[sf_dir] = (path, cents)
     return _IVF_INDEX_MEMO[sf_dir]
 
