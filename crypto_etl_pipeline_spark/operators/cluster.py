@@ -66,6 +66,11 @@ def _contract_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
             return r
 
         for pdf in batches:
+            # Null endpoints tolerated as join misses (ADVICE r13 #1):
+            # the pre-r13 join-based loop silently treated a null src/
+            # dst as a non-edge, whereas `ry < rx` on None raises
+            # TypeError inside the Arrow task. Keep the old contract.
+            pdf = pdf.dropna()
             for x, y in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
                 if x not in parent:
                     parent[x] = x

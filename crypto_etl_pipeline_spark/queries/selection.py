@@ -816,6 +816,18 @@ def quantile_grouped_exact_histogram(spark: SparkSession, sf_dir: str) -> DataFr
                     lvl1[(g, p)] = (b1, k - cum)
                     break
                 cum += cnt
+    # Degenerate input (no non-null values → no groups): both level-2
+    # predicates below are OR-folds over the selection sets, and an
+    # empty set would leave them None — `binned.where(None)` raises
+    # TypeError (VERDICT r13 #5 / ADVICE r13 #2). Return the
+    # empty-shaped result instead; the oracle's probe×group cross
+    # join is empty over zero groups too.
+    if not lvl1:
+        return spark.createDataFrame(
+            [],
+            "event_type string, p double, n_rows long, rank_k long, "
+            "value_cents long, value double",
+        )
     # ONE level-2 histogram over all (group, selected-b1) slices.
     need = {(g, b1) for (g, _), (b1, _) in lvl1.items()}
     pred = None

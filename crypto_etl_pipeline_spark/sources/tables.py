@@ -72,7 +72,7 @@ def register_temp_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...]
         df.createOrReplaceTempView(name)
 
 
-_ROW_COUNT_MEMO: dict[tuple[str, str], int] = {}
+_ROW_COUNT_MEMO: dict[tuple[str, str, int], int] = {}
 
 
 def table_row_count(sf_dir: str, name: str) -> int:
@@ -84,13 +84,20 @@ def table_row_count(sf_dir: str, name: str) -> int:
     queries whose output includes the RAW table cardinality: a
     ``df.count()`` there costs a full scan job per call at bench time
     while computing a number the file format already stores. Memoized
-    per (sf_dir, table) for the process lifetime — footer metadata of
-    immutable input files, not a computed result.
+    per (sf_dir, table, mtime) — the mtime key invalidates the memo if
+    a table path is ever rewritten mid-process (VERDICT r13 #6), while
+    still never re-reading footers of immutable inputs.
+
+    Coupling contract (ADVICE r13 #3): this equals ``load_table(...)
+    .count()`` only while load_table applies NO row filter to the
+    table — pinned by tests/test_round14_hardening.py so a future
+    filter cannot silently desynchronize the report numbers built on
+    this count.
     """
-    key = (sf_dir, name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (sf_dir, name, os.stat(path).st_mtime_ns)
     if key not in _ROW_COUNT_MEMO:
         import pyarrow.dataset as pads
 
-        path = os.path.join(sf_dir, f"{name}.parquet")
         _ROW_COUNT_MEMO[key] = pads.dataset(path, format="parquet").count_rows()
     return _ROW_COUNT_MEMO[key]

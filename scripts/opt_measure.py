@@ -23,7 +23,7 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-PLAN_DIR = os.path.join(ROOT, "plans", "r13")
+PLAN_DIR = os.path.join(ROOT, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14"))
 
 
 def n_jobs(spark) -> int:
