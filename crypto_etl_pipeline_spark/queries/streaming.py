@@ -198,7 +198,13 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # event time without ever creating window state.
     stage = _stage_dir(sf_dir, copies=1)
     _write_watermark_sentinels(spark, sf_dir, stage, n=2)
-    events = read_event_stream(spark, stage, max_files_per_trigger=2)
+    # r14: all three files (events + both sentinels) in ONE data batch
+    # — the watermark still advances past every real window at that
+    # batch's end, and the standard no-data batch emits every closed
+    # window, so the drain is 2 micro-batch cycles instead of 3 at
+    # identical sink contents (the interval-join family fix; ~0.7-1 s
+    # of fixed per-cycle overhead measured).
+    events = read_event_stream(spark, stage)
     rolled = hourly_rollup_stream(
         events, watermark="2 hours", exclude_event_types=("_sentinel",)
     )
@@ -240,6 +246,11 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         _checkpoint(),
         output_mode="append",
         state_partitions=8,  # ~10k event_id keys at the gate SF
+        # r14: dropDuplicatesWithinWatermark emits each first
+        # occurrence eagerly in the batch that reads it — the trailing
+        # no-data batch only evicts state and appends nothing (the
+        # stream_interval_join precedent), so skip its ~0.7 s cycle.
+        extra_confs={"spark.sql.streaming.noDataMicroBatches.enabled": "false"},
     )
     return out.select(
         "event_id",
@@ -992,6 +1003,13 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _checkpoint(),
         output_mode="append",
         state_partitions=4,  # 4 join state stores/partition; 6.5 s (sp=32) -> 2.2 s
+        # r14: an INNER stream-stream join emits every match eagerly in
+        # the batch that reads it — the trailing no-data micro-batch
+        # (watermark bookkeeping only) appends nothing to the sink and
+        # costs a full ~0.7 s micro-batch cycle (planning + 2x4 state
+        # commits + checkpoint fsync). Outer variants NEED that batch
+        # (absence rows emit there); this one provably does not.
+        extra_confs={"spark.sql.streaming.noDataMicroBatches.enabled": "false"},
     )
     return out.select(
         "purchase_id",
@@ -1044,9 +1062,16 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _stage_dir(sf_dir, copies=1)
     _write_watermark_sentinels(spark, sf_dir, d, n=2)
+    # r14: one data batch, not two. At maxFilesPerTrigger=2 the drain
+    # ran {events+sentinel1}, {sentinel2}, {no-data} — three
+    # micro-batch cycles at ~0.7-1.0 s of fixed overhead each. All
+    # three files in ONE batch still advances both sides' watermark
+    # nodes at its end (sentinels ride batch 0), and the standard
+    # no-data batch then emits every watermark-proven absence row —
+    # identical sink contents (oracle re-verified), one fewer cycle.
     joined = interval_join_streams(
-        read_event_stream(spark, d, max_files_per_trigger=2),
-        read_event_stream(spark, d, max_files_per_trigger=2),
+        read_event_stream(spark, d),
+        read_event_stream(spark, d),
         how="left_outer",
         keep_sentinels=True,
     )
@@ -1106,9 +1131,12 @@ def stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _stage_dir(sf_dir, copies=1)
     _write_watermark_sentinels(spark, sf_dir, d, n=2)
+    # r14: same one-data-batch drain as the left-outer twin (see its
+    # comment) — sentinels in batch 0, absence rows in the no-data
+    # batch, one micro-batch cycle fewer.
     joined = interval_join_streams(
-        read_event_stream(spark, d, max_files_per_trigger=2),
-        read_event_stream(spark, d, max_files_per_trigger=2),
+        read_event_stream(spark, d),
+        read_event_stream(spark, d),
         how="full_outer",
         keep_sentinels=True,
     )

@@ -6522,7 +6522,6 @@ def dedup_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle. Counts join the 1-row truth total by broadcast."""
     from crypto_etl_pipeline_spark.operators.dedup import (
         _shingle_arrays,
-        lsh_buckets,
         minhash_signatures,
     )
 
@@ -6547,29 +6546,65 @@ def dedup_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
 
-    cands = None
+    # r14: ONE posting table for ALL configs — the per-config loop
+    # planned 3 banding projections and 3 self-joins (plus a 2-branch
+    # union) over the same checkpointed signature frame; measured, the
+    # loop's plan construction alone cost ~1.1 s and the three joins
+    # re-derived the banding above the checkpoint on BOTH aliases. All
+    # 28 (config, band) bucket expressions now ride one projection and
+    # one explode; the posting table is checkpointed so the single
+    # (bands, band, bucket) self-join reads a materialized LogicalRDD
+    # on both sides (guide §2.4: share one exchange; the _pq_codes_lut
+    # precedent). Bucket values are byte-identical to lsh_buckets
+    # (same md5 over the same '|'-joined band slice, same band index),
+    # the join keys gain `bands` equality so no cross-config pairs,
+    # and rows_per_band is functionally dependent on bands — so the
+    # per-config candidate sets, and every downstream aggregate, are
+    # unchanged (oracle re-verified at sf0.001/0.01).
+    structs = []
     for b, r in _SWEEP_CONFIGS:
-        bk = lsh_buckets(sigs, num_hashes=_SWEEP_HASHES, num_bands=b)
-        x, y = bk.alias("x"), bk.alias("y")
-        c = (
-            x.join(
-                y,
-                (F.col("x.band") == F.col("y.band"))
-                & (F.col("x.bucket") == F.col("y.bucket"))
-                & (F.col("x.doc_id") < F.col("y.doc_id")),
+        for band in range(b):
+            slice_cols = [
+                F.col(f"h{band * r + j}").cast("string") for j in range(r)
+            ]
+            structs.append(
+                F.struct(
+                    F.lit(b).alias("bands"),
+                    F.lit(r).alias("rows_per_band"),
+                    F.lit(band).alias("band"),
+                    phash.md5_long(F.concat_ws("|", *slice_cols), 15).alias(
+                        "bucket"
+                    ),
+                )
             )
-            .select(
-                F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
-            )
-            .distinct()
-            .select(
-                F.lit(b).alias("bands"),
-                F.lit(r).alias("rows_per_band"),
-                "id_a",
-                "id_b",
-            )
+    post = (
+        sigs.select("doc_id", F.explode(F.array(*structs)).alias("bb"))
+        .select(
+            "doc_id",
+            F.col("bb.bands").alias("bands"),
+            F.col("bb.rows_per_band").alias("rows_per_band"),
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
         )
-        cands = c if cands is None else cands.unionByName(c)
+        .localCheckpoint(eager=False)
+    )
+    x, y = post.alias("x"), post.alias("y")
+    cands = (
+        x.join(
+            y,
+            (F.col("x.bands") == F.col("y.bands"))
+            & (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.bands").alias("bands"),
+            F.col("x.rows_per_band").alias("rows_per_band"),
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
     joined = cands.join(
         truth.withColumn("_t", F.lit(1)), ["id_a", "id_b"], "left"
     )
