@@ -82,8 +82,14 @@ def pagerank(
     if broadcast_ranks:
         # Degree via groupBy (partial counts shuffle ~nodes rows, not
         # edges) broadcast back onto the un-shuffled edge table.
-        deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
-        e = edges.join(F.broadcast(deg), src).localCheckpoint(eager=False)
+        # r14: checkpoint the RAW edges first — the degree BROADCAST
+        # job and the annotated-edge materialization each executed the
+        # caller's whole edge-building subtree (fact join + distinct)
+        # from scratch; behind the cut it runs once and both read the
+        # materialized rows (guide §2.4 / the kcore_peel twin fix).
+        e0 = edges.localCheckpoint(eager=False)
+        deg = e0.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
+        e = e0.join(F.broadcast(deg), src).localCheckpoint(eager=False)
     else:
         e = (
             edges.repartition(n_part, F.col(src))
@@ -279,7 +285,16 @@ def kcore_peel(
         kdf = deg0.agg(k_threshold.cast("long").alias("_k"))
     # scalar join-back (broadcast 1-row): the house pattern for
     # corpus-derived constants — never a collect in the lazy plan.
-    cur = deg0.join(F.broadcast(kdf)).withColumn("deg", F.col("deg0"))
+    # r14: checkpointed — deg0 (a full-edge-set aggregation) was
+    # re-executed by every downstream consumer that broadcasts a
+    # `keep` frame derived from it (2 semi-join broadcasts per round
+    # plus the final join), since ReuseExchange cannot dedup across
+    # separate broadcast jobs. One materialization, same rows.
+    cur = (
+        deg0.join(F.broadcast(kdf))
+        .withColumn("deg", F.col("deg0"))
+        .localCheckpoint(eager=False)
+    )
     e = edges
     alive = cur
     for r in range(rounds):

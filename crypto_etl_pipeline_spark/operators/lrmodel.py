@@ -155,16 +155,27 @@ def lr_train_newton(
     fb = feats.unionByName(
         labels.select("doc_id", F.lit(dim).alias("feat"))
     ).localCheckpoint(eager=False)
+    w = np.zeros(dim + 1)
     if max_doc_feats is not None:
         fb_h = _cap_doc_feats(fb, dim, max_doc_feats).localCheckpoint(eager=False)
+        n = labels.count()
     else:
         fb_h = fb
-        pair_rows = (
+        # r14: the fan-out guard and the label count ride ONE action
+        # (two independent 1-row aggregates cross-joined) instead of
+        # two sequential driver barriers; the collect also
+        # materializes the fb checkpoint every iteration reads.
+        guard = (
             fb.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("f"))
             .agg(F.sum(F.col("f") * F.col("f")).alias("p"))
-            .first()["p"]
         )
+        row = (
+            labels.agg(F.count(F.lit(1)).alias("n"))
+            .crossJoin(F.broadcast(guard))
+            .first()
+        )
+        n, pair_rows = int(row["n"]), row["p"]
         if pair_rows is not None and pair_rows > hessian_row_budget:
             raise RuntimeError(
                 f"lr_train_newton: Hessian self-join would emit {pair_rows} "
@@ -172,8 +183,6 @@ def lr_train_newton(
                 "set max_doc_feats to cap per-doc curvature features, or "
                 "raise hessian_row_budget explicitly"
             )
-    w = np.zeros(dim + 1)
-    n = labels.count()
     for _ in range(iters):
         m = lr_margin(fb.where(F.col("feat") < dim), list(w))
         # right outer keeps feature-less docs (margin = bias only)

@@ -2938,14 +2938,20 @@ def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
+    # r14: distinct on the INT key pair, label strings built AFTER —
+    # the pagerank_trade_graph discipline: the distinct's hash
+    # aggregation shuffles ~16 B/row of longs instead of two labeled
+    # strings, and the int-pair -> label mapping is injective so the
+    # edge set is identical to the oracle's DISTINCT over labels.
     pairs = (
         li.join(orders.select("o_orderkey", "o_custkey"),
                 li.l_orderkey == F.col("o_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
             F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
         )
-        .distinct()
     )
     edges = (
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
@@ -3893,6 +3899,12 @@ def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+        # r14: THREE consumers read this fact-join distinct (the degree
+        # broadcast, the probe side, and the candidate posting side) —
+        # un-checkpointed, each broadcast/probe job re-executed the
+        # lineitem⋈orders + distinct subtree from the scan (guide §2.4;
+        # the kcore/pagerank edge-list discipline).
+        .localCheckpoint(eager=False)
     )
     deg = posts.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
     probe = posts.where(F.col("c") < 10).select(F.col("c").alias("probe_cust"), "s")

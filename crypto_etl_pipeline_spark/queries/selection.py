@@ -159,13 +159,22 @@ def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qq") - 2 * _dot_long(F.col("q"), carr) + F.lit(c2).cast("long")
         )
 
-    cur = base.withColumn("d", dist_to(center_q))
+    # r14: lazy checkpoint per round — the chained least() updates made
+    # round i's argmax job re-evaluate ALL i prior distance folds from
+    # `base` (K²/2 interpreted HOF dot products per row over the loop);
+    # behind the per-round cut each job evaluates exactly ONE new fold
+    # against the materialized previous round (the connected-components
+    # / random-walks loop discipline, guide §2/§5). Distances are exact
+    # integers, so materializing them changes nothing.
+    cur = base.withColumn("d", dist_to(center_q)).localCheckpoint(eager=False)
     for i in range(1, K_CENTERS):
         far = cur.orderBy(F.desc("d"), F.asc("vec_id")).limit(1).collect()[0]
         picks.append((i, int(far["vec_id"]), int(far["d"])))
         center_q = [int(x) for x in far["q"]]
         if i < K_CENTERS - 1:
-            cur = cur.withColumn("d", F.least(F.col("d"), dist_to(center_q)))
+            cur = cur.withColumn(
+                "d", F.least(F.col("d"), dist_to(center_q))
+            ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         picks, "sel_order INT, vec_id BIGINT, d2q BIGINT"
     )
@@ -702,7 +711,6 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # retained node's edges survive the filter), so rn/deg — and the
     # md5-chosen path — are identical to the full-index formulation
     # and to the oracle.
-    w = Window.partitionBy("src")
     for t in range(1, _WALK_STEPS + 1):
         # r13: broadcast LEFT SEMI join instead of distinct + inner
         # join — the semi join's hash table deduplicates walker
@@ -712,17 +720,27 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and therefore rn/deg and the md5-chosen path — is identical.
         nodes = frontier.select(F.col("node").alias("src"))
         cand = edges.join(F.broadcast(nodes), "src", "left_semi")
-        adj_t = cand.select(
-            "src",
-            "dst",
-            F.row_number().over(w.orderBy("dst")).alias("rn"),
-            F.count(F.lit(1)).over(w).alias("deg"),
+        # r14: per-src SORTED ADJACENCY ARRAY via hash aggregation
+        # instead of a row_number window — the window paid a full
+        # exchange + per-partition sort of the retained edges every
+        # step; collect_list partial-aggregates map-side and the
+        # array_sort orders each src's (distinct) neighbors exactly
+        # like the window's ORDER BY dst, so element_at(_adj, md5 mod
+        # deg + 1) selects the identical neighbor (rn semantics over
+        # distinct dst == position in the sorted array). guide §2.4.
+        adj_t = cand.groupBy("src").agg(
+            F.array_sort(F.collect_list("dst")).alias("_adj")
         )
-        idx = (md5_long(F.concat(F.col("node"), F.lit(f":{t}")), 8) % F.col("deg")) + 1
+        idx = (
+            md5_long(F.concat(F.col("node"), F.lit(f":{t}")), 8)
+            % F.size("_adj")
+        ) + 1
         frontier = (
             adj_t.join(F.broadcast(frontier), adj_t.src == frontier.node)
-            .where(F.col("rn") == idx)
-            .select("start_node", F.col("dst").alias("node"))
+            .select(
+                "start_node",
+                F.element_at("_adj", idx.cast("int")).alias("node"),
+            )
             # Cut the lineage each step (same discipline as the
             # adjacency/pairs frames): without this, step t's frontier
             # AND every unioned output branch lazily re-derive all

@@ -7064,15 +7064,28 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     n0 = _docs_count(sf_dir)
     canon = exact_dedup(docs, "text", "doc_id").select("doc_id")
     surv = docs.join(canon, "doc_id").localCheckpoint(eager=False)
-    n1 = surv.count()
 
     buckets, sh_tbl = minhash_buckets(surv)
     buckets = buckets.localCheckpoint(eager=False)
-    spilled = (
-        lsh_hot_buckets(buckets, CASCADE_BUCKET_CAP)
-        .agg(F.coalesce(F.sum("skipped_comparisons"), F.lit(0)).alias("n"))
-        .collect()[0]["n"]
+    # r14: ONE action for n1 + spilled (two independent 1-row
+    # aggregates cross-joined) instead of two sequential driver
+    # barriers — the collect also materializes the surv AND buckets
+    # checkpoints every later stage reads. Same numbers: count of the
+    # same frame, sum over the same spill audit.
+    row_a = (
+        surv.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(
+            F.broadcast(
+                lsh_hot_buckets(buckets, CASCADE_BUCKET_CAP).agg(
+                    F.coalesce(F.sum("skipped_comparisons"), F.lit(0)).alias(
+                        "sp"
+                    )
+                )
+            )
+        )
+        .collect()[0]
     )
+    n1, spilled = int(row_a["n1"]), int(row_a["sp"])
     pairs = near_dup_pairs_from_buckets(
         cap_hot_buckets(buckets, CASCADE_BUCKET_CAP), sh_tbl, threshold=0.05
     ).select("id_a", "id_b")
@@ -7083,7 +7096,6 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    n2 = surv2.count()
 
     # paragraph first-wins over the survivors (same shape as
     # dedup_paragraph_first_wins: checkpointed token table below the
@@ -7109,13 +7121,25 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("idx", "h"),
     )
     w = Window.partitionBy("h").orderBy("doc_id", "idx")
-    n3_removed = (
+    # r14: n2 + n3 in ONE action (the n1+spilled pattern above) — the
+    # separate surv2.count() barrier disappears; this collect
+    # materializes the surv2 and toks checkpoints the rollup reads.
+    removed = (
         para.withColumn("rn", F.row_number().over(w))
         .groupBy("doc_id")
         .agg(F.max((F.col("rn") == 1).cast("int")).alias("any_kept"))
-        .where(F.col("any_kept") == 0)
-        .count()
+        .agg(
+            F.coalesce(
+                F.sum((F.col("any_kept") == 0).cast("long")), F.lit(0)
+            ).alias("n3r")
+        )
     )
+    row_b = (
+        surv2.agg(F.count(F.lit(1)).alias("n2"))
+        .crossJoin(F.broadcast(removed))
+        .collect()[0]
+    )
+    n2, n3_removed = int(row_b["n2"]), int(row_b["n3r"])
     return spark.createDataFrame(
         [
             (0, "raw", n0, 0, n0, 0),

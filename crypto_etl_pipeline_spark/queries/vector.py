@@ -2445,7 +2445,15 @@ def ann_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = ann.join(truth, ["query_id", "neighbor_id"], "left").localCheckpoint(
         eager=False
     )
-    nq = truth.select("query_id").distinct().count()
+    # r14: nq as a 1-row broadcast frame instead of a sequential
+    # driver .count() — the collect was a full extra action (and a
+    # barrier before the hits job) computing a number the final
+    # 3-row projection can carry as a column (the house
+    # scalar-join-back pattern; guide §5 "the driver should do almost
+    # no data work").
+    nqf = truth.select("query_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("_nq")
+    )
     hits = j.agg(
         *[
             F.sum(
@@ -2457,14 +2465,16 @@ def ann_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"h{k}")
             for k in RECALL_KS
         ]
-    )
+    ).crossJoin(F.broadcast(nqf))
     out = None
     for k in RECALL_KS:
         row = hits.select(
             F.lit(k).alias("k"),
             F.col(f"h{k}").alias("n_hits"),
-            F.lit(k * nq).cast("long").alias("n_possible"),
-            F.round(F.col(f"h{k}") / F.lit(k * nq), 6).alias("recall"),
+            (F.lit(k) * F.col("_nq")).cast("long").alias("n_possible"),
+            F.round(F.col(f"h{k}") / (F.lit(k) * F.col("_nq")), 6).alias(
+                "recall"
+            ),
         )
         out = row if out is None else out.unionByName(row)
     return out
